@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+Protocol (BASELINE.md): shared SparkSession, one discarded warm-up run per
+query, then the timed run (wall-clock, includes collect of the final — small
+— result). Compare against the Spark column of BASELINE.md at the same sf.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from data_integration_exercise_spark.registry import queries  # noqa: E402
+from data_integration_exercise_spark.session import get_session  # noqa: E402
+
+# BASELINE.md's measured query set (SURVEY.md §6); only implemented keys run.
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_multiway_star",
+    "win_topn_per_group",
+    "stream_tumbling",
+    "agg_count_distinct",
+    "sim_topk_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_session("bench")
+    qs = queries()
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in qs:
+            continue
+        fn = qs[key]
+        fn(spark, sf_dir).collect()  # warm-up (discarded)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[key] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

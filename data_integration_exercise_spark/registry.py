@@ -1,0 +1,23 @@
+"""Aggregated operator registry — the single source for the driver contract.
+
+``queries()`` / ``oracle_sql()`` here are re-exported by /root/repo/
+__spark_entry__.py. Every SURVEY.md §2 inventory row lands in exactly one
+operator module below.
+"""
+
+from __future__ import annotations
+
+from .operators import aggregates
+from .registry_util import merge
+
+_MODULES = [
+    aggregates,
+]
+
+
+def queries():
+    return merge(_MODULES)[0]
+
+
+def oracle_sql():
+    return merge(_MODULES)[1]
