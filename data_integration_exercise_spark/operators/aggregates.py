@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, register_views
 from ..registry_util import new_registry
 
 QUERIES, ORACLES, register = new_registry()
@@ -66,4 +66,383 @@ def pricing_summary(spark, sf_dir):
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT min(o_totalprice)           AS min_price,
+           max(o_totalprice)           AS max_price,
+           round(sum(o_totalprice), 4) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           count(*)                    AS n_orders,
+           min(o_orderdate)            AS first_date,
+           max(o_orderdate)            AS last_date
+    FROM orders
+    """,
+)
+def agg_global(spark, sf_dir):
+    """Ungrouped aggregates over orders — single partial-agg reduce to 1 row.
+
+    Scale: map-side partials mean the shuffle moves one row per task.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT o_custkey)                          AS n_custs,
+           count(DISTINCT (o_orderstatus, o_orderpriority))   AS n_status_prio,
+           count(*)                                           AS n_rows
+    FROM orders
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct counts (dedup accounting). Catalyst plans the classic
+    expand + two-phase aggregate; exact-distinct shuffles the distinct keys,
+    which is the right trade until cardinality explodes (then
+    agg_approx_distinct is the 100 TB path)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus", "o_orderpriority").alias("n_status_prio"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: approximate by design (SURVEY §2.4)
+def agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct of l_orderkey at rsd=0.01 — the constant-memory
+    distinct that survives 100 TB where exact distinct shuffles every key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation group filter (HAVING). The filter sits above the final
+    HashAggregate, pruning groups before any downstream join/sink."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name,
+           n_name,
+           grouping(r_name)          AS g_r,
+           grouping(n_name)          AS g_n,
+           count(*)                  AS n_cust,
+           round(sum(c_acctbal), 4)  AS acct_total
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP region→nation hierarchy with grand total; dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("g_r"),
+        F.grouping("n_name").alias("g_n"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 4).alias("acct_total"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           grouping(o_orderstatus)     AS g_s,
+           grouping(o_orderpriority)   AS g_p,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two low-cardinality dims — Catalyst Expand produces the 4
+    grouping sets in one pass (no 4x rescan of the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").alias("g_s"),
+        F.grouping("o_orderpriority").alias("g_p"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() flags disambiguating subtotal
+    NULLs from (absent-here) natural NULLs. Same SQL text runs on both
+    engines (dialect-portable subset)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4)      AS std_price,
+           round(var_samp(l_quantity), 4)              AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Statistical aggregates (the exercise's summary-stat surface). Values
+    chosen to keep magnitudes small enough that 4dp rounding absorbs
+    engine-side summation-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+           count(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per market segment (both engines use
+    linear interpolation). At 100 TB you'd switch to approx_percentile —
+    exact percentile requires a per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT c_mktsegment,
+           -- CAST: DuckDB integer sum yields HUGEINT (→ float64 in pandas);
+           -- BIGINT keeps the hash representation identical to Spark's long
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 4) AS urgent_rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Crosstab via conditional aggregation (pandas crosstab equivalent)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def n_status(s):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            n_status("F").alias("n_f"),
+            n_status("O").alias("n_o"),
+            n_status("P").alias("n_p"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("urgent_rev"),
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """pivot() with pinned values (pandas pivot_table). Pinning the value list
+    avoids the extra distinct-collection job AND keeps the column set stable
+    for the oracle; empty cells coalesced to 0 to match FILTER-count SQL."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Per-customer sorted key list. collect_list order is nondeterministic
+    under parallelism — sort_array makes it stable (SURVEY §5.6 determinism
+    rule); serialized to a string so the value-hash is type-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH best AS (
+        SELECT o_custkey, o_orderkey AS best_order, o_totalprice AS best_price
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+    ), worst AS (
+        SELECT o_custkey, o_orderkey AS worst_order
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) = 1
+    )
+    SELECT best.o_custkey, best_order, best_price, worst_order
+    FROM best JOIN worst USING (o_custkey)
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """argmax/argmin per group via max_by/min_by over a (value, key) struct —
+    the struct tiebreak makes the pick deterministic (DuckDB 1.0 arg_max has
+    no composite ordering, so the oracle states the same semantics as
+    row_number windows)."""
+    o = load_table(spark, sf_dir, "orders")
+    tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", tie).alias("best_order"),
+        F.max("o_totalprice").alias("best_price"),
+        F.min_by("o_orderkey", tie).alias("worst_order"),
+    )
+
+
+@register(
+    "agg_first_last",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, o_orderkey AS first_order, o_orderdate AS first_date
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    ), lasts AS (
+        SELECT o_custkey, o_orderkey AS last_order, o_orderdate AS last_date
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT firsts.o_custkey, first_order, first_date, last_order, last_date
+    FROM firsts JOIN lasts USING (o_custkey)
+    """,
+)
+def agg_first_last(spark, sf_dir):
+    """First/last order per customer by explicit (date, key) order — never
+    F.first()/F.last(), which are nondeterministic under parallelism
+    (SURVEY §5.6); min_by/max_by on a struct is a single-pass agg (no window
+    shuffle-and-sort needed)."""
+    o = load_table(spark, sf_dir, "orders")
+    tie = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", tie).alias("first_order"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max_by("o_orderkey", tie).alias("last_order"),
+        F.max("o_orderdate").alias("last_date"),
     )

@@ -7,11 +7,12 @@ operator module below.
 
 from __future__ import annotations
 
-from .operators import aggregates
+from .operators import aggregates, projections
 from .registry_util import merge
 
 _MODULES = [
     aggregates,
+    projections,
 ]
 
 

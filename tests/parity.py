@@ -8,6 +8,9 @@ driver (which hashes) so any drift is visible locally first.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+
 import numpy as np
 import pandas as pd
 
@@ -34,13 +37,21 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             # floor to µs (DuckDB may hand back ns precision)
             pdf[c] = s.dt.floor("us").astype("datetime64[us]")
-        elif isinstance(s.dtype, pd.api.types.pandas_dtype("object").__class__) and s.map(
+        elif s.dtype == object and s.map(
             lambda v: isinstance(v, (list, np.ndarray, dict)), na_action="ignore"
         ).any():
             pdf[c] = s.map(
                 lambda v: str(list(v) if isinstance(v, np.ndarray) else v),
                 na_action="ignore",
             )
+        elif s.dtype == object and s.map(
+            lambda v: isinstance(v, decimal.Decimal), na_action="ignore"
+        ).any():
+            pdf[c] = s.astype("float64")
+        elif s.dtype == object and s.map(
+            lambda v: isinstance(v, datetime.date), na_action="ignore"
+        ).any():
+            pdf[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(s):
             pdf[c] = s.astype("int64")
         elif pd.api.types.is_float_dtype(s):
