@@ -1,0 +1,413 @@
+"""Join operators (SURVEY.md §2.3).
+
+Reference parity: the pandas exercise's ``pd.merge`` per source pair is the
+"integration" core (SURVEY.md §0 — empty checkout, reconstructed surface).
+Spark-first re-expression:
+
+  - equi joins → shuffle hash / sort-merge picked by Catalyst + AQE
+  - small dimensions → explicit ``F.broadcast`` (no shuffle of the fact side)
+  - theta/range on time → *banded* join: equi on (key, time-bucket) with the
+    exact predicate as residual — bounds candidates at any scale
+  - as-of → union + last_value window (one shuffle, no candidate explosion)
+  - skew → deterministic salting (plus AQE skewJoin as the automatic path)
+
+Time arithmetic on events uses ``ts_us`` (epoch µs bigints, io.load_table)
+so comparisons hash-match the DuckDB oracle exactly despite the parquet
+files carrying sub-µs nanosecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    """Plain inner equi-join orders⋈customer. Catalyst picks broadcast-hash
+    below the 10MB threshold, sort-merge above; AQE can demote at runtime."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    """Fact ⋈ broadcast dims: the fact table never shuffles for the join —
+    at 100 TB this is mandatory for true dimensions (supplier/nation here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join, ASIA revenue by nation. The big
+    fact⋈fact (lineitem⋈orders) shuffles on orderkey; all dims broadcast.
+    The local-supplier condition (c_nationkey = s_nationkey) rides the
+    supplier join as an extra equi-key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (o.o_orderdate < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(r.r_name == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           count(o_orderkey)                          AS n_orders,
+           coalesce(round(sum(o_totalprice), 4), 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER customer→orders with null-side aggregation: customers with
+    zero orders survive with n_orders=0 (count over the null column)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 4), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS a_price
+               FROM orders WHERE o_orderkey < 1000),
+         b AS (SELECT o_orderkey AS k, o_totalprice AS b_price
+               FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+    SELECT coalesce(a.k, b.k) AS k,
+           a_price,
+           b_price,
+           (a.k IS NULL) AS only_b,
+           (b.k IS NULL) AS only_a
+    FROM a FULL JOIN b ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER over two overlapping key slices — both unmatched sides
+    survive with nulls; coalesce reconstructs the unified key."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 1000).select(
+        F.col("o_orderkey").alias("ak"), F.col("o_totalprice").alias("a_price")
+    )
+    b = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("b_price")
+    )
+    return a.join(b, a.ak == b.bk, "full").select(
+        F.coalesce(a.ak, b.bk).alias("k"),
+        "a_price",
+        "b_price",
+        a.ak.isNull().alias("only_b"),
+        b.bk.isNull().alias("only_a"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI: customers having at least one large order. Semi join never
+    duplicates the left side and only ships the key column of the right."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI: customers with no large order — the referential-integrity /
+    orphan-audit pattern of an integration pipeline."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit small cross product (5×25). Cross joins are only ever safe on
+    bounded dims — the engine never cross-joins facts (SURVEY §5.7)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
+    SELECT e1.event_id AS id1,
+           e2.event_id AS id2,
+           e1.user_id  AS user_id,
+           e2.ts_us - e1.ts_us AS diff_us
+    FROM e e1 JOIN e e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_id < e2.event_id
+     AND abs(e2.ts_us - e1.ts_us) <= 60000000
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Band join: same-user event pairs within 60s. Implemented as an equi
+    join on (user_id, 60s time bucket) with e1 exploded to its 3 adjacent
+    buckets and the exact |Δt|≤60s predicate as residual — candidate count
+    stays O(events per bucket), not O(events per user)², at any scale.
+    Each qualifying pair matches exactly one (candidate bucket == e2's
+    bucket), so no dedup is needed."""
+    BAND_US = 60_000_000
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts_us")
+    bucket = (F.col("ts_us") / F.lit(BAND_US)).cast("long")
+    e1 = (
+        e.withColumn(
+            "cand_bucket",
+            F.explode(F.array(bucket - 1, bucket, bucket + 1)),
+        )
+        .withColumnRenamed("event_id", "id1")
+        .withColumnRenamed("ts_us", "ts1")
+    )
+    e2 = (
+        e.withColumn("bucket", bucket)
+        .withColumnRenamed("event_id", "id2")
+        .withColumnRenamed("ts_us", "ts2")
+        .withColumnRenamed("user_id", "user2")
+    )
+    return (
+        e1.join(
+            e2,
+            (e1.user_id == e2.user2)
+            & (e1.cand_bucket == e2.bucket)
+            & (e1.id1 < e2.id2)
+            & (F.abs(e2.ts2 - e1.ts1) <= BAND_US),
+        )
+        .select(
+            "id1",
+            "id2",
+            "user_id",
+            (F.col("ts2") - F.col("ts1")).alias("diff_us"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000 AS ts_us,
+               event_id,
+               CASE WHEN event_type = 'click' THEN 'c' ELSE 'p' END AS kind,
+               CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+               CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END AS c_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           event_id AS purchase_id,
+           ts_us    AS purchase_ts_us,
+           last_value(c_id IGNORE NULLS) OVER w AS click_id,
+           last_value(c_ts IGNORE NULLS) OVER w AS click_ts_us
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    QUALIFY kind = 'p'
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the latest click at-or-before it
+    (per user). Spark has no native ASOF; the scalable idiom is union both
+    streams, sort once per user, and carry the last click forward with an
+    ignore-nulls last_value window — one shuffle, no candidate explosion
+    (vs. the naive ts<= join whose candidates grow with history length).
+    Ties at equal ts_us: clicks sort before purchases ('c' < 'p'), so an
+    equal-timestamp click is visible to the purchase; among equal-ts clicks
+    the max event_id wins."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "click", "c").otherwise("p").alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts_us")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("click_id", F.last("c_id", ignorenulls=True).over(w))
+        .withColumn("click_ts_us", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == "p")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            "click_id",
+            "click_ts_us",
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k,
+               l_extendedprice
+        FROM lineitem
+    ), dim AS (
+        SELECT range AS k, 'grp_' || CAST(range % 5 AS VARCHAR) AS payload
+        FROM range(100)
+    )
+    SELECT payload,
+           count(*) AS n,
+           round(sum(l_extendedprice), 4) AS total
+    FROM fact JOIN dim USING (k)
+    GROUP BY payload
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-resistant join: ~70% of fact rows share key 0 (synthetic hotspot).
+    Deterministic salting (salt = l_orderkey % 8 — never rand(), SURVEY §5.6)
+    splits the hot key across 8 reducers; the dim side is replicated ×8 via
+    explode. AQE's skewJoin handles this automatically for sort-merge joins;
+    salting is the explicit technique for when it can't (e.g. aggregations
+    keyed on the skewed column)."""
+    SALTS = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        "l_extendedprice",
+        (F.col("l_orderkey") % SALTS).alias("salt"),
+    )
+    dim = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("grp_"), (F.col("id") % 5).cast("string")).alias("payload"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)])))
+    )
+    return (
+        fact.join(dim, ["k", "salt"])
+        .groupBy("payload")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total"),
+        )
+    )

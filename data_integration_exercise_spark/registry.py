@@ -7,12 +7,13 @@ operator module below.
 
 from __future__ import annotations
 
-from .operators import aggregates, projections
+from .operators import aggregates, joins, projections
 from .registry_util import merge
 
 _MODULES = [
     aggregates,
     projections,
+    joins,
 ]
 
 
