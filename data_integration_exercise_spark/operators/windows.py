@@ -1,0 +1,227 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Beyond the reference's pandas surface (groupby/transform at best) — this is
+the analytic layer the driver mandates. Determinism rules (SURVEY §5.6)
+applied throughout: every window ordering ends in a unique key tiebreak, and
+null ordering is explicit (Spark ASC defaults nulls-first, DuckDB nulls-last).
+
+Scale: all windows partition by a key (customer/user) except the two
+pre-aggregated daily series (bounded rows) — raw-event global windows are
+banned; a single-partition window is a one-executor sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+@register(
+    "win_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def win_topn_per_group(spark, sf_dir):
+    """Top-3 orders per customer by totalprice (tie-broken by orderkey).
+    row_number + filter plans as WindowGroupLimit in Spark 4 — per-partition
+    top-k without materializing full ranks."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           c_mktsegment,
+           CAST(rank()       OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS quartile,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC), 4) AS pct_rank,
+           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC), 4) AS cdist
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def win_ranking(spark, sf_dir):
+    """Full ranking family per market segment. rank/percent_rank/cume_dist
+    order by value only (ties share ranks — deterministic); ntile needs a
+    total order, so it carries the key tiebreak."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    by_val = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc())
+    total = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.rank().over(by_val).cast("long").alias("rnk"),
+        F.dense_rank().over(by_val).cast("long").alias("drnk"),
+        F.ntile(4).over(total).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(by_val), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(by_val), 4).alias("cdist"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS ts_us
+               FROM events)
+    SELECT event_id,
+           user_id,
+           round(value - lag(value) OVER w, 4)  AS delta_value,
+           ts_us - lag(ts_us) OVER w            AS gap_us,
+           lead(event_id) OVER w                AS next_event
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """Per-user event deltas: value change and µs gap since previous event,
+    next event id. Ordering (ts_us, event_id) is total → deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    """Cumulative spend per customer in (date, key) order. The frame order is
+    total, so both engines accumulate the identical float sequence."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
+def _daily_revenue(spark, sf_dir):
+    """Shared pre-aggregation: revenue per order day (bounded series)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("day_rev")
+    )
+
+
+_DAILY_CTE = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS day_rev
+        FROM orders GROUP BY 1
+    )
+"""
+
+
+@register(
+    "win_moving_avg",
+    oracle=_DAILY_CTE
+    + """
+    SELECT day,
+           round(avg(day_rev) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    """7-row moving average over the *pre-aggregated* daily series — the
+    window is global but the input is bounded (one row per day), which is
+    the only acceptable global-window shape at scale."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", F.round(F.avg("day_rev").over(w), 4).alias("ma7")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle=_DAILY_CTE
+    + """
+    SELECT day,
+           round(sum(day_rev) OVER (
+               ORDER BY CAST(epoch(day) AS BIGINT)
+               RANGE BETWEEN 2505600 PRECEDING AND CURRENT ROW), 4) AS trailing_30d
+    FROM daily
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """30-day trailing revenue via a RANGE frame over epoch seconds
+    (2,505,600s = 29 days back + current day = 30 calendar days) — RANGE
+    handles calendar gaps that a ROWS frame would silently ignore."""
+    daily = _daily_revenue(spark, sf_dir).withColumn(
+        "epoch_s", F.unix_timestamp(F.col("day").cast("timestamp")).cast("long")
+    )
+    w = Window.orderBy("epoch_s").rangeBetween(-2505600, Window.currentRow)
+    return daily.select(
+        "day", F.round(F.sum("day_rev").over(w), 4).alias("trailing_30d")
+    )
+
+
+@register(
+    "win_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_cust
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark, sf_dir):
+    """first_value/last_value with an explicit full frame — the default frame
+    (unbounded-preceding → current-row) makes last_value just "current row",
+    the classic trap; the full frame states the intent."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.count(F.lit(1)).over(w).alias("n_in_cust"),
+    )

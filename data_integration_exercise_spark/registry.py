@@ -7,13 +7,16 @@ operator module below.
 
 from __future__ import annotations
 
-from .operators import aggregates, joins, projections
+from .operators import aggregates, joins, projections, setops, sorts, windows
 from .registry_util import merge
 
 _MODULES = [
     aggregates,
     projections,
     joins,
+    windows,
+    sorts,
+    setops,
 ]
 
 

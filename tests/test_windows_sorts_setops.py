@@ -1,0 +1,36 @@
+"""Oracle-parity tests for §2.5 windows, §2.6 sorts, §2.7 set ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import setops, sorts, windows
+
+from .parity import assert_parity
+
+ALL_KEYS = sorted(windows.ORACLES) + sorted(sorts.ORACLES) + sorted(setops.ORACLES)
+
+
+@pytest.mark.parametrize("key", ALL_KEYS)
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_union_all_reassembles(spark):
+    """Property: union of disjoint slices has the full table's row count."""
+    from data_integration_exercise_spark.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    assert (
+        setops.QUERIES["set_union_all"](spark, sf).count()
+        == load_table(spark, sf, "orders").count()
+    )
+
+
+def test_topk_is_sorted_prefix(spark):
+    """Property: topk_global equals the first 100 rows of the full sort."""
+    sf = "/root/testdata/sf0.01"
+    rows = sorts.QUERIES["topk_global"](spark, sf).collect()
+    assert len(rows) == 100
+    nets = [r.net_price for r in rows]
+    assert nets == sorted(nets, reverse=True)
