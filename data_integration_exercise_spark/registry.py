@@ -7,6 +7,7 @@ operator module below.
 
 from __future__ import annotations
 
+from .functions import scalar
 from .operators import aggregates, joins, projections, setops, sorts, windows
 from .registry_util import merge
 
@@ -17,6 +18,7 @@ _MODULES = [
     windows,
     sorts,
     setops,
+    scalar,
 ]
 
 
