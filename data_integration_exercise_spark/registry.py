@@ -10,8 +10,10 @@ from __future__ import annotations
 from .functions import scalar
 from .operators import aggregates, joins, projections, setops, sorts, windows
 from .registry_util import merge
+from .sources import connectors
 
 _MODULES = [
+    connectors,
     aggregates,
     projections,
     joins,

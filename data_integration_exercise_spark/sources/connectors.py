@@ -1,0 +1,194 @@
+"""Source / sink connectors (SURVEY.md §2.1).
+
+Reference parity: the pandas exercise ingests heterogeneous flat files
+(CSV/JSON), integrates them, and writes an output artifact (SURVEY.md §0/§1.1
+— reconstructed). Spark-first: explicit StructType schemas on every ingest
+(schema inference is a correctness hazard AND a full extra pass over the data
+at scale), parquet as the canonical columnar sink, partitioned writes for
+partition-pruned downstream reads.
+
+Round-trip staging writes go under /tmp/die_spark_stage/<sf>/<key>; the
+returned DataFrame is always read back *from the staged artifact*, so the
+oracle comparison proves write→read fidelity, not just the transform.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..io import load_table
+from ..registry_util import new_registry
+from ..schemas import CUSTOMER, TABLES
+
+QUERIES, ORACLES, register = new_registry()
+
+
+def _stage_dir(sf_dir: str, key: str) -> str:
+    return os.path.join("/tmp/die_spark_stage", os.path.basename(sf_dir.rstrip("/")), key)
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT 'region' AS table_name, count(*) AS n FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    """Scan all 10 tables (through the canonicalizing loader — the events
+    nanosecond path included) and report row counts: the smoke proof that
+    every source is readable."""
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(t).alias("table_name"), "n")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 40
+    """,
+)
+def scan_projection_pushdown(spark, sf_dir):
+    """2-of-11-column scan with a pushed filter. The physical plan must show
+    ReadSchema: struct<l_orderkey,l_quantity> and PushedFilters:
+    [GreaterThan(l_quantity,40.0)] (asserted in tests/test_plans.py) —
+    reading 18% of the columns is the difference between a 100 TB scan and
+    an 18 TB one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 40)
+
+
+@register(
+    "ingest_csv",
+    oracle="SELECT * FROM customer",
+)
+def ingest_csv(spark, sf_dir):
+    """CSV round-trip with header + explicit schema (the reference's primary
+    source format): customer → CSV → typed read-back. Schema is pinned
+    (schemas.CUSTOMER) — inferSchema would cost an extra full pass and can
+    mistype empty/ambiguous columns."""
+    path = _stage_dir(sf_dir, "ingest_csv")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.csv(path, schema=CUSTOMER, header=True)
+
+
+_EVENTS_JSON_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@register(
+    "ingest_json",
+    oracle="""
+    SELECT event_id,
+           epoch_ns(ts) // 1000 AS ts_us,
+           user_id,
+           event_type,
+           value,
+           props
+    FROM events
+    """,
+)
+def ingest_json(spark, sf_dir):
+    """JSON-lines round-trip (events-shaped): canonical events → JSONL →
+    typed read-back. Time travels as epoch-µs bigints (exact), the nested
+    props JSON travels as an escaped string — doubles survive via Jackson's
+    shortest-round-trip formatting."""
+    path = _stage_dir(sf_dir, "ingest_json")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").json(path)
+    return spark.read.json(path, schema=_EVENTS_JSON_SCHEMA)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           round(sum(o_totalprice), 4) AS segment_rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_parquet(spark, sf_dir):
+    """The exercise's 'unified output table': orders⋈customer written to
+    parquet, read back, aggregated — the oracle compares against the direct
+    aggregation, so any write/read corruption surfaces as a value mismatch."""
+    path = _stage_dir(sf_dir, "sink_parquet")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    unified = o.join(c, o.o_custkey == c.c_custkey)
+    unified.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("segment_rev"),
+        )
+    )
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def sink_partitioned(spark, sf_dir):
+    """Hive-partitioned sink (partitionBy l_returnflag) + partition-pruned
+    read-back: the filter on the partition column prunes directories before
+    any file is opened — at 100 TB this is the primary data-skipping lever
+    alongside predicate pushdown."""
+    path = _stage_dir(sf_dir, "sink_partitioned")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )

@@ -1,0 +1,43 @@
+"""Oracle parity for §2.1 connectors + physical-plan property checks (§4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import joins
+from data_integration_exercise_spark.plans import inspect
+from data_integration_exercise_spark.sources import connectors
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(connectors.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_projection_pushdown_plan(spark):
+    """The scan must prune to 2 columns and push the quantity filter."""
+    df = connectors.QUERIES["scan_projection_pushdown"](spark, SF)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+    assert inspect.has_pushed_filter(df, "GreaterThan(l_quantity,40.0)")
+
+
+def test_flagship_pushdown_plan(spark):
+    """Flagship Q1: shipdate filter pushed, schema pruned to used columns."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    df = aggregates.QUERIES["agg_pricing_summary"](spark, SF)
+    plan = inspect.formatted_plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    cols = set(inspect.read_schema_columns(df))
+    assert "l_orderkey" not in cols  # unused column must not be read
+
+
+def test_broadcast_dim_plan(spark):
+    """join_broadcast_dim must plan as BroadcastHashJoin (no fact shuffle)."""
+    df = joins.QUERIES["join_broadcast_dim"](spark, SF)
+    assert inspect.uses_broadcast_join(df)
