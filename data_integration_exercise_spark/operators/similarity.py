@@ -1,0 +1,251 @@
+"""Vector-similarity & multimodal operators (SURVEY.md §2.10).
+
+Embeddings: array<float> length 64, int label 0–9 (measured). All vector
+math runs in Spark SQL higher-order functions (zip_with/aggregate) — JVM
+codegen, no UDFs; elements are cast to double before arithmetic so results
+match DuckDB's double math.
+
+Scale strategy:
+  - exact pairwise ops block on ``label`` (10-way partition of the O(n²));
+  - ``sim_knn_query`` is a linear scan + TakeOrdered (the brute-force
+    baseline that always works);
+  - ``sim_ann_lsh`` is the sublinear path: deterministic random-hyperplane
+    signatures → bucket equi-join → exact re-rank of candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+def _vec(col):
+    """float[] → double[] (oracle parity: DuckDB lists are double math)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# deterministic literal query vector / hyperplanes (SURVEY §5.6: no rand())
+# ---------------------------------------------------------------------------
+
+DIM = 64
+#: fixed kNN probe vector: q[i] = ((i % 7) - 3) / 3
+QUERY_VEC = [round(((i % 7) - 3) / 3.0, 6) for i in range(DIM)]
+N_PLANES = 12
+#: fixed LSH hyperplanes: h[p][i] = ((i * (p + 2) + 13) % 7) - 3  (ints)
+HYPERPLANES = [[((i * (p + 2) + 13) % 7) - 3 for i in range(DIM)] for p in range(N_PLANES)]
+
+
+def _sql_list(xs) -> str:
+    return "[" + ", ".join(str(x) for x in xs) + "]"
+
+
+@register(
+    "sim_topk_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT e1.vec_id AS id1,
+           e2.vec_id AS id2,
+           e1.label  AS label,
+           round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
+    FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    ORDER BY sim DESC, id1 ASC, id2 ASC
+    LIMIT 100
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    """Top-100 most-similar same-label pairs by cosine. Label blocking keeps
+    the pair space at Σ|label|² (≈10× smaller than n²); ordering uses the
+    4dp-rounded similarity + id tiebreaks so the top-100 boundary is
+    engine-independent."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
+    )
+    e1 = e.select(
+        F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1")
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("label2"),
+        F.col("v").alias("v2"),
+    )
+    sim = F.round(_cosine(F.col("v1"), F.col("v2")), 4)
+    return (
+        e1.join(e2, (e1.label == e2.label2) & (e1.id1 < e2.id2))
+        .select("id1", "id2", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "sim_knn_query",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(list_cosine_similarity(v, {_sql_list(QUERY_VEC)}), 4) AS sim
+    FROM e
+    ORDER BY sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_knn_query(spark, sf_dir):
+    """k=10 nearest neighbours to a fixed literal query vector — brute-force
+    cosine scan + TakeOrdered(10): the exact baseline every ANN variant is
+    measured against. One pass, no shuffle except the 10-row top-k merge."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    sim = F.round(_cosine(_vec(F.col("embedding")), q), 4)
+    return (
+        e.select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+N_BANDS = 4
+BAND_BITS = 3  # N_BANDS * BAND_BITS == N_PLANES
+
+
+@register("sim_ann_lsh")  # rows-only: approximate by design (SURVEY §2.10)
+def sim_ann_lsh(spark, sf_dir):
+    """Approximate top-100 same-label pairs via banded random-hyperplane LSH:
+    12 fixed literal hyperplanes → sign bits → 4 bands of 3 bits; candidate
+    pairs agree on *any* band (classic OR-of-ANDs banding — a single
+    all-bits bucket had 5% recall on this data, banding restores it), then
+    exact cosine re-rank of candidates only. Deterministic (hyperplanes are
+    module constants, no rand()). At 100 TB the per-band equi-join touches
+    only colliding pairs — sublinear in the pair space; recall vs
+    sim_topk_cosine is asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
+    )
+    band_sigs = []
+    for b in range(N_BANDS):
+        sig = F.lit(0)
+        for j in range(BAND_BITS):
+            plane = HYPERPLANES[b * BAND_BITS + j]
+            h = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(
+                F.lit(0)
+            )
+        band_sigs.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    banded = e.select(
+        "vec_id", "label", "v", F.explode(F.array(*band_sigs)).alias("bs")
+    ).select("vec_id", "label", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    s1 = banded.select(
+        F.col("vec_id").alias("id1"), "label", "band", "sig", F.col("v").alias("v1")
+    )
+    s2 = banded.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("label2"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+        F.col("v").alias("v2"),
+    )
+    cand = (
+        s1.join(
+            s2,
+            (s1.band == s2.band2)
+            & (s1.sig == s2.sig2)
+            & (s1.label == s2.label2)
+            & (s1.id1 < s2.id2),
+        )
+        .select("id1", "id2", "label", "v1", "v2")
+        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
+    )
+    sim = F.round(_cosine(F.col("v1"), F.col("v2")), 4)
+    return (
+        cand.select("id1", "id2", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT label,
+           count(*)                                AS n_docs,
+           round(avg(n_chars), 4)                  AS avg_chars,
+           count(DISTINCT lang)                    AS n_langs,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label
+    """,
+)
+def multimodal_join(spark, sf_dir):
+    """Unified multimodal view: text (documents) ⋈ vectors (embeddings) on
+    doc_id = vec_id, then per-label text statistics — the 'align modalities
+    on a shared key, analyze jointly' pattern. Inner join by design: at
+    sf0.1 only 2k of 5k docs have embeddings (measured)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+               FROM orders WHERE o_custkey < 100)
+    SELECT o1.o_orderkey, o1.o_totalprice, o1.o_orderdate
+    FROM o o1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o o2
+        WHERE o2.o_totalprice >= o1.o_totalprice
+          AND o2.o_orderdate  <= o1.o_orderdate
+          AND (o2.o_totalprice > o1.o_totalprice
+               OR o2.o_orderdate < o1.o_orderdate)
+    )
+    """,
+)
+def skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto frontier): orders maximizing totalprice while
+    minimizing orderdate, via anti-join against dominating rows. Input is
+    key-bounded (custkey<100) because dominance is a nested-loop predicate;
+    the distributed skyline at scale pre-filters with a coarse grid (each
+    cell's local skyline first — PAPERS.md skyline-in-SparkSQL pattern)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    o2 = o.select(
+        F.col("o_totalprice").alias("p2"), F.col("o_orderdate").alias("d2")
+    )
+    dominated = (
+        (F.col("p2") >= F.col("o_totalprice"))
+        & (F.col("d2") <= F.col("o_orderdate"))
+        & ((F.col("p2") > F.col("o_totalprice")) | (F.col("d2") < F.col("o_orderdate")))
+    )
+    return o.join(o2, dominated, "left_anti")

@@ -1,0 +1,289 @@
+"""Text-analytics & dedup operators over ``documents`` (SURVEY.md §2.10).
+
+Driver-mandated LLM-data-pipeline surface. Everything here is pure
+DataFrame/HOF — tokenization is ``split`` + ``explode``/``transform``, no
+Python in the row path, so the whole module rides whole-stage codegen.
+
+Corpus facts (measured this session): 31-word vocabulary, 10–99 tokens/doc,
+langs {en,fr,es,zh,de}, 0 exact duplicate strings but dense token-SET
+near-duplicates — dedup operates on normalized token sets by design.
+
+Scale: every aggregation is keyed (term / doc / lang); the only quadratic
+op is the within-language Jaccard self-join, whose scale path is the
+MinHash-LSH variant in pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+STOPWORDS = ("a", "the")
+
+#: inline sentiment lexicon over the measured 31-word vocabulary
+LEXICON: dict[str, float] = {
+    "fast": 1.0,
+    "slow": -1.0,
+    "big": 0.5,
+    "small": -0.5,
+    "dup": -1.0,
+    "merge": 0.5,
+    "spark": 1.0,
+    "scan": -0.25,
+    "join": 0.25,
+    "query": 0.25,
+}
+
+_LEX_VALUES_SQL = ", ".join(f"('{w}', {s})" for w, s in LEXICON.items())
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token NOT IN ('a', 'the')
+    GROUP BY token
+    """,
+)
+def text_tokenize_wordcount(spark, sf_dir):
+    """Global word counts with stopword filtering — the canonical
+    tokenize→explode→groupBy pipeline; shuffle carries one row per distinct
+    term thanks to partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """tf·idf per (doc, term) — pure SQL formula (tf × ln(N/df)), no MLlib,
+    so it is oracle-checkable. Three keyed aggregations + one broadcast of
+    the tiny df table; N rides a broadcast 1-row cross join (no collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(list_transform(string_split(text, ' '), (x, i) -> i)) AS pos
+        FROM documents
+    ), b AS (
+        SELECT lang,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS bigram
+        FROM t
+    )
+    SELECT lang, bigram, count(*) AS n
+    FROM b WHERE bigram IS NOT NULL
+    GROUP BY lang, bigram
+    """,
+)
+def text_ngrams(spark, sf_dir):
+    """Bigram counts per language via posexplode + per-doc lead window —
+    the window shuffles once on doc_id; n-gram assembly is pure codegen
+    (concat), and the same idiom extends to any n."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        t.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("bigram", F.concat_ws(" ", "tok", "nxt"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    WITH doc_stats AS (
+        SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang, source
+    ), vocab AS (
+        SELECT lang, source, count(DISTINCT token) AS vocab_size
+        FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, avg_chars, vocab_size
+    FROM doc_stats JOIN vocab USING (lang, source)
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    """Per-(lang, source) doc counts, avg length, vocabulary richness.
+    Doc-level stats and token-level distinct are computed at their own
+    grains then joined — aggregating avg(n_chars) over exploded tokens
+    would silently weight by token count."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_stats = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    vocab = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("token").alias("vocab_size"))
+    )
+    return doc_stats.join(vocab, ["lang", "source"])
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(word, score) AS (VALUES {_LEX_VALUES_SQL}),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT t.doc_id,
+           round(sum(coalesce(lex.score, 0.0)) / count(*), 4) AS sentiment,
+           CAST(count(lex.word) AS BIGINT) AS n_scored
+    FROM toks t LEFT JOIN lex ON t.token = lex.word
+    GROUP BY t.doc_id
+    """,
+)
+def text_sentiment_lexicon(spark, sf_dir):
+    """Lexicon-scored sentiment: exploded tokens ⋈ broadcast 10-word score
+    table, averaged per doc (unmatched tokens score 0). The lexicon is a
+    literal inline table — the standard broadcast-enrich shape for any
+    token-level annotation at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(list(LEXICON.items()), "word string, score double")
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.join(lex, toks.token == lex.word, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce("score", F.lit(0.0))) / F.count(F.lit(1)), 4
+            ).alias("sentiment"),
+            F.count("word").alias("n_scored"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id) AS keep_doc,
+           count(*)    AS group_size
+    FROM fp
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup on the *normalized token-set fingerprint* (sorted distinct
+    tokens). Raw strings have zero duplicates in this corpus (measured), but
+    the token-set collapses near-identical docs; keep-rule = min doc_id
+    (deterministic). At 100 TB the fingerprint would be an md5 of this string
+    — same groupBy, constant-width key."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), ",")
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    )
+    SELECT d1.doc_id AS doc1,
+           d2.doc_id AS doc2,
+           d1.lang   AS lang,
+           round(CAST(len(list_intersect(d1.s, d2.s)) AS DOUBLE)
+                 / (len(d1.s) + len(d2.s) - len(list_intersect(d1.s, d2.s))), 4)
+               AS jaccard
+    FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE CAST(len(list_intersect(d1.s, d2.s)) AS DOUBLE)
+          / (len(d1.s) + len(d2.s) - len(list_intersect(d1.s, d2.s))) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark, sf_dir):
+    """Near-duplicate pairs: token-set Jaccard ≥ 0.8, blocked by language
+    (same-lang self-join, id1<id2). Exact O(n² per lang) — correct and fine
+    to ~10⁴ docs/lang; the LSH-banded variant (pipeline.dedup_minhash_lsh)
+    is the 100 TB path. Jaccard is a ratio of exact integers, so both
+    engines produce bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    d1 = docs.select(
+        F.col("doc_id").alias("doc1"), F.col("lang"), F.col("s").alias("s1")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("s").alias("s2"),
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    jac = inter / union
+    return (
+        d1.join(d2, (d1.lang == d2.lang2) & (d1.doc1 < d2.doc2))
+        .filter(jac >= 0.8)
+        .select("doc1", "doc2", "lang", F.round(jac, 4).alias("jaccard"))
+    )

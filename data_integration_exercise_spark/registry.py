@@ -8,7 +8,16 @@ operator module below.
 from __future__ import annotations
 
 from .functions import scalar
-from .operators import aggregates, joins, projections, setops, sorts, windows
+from .operators import (
+    aggregates,
+    joins,
+    projections,
+    setops,
+    similarity,
+    sorts,
+    text,
+    windows,
+)
 from .registry_util import merge
 from .sources import connectors
 
@@ -21,6 +30,8 @@ _MODULES = [
     sorts,
     setops,
     scalar,
+    text,
+    similarity,
 ]
 
 
