@@ -20,6 +20,7 @@ from .operators import (
 )
 from .registry_util import merge
 from .sources import connectors
+from .streaming import streams
 
 _MODULES = [
     connectors,
@@ -32,6 +33,7 @@ _MODULES = [
     scalar,
     text,
     similarity,
+    streams,
 ]
 
 

@@ -29,6 +29,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Stateful streaming disables AQE, so a 200-partition default becomes 200
+    # state-store tasks per micro-batch; pin the harness parallelism here so
+    # driver-built plain sessions behave like the tuned builder. On a real
+    # cluster this would scale with executor count.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

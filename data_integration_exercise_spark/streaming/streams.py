@@ -1,0 +1,264 @@
+"""Structured Streaming surface over ``events`` (SURVEY.md §2.9).
+
+Strategy (batch-equivalence verification): each operator stages the canonical
+events table to parquet, consumes it with ``spark.readStream`` + an
+``availableNow`` trigger into a memory sink, and returns the sink table.
+For a bounded input the windowed/stateful semantics match a batch SQL
+equivalent, which is the DuckDB oracle; the two genuinely trigger-dependent
+ops (watermark drops, foreachBatch) stay rows-only [SURVEY §2.9].
+
+Scale posture: these pipelines are written exactly as they would run
+unbounded — keyed state (window/session/dedup aggregations partitioned by
+time bucket or user), watermarks bounding state, no global collects. Only
+the memory sink is test-scaffolding; production would writeStream to
+parquet/kafka with a real checkpoint.
+
+Determinism: event time is the µs-truncated ``ts`` (io.load_table), so
+window boundaries hash-match oracles computing on epoch_ns(ts)//1000.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+from ..schemas import EVENTS
+
+QUERIES, ORACLES, register = new_registry()
+
+_US_15MIN = 900_000_000
+_US_30MIN = 1_800_000_000
+
+
+def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
+    """Stage canonical events → parquet; return a file-source stream over it."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/die_spark_stage/{tag}/events_stream_{n_files}"
+    ev = load_table(spark, sf_dir, "events")
+    writer = ev.repartitionByRange(n_files, "ts") if n_files > 1 else ev.coalesce(1)
+    writer.write.mode("overwrite").parquet(path)
+    reader = spark.readStream.schema(EVENTS)
+    if n_files > 1:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    # Watermarks require TimestampType (ltz), not ntz; with the session pinned
+    # to UTC (io.prepare) the cast is wall-clock identity, and outputs are
+    # cast back to ntz so hashes stay timezone-free.
+    return reader.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory(stream_df, name: str, mode: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _memory_result(spark, stream_df, name: str, mode: str) -> DataFrame:
+    _run_to_memory(stream_df, name, mode)
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 4)   AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Per-hour × event-type tumbling-window aggregation. State is keyed by
+    (window, type) — bounded by watermark in unbounded operation; identical
+    to a date_trunc group-by on a bounded input."""
+    s = _staged_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "event_type", "n", "sum_value"
+        )
+    )
+    return _memory_result(spark, agg, "mem_stream_tumbling", "complete")
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH e AS (
+        SELECT epoch_ns(ts) // 1000 AS ts_us, event_type FROM events
+    ), slid AS (
+        SELECT make_timestamp((ts_us // {_US_15MIN}) * {_US_15MIN}
+                              - CAST(i AS BIGINT) * {_US_15MIN})
+                   AS window_start,
+               event_type
+        FROM e, unnest([0, 1, 2, 3]) AS t(i)
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """1-hour window sliding every 15 minutes: each event lands in 4 windows.
+    The oracle reconstructs Spark's epoch-aligned window starts by exploding
+    each event into floor15(ts) - i·15min for i∈0..3 — exactly the window
+    set Spark assigns."""
+    s = _staged_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
+    )
+    return _memory_result(spark, agg, "mem_stream_sliding", "complete")
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events
+    ), marked AS (
+        SELECT *,
+               CASE WHEN ts_us - lag(ts_us) OVER w >= {_US_30MIN}
+                    OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+        SELECT *,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           make_timestamp(min(ts_us)) AS session_start,
+           count(*)                   AS n_events,
+           round(sum(value), 4)       AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Per-user session windows with a 30-minute gap. Spark session semantics:
+    an event at exactly prev_end (= last_ts + gap) starts a NEW session
+    (windows are [start, end)), hence the oracle's ``diff >= gap`` rule."""
+    s = _staged_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("ts").cast("timestamp_ntz").alias("session_start"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+    return _memory_result(spark, agg, "mem_stream_session", "complete")
+
+
+@register("stream_watermark_late")  # rows-only: drop rule is trigger-dependent
+def stream_watermark_late(spark, sf_dir):
+    """Watermark-bounded append-mode aggregation consumed file-by-file
+    (maxFilesPerTrigger=1 over 8 time-ranged files): late rows arriving
+    after the 10-minute watermark advances past their window are dropped —
+    how many depends on batch boundaries, which is exactly why this op is
+    rows-only (SURVEY §2.9)."""
+    s = _staged_events_stream(spark, sf_dir, n_files=8)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
+    )
+    return _memory_result(spark, agg, "mem_stream_watermark", "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id,
+           event_type,
+           date_trunc('minute', ts) AS minute
+    FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup on (user, type, minute). Which physical row
+    survives is batch-order-dependent, so the query projects exactly the
+    dedup key — the key SET is deterministic and hash-verifiable. State is
+    bounded by the watermark in unbounded operation."""
+    s = _staged_events_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .select(
+            "user_id", "event_type", F.date_trunc("minute", "ts").cast("timestamp_ntz").alias("minute"), "ts"
+        )
+        .dropDuplicates(["user_id", "event_type", "minute"])
+        .select("user_id", "event_type", "minute")
+    )
+    return _memory_result(spark, dedup, "mem_stream_dedup", "append")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)             AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE c_custkey < 15
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a static customer dim
+    (user_id ↔ c_custkey, 15 users) then aggregates per segment. The static
+    side is broadcast to every micro-batch — the standard dimension-enrich
+    shape for streaming ETL."""
+    s = _staged_events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 15)
+    )
+    agg = (
+        s.join(dim, s.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return _memory_result(spark, agg, "mem_stream_static_join", "complete")
+
+
+@register("stream_foreachbatch")  # rows-only: sink side-effects, trigger-dependent
+def stream_foreachbatch(spark, sf_dir):
+    """foreachBatch sink: each micro-batch upserts (overwrite-by-batch dir)
+    into a parquet area; the query returns the re-read final state. This is
+    the escape hatch for sinks Structured Streaming lacks natively (JDBC
+    upserts, MERGE targets)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/die_spark_stage/{tag}/foreachbatch_out"
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_{batch_id}")
+        )
+
+    s = _staged_events_stream(spark, sf_dir)
+    q = s.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/*")
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+    )
