@@ -1,0 +1,138 @@
+"""Python UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+These exist to prove the extension surface — every core operator in this
+engine uses built-in JVM expressions instead (UDFs are the slow path:
+row-at-a-time Python ≈10-100× slower than codegen; Arrow-batched pandas_udf
+recovers most of it). Determinism rule: no per-batch statistics — anything
+depending on batch boundaries (e.g. per-batch z-score) is re-expressed
+against globally-joined stats.
+
+UDF objects are constructed inside the query functions: the @udf/@pandas_udf/
+@udtf decorators resolve their return-type DDL against the active session,
+so module-level construction would fail at import time.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+from pyspark.sql.types import IntegerType
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF parsing '1-URGENT' → 1 (the one deliberate
+    slow-path demo — boundary 4 in the lifecycle trace: executor JVM ↔
+    Python worker). The same logic is one split_part call in SQL."""
+
+    @udf(IntegerType())
+    def parse_priority(p: str) -> int | None:
+        if p is None or "-" not in p:
+            return None
+        head = p.split("-", 1)[0]
+        return int(head) if head.isdigit() else None
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", parse_priority("o_orderpriority").alias("prio_num"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER ())
+                 / stddev_samp(o_totalprice) OVER (), 4) AS z
+    FROM orders
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """pandas_udf (Arrow-batched) z-score of o_totalprice. The mean/std are
+    computed once globally and broadcast-joined, then the UDF is pure
+    elementwise math — per-batch statistics would be nondeterministic under
+    repartitioning (SURVEY §5.6)."""
+
+    @pandas_udf("double")
+    def zscore(x: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (x - mu) / sigma
+
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"), F.stddev_samp("o_totalprice").alias("sigma")
+    )
+    return o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.round(zscore(F.col("o_totalprice"), F.col("mu"), F.col("sigma")), 4).alias(
+            "z"
+        ),
+    )
+
+
+@register(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 4) AS w_avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas_udf: quantity-weighted average discount per
+    returnflag — the Arrow path for custom aggregations that genuinely
+    can't be expressed with built-ins (this one can; it's the demo)."""
+
+    @pandas_udf("double")
+    def weighted_avg(disc: pd.Series, qty: pd.Series) -> float:
+        return float((disc * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_discount", "l_quantity"), 4).alias("w_avg_disc")
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> i - 1)) AS pos,
+           unnest(toks)                                  AS token
+    FROM d
+    """,
+)
+def udtf_python(spark, sf_dir):
+    """Python UDTF (Spark ≥3.5) in a LATERAL join — the table-function
+    extension surface; semantics identical to fn_explode's posexplode."""
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i, tok
+
+    spark.udtf.register("die_tokenize", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL die_tokenize(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

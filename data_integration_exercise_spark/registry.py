@@ -16,6 +16,7 @@ from .operators import (
     similarity,
     sorts,
     text,
+    udfs,
     windows,
 )
 from .registry_util import merge
@@ -34,6 +35,7 @@ _MODULES = [
     text,
     similarity,
     streams,
+    udfs,
 ]
 
 
