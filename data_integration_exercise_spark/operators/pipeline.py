@@ -1,0 +1,498 @@
+"""Training-data pipeline extensions beyond SURVEY §2.10's core set.
+
+The driver mandates first-class large-scale training-data operators:
+MinHash-LSH and SimHash dedup, language-ID, quality scoring, token counting,
+document fingerprinting, multimodal binary columns with a stubbed decode,
+and an embedding similarity threshold join.
+
+Design rule that makes almost all of these HASH-verifiable (not just
+rows-only): every hash/signature is **deterministic integer arithmetic over
+the token's index in the measured 31-word vocabulary** — Spark
+``array_position`` and DuckDB ``list_position`` are both 1-based with 0/NULL
+for misses, so both engines compute bit-identical signatures. No engine
+hash functions (xxhash/city) whose implementations could differ.
+
+Scale notes per operator in docstrings; the shared shape is: explode →
+keyed integer aggregation → equi-join on (band, signature) — no O(n²)
+anywhere except the calibrated threshold join, which blocks on label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+#: measured 31-word corpus vocabulary (sorted; see SURVEY §1.2 / FIXTURES.md)
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "small", "sort", "spark", "stream",
+    "table", "the", "value", "vector", "window",
+]
+_V = len(VOCAB)  # 31 (prime, convenient modulus)
+
+_VOCAB_SPARK = "array(" + ", ".join(f"'{w}'" for w in VOCAB) + ")"
+_VOCAB_DUCK = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+
+#: MinHash permutations h_p(i) = (a·i + b) mod 31 — fixed literals, no rand()
+MINHASH_PERMS = [(3, 1), (5, 7), (7, 2), (11, 5), (2, 9), (9, 4), (13, 8), (6, 11)]
+N_BANDS = 4  # 2 rows per band (OR of 4 ANDs-of-2)
+
+_SIMHASH_MULT = 2654435761  # Knuth multiplicative constant
+_SIMHASH_BITS = 16
+_FP_MOD = 1_000_003
+
+
+def _tok_idx(spark, sf_dir, distinct: bool):
+    """(doc_id, lang, idx): one row per (doc, token), idx ∈ 1..31."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " ")) if distinct else F.split("text", " ")
+    return d.select(
+        "doc_id", "lang", F.explode(toks).alias("token")
+    ).withColumn("idx", F.expr(f"array_position({_VOCAB_SPARK}, token)"))
+
+
+_MINHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, list_position({_VOCAB_DUCK}, token) AS idx FROM tok
+    ), perms(p, a, b) AS (VALUES {", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(MINHASH_PERMS))}),
+    mh AS (
+        SELECT doc_id, p, p // 2 AS band,
+               min((a * idx + b) % {_V}) AS mh
+        FROM idx CROSS JOIN perms
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, band,
+               CAST(sum(mh * (CASE WHEN p % 2 = 0 THEN {_V} ELSE 1 END)) AS BIGINT) AS sig
+        FROM mh GROUP BY doc_id, band
+    ), cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        FROM bands b1 JOIN bands b2
+          ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+    ), sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+    )
+    SELECT doc1, doc2,
+           round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+                 / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))), 4)
+               AS jaccard
+    FROM cand
+    JOIN sets s1 ON s1.doc_id = doc1
+    JOIN sets s2 ON s2.doc_id = doc2
+    WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+          / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup detection — the 100 TB path that
+    dedup_near_jaccard's exact self-join points to. 8 permutations over
+    vocab indices → 4 bands of 2 → candidates share any band signature
+    (equi-join, no pair enumeration) → exact Jaccard ≥ 0.8 re-rank of
+    candidates only. All-integer signatures ⇒ hash-verifiable, unlike
+    library MinHash implementations."""
+    idx = _tok_idx(spark, sf_dir, distinct=True).select("doc_id", "idx")
+    perms = F.broadcast(
+        spark.createDataFrame(
+            [(p, a, b) for p, (a, b) in enumerate(MINHASH_PERMS)], "p int, a int, b int"
+        )
+    )
+    mh = (
+        idx.crossJoin(perms)
+        .groupBy("doc_id", "p")
+        .agg(F.min((F.col("a") * F.col("idx") + F.col("b")) % _V).alias("mh"))
+        .withColumn("band", F.expr("p div 2"))
+    )
+    bands = mh.groupBy("doc_id", "band").agg(
+        F.sum(
+            F.col("mh") * F.when(F.col("p") % 2 == 0, F.lit(_V)).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("sig")
+    )
+    b1 = bands.select(
+        F.col("doc_id").alias("doc1"), "band", "sig"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc2"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
+    )
+    cand = (
+        b1.join(b2, (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    sets = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
+    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    jac = inter / union
+    return (
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .filter(jac >= 0.8)
+        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), idx AS (
+        SELECT doc_id,
+               (CAST(list_position({_VOCAB_DUCK}, token) AS BIGINT) * {_SIMHASH_MULT})
+                   % 65536 AS g
+        FROM tok
+    ), bits(bit, pow2) AS (VALUES {", ".join(f"({j}, {2**j})" for j in range(_SIMHASH_BITS))}),
+    contrib AS (
+        SELECT doc_id, bit, pow2,
+               sum(CASE WHEN (g // pow2) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+        FROM idx CROSS JOIN bits
+        GROUP BY doc_id, bit, pow2
+    ), sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN bal > 0 THEN pow2 ELSE 0 END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc
+    FROM sh GROUP BY simhash
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    """SimHash dedup: 16-bit signatures from token-index bit balances
+    (Knuth-multiplied vocab index, majority vote per bit). Docs sharing a
+    signature are dup candidates — reported as (simhash, group size, keep
+    doc). Pure integer math, single shuffle per aggregation level; at scale
+    the hamming-≤k expansion joins each signature against its k-bit-flip
+    neighborhood (multi-probe), still equi-joins."""
+    idx = _tok_idx(spark, sf_dir, distinct=True).select(
+        "doc_id", (F.col("idx").cast("long") * _SIMHASH_MULT % 65536).alias("g")
+    )
+    bits = F.broadcast(
+        spark.createDataFrame(
+            [(j, 2**j) for j in range(_SIMHASH_BITS)], "bit int, pow2 long"
+        )
+    )
+    contrib = (
+        idx.crossJoin(bits)
+        .groupBy("doc_id", "bit", "pow2")
+        .agg(
+            F.sum(
+                F.when(F.expr("(g div pow2) % 2") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias("bal")
+        )
+    )
+    sh = contrib.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("bal") > 0, F.col("pow2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("simhash")
+    )
+    return sh.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    )
+
+
+_LANG_ID_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), profile AS (
+        SELECT lang AS cand_lang, token, count(*) AS cnt
+        FROM tok GROUP BY lang, token
+    ), totals AS (
+        SELECT lang AS cand_lang, count(*) AS tot FROM tok GROUP BY lang
+    ), scored AS (
+        SELECT t.doc_id, t.lang, totals.cand_lang,
+               round(sum(ln((coalesce(profile.cnt, 0) + 1.0)
+                            / (totals.tot + {_V}))), 6) AS score
+        FROM tok t
+        CROSS JOIN totals
+        LEFT JOIN profile ON profile.cand_lang = totals.cand_lang
+                         AND profile.token = t.token
+        GROUP BY t.doc_id, t.lang, totals.cand_lang, totals.tot
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang,
+           (lang = cand_lang) AS correct
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand_lang ASC) = 1
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ID_ORACLE)
+def text_lang_id(spark, sf_dir):
+    """Language-ID via corpus-trained unigram naive Bayes: per-lang Laplace-
+    smoothed token log-probs, argmax per doc (score rounded to 6dp before
+    the deterministic (score, lang) tiebreak). The n-gram heuristic shape
+    the driver asks for, with the profile learned relationally — a groupBy,
+    not a model file; scales as two keyed aggregations + a broadcast of the
+    155-row profile."""
+    tok = _tok_idx(spark, sf_dir, distinct=False).select("doc_id", "lang", "token")
+    profile = tok.groupBy(F.col("lang").alias("cand_lang"), "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = tok.groupBy(F.col("lang").alias("cand_lang")).agg(
+        F.count(F.lit(1)).alias("tot")
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(profile),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .groupBy("doc_id", "lang", "cand_lang", "tot")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                        / (F.col("tot") + _V)
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand_lang").alias("pred_lang"),
+            (F.col("lang") == F.col("cand_lang")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+               CAST(len(list_filter(toks, t -> t IN ('a', 'the'))) AS BIGINT)
+                   AS n_stop,
+               n_chars
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 4)                 AS stop_ratio,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 4)                AS ttr,
+           -- integer permille: 0.4*ttr + 0.3*(1-stop) + 0.3*min(n/50,1),
+           -- common denominator 500*n_tokens, floor-divided — float round()
+           -- on the 3-term sum hit a repr-tie (0.72125) that Spark rounds up
+           -- and DuckDB rounds down, so the score stays in integer space
+           CAST((1000 * (200 * n_types + 150 * (n_tokens - n_stop)
+                         + 3 * least(n_tokens, 50) * n_tokens))
+                // (500 * n_tokens) AS BIGINT)                         AS quality_permille
+    FROM m
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic doc-quality scoring: type/token ratio, stopword ratio,
+    length saturation — the filter stage of a training-data pipeline.
+    Ratios of exact integers ⇒ bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("a", "the"))).cast("long")
+    ttr = n_types.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    # integer permille score — see oracle comment (float round hit a repr-tie)
+    quality_permille = F.expr(
+        """
+        CAST(1000 * (200 * size(array_distinct(split(text, ' ')))
+             + 150 * (size(split(text, ' '))
+                      - size(filter(split(text, ' '), t -> t IN ('a', 'the'))))
+             + 3 * least(size(split(text, ' ')), 50) * size(split(text, ' ')))
+             AS BIGINT)
+        div CAST(500 * size(split(text, ' ')) AS BIGINT)
+        """
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round((F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens, 4).alias(
+            "avg_tok_len"
+        ),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(ttr, 4).alias("ttr"),
+        quality_permille.alias("quality_permille"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)            AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+               AS vowel_groups,
+           round(CAST(n_chars AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)                AS chars_per_tok
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace split, regex word tokens, and a
+    BPE-ish sub-word proxy (vowel-group count ≈ syllable segments). All
+    codegen'd regex — the cheap first-pass length accounting every corpus
+    pipeline runs before real tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("re_tokens"),
+        F.regexp_count("text", F.lit("[aeiou]+")).cast("long").alias("vowel_groups"),
+        F.round(
+            F.col("n_chars").cast("double") / F.size(F.split("text", " ")), 4
+        ).alias("chars_per_tok"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> CAST(list_position({_VOCAB_DUCK}, t) AS BIGINT))
+                   AS idxs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), idxs),
+                       (h, i) -> (h * 33 + i) % {_FP_MOD}) AS fingerprint
+    FROM d
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint: fold h ← (33h + idx) mod
+    1000003 over the token-index sequence — order-sensitive (unlike the
+    token-set fingerprint in dedup_exact_text), so re-ordered docs get
+    different prints. Constant-width key for shuffle-cheap exact dedup at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    idxs = F.expr(
+        f"transform(split(text, ' '), t -> CAST(array_position({_VOCAB_SPARK}, t) AS BIGINT))"
+    )
+    fp = F.aggregate(
+        idxs, F.lit(0).cast("long"), lambda h, i: (h * 33 + i) % _FP_MOD
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           16                                                      AS n_bytes,
+           ('0x' || substr(md5(text), 1, 2))::INTEGER              AS width,
+           ('0x' || substr(md5(text), 3, 2))::INTEGER              AS height,
+           CASE (('0x' || substr(md5(text), 5, 2))::INTEGER) % 3
+                WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' ELSE 'RGBA' END  AS mode
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal binary-column plumbing: an opaque image-bytes column
+    (deterministic fake: md5(text) digest — the container has no image
+    libs, so the real decoder is STUBBED per the driver contract) pushed
+    through mapInPandas. The Spark-side machinery is real: BinaryType
+    column, Arrow-batched iterator UDF, explicit output schema, metadata
+    extraction per batch — swap `_fake_decode` for PIL/libav and the
+    pipeline is production-shaped. Hash-verified because the fake decode is
+    pure md5 byte math the oracle reproduces."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("img")
+    )
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            imgs = pdf["img"]
+            try:
+                raise ImportError("no image codec in this container")
+                # real path would be: from PIL import Image; Image.open(...)
+            except ImportError:
+                # deterministic fake decode: header bytes as dimensions
+                out = pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": imgs.map(len).astype("int32"),
+                        "width": imgs.map(lambda b: b[0]).astype("int32"),
+                        "height": imgs.map(lambda b: b[1]).astype("int32"),
+                        "mode": imgs.map(
+                            lambda b: ["RGB", "L", "RGBA"][b[2] % 3]
+                        ),
+                    }
+                )
+            yield out
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id long, n_bytes int, width int, height int, mode string",
+    )
+
+
+@register(
+    "sim_threshold_join",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT e1.vec_id AS id1, e2.vec_id AS id2, e1.label AS label,
+           round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
+    FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    WHERE round(list_cosine_similarity(e1.v, e2.v), 4) >= 0.4
+    """,
+)
+def sim_threshold_join(spark, sf_dir):
+    """Cosine ε-join: all same-label pairs with similarity ≥ 0.4 (threshold
+    calibrated to this data — max observed same-label cosine is 0.475, so
+    this is the 'embedding near-duplicate' surface for the measured
+    distribution). Label blocking bounds the pair space; the LSH signature
+    path (sim_ann_lsh) is the sublinear variant."""
+    from .similarity import _cosine, _vec
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
+    )
+    e1 = e.select(F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"))
+    e2 = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("label2"),
+        F.col("v").alias("v2"),
+    )
+    sim = F.round(_cosine(F.col("v1"), F.col("v2")), 4)
+    return (
+        e1.join(e2, (e1.label == e2.label2) & (e1.id1 < e2.id2))
+        .select("id1", "id2", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )

@@ -11,6 +11,7 @@ from .functions import scalar
 from .operators import (
     aggregates,
     joins,
+    pipeline,
     projections,
     setops,
     similarity,
@@ -36,6 +37,7 @@ _MODULES = [
     similarity,
     streams,
     udfs,
+    pipeline,
 ]
 
 

