@@ -479,10 +479,12 @@ def sim_threshold_join(spark, sf_dir):
     this is the 'embedding near-duplicate' surface for the measured
     distribution). Label blocking bounds the pair space; the LSH signature
     path (sim_ann_lsh) is the sublinear variant."""
-    from .similarity import _cosine, _vec
+    from .similarity import _dot, _normalized, _vec
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vec("embedding").alias("v")
+    e = _normalized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
+        )
     )
     e1 = e.select(F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"))
     e2 = e.select(
@@ -490,7 +492,7 @@ def sim_threshold_join(spark, sf_dir):
         F.col("label").alias("label2"),
         F.col("v").alias("v2"),
     )
-    sim = F.round(_cosine(F.col("v1"), F.col("v2")), 4)
+    sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
     return (
         e1.join(e2, (e1.label == e2.label2) & (e1.id1 < e2.id2))
         .select("id1", "id2", "label", sim.alias("sim"))
