@@ -130,7 +130,7 @@ def stream_sliding(spark, sf_dir):
         SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS ts_us FROM events
     ), marked AS (
         SELECT *,
-               CASE WHEN ts_us - lag(ts_us) OVER w >= {_US_30MIN}
+               CASE WHEN ts_us - lag(ts_us) OVER w > {_US_30MIN}
                     OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -149,9 +149,10 @@ def stream_sliding(spark, sf_dir):
     """,
 )
 def stream_session(spark, sf_dir):
-    """Per-user session windows with a 30-minute gap. Spark session semantics:
-    an event at exactly prev_end (= last_ts + gap) starts a NEW session
-    (windows are [start, end)), hence the oracle's ``diff >= gap`` rule."""
+    """Per-user session windows with a 30-minute gap. Spark session
+    semantics, pinned by tests/test_properties.py on a hand-built frame: an
+    event at exactly prev_end (= last_ts + gap) MERGES into the session, so
+    the oracle's new-session rule is ``diff > gap`` (strict)."""
     s = _staged_events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
