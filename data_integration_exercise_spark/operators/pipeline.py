@@ -461,6 +461,124 @@ def multimodal_decode(spark, sf_dir):
 
 
 @register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
+                   (x, i) -> x || ' ' || string_split(text, ' ')[i + 1])) AS sh
+        FROM documents
+    )
+    SELECT d1.doc_id AS doc1, d2.doc_id AS doc2, d1.lang AS lang,
+           round(CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+                 / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))), 4)
+               AS shingle_jaccard
+    FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+          / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (bigram shingle) Jaccard near-dup detection — order-SENSITIVE,
+    unlike dedup_near_jaccard's token sets: re-ordered docs share tokens but
+    not shingles (measured: 7,958 token-set pairs ≥0.8 collapse to 6 shingle
+    pairs ≥0.5 in this corpus). Same blocking/scale story as the token-set
+    variant; MinHash over shingles is the LSH path."""
+    d = load_table(spark, sf_dir, "documents")
+    # Spark SQL [] subscripts are 0-based (DuckDB's are 1-based) — both
+    # expressions build ["t0 t1", "t1 t2", ...]
+    sh = F.expr(
+        """
+        array_distinct(transform(
+            slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            (x, i) -> concat(x, ' ', split(text, ' ')[i + 1])))
+        """
+    )
+    docs = d.select("doc_id", "lang", sh.alias("sh"))
+    d1 = docs.select(
+        F.col("doc_id").alias("doc1"), "lang", F.col("sh").alias("s1")
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("sh").alias("s2"),
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    jac = inter / union
+    return (
+        d1.join(d2, (d1.lang == d2.lang2) & (d1.doc1 < d2.doc2))
+        .filter(jac >= 0.5)
+        .select("doc1", "doc2", "lang", F.round(jac, 4).alias("shingle_jaccard"))
+    )
+
+
+IVF_K = 16  # Voronoi seeds (the first 16 vectors — deterministic, data-derived)
+IVF_PROBES = 4  # clusters the query searches
+
+
+@register("sim_ann_ivf")  # rows-only: approximate by design
+def sim_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate nearest neighbours. Coarse quantizer =
+    Voronoi cells around 16 deterministic data-derived seeds (vec_id < 16 —
+    a fixed-literal-formula centroid set had 0 recall: arbitrary directions
+    don't align with the data's neighborhood structure); every vector joins
+    its argmax-dot seed, the query probes its top-4 seed cells (multi-probe)
+    and exact-ranks only those candidates. Fully relational: assignment is
+    a broadcast join + max_by, so at 100 TB it becomes a write-time
+    partition key enabling cluster-pruned scans. Recall vs sim_knn_query is
+    asserted in tests."""
+    from .similarity import QUERY_VEC, _dot, _normalized, _vec
+
+    e = _normalized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
+        )
+    )
+    seeds = F.broadcast(
+        e.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+        )
+    )
+    # assignment: nearest seed by dot, ties to the lowest cluster id
+    assigned = (
+        e.crossJoin(seeds)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max_by(
+                "cluster", F.struct(_dot(F.col("v"), F.col("cv")), -F.col("cluster"))
+            ).alias("cluster"),
+            F.first("v").alias("v"),  # v is constant within the group
+        )
+    )
+
+    import math
+
+    qn = math.sqrt(sum(x * x for x in QUERY_VEC))
+    q = F.array(*[F.lit(float(x / qn)) for x in QUERY_VEC])
+    probe = F.broadcast(
+        seeds.select(
+            "cluster", _dot(F.col("cv"), q).alias("qd")
+        )
+        .orderBy(F.col("qd").desc(), F.col("cluster").asc())
+        .limit(IVF_PROBES)
+        .select("cluster")
+    )
+    return (
+        assigned.join(probe, "cluster", "left_semi")
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            F.round(_dot(F.col("v"), q), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
     "sim_threshold_join",
     oracle="""
     WITH e AS (

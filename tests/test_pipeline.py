@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from data_integration_exercise_spark.operators import pipeline, text
+from data_integration_exercise_spark.operators import pipeline, similarity, text
 
 from .parity import assert_parity
 
@@ -30,6 +30,20 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     # exact set is lang-blocked; minhash is not, so compare on the blocked set
     recall = len(exact & approx) / max(len(exact), 1)
     assert recall >= 0.7, f"MinHash recall too low: {recall}"
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF probe-1 search: deterministic across runs, and its candidates
+    overlap the exact kNN top-10 (single-cluster probe bounds recall)."""
+    exact = [
+        r.vec_id for r in similarity.QUERIES["sim_knn_query"](spark, SF).collect()
+    ]
+    a = [r.vec_id for r in pipeline.QUERIES["sim_ann_ivf"](spark, SF).collect()]
+    b = [r.vec_id for r in pipeline.QUERIES["sim_ann_ivf"](spark, SF).collect()]
+    assert a == b
+    assert len(a) == 10
+    recall = len(set(exact) & set(a)) / 10
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
 
 
 def test_lang_id_beats_chance(spark):
