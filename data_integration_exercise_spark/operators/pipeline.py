@@ -579,6 +579,49 @@ def sim_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "multimodal_framesample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id, i AS frame_idx,
+               ('0x' || substr(md5(text) || md5(text), i * 8 + 1, 2))::INTEGER
+                   AS frame_lum
+        FROM documents, unnest([0, 2, 4, 6]) AS t(i)
+    )
+    SELECT doc_id, frame_idx, frame_lum
+    FROM frames
+    """,
+)
+def multimodal_framesample(spark, sf_dir):
+    """Frame sampling over an opaque video-bytes column: synthetic 32-byte
+    'video' (doubled md5 digest, 8 frames x 4 bytes), mapInPandas samples
+    every 2nd frame and extracts a per-frame feature (first byte as
+    luminance proxy). The decode/sample plumbing — binary column in, long
+    (doc, frame, feature) table out, Arrow batches — is exactly what a real
+    libav frame sampler plugs into; the fake stays byte-deterministic so
+    the oracle can recompute it from md5 hex."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.concat(F.md5("text"), F.md5("text"))).alias("video")
+    )
+
+    FRAME_BYTES, STRIDE = 4, 2
+
+    def sample_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, video in zip(pdf["doc_id"], pdf["video"]):
+                n_frames = len(video) // FRAME_BYTES
+                for i in range(0, n_frames, STRIDE):
+                    rows.append((doc_id, i, video[i * FRAME_BYTES]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_lum"])
+
+    return d.mapInPandas(
+        sample_batches, "doc_id long, frame_idx int, frame_lum int"
+    )
+
+
+@register(
     "sim_threshold_join",
     oracle="""
     WITH e AS (
