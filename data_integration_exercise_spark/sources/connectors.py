@@ -165,6 +165,39 @@ def sink_parquet(spark, sf_dir):
 
 
 @register(
+    "sink_jdbc",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                  AS n,
+           round(sum(c_acctbal), 4)  AS bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_jdbc(spark, sf_dir):
+    """JDBC round-trip (the reference's ``to_sql`` surface, SURVEY §2.1's one
+    deferred row): customer written to an embedded Derby database (Derby
+    ships in Spark's jars), read back over JDBC, aggregated — the oracle
+    compares against the direct aggregation, proving write→read fidelity
+    through a real DBAPI boundary. In production this is the same code
+    against Postgres/MySQL with partitionColumn/numPartitions for parallel
+    reads; embedded Derby is single-JVM, which local mode satisfies."""
+    db = _stage_dir(sf_dir, "derby") + "/db"
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").jdbc(url, "customer_unified", properties=props)
+    return (
+        spark.read.jdbc(url, "customer_unified", properties=props)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 4).alias("bal"),
+        )
+    )
+
+
+@register(
     "sink_partitioned",
     oracle="""
     SELECT l_linestatus,
