@@ -33,13 +33,23 @@ _US_15MIN = 900_000_000
 _US_30MIN = 1_800_000_000
 
 
+_STAGED: set[str] = set()  # staged inputs written by THIS process (read-only data)
+
+
 def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
-    """Stage canonical events → parquet; return a file-source stream over it."""
+    """Stage canonical events → parquet; return a file-source stream over it.
+
+    The stage is rewritten once per process per (sf, layout): the source
+    parquet is driver-generated and immutable, so a copy this process
+    already wrote is current — later queries in the same verify/bench run
+    skip straight to the readStream."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = f"/tmp/die_spark_stage/{tag}/events_stream_{n_files}"
-    ev = load_table(spark, sf_dir, "events")
-    writer = ev.repartitionByRange(n_files, "ts") if n_files > 1 else ev.coalesce(1)
-    writer.write.mode("overwrite").parquet(path)
+    if path not in _STAGED:
+        ev = load_table(spark, sf_dir, "events")
+        writer = ev.repartitionByRange(n_files, "ts") if n_files > 1 else ev.coalesce(1)
+        writer.write.mode("overwrite").parquet(path)
+        _STAGED.add(path)
     reader = spark.readStream.schema(EVENTS)
     if n_files > 1:
         reader = reader.option("maxFilesPerTrigger", 1)
