@@ -90,7 +90,8 @@ def fn_date(spark, sf_dir):
         F.month("o_orderdate").cast("long").alias("mo"),
         F.dayofmonth("o_orderdate").cast("long").alias("dy"),
         (F.weekday("o_orderdate") + 1).cast("long").alias("isodow"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # cast: date_trunc yields tz-aware timestamp; keep outputs ntz
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
         F.date_add(F.col("o_orderdate").cast("date"), 30)
         .cast("string")
         .alias("plus30"),

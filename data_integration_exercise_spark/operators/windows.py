@@ -138,9 +138,11 @@ def win_running_sum(spark, sf_dir):
 def _daily_revenue(spark, sf_dir):
     """Shared pre-aggregation: revenue per order day (bounded series)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.sum("o_totalprice").alias("day_rev")
-    )
+    # date_trunc returns tz-aware TimestampType even on ntz input — cast back
+    # so result hashes stay timezone-free (identity under the pinned UTC)
+    return o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("timestamp_ntz").alias("day")
+    ).agg(F.sum("o_totalprice").alias("day_rev"))
 
 
 _DAILY_CTE = """
