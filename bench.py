@@ -49,10 +49,14 @@ def main() -> None:
         if key not in qs:
             continue
         fn = qs[key]
-        fn(spark, sf_dir).collect()  # warm-up (discarded)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[key] = round(time.perf_counter() - t0, 4)
+        try:
+            fn(spark, sf_dir).collect()  # warm-up (discarded)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[key] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # a broken query must not kill the bench line
+            print(f"bench: {key} failed: {e}", file=sys.stderr)
+            timings[key] = -1.0
 
     total = round(sum(timings.values()), 4)
     print(
