@@ -59,15 +59,29 @@ def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
     return reader.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: state-store task count for local-scale runs. Stateful streaming has no AQE
+#: coalescing, so every micro-batch pays one task per shuffle partition —
+#: measured 2.05s→1.17s at sf0.1 going 32→8. On a real cluster this scales
+#: with executor cores (it also fixes the state-store count for the
+#: checkpoint's lifetime, so it's a deliberate deployment choice).
+STREAM_SHUFFLE_PARTITIONS = "8"
+
+
 def _run_to_memory(stream_df, name: str, mode: str) -> None:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _memory_result(spark, stream_df, name: str, mode: str) -> DataFrame:
@@ -266,8 +280,13 @@ def stream_foreachbatch(spark, sf_dir):
         )
 
     s = _staged_events_stream(spark, sf_dir)
-    q = s.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = s.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(f"{out}/*")
         .groupBy("event_type")
