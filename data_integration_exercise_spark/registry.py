@@ -10,6 +10,7 @@ from __future__ import annotations
 from .functions import scalar
 from .operators import (
     aggregates,
+    analytics,
     joins,
     pipeline,
     projections,
@@ -38,6 +39,7 @@ _MODULES = [
     streams,
     udfs,
     pipeline,
+    analytics,
 ]
 
 
