@@ -1,0 +1,103 @@
+"""Deterministic sampling operators.
+
+Training-data pipelines sample constantly — for eval splits, for cheap
+profiling, for debugging at scale. Engine-native ``df.sample()`` is
+seed-based but implementation-specific (Spark's XORShift vs DuckDB's RNG),
+so it can never hash-match across engines; these operators instead sample by
+**content hash** (md5 of the row key), which is deterministic, reproducible
+across engines AND across cluster sizes/partitionings — the property a
+production eval-split must have (re-running the pipeline on a re-partitioned
+copy of the data yields the identical split).
+
+Hash-mod sampling is also the 100 TB story: a filter on ``md5(key)`` is
+embarrassingly parallel, needs no coordination, no sort, and no state —
+unlike reservoir sampling, which needs a global pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+def _bucket_spark(col, mod: int):
+    """(first 4 md5 hex digits of the key's string form) mod ``mod``."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10)
+    return h.cast("long") % mod
+
+
+def _bucket_duck(col: str, mod: int) -> str:
+    return f"(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 4))::BIGINT % {mod})"
+
+
+@register(
+    "sample_hash_mod",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE {_bucket_duck('o_orderkey', 10)} = 0
+    """,
+)
+def sample_hash_mod(spark, sf_dir):
+    """~10% deterministic sample of orders: keep rows whose md5(key) falls
+    in bucket 0 of 10. Pure scan+filter (codegen'd md5), no shuffle; the
+    same rows are selected regardless of partitioning or cluster size."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(_bucket_spark("o_orderkey", 10) == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE {_bucket_duck('c_custkey', 20)}
+          < CASE WHEN c_mktsegment = 'BUILDING' THEN 4 ELSE 1 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified hash sampling with per-stratum rates: 20% of BUILDING
+    customers, 5% of every other segment (rate = allowed buckets / 20).
+    Changing a stratum's rate only widens its bucket range, so previously
+    sampled rows stay sampled — nested/consistent samples for free."""
+    c = load_table(spark, sf_dir, "customer")
+    rate_buckets = F.when(F.col("c_mktsegment") == "BUILDING", 4).otherwise(1)
+    return c.filter(_bucket_spark("c_custkey", 20) < rate_buckets).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+@register(
+    "sample_k_per_stratum",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (
+        PARTITION BY c_mktsegment
+        ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+    ) <= 5
+    """,
+)
+def sample_k_per_stratum(spark, sf_dir):
+    """Exactly-k-per-group sample (k=5 per segment): rank rows inside each
+    stratum by md5(key) — a deterministic 'random' order both engines agree
+    on — and keep the first k. The bounded-output alternative to rate
+    sampling when downstream wants fixed-size per-group exemplars; one
+    shuffle on the stratum key, k rows kept per group map-side via
+    partial top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )

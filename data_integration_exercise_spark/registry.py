@@ -14,6 +14,7 @@ from .operators import (
     joins,
     pipeline,
     projections,
+    sampling,
     setops,
     similarity,
     sorts,
@@ -40,6 +41,7 @@ _MODULES = [
     udfs,
     pipeline,
     analytics,
+    sampling,
 ]
 
 

@@ -225,3 +225,52 @@ def sink_partitioned(spark, sf_dir):
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "sink_bucketed",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_bucketed(spark, sf_dir):
+    """Bucketed-table sink + shuffle-free co-located join: both sides are
+    written ``bucketBy(8, <orderkey>)`` + ``sortBy`` so the join key's
+    partitioning is baked into the files and the subsequent sort-merge join
+    needs NO Exchange on either side (asserted in tests with broadcast
+    disabled) — at 100 TB, bucketing the fact tables on their join key once
+    at write time removes the dominant shuffle from every downstream join.
+    The in-memory catalog holds the bucket spec; data lands in the staging
+    dir via the explicit path option."""
+    base = _stage_dir(sf_dir, "sink_bucketed")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for name, key, df in [
+        ("die_li_bucketed", "l_orderkey", li),
+        ("die_ord_bucketed", "o_orderkey", o),
+    ]:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(name)
+        )
+    li_b = spark.table("die_li_bucketed")
+    o_b = spark.table("die_ord_bucketed")
+    return (
+        li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,48 @@
+"""Oracle parity + invariants for the deterministic sampling operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import sampling
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(sampling.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_hash_mod_rate_is_sane(spark):
+    """~10% sample: rate within [5%, 15%] of the base table."""
+    from data_integration_exercise_spark.io import load_table
+
+    n_all = load_table(spark, SF, "orders").count()
+    n_sample = sampling.QUERIES["sample_hash_mod"](spark, SF).count()
+    assert 0.05 * n_all <= n_sample <= 0.15 * n_all, (n_sample, n_all)
+
+
+def test_stratified_sample_is_nested(spark):
+    """Bucket-based rates are nested: the 5% bucket (0) is a subset of the
+    20% buckets (0..3), so every non-BUILDING sampled key must also appear
+    if its segment were widened to 4 buckets — equivalently, all sampled
+    non-BUILDING keys fall in bucket 0."""
+    pdf = sampling.QUERIES["sample_stratified"](spark, SF).toPandas()
+    import hashlib
+
+    for _, row in pdf.iterrows():
+        bucket = (
+            int(hashlib.md5(str(row.c_custkey).encode()).hexdigest()[:4], 16) % 20
+        )
+        limit = 4 if row.c_mktsegment == "BUILDING" else 1
+        assert bucket < limit, (row.c_custkey, row.c_mktsegment, bucket)
+
+
+def test_k_per_stratum_sizes(spark):
+    """Exactly 5 rows per segment (every segment has ≥5 customers)."""
+    pdf = sampling.QUERIES["sample_k_per_stratum"](spark, SF).toPandas()
+    sizes = pdf.groupby("c_mktsegment").size()
+    assert (sizes == 5).all(), sizes.to_dict()

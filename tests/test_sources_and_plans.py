@@ -41,3 +41,21 @@ def test_broadcast_dim_plan(spark):
     """join_broadcast_dim must plan as BroadcastHashJoin (no fact shuffle)."""
     df = joins.QUERIES["join_broadcast_dim"](spark, SF)
     assert inspect.uses_broadcast_join(df)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """With broadcast disabled, the bucketed-table join must still plan
+    without an Exchange on either side — the bucket spec supplies the
+    hash partitioning that a shuffle would otherwise create."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        connectors.QUERIES["sink_bucketed"](spark, SF)  # stage the tables
+        li_b = spark.table("die_li_bucketed")
+        o_b = spark.table("die_ord_bucketed")
+        joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        plan = inspect.formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
