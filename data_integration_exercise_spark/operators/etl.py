@@ -1,0 +1,216 @@
+"""ETL lifecycle operators: CDC upsert, SCD2 history, data profiling.
+
+Reference parity: the pandas exercise's whole purpose is integrating
+snapshots of heterogeneous sources into one clean table (SURVEY §0/§3.1) —
+these operators are that lifecycle expressed as distributed, deterministic
+Spark plans: merge-latest-wins upserts, slowly-changing-dimension interval
+construction, and the column-profiling QA pass every integration job runs
+before trusting its inputs.
+
+Scale posture: upsert is one window over the key partitioning (at 100 TB:
+identical shape, or delegate to a MERGE-capable table format — the plan
+below IS the merge kernel those formats run); SCD2 is two windows over the
+same partitioning (one shuffle total); profiling is a single all-column
+aggregation pass unpivoted with ``stack`` (never one scan per column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+@register(
+    "etl_upsert_latest",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS version FROM customer
+    ), updates AS (
+        SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal,
+               c_mktsegment, 2 AS version
+        FROM customer WHERE c_custkey % 3 = 0
+    ), merged AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY version DESC
+        ) AS rn
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment, CAST(version AS BIGINT) AS version
+    FROM merged WHERE rn = 1
+    """,
+)
+def etl_upsert_latest(spark, sf_dir):
+    """CDC merge, latest-version-wins: a base snapshot unioned with an
+    update batch (every third customer's balance +100), deduplicated to the
+    highest version per key via one window. This is the upsert kernel —
+    union + row_number over the key — that MERGE INTO compiles to; the only
+    shuffle is on the merge key."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment", F.lit(1).alias("version")
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey", "c_acctbal", "c_mktsegment", F.col("version").cast("long").alias("version")
+        )
+    )
+
+
+@register(
+    "etl_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ), changes AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM seq
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus, o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS effective_to,
+           (lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL) AS is_current
+    FROM changes
+    """,
+)
+def etl_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history build: treat each customer's order stream as a
+    changing 'status' attribute; keep only change rows (status differs from
+    the previous observation), then stitch validity intervals with lead()
+    — effective_to is the next change's date, NULL marks the open/current
+    row. Both windows share one (custkey)-partitioned sort, so the whole
+    history builds in a single shuffle. Deterministic tiebreak via
+    (o_orderdate, o_orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    eff_to = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "etl_data_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_status_nullable', count(*),
+           CAST(count(*) - count(nullif(o_orderstatus, 'O')) AS BIGINT),
+           CAST(count(DISTINCT nullif(o_orderstatus, 'O')) AS BIGINT),
+           NULL, NULL,
+           min(nullif(o_orderstatus, 'O')), max(nullif(o_orderstatus, 'O'))
+    FROM orders
+    """,
+)
+def etl_data_profile(spark, sf_dir):
+    """Column-profiling QA pass (row counts, null counts, distinct counts,
+    min/max) for a representative column set, computed in ONE aggregation
+    scan and unpivoted to long form with ``stack`` — the idiomatic Spark
+    shape for profiling N columns without N table scans. Numeric min/max
+    surface as doubles, string min/max as strings (never stringify floats:
+    engine float-formatting differs). The nullable pseudo-column proves the
+    null accounting against injected nulls."""
+    o = load_table(spark, sf_dir, "orders")
+    nullable = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    a = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # o_orderkey
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("double").alias("mn_ok"),
+        F.max("o_orderkey").cast("double").alias("mx_ok"),
+        # o_custkey
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        # o_totalprice
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 4).alias("mn_tp"),
+        F.round(F.max("o_totalprice"), 4).alias("mx_tp"),
+        # o_orderstatus
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("nn_os"),
+        F.countDistinct("o_orderstatus").alias("nd_os"),
+        F.min("o_orderstatus").alias("mn_os"),
+        F.max("o_orderstatus").alias("mx_os"),
+        # injected-null pseudo-column
+        F.sum(nullable.isNull().cast("long")).alias("nn_nl"),
+        F.countDistinct(nullable).alias("nd_nl"),
+        F.min(nullable).alias("mn_nl"),
+        F.max(nullable).alias("mx_nl"),
+    )
+    return a.selectExpr(
+        """stack(5,
+           'o_orderkey',       n_rows, nn_ok, nd_ok, mn_ok, mx_ok,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_custkey',        n_rows, nn_ck, nd_ck, mn_ck, mx_ck,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_totalprice',     n_rows, nn_tp, nd_tp, mn_tp, mx_tp,
+               CAST(NULL AS STRING), CAST(NULL AS STRING),
+           'o_orderstatus',    n_rows, nn_os, nd_os,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os,
+           'o_status_nullable', n_rows, nn_nl, nd_nl,
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_nl, mx_nl
+        ) AS (col, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"""
+    )

@@ -11,6 +11,7 @@ from .functions import scalar
 from .operators import (
     aggregates,
     analytics,
+    etl,
     joins,
     pipeline,
     projections,
@@ -42,6 +43,7 @@ _MODULES = [
     pipeline,
     analytics,
     sampling,
+    etl,
 ]
 
 

@@ -1,0 +1,56 @@
+"""Oracle parity + invariants for the ETL lifecycle operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.io import load_table
+from data_integration_exercise_spark.operators import etl
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(etl.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_upsert_is_keyed_and_versioned(spark):
+    """Upsert output: one row per customer; every key divisible by 3 took
+    the version-2 update, all others kept version 1."""
+    pdf = etl.QUERIES["etl_upsert_latest"](spark, SF).toPandas()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert len(pdf) == n_cust
+    assert pdf.c_custkey.is_unique
+    assert (pdf[pdf.c_custkey % 3 == 0].version == 2).all()
+    assert (pdf[pdf.c_custkey % 3 != 0].version == 1).all()
+
+
+def test_scd2_intervals_are_contiguous(spark):
+    """Per customer: exactly one open (is_current) row; intervals chain —
+    each row's effective_to equals the next row's effective_from; and
+    consecutive rows never share a status (else they'd be one interval)."""
+    pdf = (
+        etl.QUERIES["etl_scd2_intervals"](spark, SF)
+        .toPandas()
+        .sort_values(["o_custkey", "effective_from"])
+    )
+    assert (pdf.groupby("o_custkey").is_current.sum() == 1).all()
+    for _, g in pdf.groupby("o_custkey"):
+        closed = g.iloc[:-1]
+        assert (
+            closed.effective_to.values == g.effective_from.iloc[1:].values
+        ).all()
+        assert (g.o_orderstatus.iloc[:-1].values != g.o_orderstatus.iloc[1:].values).all()
+
+
+def test_profile_nullable_column_counts_nulls(spark):
+    pdf = etl.QUERIES["etl_data_profile"](spark, SF).toPandas().set_index("col")
+    assert pdf.loc["o_orderstatus", "n_null"] == 0
+    assert pdf.loc["o_status_nullable", "n_null"] > 0
+    assert (
+        pdf.loc["o_status_nullable", "n_distinct"]
+        == pdf.loc["o_orderstatus", "n_distinct"] - 1
+    )
