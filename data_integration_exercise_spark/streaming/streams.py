@@ -292,3 +292,57 @@ def stream_foreachbatch(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.sum("n").alias("n"))
     )
+
+
+@register(
+    "stream_stateful_running",
+    oracle="""
+    SELECT user_id,
+           count(*)             AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running(spark, sf_dir):
+    """Custom stateful operator via ``applyInPandasWithState``: a per-user
+    running (count, sum) accumulator the built-in windowed aggregates can't
+    express (arbitrary Python state transition per key per micro-batch).
+    The staged input is split into 4 time-ranged files consumed one per
+    micro-batch (maxFilesPerTrigger=1), so the state provably carries
+    ACROSS batches: update-mode emits a cumulative row per (user, batch),
+    and the final cumulative row per user — selected by the strictly
+    increasing n_events — must equal the global batch aggregate, which is
+    the oracle. State is a 2-field struct per user (bounded: 15 users);
+    unbounded deployments would add a timeout to expire idle keys."""
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s = _staged_events_stream(spark, sf_dir, n_files=4)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _memory_result(spark, out, "mem_stream_stateful_running", "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )

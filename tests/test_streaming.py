@@ -27,3 +27,17 @@ def test_watermark_drops_some_rows(spark):
     no-late-data total — and the run must terminate (no hung trigger)."""
     n_append = streams.QUERIES["stream_watermark_late"](spark, SF).count()
     assert 0 < n_append
+
+
+def test_stateful_running_state_spans_batches(spark):
+    """The update-mode memory sink must hold MULTIPLE cumulative rows for
+    at least one user — proof the accumulator carried across micro-batches
+    (4 staged files, one per trigger) rather than re-initializing."""
+    streams.QUERIES["stream_stateful_running"](spark, SF).collect()
+    emitted = spark.table("mem_stream_stateful_running").toPandas()
+    per_user = emitted.groupby("user_id").size()
+    assert per_user.max() > 1, per_user.to_dict()
+    # cumulative rows are strictly increasing in n_events per user
+    for _, g in emitted.groupby("user_id"):
+        ns = sorted(g.n_events)
+        assert ns == sorted(set(ns)), ns
