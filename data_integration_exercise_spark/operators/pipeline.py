@@ -659,3 +659,86 @@ def sim_threshold_join(spark, sf_dir):
         .select("id1", "id2", "label", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)
     )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ), edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sets a JOIN sets b
+          ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), reach AS (
+        SELECT doc_id, doc_id AS comp FROM sets
+        UNION
+        SELECT e.dst AS doc_id, r.comp
+        FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, CAST(min(comp) AS BIGINT) AS component,
+           (doc_id = min(comp)) AS is_canonical
+    FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-duplicate GROUPS, not just pairs: the Jaccard ≥ 0.8 pair graph
+    (same edge rule as dedup_near_jaccard) collapsed into connected
+    components by iterative min-label propagation — each doc converges to
+    the smallest doc_id reachable from it, which is the group's canonical
+    representative (one keeper per group is what a dedup pipeline actually
+    ships). Iterations = graph diameter (dup clusters are near-cliques, so
+    a handful); each round is one join + one groupBy on the doc key, with
+    localCheckpoint truncating the lineage so plans stay flat. The
+    convergence check is a distributed count, not a collect. The oracle is
+    the same closure as a recursive CTE. At 100 TB the edge list comes from
+    dedup_minhash_lsh candidates instead of the exact self-join; the
+    propagation loop is unchanged (this is the large-star/small-star
+    pattern from the MapReduce connected-components literature)."""
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("src"), "lang", F.col("s").alias("s1")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("lang2"), F.col("s").alias("s2")
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    edges = (
+        a.join(b, (a.lang == b.lang2) & (a.src != b.dst))
+        .filter(inter / union >= 0.8)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = sets.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(20):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "doc_id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )

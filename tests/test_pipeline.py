@@ -63,3 +63,21 @@ def test_fingerprint_is_order_sensitive(spark):
     # the corpus has >= (500-446) docs sharing token sets; fingerprints
     # should still be (almost) all distinct
     assert pdf.fingerprint.nunique() > 446
+
+
+def test_connected_components_absorb_neardup_pairs(spark):
+    """Every Jaccard ≥ 0.8 near-dup pair must land in the same component,
+    and each component's id is its minimum member (the canonical doc)."""
+    comp = (
+        pipeline.QUERIES["dedup_connected_components"](spark, SF)
+        .toPandas()
+        .set_index("doc_id")["component"]
+    )
+    from data_integration_exercise_spark.operators import text
+
+    # dedup_near_jaccard uses the SAME same-lang Jaccard>=0.8 edge rule
+    pairs = text.QUERIES["dedup_near_jaccard"](spark, SF).toPandas()
+    assert len(pairs) > 0
+    assert (pairs.doc1.map(comp).values == pairs.doc2.map(comp).values).all()
+    grp = comp.reset_index().groupby("component")["doc_id"].min()
+    assert (grp.index.values == grp.values).all()
