@@ -337,3 +337,34 @@ def fn_hash(spark, sf_dir):
         ).alias("row_md5"),
         F.sha2(F.col("l_orderkey").cast("string"), 256).alias("key_sha"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT)        AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT)       AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT)         AS shl2,
+           CAST(o_orderkey >> 3 AS BIGINT)         AS shr3,
+           CAST(bit_count(o_orderkey) AS BIGINT)   AS popcount
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    """Bitwise family: AND/OR/XOR masks, shifts, popcount — the bit-level
+    toolkit behind bucket assignment, bloom/LSH signatures and flag fields.
+    All codegen'd JVM expressions; DuckDB spells xor as a function and
+    shifts identically."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 101 == 0).select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("long").alias("low_byte"),
+        F.expr("o_orderkey | 4096").cast("long").alias("with_flag"),
+        F.expr("o_orderkey ^ o_custkey").cast("long").alias("key_xor"),
+        F.shiftleft("o_orderkey", 2).cast("long").alias("shl2"),
+        F.shiftright("o_orderkey", 3).cast("long").alias("shr3"),
+        F.bit_count("o_orderkey").cast("long").alias("popcount"),
+    )
