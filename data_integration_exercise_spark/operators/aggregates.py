@@ -446,3 +446,35 @@ def agg_first_last(spark, sf_dir):
         F.max_by("o_orderkey", tie).alias("last_order"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*)                                      AS n,
+           round(min(o_totalprice), 4)                   AS lo,
+           round(max(o_totalprice), 4)                   AS hi,
+           round(sum(o_totalprice), 4)                   AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram (50k buckets over o_totalprice) — the
+    distribution profile behind partition sizing and skew decisions.
+    Bucket assignment is a codegen'd floor-division on the scan (one
+    shuffle on ≤~20 bucket keys); DuckDB floor() returns DOUBLE so both
+    sides cast the bucket id to BIGINT."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

@@ -214,3 +214,46 @@ def etl_data_profile(spark, sf_dir):
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_nl, mx_nl
         ) AS (col, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"""
     )
+
+
+@register(
+    "diag_skew_keys",
+    oracle="""
+    WITH freq AS (
+        SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY o_custkey
+    ), stats AS (
+        SELECT avg(cnt) AS avg_cnt, CAST(count(*) AS BIGINT) AS n_keys FROM freq
+    )
+    SELECT f.key, CAST(f.cnt AS BIGINT) AS cnt, s.n_keys,
+           round(f.cnt / s.avg_cnt, 4) AS skew_ratio
+    FROM freq f CROSS JOIN stats s
+    ORDER BY f.cnt DESC, f.key ASC
+    LIMIT 10
+    """,
+)
+def diag_skew_keys(spark, sf_dir):
+    """Join-key skew diagnostic: top-10 heaviest o_custkey values with
+    their frequency ratio vs the mean key — the report that decides whether
+    a downstream join needs salting (operators/joins.py join_skew_salted)
+    or AQE skew splitting. Two aggregations (key counts, then a 1-row
+    global) + a broadcast of the 1-row stats; the top-k is a TakeOrdered,
+    never a full sort. avg = exact-int total / exact-int count, so the
+    ratio is bit-identical across engines before rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    freq = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = freq.agg(
+        F.avg("cnt").alias("avg_cnt"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            "n_keys",
+            F.round(F.col("cnt") / F.col("avg_cnt"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )

@@ -742,3 +742,53 @@ def dedup_connected_components(spark, sf_dir):
         "component",
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(text) || md5(reverse(text)) AS hx FROM documents
+    ), w AS (
+        SELECT doc_id, hx, unnest([0, 1, 2, 3]) AS win_idx FROM h
+    )
+    SELECT doc_id, win_idx,
+           CAST(list_sum(list_transform(range(8),
+                i -> ('0x' || substr(hx, (win_idx * 8 + i) * 2 + 1, 2))::INT))
+                AS BIGINT) AS energy
+    FROM w
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Audio-feature plumbing, completing the image/audio/video modality
+    triple (multimodal_decode, multimodal_framesample): a 32-byte synthetic
+    'waveform' (md5(text) ‖ md5(reverse(text)) — byte-deterministic so the
+    oracle can recompute it) windowed into 4 frames of 8 samples, per-window
+    energy = sample sum, via mapInPandas over the BinaryType column. Swap
+    the energy lambda for librosa MFCCs and the Spark-side shape — binary
+    in, (doc, window, feature) long table out, Arrow batches — is unchanged;
+    the codec import is the stubbed seam per the driver contract."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.concat(F.md5("text"), F.md5(F.reverse("text")))).alias("audio"),
+    )
+
+    WIN, N_WIN = 8, 4
+
+    def energy_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, audio in zip(pdf["doc_id"], pdf["audio"]):
+                try:
+                    raise ImportError("no audio codec in this container")
+                    # real path: librosa.load(io.BytesIO(audio)) → MFCC/RMS
+                except ImportError:
+                    for w in range(N_WIN):
+                        rows.append(
+                            (doc_id, w, sum(audio[w * WIN : (w + 1) * WIN]))
+                        )
+            yield pd.DataFrame(rows, columns=["doc_id", "win_idx", "energy"])
+
+    return d.mapInPandas(energy_batches, "doc_id long, win_idx int, energy long")

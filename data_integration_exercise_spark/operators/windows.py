@@ -227,3 +227,52 @@ def win_first_last_value(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_key"),
         F.count(F.lit(1)).over(w).alias("n_in_cust"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS rn,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS rn_t
+        FROM events
+    ), islands AS (
+        SELECT user_id, event_type, rn - rn_t AS grp, count(*) AS len
+        FROM seq GROUP BY user_id, event_type, rn - rn_t
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)  AS n_streaks,
+           CAST(max(len) AS BIGINT)  AS max_streak
+    FROM islands GROUP BY user_id, event_type
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands streak detection: per user, maximal runs of
+    consecutive same-type events via the classic rn − rn_per_type grouping
+    key (batch cousin of stream_session's sessionization). Both row_number
+    windows share the user_id partitioning, so the whole query is one
+    shuffle + two cascaded small aggregations. Ordering is the total order
+    (ts_us, event_id) — the oracle orders by epoch_ns//1000 to see the
+    exact µs-truncated instants Spark sees (sub-µs ns would tie-break
+    differently)."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    islands = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return islands.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("max_streak"),
+    )
