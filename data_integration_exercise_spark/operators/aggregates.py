@@ -478,3 +478,38 @@ def agg_histogram(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH cnt AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, CAST(n AS BIGINT) AS n
+    FROM cnt
+    QUALIFY row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY n DESC, c_nationkey ASC) = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic MODE (most frequent value): per segment, the most
+    common customer nation — computed as count + argmax window with an
+    explicit (count desc, value asc) tiebreak, NOT an engine mode()
+    aggregate whose tie choice is implementation-defined. Two keyed
+    aggregations; the window runs over ≤(segments × nations) rows."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"), "n")
+    )
