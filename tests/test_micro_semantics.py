@@ -91,3 +91,72 @@ def test_rollup_null_vs_natural_null_disambiguation(spark):
     assert rows[(None, 0)] == 1  # natural null group
     assert rows[(None, 1)] == 3  # rollup grand total
     assert rows[("x", 0)] == 2
+
+
+def test_upsert_latest_version_wins(spark):
+    """Union + row_number keeps exactly the max-version row per key, and
+    keys present only in the update batch insert (the 'upsert' half)."""
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k long, v string, version int")
+    upd = spark.createDataFrame([(2, "B", 2), (3, "C", 2)], "k long, v string, version int")
+    w = Window.partitionBy("k").orderBy(F.col("version").desc())
+    out = {
+        r.k: (r.v, r.version)
+        for r in base.unionByName(upd)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("C", 2)}
+
+
+def test_gaps_islands_grouping_key(spark):
+    """rn − rn_per_type is constant exactly within a maximal same-type run:
+    A A B A → islands (A,2) (B,1) (A,1)."""
+    df = spark.createDataFrame(
+        [(1, "A", 1), (2, "A", 2), (3, "B", 3), (4, "A", 4)],
+        "id long, t string, ts long",
+    )
+    w_all = Window.partitionBy(F.lit(1)).orderBy("ts", "id")
+    w_typ = Window.partitionBy("t").orderBy("ts", "id")
+    islands = (
+        df.select("t", (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"))
+        .groupBy("t", "grp")
+        .count()
+    )
+    got = sorted((r.t, r["count"]) for r in islands.collect())
+    assert got == [("A", 1), ("A", 2), ("B", 1)]
+
+
+def test_label_propagation_converges_to_min(spark):
+    """Min-label propagation on a 2-component graph: {1-2-3} and {4-5}
+    converge to components 1 and 4 in diameter iterations."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (4, 5), (5, 4)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "doc_id long, component long"
+    )
+    for _ in range(5):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+        )
+    got = {r.doc_id: r.component for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_hash_mod_sample_is_partitioning_invariant(spark):
+    """The content-hash sample selects the same keys regardless of how the
+    input is partitioned — the reproducibility property engine-native
+    seeded sample() does NOT have across different partitionings."""
+    from data_integration_exercise_spark.operators.sampling import _bucket_spark
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    pick = lambda d: sorted(  # noqa: E731
+        r.k for r in d.filter(_bucket_spark("k", 10) == 0).collect()
+    )
+    assert pick(df.repartition(1)) == pick(df.repartition(17, "k"))
