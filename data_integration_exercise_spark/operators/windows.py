@@ -276,3 +276,47 @@ def win_gaps_islands(spark, sf_dir):
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").cast("long").alias("max_streak"),
     )
+
+
+@register(
+    "win_percent_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           round(100.0 * revenue / sum(revenue) OVER (), 4) AS pct_of_total
+    FROM rev
+    """,
+)
+def win_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue via an
+    unpartitioned window sum OVER the 25-row aggregate — the window runs
+    over the rollup, never the fact, so the 'global' window is trivially
+    cheap at any scale (the fact sees only its one grouped shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "pct_of_total"
+        ),
+    )

@@ -11,6 +11,7 @@ from .functions import scalar
 from .operators import (
     aggregates,
     analytics,
+    behavioral,
     etl,
     joins,
     pipeline,
@@ -44,6 +45,7 @@ _MODULES = [
     analytics,
     sampling,
     etl,
+    behavioral,
 ]
 
 

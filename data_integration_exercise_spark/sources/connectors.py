@@ -274,3 +274,45 @@ def sink_bucketed(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "scan_dynamic_pruning",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def scan_dynamic_pruning(spark, sf_dir):
+    """Dynamic partition pruning: a returnflag-partitioned copy of lineitem
+    joined to a filtered literal dim on the PARTITION column — Catalyst
+    injects the dim's surviving keys into the scan as
+    ``dynamicpruningexpression(l_returnflag IN dynamicpruning#N)`` (asserted
+    in tests), so whole partition directories are skipped at runtime based
+    on the join's build side. At 100 TB this is the mechanism that turns a
+    date-dim filter into a fact-partition skip without any literal rewrite."""
+    path = _stage_dir(sf_dir, "scan_dynamic_pruning")
+    if path not in _DPP_STAGED:
+        li = load_table(spark, sf_dir, "lineitem")
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+        _DPP_STAGED.add(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "keep")], "flag string, action string"
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("action") == "keep")),
+            fact.l_returnflag == F.col("flag"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+_DPP_STAGED: set[str] = set()  # staged once per process; source data immutable

@@ -59,3 +59,11 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_dynamic_partition_pruning_plan(spark):
+    """The partitioned-scan ⋈ filtered-dim join must inject a runtime
+    dynamicpruning expression into the scan's PartitionFilters."""
+    df = connectors.QUERIES["scan_dynamic_pruning"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
