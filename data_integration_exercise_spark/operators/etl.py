@@ -257,3 +257,58 @@ def diag_skew_keys(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(10)
     )
+
+
+@register(
+    "etl_calendar_spine",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01 00:00:00',
+                                      TIMESTAMP '2001-12-01 00:00:00',
+                                      INTERVAL 1 MONTH)) AS month_start
+    ), monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1
+    )
+    SELECT CAST(s.month_start AS TIMESTAMP) AS month_start,
+           CAST(coalesce(m.n_orders, 0) AS BIGINT) AS n_orders,
+           coalesce(m.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN monthly m ON m.m = s.month_start
+    """,
+)
+def etl_calendar_spine(spark, sf_dir):
+    """Calendar-spine densification: a generated month series (``sequence``
+    + explode — no source table needed) LEFT-joined to sparse monthly
+    aggregates so empty months surface as explicit zero rows — the dense
+    time axis every reporting/forecast consumer expects. The spine is a
+    literal-range broadcast (84 rows); the fact side is one grouped
+    shuffle. Month keys stay timestamp_ntz on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2001-12-01 00:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    monthly = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+    return spine.join(monthly, spine.month_start == monthly.m, "left").select(
+        "month_start",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
