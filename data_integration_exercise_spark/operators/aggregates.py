@@ -513,3 +513,42 @@ def agg_mode_deterministic(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"), "n")
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT 'quantity_price' AS pair,
+           round(corr(l_quantity, l_extendedprice), 4) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_discount', round(corr(l_quantity, l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_discount', round(corr(l_extendedprice, l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_tax', round(corr(l_discount, l_tax), 4)
+    FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise correlation matrix over the lineitem measures, computed in
+    ONE aggregation pass (all corr() pairs in a single agg, unpivoted with
+    stack) — the multi-column profiling shape again: N² statistics, one
+    scan. corr is a ratio of co-moments, stable to summation order at 4dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("pd"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("dt"),
+    )
+    return a.selectExpr(
+        """stack(4,
+           'quantity_price',    qp,
+           'quantity_discount', qd,
+           'price_discount',    pd,
+           'discount_tax',      dt
+        ) AS (pair, r)"""
+    )

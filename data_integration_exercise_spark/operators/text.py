@@ -341,3 +341,70 @@ def text_keywords_topk(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ), pairs AS (
+        SELECT a.tok AS tok1, b.tok AS tok2, count(*) AS n_ab
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    ), freq AS (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), total AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok1, tok2, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(CAST(n_ab AS DOUBLE) * n_docs
+                    / (f1.n * CAST(f2.n AS DOUBLE))), 4) AS pmi
+    FROM pairs
+    JOIN freq f1 ON f1.tok = tok1
+    JOIN freq f2 ON f2.tok = tok2
+    CROSS JOIN total
+    WHERE n_ab >= 50
+    """,
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Token co-occurrence with pointwise mutual information: document-level
+    pair counts (distinct tokens, doc-blocked self-join — bounded by the
+    31-word vocab, never corpus-quadratic) scored ln(P(a,b)/P(a)P(b)) and
+    thresholded to frequent pairs. PMI's ln output is irrational, so 4dp
+    rounding is tie-safe. The association-mining primitive behind phrase
+    detection and topic seeding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    a = toks.select("doc_id", F.col("tok").alias("tok1"))
+    b = toks.select(F.col("doc_id").alias("doc2"), F.col("tok").alias("tok2"))
+    pairs = (
+        a.join(b, (a.doc_id == b.doc2) & (a.tok1 < b.tok2))
+        .groupBy("tok1", "tok2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    f1 = freq.select(F.col("tok").alias("tok1"), F.col("n").alias("n1"))
+    f2 = freq.select(F.col("tok").alias("tok2"), F.col("n").alias("n2"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(F.broadcast(f1), "tok1")
+        .join(F.broadcast(f2), "tok2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok1",
+            "tok2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("n1") * F.col("n2").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -12,3 +12,16 @@ from .parity import assert_parity
 @pytest.mark.parametrize("key", sorted(analytics.ORACLES))
 def test_parity(spark, key):
     assert_parity(spark, key)
+
+
+def test_q8_plans_single_fact_shuffle(spark):
+    """Q8's seven-table join must compile to chained broadcast hash joins
+    with exactly one hash Exchange (the year rollup) — the one-fact-shuffle
+    contract the docstring claims."""
+    import re
+
+    df = analytics.QUERIES["tpch_q8_market_share"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert set(joins) == {"BroadcastHashJoin"}, joins
