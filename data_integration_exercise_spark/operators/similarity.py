@@ -264,10 +264,31 @@ def sim_ann_lsh(spark, sf_dir):
         .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
     )
     sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
-    return (
+    approx = (
         cand.select("id1", "id2", "label", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(100)
+    )
+    # Quantitative signal for the rows-only check: recall@100 against the
+    # exact top-100 (sim_topk_cosine), carried as a constant column so the
+    # approximation quality is visible in the result itself, not only in
+    # tests. The exact pass costs one extra blocked matmul at verify scale.
+    from pyspark.sql import Window
+
+    exact = sim_topk_cosine(spark, sf_dir).select("id1", "id2", F.lit(1).alias("_hit"))
+    return (
+        approx.join(exact, ["id1", "id2"], "left")
+        .withColumn(
+            "recall_at_100",
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).over(
+                    Window.partitionBy(F.lit(1))
+                )
+                / 100.0,
+                4,
+            ),
+        )
+        .drop("_hit")
     )
 
 

@@ -34,7 +34,14 @@ QUERIES, ORACLES, register = new_registry()
 
 
 def _stage_dir(sf_dir: str, key: str) -> str:
-    return os.path.join("/tmp/die_spark_stage", os.path.basename(sf_dir.rstrip("/")), key)
+    # PID component: a concurrent driver verify and a local pytest run must
+    # not overwrite each other's staged copies mid-read (the staged-once
+    # guards are per-process, so the paths must be too).
+    return os.path.join(
+        f"/tmp/die_spark_stage/p{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        key,
+    )
 
 
 @register(
@@ -316,3 +323,67 @@ def scan_dynamic_pruning(spark, sf_dir):
 
 
 _DPP_STAGED: set[str] = set()  # staged once per process; source data immutable
+
+
+@register(
+    "plan_cbo_stats",
+    oracle="""
+    SELECT n_name,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spend
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def plan_cbo_stats(spark, sf_dir):
+    """Cost-based-optimizer path: catalog tables + ANALYZE TABLE … COMPUTE
+    STATISTICS FOR COLUMNS, then a 3-way join planned with
+    ``spark.sql.cbo.enabled`` + join reorder on. With table/column stats the
+    optimizer sees real rowCount/NDV instead of file-size guesses — at
+    100 TB with dims too big to broadcast, stats-driven join ordering (small
+    intermediate first) is the difference between a workable and an exploded
+    shuffle. Tests assert the optimized plan carries rowCount statistics.
+    Catalog objects are per-process (PID-suffixed) for the same reason the
+    stage dirs are."""
+    pid = os.getpid()
+    names = {}
+    # every column the query touches needs stats, or CBO's cardinality
+    # estimate goes undefined at the first operator missing one (filter
+    # selectivity needs o_orderstatus, the final agg needs n_name's NDV)
+    for tbl, cols in [
+        ("orders", "o_custkey, o_orderstatus, o_totalprice"),
+        ("customer", "c_custkey, c_nationkey"),
+        ("nation", "n_nationkey, n_name"),
+    ]:
+        name = f"die_cbo_{tbl}_{pid}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .format("parquet")
+                .option("path", _stage_dir(sf_dir, f"cbo_{tbl}"))
+                .saveAsTable(name)
+            )
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    # Left enabled for the session: planning happens lazily at action time,
+    # so restoring the conf here would silently turn CBO back off before the
+    # caller's collect. Harmless for stat-less plain scans (CBO falls back
+    # to size estimates), decisive for the analyzed catalog tables.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    return spark.sql(
+        f"""
+        SELECT n_name,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 4) AS total_spend
+        FROM {names["orders"]}
+        JOIN {names["customer"]} ON o_custkey = c_custkey
+        JOIN {names["nation"]}   ON c_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        """
+    )

@@ -2,16 +2,18 @@
 
 Strategy (batch-equivalence verification): each operator stages the canonical
 events table to parquet, consumes it with ``spark.readStream`` + an
-``availableNow`` trigger into a memory sink, and returns the sink table.
-For a bounded input the windowed/stateful semantics match a batch SQL
-equivalent, which is the DuckDB oracle; the two genuinely trigger-dependent
-ops (watermark drops, foreachBatch) stay rows-only [SURVEY §2.9].
+``availableNow`` trigger into a sink, and returns the sink contents. For a
+bounded input the windowed/stateful semantics match a batch SQL equivalent,
+which is the DuckDB oracle; the two genuinely trigger-dependent ops
+(watermark drops, foreachBatch) stay rows-only [SURVEY §2.9].
 
 Scale posture: these pipelines are written exactly as they would run
 unbounded — keyed state (window/session/dedup aggregations partitioned by
-time bucket or user), watermarks bounding state, no global collects. Only
-the memory sink is test-scaffolding; production would writeStream to
-parquet/kafka with a real checkpoint.
+time bucket or user), watermarks bounding state, no global collects.
+Sinks match output cardinality: windowed aggregates whose row count grows
+with data volume land in an executor-written parquet sink
+(_parquet_result); only provably small keyed results (≤ tens of users /
+segments) use the driver-resident memory sink.
 
 Determinism: event time is the µs-truncated ``ts`` (io.load_table), so
 window boundaries hash-match oracles computing on epoch_ns(ts)//1000.
@@ -44,7 +46,8 @@ def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
     already wrote is current — later queries in the same verify/bench run
     skip straight to the readStream."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    path = f"/tmp/die_spark_stage/{tag}/events_stream_{n_files}"
+    # PID-unique: a concurrent process must not rewrite a stage mid-read.
+    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/events_stream_{n_files}"
     if path not in _STAGED:
         ev = load_table(spark, sf_dir, "events")
         writer = ev.repartitionByRange(n_files, "ts") if n_files > 1 else ev.coalesce(1)
@@ -85,8 +88,42 @@ def _run_to_memory(stream_df, name: str, mode: str) -> None:
 
 
 def _memory_result(spark, stream_df, name: str, mode: str) -> DataFrame:
+    """Memory-sink runner — only for BOUNDED result sets (per-user/segment
+    aggregates, ≤ a few thousand rows): the memory sink materializes on the
+    driver. Growing-output windows use _parquet_result instead."""
     _run_to_memory(stream_df, name, mode)
     return spark.table(name)
+
+
+def _parquet_result(spark, stream_df, name: str, mode: str) -> DataFrame:
+    """Executor-side sink for streams whose output GROWS with data volume
+    (per-window, per-session, per-dedup-key rows): results land in parquet
+    files written by executors — nothing materializes on the driver, unlike
+    the memory sink. Append mode uses the native checkpointed parquet sink;
+    complete mode (which the parquet sink proper doesn't support) uses
+    foreachBatch + overwrite — the standard idempotent complete-mode file
+    sink, each micro-batch replacing the whole aggregate. The returned
+    DataFrame scans the final state lazily."""
+    out = f"/tmp/die_spark_stage/p{os.getpid()}/sink/{name}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        if mode == "complete":
+            writer = stream_df.writeStream.foreachBatch(
+                lambda batch_df, _id: batch_df.write.mode("overwrite").parquet(out)
+            ).outputMode(mode)
+        else:
+            writer = (
+                stream_df.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", out + "_ckpt")
+                .outputMode(mode)
+            )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
 
 
 @register(
@@ -113,7 +150,7 @@ def stream_tumbling(spark, sf_dir):
             F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "event_type", "n", "sum_value"
         )
     )
-    return _memory_result(spark, agg, "mem_stream_tumbling", "complete")
+    return _parquet_result(spark, agg, "stream_tumbling", "complete")
 
 
 @register(
@@ -144,7 +181,7 @@ def stream_sliding(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
     )
-    return _memory_result(spark, agg, "mem_stream_sliding", "complete")
+    return _parquet_result(spark, agg, "stream_sliding", "complete")
 
 
 @register(
@@ -188,7 +225,7 @@ def stream_session(spark, sf_dir):
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
-    return _memory_result(spark, agg, "mem_stream_session", "complete")
+    return _parquet_result(spark, agg, "stream_session", "complete")
 
 
 @register("stream_watermark_late")  # rows-only: drop rule is trigger-dependent
@@ -205,7 +242,7 @@ def stream_watermark_late(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
     )
-    return _memory_result(spark, agg, "mem_stream_watermark", "append")
+    return _parquet_result(spark, agg, "stream_watermark_late", "append")
 
 
 @register(
@@ -231,7 +268,7 @@ def stream_dedup(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type", "minute"])
         .select("user_id", "event_type", "minute")
     )
-    return _memory_result(spark, dedup, "mem_stream_dedup", "append")
+    return _parquet_result(spark, dedup, "stream_dedup", "append")
 
 
 @register(
@@ -269,7 +306,7 @@ def stream_foreachbatch(spark, sf_dir):
     the escape hatch for sinks Structured Streaming lacks natively (JDBC
     upserts, MERGE targets)."""
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/die_spark_stage/{tag}/foreachbatch_out"
+    out = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/foreachbatch_out"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

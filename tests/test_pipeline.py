@@ -38,12 +38,15 @@ def test_ivf_recall_and_determinism(spark):
     exact = [
         r.vec_id for r in similarity.QUERIES["sim_knn_query"](spark, SF).collect()
     ]
-    a = [r.vec_id for r in pipeline.QUERIES["sim_ann_ivf"](spark, SF).collect()]
+    rows_a = pipeline.QUERIES["sim_ann_ivf"](spark, SF).collect()
+    a = [r.vec_id for r in rows_a]
     b = [r.vec_id for r in pipeline.QUERIES["sim_ann_ivf"](spark, SF).collect()]
     assert a == b
     assert len(a) == 10
     recall = len(set(exact) & set(a)) / 10
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # the result itself must carry the measured recall@10 (constant column)
+    assert {r.recall_at_10 for r in rows_a} == {round(recall, 4)}
 
 
 def test_lang_id_beats_chance(spark):

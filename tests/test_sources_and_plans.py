@@ -67,3 +67,22 @@ def test_dynamic_partition_pruning_plan(spark):
     df = connectors.QUERIES["scan_dynamic_pruning"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_cbo_stats_drive_planning(spark):
+    """plan_cbo_stats must leave the optimizer with real rowCount statistics
+    on the analyzed catalog tables (the CBO input), and the query itself
+    must plan with cbo enabled."""
+    df = connectors.QUERIES["plan_cbo_stats"](spark, SF)
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    import os
+
+    tbl = f"die_cbo_orders_{os.getpid()}"
+    stats = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
+    stat_row = stats[stats.col_name == "Statistics"]
+    assert not stat_row.empty and "rows" in stat_row.data_type.iloc[0], stats
+    # optimized plan of the query carries a defined rowCount (stats flowed)
+    row_count = (
+        df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+    )
+    assert row_count.isDefined()

@@ -24,11 +24,13 @@ def test_lsh_recall_vs_exact(spark):
         (r.id1, r.id2)
         for r in similarity.QUERIES["sim_topk_cosine"](spark, SF).collect()
     }
-    approx = {
-        (r.id1, r.id2) for r in similarity.QUERIES["sim_ann_lsh"](spark, SF).collect()
-    }
+    rows = similarity.QUERIES["sim_ann_lsh"](spark, SF).collect()
+    approx = {(r.id1, r.id2) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    # the result itself must carry the measured recall@100 (constant column)
+    reported = {r.recall_at_100 for r in rows}
+    assert reported == {round(recall, 4)}
 
 
 def test_near_dup_pairs_exist(spark):
