@@ -298,9 +298,14 @@ def win_percent_of_total(spark, sf_dir):
     """Ratio-to-report: each nation's share of global revenue via an
     unpartitioned window sum OVER the 25-row aggregate — the window runs
     over the rollup, never the fact, so the 'global' window is trivially
-    cheap at any scale (the fact sees only its one grouped shuffle)."""
+    cheap at any scale (the fact sees only its one grouped shuffle).
+    supplier is deliberately NOT broadcast-hinted: it scales with SF
+    (~1e9 rows at 100 TB), so the projected 2-column build side is left to
+    AQE/autoBroadcastJoinThreshold, which broadcasts it while it fits and
+    falls back to shuffle join when it doesn't; nation (25 rows always) is
+    hinted."""
     li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     rev = (
         li.join(s, li.l_suppkey == s.s_suppkey)

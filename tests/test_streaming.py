@@ -41,3 +41,53 @@ def test_stateful_running_state_spans_batches(spark):
     for _, g in emitted.groupby("user_id"):
         ns = sorted(g.n_events)
         assert ns == sorted(set(ns)), ns
+
+
+def test_live_unbounded_rate_source_semantics(spark):
+    """True unbounded-stream check (not availableNow batch-equivalence): a
+    rate source runs under a processingTime trigger; the watermark must
+    ADVANCE with event time, and append mode must emit only CLOSED windows
+    (window.end <= watermark at emission) — the drop/emit rule the staged
+    parquet runs can only assert by batch-equivalence."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+    agg = (
+        src.withWatermark("timestamp", "2 seconds")
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("live_rate_windows")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if (
+                q.lastProgress
+                and q.lastProgress.get("eventTime", {}).get("watermark", "1970") > "1971"
+                and spark.table("live_rate_windows").count() > 0
+            ):
+                break
+            _time.sleep(0.5)
+        out = spark.table("live_rate_windows").toPandas()
+        assert len(out) > 0, "no closed windows emitted within deadline"
+        wm = pd.Timestamp(q.lastProgress["eventTime"]["watermark"]).tz_localize(None)
+        assert wm.year > 1970, "watermark never advanced"
+        # append-mode guarantee: every emitted window closed at/before the
+        # watermark that triggered its emission (<= current watermark)
+        assert (pd.to_datetime(out.we) <= wm).all(), (out.we.max(), wm)
+    finally:
+        q.stop()
