@@ -101,3 +101,38 @@ def sample_k_per_stratum(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
     )
+
+
+@register(
+    "sample_train_valid_test",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               {_bucket_duck('doc_id', 100)} AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def sample_train_valid_test(spark, sf_dir):
+    """80/10/10 train/valid/test split by content hash — THE eval-split
+    pattern for training-data pipelines: membership depends only on
+    md5(doc_id), so the split is identical across reruns, engines,
+    partitionings and cluster sizes, and appending new data never moves an
+    existing doc between splits (no leakage from re-splitting). Pure
+    projection over a scan: embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_spark("doc_id", 100)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
