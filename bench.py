@@ -72,10 +72,17 @@ def main() -> None:
     # -1.0 marks a failed query; it must not SUBTRACT from the total
     failed = sorted(k for k, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # the first six keys are BASELINE.md's measured set — their subtotal is
+    # the number comparable to the BASELINE.md Spark column; the full total
+    # also counts the extension tier, which BASELINE.md never measured
+    baseline_subtotal = round(
+        sum(t for k, t in timings.items() if k in HEADLINE[:6] and t >= 0), 4
+    )
     line = {
         "metric": "headline_wall_clock_total",
         "value": None if failed else total,
         "unit": "sec",
+        "baseline_subtotal": baseline_subtotal,
         "queries": timings,
         "sf": sf,
     }

@@ -422,3 +422,53 @@ def text_pmi_cooccurrence(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT d1.doc_id AS doc1,
+           d2.doc_id AS doc2,
+           d1.lang   AS lang,
+           levenshtein(d1.text, d2.text) AS lev
+    FROM documents d1 JOIN documents d2
+      ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE levenshtein(d1.text, d2.text) <= 10
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs (lev ≤ 10, same lang) — the char-level
+    dedup family member: catches small insertions/typos/trims that token-set
+    Jaccard treats as unrelated vocabulary changes and vice versa (a token
+    reorder is Jaccard-1.0 but large edit distance; measured: the corpus's
+    lev distribution is bimodal, ≤5 or ≫10, so the threshold is stable).
+    Same (lang, block-pair) decomposition as dedup_near_jaccard — exact
+    O(n² per lang) compare count spread over N_BLOCKS² tasks; both engines
+    implement classic Wagner-Fischer, so the distances are identical
+    integers."""
+    from .similarity import with_block_pair
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = with_block_pair(d.select("doc_id", "lang", "text"), "doc_id")
+    d1 = docs.select(
+        F.col("doc_id").alias("doc1"), "lang", F.col("text").alias("t1"), "_g", "_p"
+    )
+    d2 = docs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("text").alias("t2"),
+        F.col("_g").alias("_g2"),
+        F.col("_p").alias("_p2"),
+    )
+    lev = F.levenshtein("t1", "t2")
+    return (
+        d1.join(
+            d2,
+            (d1.lang == d2.lang2)
+            & (d1._g == d2._p2)
+            & (d1._p == d2._g2)
+            & (d1.doc1 < d2.doc2),
+        )
+        .filter(lev <= 10)
+        .select("doc1", "doc2", "lang", lev.alias("lev"))
+    )
