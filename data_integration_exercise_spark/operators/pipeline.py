@@ -686,6 +686,137 @@ def multimodal_framesample(spark, sf_dir):
     )
 
 
+def _exact_threshold_pairs(e_norm, threshold: float):
+    """EXACT ε-join over pre-normalized (vec_id, label, v): every same-label
+    pair with rounded cosine ≥ threshold, via the (label, block-pair)
+    decomposition (see with_block_pair)."""
+    from .similarity import _dot, with_block_pair
+
+    e = with_block_pair(e_norm, "vec_id")
+    e1 = e.select(
+        F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"), "_g", "_p"
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("label2"),
+        F.col("v").alias("v2"),
+        F.col("_g").alias("_g2"),
+        F.col("_p").alias("_p2"),
+    )
+    sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
+    return (
+        e1.join(
+            e2,
+            (e1.label == e2.label2)
+            & (e1._g == e2._p2)
+            & (e1._p == e2._g2)
+            & (e1.id1 < e2.id2),
+        )
+        .select("id1", "id2", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _lsh_threshold_pairs(e_norm, threshold: float):
+    """APPROXIMATE ε-join: banded random-hyperplane candidates (same
+    signature scheme as sim_ann_lsh) re-ranked exactly — sublinear in the
+    pair space, recall < 1. The scale path the cost rule switches to when
+    the exact pair budget is exceeded."""
+    from .similarity import BAND_BITS, HYPERPLANES, N_BANDS, _dot
+
+    band_sigs = []
+    for b in range(N_BANDS):
+        sig = F.lit(0)
+        for j in range(BAND_BITS):
+            plane = HYPERPLANES[b * BAND_BITS + j]
+            h = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        band_sigs.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    banded = e_norm.select(
+        "vec_id", "label", "v", F.explode(F.array(*band_sigs)).alias("bs")
+    ).select("vec_id", "label", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    s1 = banded.select(
+        F.col("vec_id").alias("id1"), "label", "band", "sig", F.col("v").alias("v1")
+    )
+    s2 = banded.select(
+        F.col("vec_id").alias("id2"),
+        F.col("label").alias("label2"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+        F.col("v").alias("v2"),
+    )
+    cand = (
+        s1.join(
+            s2,
+            (s1.band == s2.band2)
+            & (s1.sig == s2.sig2)
+            & (s1.label == s2.label2)
+            & (s1.id1 < s2.id2),
+        )
+        .select("id1", "id2", "label", "v1", "v2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
+    return cand.select("id1", "id2", "label", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
+def threshold_join_strategy(e, budget_pairs: int = 5_000_000) -> str:
+    """Stats-driven physical-strategy choice for the cosine ε-join — the
+    Python-level analogue of a Catalyst cost-based rule: estimate the exact
+    plan's compare count (Σ n_label·(n_label-1)/2, one tiny distributed agg
+    → one scalar to the driver) and pick the exact block-pair plan while it
+    fits the budget, else the sublinear LSH-bucketed plan. Keeping the
+    decision on a measured cardinality (not a guess) is exactly what
+    plan_cbo_stats demonstrates for joins via ANALYZE TABLE."""
+    est = (
+        e.groupBy("label")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    return "exact" if (est or 0) <= budget_pairs else "lsh"
+
+
+@register(
+    "plan_adaptive_threshold_join",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT e1.vec_id AS id1, e2.vec_id AS id2, e1.label AS label,
+           round(list_cosine_similarity(e1.v, e2.v), 4) AS sim,
+           'exact' AS strategy
+    FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+    WHERE round(list_cosine_similarity(e1.v, e2.v), 4) >= 0.4
+    """,
+)
+def plan_adaptive_threshold_join(spark, sf_dir):
+    """Adaptive ε-join: threshold_join_strategy picks the physical plan from
+    measured label cardinalities — exact block-pair join under the pair
+    budget, LSH-bucketed candidates over it. At every driver scale factor
+    the estimate (≤ ~200k pairs) is far below the 5M budget, so the chosen
+    plan is 'exact' and the output hash-matches the exact oracle (the
+    strategy column records the decision); the LSH branch and the
+    over-budget decision are pinned by unit tests on synthetic inputs."""
+    from .similarity import _normalized, _vec
+
+    e = _normalized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
+        )
+    )
+    strategy = threshold_join_strategy(e)
+    pairs = (
+        _exact_threshold_pairs(e, 0.4)
+        if strategy == "exact"
+        else _lsh_threshold_pairs(e, 0.4)
+    )
+    return pairs.withColumn("strategy", F.lit(strategy))
+
+
 @register(
     "sim_threshold_join",
     oracle="""
@@ -707,39 +838,17 @@ def sim_threshold_join(spark, sf_dir):
     with_block_pair, so the equi-join key cardinality is label×N_BLOCKS²
     and a skewed label spreads across many tasks instead of one; total
     compare count is unchanged (this stays the EXACT ε-join — the
-    sublinear approximate variant is sim_ann_lsh)."""
-    from .similarity import _dot, _normalized, _vec, with_block_pair
+    sublinear approximate variant is sim_ann_lsh, and
+    plan_adaptive_threshold_join picks between the two from measured
+    cardinalities)."""
+    from .similarity import _normalized, _vec
 
-    e = with_block_pair(
-        _normalized(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", "label", _vec("embedding").alias("v")
-            )
-        ),
-        "vec_id",
-    )
-    e1 = e.select(
-        F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"), "_g", "_p"
-    )
-    e2 = e.select(
-        F.col("vec_id").alias("id2"),
-        F.col("label").alias("label2"),
-        F.col("v").alias("v2"),
-        F.col("_g").alias("_g2"),
-        F.col("_p").alias("_p2"),
-    )
-    sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
-    return (
-        e1.join(
-            e2,
-            (e1.label == e2.label2)
-            & (e1._g == e2._p2)
-            & (e1._p == e2._g2)
-            & (e1.id1 < e2.id2),
+    e = _normalized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
         )
-        .select("id1", "id2", "label", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.4)
     )
+    return _exact_threshold_pairs(e, 0.4)
 
 
 def propagate_min_labels(labels, edges, max_iters=50):

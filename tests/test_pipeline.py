@@ -113,3 +113,30 @@ def test_propagation_raises_on_nonconvergence(spark):
     labels, edges = _chain_graph(spark, 25)
     with pytest.raises(RuntimeError, match="did not converge"):
         pipeline.propagate_min_labels(labels, edges, max_iters=5)
+
+
+def test_threshold_join_strategy_rule(spark):
+    """The cost rule must pick the exact plan under the pair budget and the
+    LSH plan over it — measured cardinalities, not guesses."""
+    small = spark.createDataFrame([(i, i % 10) for i in range(100)], "vec_id long, label int")
+    assert pipeline.threshold_join_strategy(small) == "exact"
+    # one fat label: 5000 rows → ~12.5M estimated pairs > 5M budget
+    big = spark.range(5000).selectExpr("id AS vec_id", "0 AS label")
+    assert pipeline.threshold_join_strategy(big) == "lsh"
+
+
+def test_lsh_threshold_branch_recall(spark):
+    """The approximate branch must run end-to-end and recover a usable
+    fraction of the exact ε-join pairs (banded hyperplane recall floor)."""
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators.similarity import _normalized, _vec
+
+    e = _normalized(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
+        )
+    )
+    exact = {(r.id1, r.id2) for r in pipeline._exact_threshold_pairs(e, 0.4).collect()}
+    approx = {(r.id1, r.id2) for r in pipeline._lsh_threshold_pairs(e, 0.4).collect()}
+    assert approx <= exact  # re-rank is exact: no false positives
+    assert len(approx) / max(len(exact), 1) >= 0.3, (len(approx), len(exact))
