@@ -387,3 +387,45 @@ def plan_cbo_stats(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "sink_compacted",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_compacted(spark, sf_dir):
+    """Small-file compaction: a deliberately fragmented copy of orders
+    (64 shards — the 'too many tiny files' state every long-running 100 TB
+    table drifts into) is rewritten through repartition(4) into few
+    scan-efficient files, and the query reads the compacted copy back for
+    a grouped summary the oracle checks against the source — proving the
+    rewrite is content-preserving. Tests assert the file-count drop. At
+    scale the same two-liner runs per partition directory with the target
+    count derived from bytes/file, and bin-packing via AQE coalesce does
+    the sizing automatically."""
+    fragmented = _stage_dir(sf_dir, "sink_compacted_fragmented")
+    compacted = _stage_dir(sf_dir, "sink_compacted")
+    if compacted not in _COMPACT_STAGED:
+        o = load_table(spark, sf_dir, "orders")
+        o.repartition(64).write.mode("overwrite").parquet(fragmented)
+        spark.read.parquet(fragmented).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+        _COMPACT_STAGED.add(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+_COMPACT_STAGED: set[str] = set()  # staged once per process; source immutable

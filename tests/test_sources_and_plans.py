@@ -86,3 +86,18 @@ def test_cbo_stats_drive_planning(spark):
         df._jdf.queryExecution().optimizedPlan().stats().rowCount()
     )
     assert row_count.isDefined()
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compacted must leave the compacted copy with far fewer parquet
+    files than the fragmented input while preserving content (content parity
+    is the oracle's job; the file-count drop is the compaction's point)."""
+    import glob
+    import os
+
+    connectors.QUERIES["sink_compacted"](spark, SF).collect()
+    frag = connectors._stage_dir(SF, "sink_compacted_fragmented")
+    comp = connectors._stage_dir(SF, "sink_compacted")
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
+    assert n_frag >= 32 and n_comp <= 8, (n_frag, n_comp)
