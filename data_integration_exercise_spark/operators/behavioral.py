@@ -12,6 +12,7 @@ carries sub-µs nanoseconds that float math would corrupt.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -20,6 +21,7 @@ from ..registry_util import new_registry
 QUERIES, ORACLES, register = new_registry()
 
 _WEEK_US = 7 * 86_400 * 1_000_000
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # classic 30-minute inactivity rule
 
 
 @register(
@@ -112,4 +114,66 @@ def events_retention_cohorts(spark, sf_dir):
         activity.join(firstw, "user_id")
         .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+               CASE WHEN epoch_ns(ts) // 1000
+                         - lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) > {_SESSION_GAP_US}
+                         OR lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), y AS (
+        SELECT user_id, t,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM x
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           min(t)                      AS t_start,
+           max(t)                      AS t_end
+    FROM y
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization: the standard 30-minute-inactivity session cut
+    done as lag-gap flag + running sum per user — one user-keyed shuffle,
+    then a per-(user, session) rollup that reuses the same partitioning.
+    Ordering is made total with event_id as tiebreaker (both engines), so
+    separate window passes can never disagree on tied timestamps. At 100 TB
+    this is the shape to keep: state
+    is one window over user_id (Spark re-sorts within partitions, no global
+    sort), and the alternative — session_window in a stream — is the
+    streaming twin already shipped as stream_session."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1
+        ).when(F.lag("ts_us").over(w).isNull(), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("t_start"),
+        F.max("ts_us").alias("t_end"),
     )

@@ -15,6 +15,8 @@ Scale strategy:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -359,3 +361,78 @@ def skyline_pareto(spark, sf_dir):
         & ((F.col("p2") > F.col("o_totalprice")) | (F.col("d2") < F.col("o_orderdate")))
     )
     return o.join(o2, dominated, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: 4x memory compression for the 100 TB embedding store
+# ---------------------------------------------------------------------------
+
+#: query vector quantized with the same per-vector max-abs int8 rule the
+#: data side uses (max|q| is exactly 1.0 for QUERY_VEC)
+QVEC_Q8 = [math.floor(x * 127.0) for x in QUERY_VEC]
+_Q8_NORM_SQ = sum(x * x for x in QVEC_Q8)  # exact integer
+
+
+@register(
+    "sim_quantized_cosine",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, label, v,
+               list_max(list_transform(v, x -> abs(x))) AS mx
+        FROM e
+    ), q AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id, label,
+           CAST(floor(
+               10000 * list_dot_product(qv, {_sql_list(QVEC_Q8)})
+               / (sqrt(list_dot_product(qv, qv)) * sqrt({_Q8_NORM_SQ}))
+           ) AS BIGINT) AS cos_q8_e4
+    FROM q
+    ORDER BY cos_q8_e4 DESC, vec_id
+    LIMIT 100
+    """,
+)
+def sim_quantized_cosine(spark, sf_dir):
+    """Top-100 nearest to the fixed probe under int8-quantized cosine —
+    the memory-compression path a 100 TB embedding store actually runs:
+    per-vector max-abs scaling to [-127, 127] ints shrinks the store 4×
+    (float32 → int8) and turns every dot product into exact integer math,
+    so ranking is bit-identical across engines with no float-summation
+    order hazard (the one rounding happens in the final divide; the score
+    is floored to an e4 integer). The quantization rule (floor(x·127/mx))
+    and the scoring expression are kept operation-for-operation identical
+    to the DuckDB oracle. Scale shape: a single scan + per-row O(dim)
+    work + TakeOrdered(100) — no shuffle at all until the final top-k
+    merge; recall vs the exact ranking is asserted in tests (≥85/100 at
+    both operative SFs)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
+    )
+    s = e.withColumn(
+        "mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("mx")).cast("double"),
+        ),
+    )
+    probe = F.array(*[F.lit(float(x)) for x in QVEC_Q8])
+    score = F.floor(
+        F.lit(10000.0)
+        * _dot(F.col("qv"), probe)
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(F.lit(float(_Q8_NORM_SQ))))
+    ).cast("long")
+    return (
+        q.select("vec_id", "label", score.alias("cos_q8_e4"))
+        .orderBy(F.desc("cos_q8_e4"), F.asc("vec_id"))
+        .limit(100)
+    )

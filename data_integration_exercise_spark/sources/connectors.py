@@ -429,3 +429,88 @@ def sink_compacted(spark, sf_dir):
 
 
 _COMPACT_STAGED: set[str] = set()  # staged once per process; source immutable
+
+
+@register(
+    "sink_orc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sink_orc(spark, sf_dir):
+    """ORC round-trip: orders → ORC files → typed read-back → grouped
+    summary the oracle checks against the parquet source, proving the
+    columnar re-encode is lossless. ORC is Spark-native (no extra package)
+    and carries the same min/max stripe statistics parquet row-groups do,
+    so every pushdown/pruning claim in this module holds for ORC lakes
+    unchanged."""
+    path = _stage_dir(sf_dir, "sink_orc")
+    if path not in _ORC_STAGED:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+        _ORC_STAGED.add(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+_ORC_STAGED: set[str] = set()
+
+
+@register(
+    "sink_clustered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sink_clustered(spark, sf_dir):
+    """Cluster-on-write for data skipping: lineitem is range-repartitioned
+    and sorted by l_shipdate, so each output file covers a narrow, nearly
+    disjoint shipdate span and its parquet row-group min/max statistics
+    actually prune — a one-month predicate touches ~1 of 8 files instead
+    of all of them (tests assert this from the file footers via pyarrow).
+    At 100 TB, clustering the sort key users filter on is the single
+    biggest scan saver after partitioning itself: partition by the coarse
+    key (month), cluster within partitions by the fine key, and parquet
+    min/max skipping does the rest with zero read-path changes. The
+    read-back query below groups the January-1997 slice; the oracle runs
+    the same cut on the un-clustered source, proving the rewrite is
+    content-preserving."""
+    path = _stage_dir(sf_dir, "sink_clustered")
+    if path not in _CLUSTER_STAGED:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _CLUSTER_STAGED.add(path)
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-02-01").cast("timestamp_ntz")
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
+
+
+_CLUSTER_STAGED: set[str] = set()

@@ -101,3 +101,33 @@ def test_compaction_reduces_file_count(spark):
     n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
     n_comp = len(glob.glob(os.path.join(comp, "*.parquet")))
     assert n_frag >= 32 and n_comp <= 8, (n_frag, n_comp)
+
+
+def test_clustered_sink_files_prune(spark):
+    """sink_clustered must produce files whose shipdate spans are narrow
+    enough that the January-1997 predicate touches at most 2 of them —
+    that file-footer min/max disjointness IS the data-skipping claim."""
+    import datetime
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    connectors.QUERIES["sink_clustered"](spark, SF).collect()
+    files = glob.glob(
+        os.path.join(connectors._stage_dir(SF, "sink_clustered"), "*.parquet")
+    )
+    assert len(files) >= 6, files
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("l_shipdate")
+        stats = [
+            md.row_group(rg).column(ci).statistics
+            for rg in range(md.num_row_groups)
+        ]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1997, 2, 1)
+    touching = [s for s in spans if s[0] < hi and s[1] >= lo]
+    assert len(touching) <= 2, spans

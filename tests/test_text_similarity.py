@@ -105,3 +105,20 @@ def test_topk_cosine_tasks_are_block_bounded(spark):
         F.col("count") > 0.8 * F.col("n_label") + 4
     ).count()
     assert over == 0
+
+
+def test_quantized_cosine_recall_vs_exact(spark):
+    """int8 quantization trades ~4x memory for a small ranking error; the
+    quantized top-100 for the fixed probe must recover >=85 of the exact
+    float top-100 (sim_knn_query is the exact ranking of the same probe)."""
+    exact = {
+        r.vec_id for r in similarity.QUERIES["sim_knn_query"](spark, SF).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in similarity.QUERIES["sim_quantized_cosine"](spark, SF).collect()
+    }
+    assert len(exact & quant) >= 0.85 * len(exact), (
+        len(exact & quant),
+        len(exact),
+    )
