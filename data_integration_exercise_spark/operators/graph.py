@@ -1,0 +1,184 @@
+"""Graph analytics over the order network (extension tier).
+
+The graph: customers and suppliers are nodes, with an (undirected) edge
+whenever a customer's order contains a line shipped by a supplier —
+the bipartite trade network implied by orders ⋈ lineitem. Node ids are
+disjoint integers (customer c → 2c, supplier s → 2s+1).
+
+Determinism discipline: PageRank is computed in FIXED-POINT integer
+arithmetic (rank scaled by 1e9, every division a floor-div) so each
+iteration is exact in both engines — float PageRank would accumulate
+summation-order noise and could never hash-match. The DuckDB oracle is
+the same recurrence unrolled into one CTE per iteration.
+
+Scale shape: each iteration is one edges⋈ranks equi-join + one groupBy —
+the same bounded-shuffle loop dedup_connected_components runs; lineage is
+cut per iteration with localCheckpoint. At 100 TB both sides pre-partition
+on the node key once and every iteration reuses that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+#: fixed-point scale (rank mass of the whole graph = SCALE)
+_SCALE = 1_000_000_000
+_PR_ITERS = 5
+
+
+def _edges(spark, sf_dir):
+    """Distinct customer↔supplier contact edges, both directions.
+
+    The two direction sets are disjoint by id parity, so the union needs
+    no extra dedup shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+    rev = pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+    ), r0 AS (
+        SELECT src AS node, """
+        + f"{_SCALE} // nn.n AS r FROM deg, nn"
+        + """
+    )"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""", r{i} AS (
+        SELECT e.dst AS node,
+               (15 * ({_SCALE} // nn.n)) // 100
+               + (85 * CAST(sum(r.r // dg.d) AS BIGINT)) // 100 AS r
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src, nn
+        GROUP BY e.dst, nn.n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           node // 2 AS node_key,
+           CAST(r AS BIGINT) AS rank_fp
+    FROM r{_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Five fixed-point PageRank iterations (damping 0.85) over the
+    customer↔supplier trade network. Every node keeps an exact integer
+    rank: r' = (15·(SCALE div n)) div 100 + (85·Σ floor(r_u / deg_u)) div
+    100 over in-neighbors — floor-division at each step makes the result
+    engine-exact, so the unrolled-CTE oracle hash-matches bit for bit.
+    The undirected edge set guarantees every node has in-edges (no
+    dangling-mass term needed)."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(nn).select(
+        F.col("src").alias("node"), F.expr(f"{_SCALE} div n").alias("r")
+    )
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    for _ in range(_PR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select("dst", F.expr("r div d").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            summed.crossJoin(nn)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(15 * ({_SCALE} div n)) div 100 + (85 * s) div 100").alias(
+                    "r"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("r").alias("rank_fp"),
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT cnode AS src FROM pairs
+        UNION ALL
+        SELECT snode FROM pairs
+    ), deg AS (
+        SELECT src,
+               CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+               CAST(count(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    )
+    SELECT node_type, d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY node_type, d
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the trade network per node class — the first
+    diagnostic run on any new graph (skew in this histogram predicts
+    which PageRank/label-propagation keys will hot-spot). Two shuffles:
+    degree count, then histogram rollup."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    nodes = pairs.select(F.col("cnode").alias("src")).unionByName(
+        pairs.select(F.col("snode").alias("src"))
+    )
+    deg = nodes.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("d").alias("degree"),
+        )
+        .groupBy("node_type", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

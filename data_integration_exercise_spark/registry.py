@@ -13,6 +13,7 @@ from .operators import (
     analytics,
     behavioral,
     etl,
+    graph,
     joins,
     pipeline,
     projections,
@@ -46,6 +47,7 @@ _MODULES = [
     sampling,
     etl,
     behavioral,
+    graph,
 ]
 
 # The driver's per-round correctness harness samples a fixed-size prefix of

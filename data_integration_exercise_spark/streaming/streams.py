@@ -383,3 +383,60 @@ def stream_stateful_running(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id               AS view_id,
+           p.event_id               AS purchase_id,
+           epoch_ns(v.ts) // 1000   AS view_ts_us,
+           epoch_ns(p.ts) // 1000   AS purchase_ts_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      AND epoch_ns(p.ts) // 1000 <  epoch_ns(v.ts) // 1000 + 3600000000
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: views matched to same-user purchases
+    that happen within the following hour — the canonical attribution
+    query. Both sides are independent watermarked streams; the equi-key
+    (user_id) plus the two-sided event-time bound is exactly what Spark
+    needs to size the join state and evict rows once the other side's
+    watermark passes view_ts + 1h, so state stays bounded on an unbounded
+    feed. On a bounded availableNow run (single micro-batch: nothing is
+    ever late) the result equals the batch interval join the oracle runs.
+    Output carries epoch-µs bigints so hashes are timezone-free."""
+    views = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("ts_us").alias("view_ts_us"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("ts_us").alias("purchase_ts_us"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id", "view_ts_us", "purchase_ts_us")
+    return _parquet_result(spark, joined, "stream_stream_join", "append")

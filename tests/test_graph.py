@@ -1,0 +1,38 @@
+"""Oracle-parity + semantic checks for the graph analytics tier."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import graph
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(graph.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Fixed-point PageRank must (a) conserve rank mass up to the floor-div
+    leakage (each of the 5 iterations floors at most 1 unit per edge and
+    per node, so > 95% of SCALE survives) and (b) rank the best-connected
+    node class sensibly: the max-degree node must out-rank the min-degree
+    node."""
+    rows = graph.QUERIES["graph_pagerank"](spark, SF).collect()
+    total = sum(r.rank_fp for r in rows)
+    assert 0.95 * graph._SCALE <= total <= graph._SCALE, total
+
+    ranks = {(r.node_type, r.node_key): r.rank_fp for r in rows}
+    edges = graph._edges(spark, SF)
+    per_node = {r.src: r.d for r in edges.groupBy("src").count().withColumnRenamed("count", "d").collect()}
+    hi = max(per_node, key=per_node.get)
+    lo = min(per_node, key=per_node.get)
+
+    def key_of(node):
+        return ("customer" if node % 2 == 0 else "supplier", node // 2)
+
+    assert ranks[key_of(hi)] > ranks[key_of(lo)], (hi, lo)
