@@ -312,3 +312,62 @@ def etl_calendar_spine(spark, sf_dir):
         F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@register(
+    "etl_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>'
+                ELSE o_orderstatus END   AS status,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(o_totalprice), 4)   AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def etl_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet generations: generation 1 was written
+    before `o_orderstatus` existed (even order keys, 3 columns); generation
+    2 carries the new column. A single `mergeSchema=true` read unions both
+    layouts, null-filling the missing column for old files — exactly how a
+    long-lived 100 TB lake absorbs schema additions without rewriting
+    history. The report groups by the evolved column with nulls folded to a
+    sentinel, and the oracle reconstructs the same split from the source
+    table, proving no rows or values were lost across the generation
+    boundary. At scale, keep mergeSchema OFF for steady-state reads (footer
+    merging costs a file-listing pass) and declare the superset schema
+    explicitly — the null-filling behavior is the same; the demo turns it
+    on to prove the union semantics."""
+    import os
+
+    base = os.path.join(
+        f"/tmp/die_spark_stage/p{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "etl_schema_evolution",
+    )
+    if base not in _EVOLVE_STAGED:
+        o = load_table(spark, sf_dir, "orders")
+        gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        gen2 = o.filter(F.col("o_orderkey") % 2 != 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        gen1.write.mode("overwrite").parquet(base + "/gen=1")
+        gen2.write.mode("overwrite").parquet(base + "/gen=2")
+        _EVOLVE_STAGED.add(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/gen=1", base + "/gen=2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-schema>")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+_EVOLVE_STAGED: set[str] = set()
