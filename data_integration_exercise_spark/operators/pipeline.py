@@ -1010,3 +1010,67 @@ def multimodal_audio_energy(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["doc_id", "win_idx", "energy"])
 
     return d.mapInPandas(energy_batches, "doc_id long, win_idx int, energy long")
+
+
+def _resize_oracle() -> str:
+    def b(k: int) -> str:  # 0-based byte k of the md5 digest, as 0..255
+        return f"('0x' || substr(md5(text), {2 * k + 1}, 2))::INTEGER"
+
+    def pool(i: int, j: int) -> str:  # 2x2 average-pool block (i, j), floor
+        ks = [4 * (2 * i) + 2 * j, 4 * (2 * i) + 2 * j + 1,
+              4 * (2 * i + 1) + 2 * j, 4 * (2 * i + 1) + 2 * j + 1]
+        return f"CAST(({' + '.join(b(k) for k in ks)}) // 4 AS BIGINT)"
+
+    return f"""
+    SELECT doc_id,
+           {pool(0, 0)} AS p00,
+           {pool(0, 1)} AS p01,
+           {pool(1, 0)} AS p10,
+           {pool(1, 1)} AS p11
+    FROM documents
+    """
+
+
+@register("multimodal_resize", oracle=_resize_oracle())
+def multimodal_resize(spark, sf_dir):
+    """Image resize stage of the multimodal pipeline: the 16-byte fake
+    image (md5 digest — real codecs are stubbed per the driver contract,
+    the Spark plumbing is real) is treated as a 4×4 grayscale grid and
+    average-pooled 2× to a 2×2 thumbnail with integer floor math, the
+    standard pre-embedding downsample. Arrow-batched mapInPandas with a
+    vectorized numpy pool over the whole batch (reshape + block-sum — no
+    per-row Python), BinaryType in, fixed typed schema out: swap the
+    buffer parse for PIL's Image.resize and nothing else changes. Byte
+    math is exact, so the DuckDB hex-substr oracle hash-matches."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.md5("text")).alias("img")
+    )
+
+    def resize_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = (
+                np.stack(
+                    pdf["img"].map(lambda b: np.frombuffer(b, dtype=np.uint8)).to_numpy()
+                )
+                .astype(np.int64)
+                .reshape(-1, 2, 2, 2, 2)  # (n, row_blk, row_in, col_blk, col_in)
+            )
+            P = A.sum(axis=(2, 4)) // 4  # (n, row_blk, col_blk)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "p00": P[:, 0, 0],
+                    "p01": P[:, 0, 1],
+                    "p10": P[:, 1, 0],
+                    "p11": P[:, 1, 1],
+                }
+            )
+
+    return d.mapInPandas(
+        resize_batches, "doc_id long, p00 long, p01 long, p10 long, p11 long"
+    )
