@@ -368,3 +368,34 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright("o_orderkey", 3).cast("long").alias("shr3"),
         F.bit_count("o_orderkey").cast("long").alias("popcount"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+           regexp_replace(p_name, ' ', '_', 'g')                       AS underscored,
+           array_to_string(regexp_split_to_array(p_name, ' '), '|')   AS tokens_joined,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ ')
+                THEN 1 ELSE 0 END                                      AS starts_word
+    FROM part
+    """,
+)
+def fn_regexp(spark, sf_dir):
+    """Regexp function family: extract-all (+ count), global replace,
+    regex split (array output joined to a string so the hash is
+    dtype-stable), and a match predicate. All four stay JVM-side
+    (codegen'd java.util.regex) — no Python. Dialect note: DuckDB's
+    regexp_replace is first-match-only without the 'g' flag; Spark's
+    always-global regexp_replace is the semantic both sides pin here."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.size(F.expr("regexp_extract_all(p_name, '[aeiou]+', 0)"))
+        .cast("long")
+        .alias("n_vowel_runs"),
+        F.regexp_replace("p_name", " ", "_").alias("underscored"),
+        F.array_join(F.split("p_name", " "), "|").alias("tokens_joined"),
+        F.when(F.col("p_name").rlike("^[a-z]+ "), 1).otherwise(0).alias("starts_word"),
+    )

@@ -325,3 +325,35 @@ def win_percent_of_total(spark, sf_dir):
             "pct_of_total"
         ),
     )
+
+
+@register(
+    "win_ntile_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           ntile(4) OVER w                                              AS quartile,
+           CAST(floor(1000000 * percent_rank() OVER w) AS BIGINT)       AS pr_e6,
+           CAST(floor(1000000 * cume_dist() OVER w) AS BIGINT)          AS cd_e6
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_distribution(spark, sf_dir):
+    """Distribution window family: quartile bucketing (ntile), percent_rank
+    and cume_dist per order-status partition. The ordering ends in the
+    unique o_orderkey, so every row's rank is total and the distribution
+    values are exact small-integer ratios — identical double division in
+    both engines, floored to e6 integers so the hash carries no float
+    formatting. One shuffle on o_orderstatus; each partition sorts once
+    and all three functions share the same window frame."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.floor(F.lit(1000000.0) * F.percent_rank().over(w)).cast("long").alias("pr_e6"),
+        F.floor(F.lit(1000000.0) * F.cume_dist().over(w)).cast("long").alias("cd_e6"),
+    )

@@ -514,3 +514,70 @@ def sink_clustered(spark, sf_dir):
 
 
 _CLUSTER_STAGED: set[str] = set()
+
+
+@register(
+    "ingest_csv_permissive",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE o_orderkey % 37 = 0) AS BIGINT)  AS n_corrupt,
+           CAST(count(*) FILTER (WHERE o_orderkey % 37 <> 0) AS BIGINT) AS n_good,
+           CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 37 <> 0) AS BIGINT)
+               AS good_key_sum,
+           round(sum(o_totalprice) FILTER (WHERE o_orderkey % 37 <> 0), 4)
+               AS good_total
+    FROM orders
+    """,
+)
+def ingest_csv_permissive(spark, sf_dir):
+    """Malformed-record tolerance: a staged CSV of orders where every 37th
+    order line is deliberately corrupted (non-numeric key column) is read
+    in PERMISSIVE mode with a _corrupt_record column — bad lines surface
+    as quarantine rows instead of failing the job or silently vanishing,
+    which is the only acceptable behavior for a 100 TB ingest (FAILFAST
+    kills a day-long job for one bad line; DROPMALFORMED loses data with
+    no audit trail). The report counts quarantined vs parsed rows and
+    checksums the parsed side; the oracle reconstructs both from the
+    clean source."""
+    path = _stage_dir(sf_dir, "ingest_csv_permissive")
+    if path not in _PERMISSIVE_STAGED:
+        o = load_table(spark, sf_dir, "orders")
+        line = F.concat_ws(
+            ",",
+            F.when(F.col("o_orderkey") % 37 == 0, F.concat(F.lit("X"), F.col("o_orderkey")))
+            .otherwise(F.col("o_orderkey").cast("string")),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+            F.col("o_orderpriority"),
+        )
+        o.select(line.alias("value")).write.mode("overwrite").text(path)
+        _PERMISSIVE_STAGED.add(path)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    # the aggregate must reference o_orderkey: Spark's CSV parser prunes to
+    # the required columns, and an unreferenced corrupted field would never
+    # be parsed — so the line would never be flagged corrupt
+    return df.agg(
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.sum(F.when(~bad, F.col("o_orderkey"))).cast("long").alias("good_key_sum"),
+        F.round(F.sum(F.when(~bad, F.col("o_totalprice"))), 4).alias("good_total"),
+    )
+
+
+_PERMISSIVE_STAGED: set[str] = set()
