@@ -581,3 +581,62 @@ def ingest_csv_permissive(spark, sf_dir):
 
 
 _PERMISSIVE_STAGED: set[str] = set()
+
+
+@register(
+    "plan_runtime_filter",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l.l_extendedprice), 4) AS urgent_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_linestatus
+    """,
+)
+def plan_runtime_filter(spark, sf_dir):
+    """Runtime bloom-filter join pruning: the selective dim predicate
+    (urgent orders) is turned into a bloom filter Spark builds at runtime
+    and applies to the fact scan (`might_contain(xxhash64(l_orderkey))`)
+    BEFORE the shuffle — at 100 TB this drops ~80% of lineitem rows from
+    the exchange when the dim is too big to broadcast (broadcast joins get
+    the same effect for free; bloom filters are how shuffle joins get it).
+    The plan is materialized to parquet while the enabling confs are set
+    (broadcast off to force the shuffle-join shape the feature targets,
+    application-side threshold lowered for local data sizes) and the confs
+    are restored before returning, so later queries in the session keep
+    their broadcast plans; tests assert `might_contain` lands in the
+    optimized plan."""
+    path = _stage_dir(sf_dir, "plan_runtime_filter")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1B",
+    )
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        result = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 4).alias("urgent_revenue"),
+            )
+        )
+        # materialize HERE so the bloom-filtered plan executes under the
+        # confs; lazy return would plan at collect time, after the restore
+        result.write.mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_th,
+        )
+    return spark.read.parquet(path)

@@ -131,3 +131,38 @@ def test_clustered_sink_files_prune(spark):
     lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1997, 2, 1)
     touching = [s for s in spans if s[0] < hi and s[1] >= lo]
     assert len(touching) <= 2, spans
+
+
+def test_runtime_bloom_filter_in_plan(spark):
+    """With broadcast off and the scan threshold lowered, the urgent-orders
+    join must carry a runtime bloom filter on the fact scan."""
+    from pyspark.sql import functions as F
+    from data_integration_exercise_spark.io import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1B",
+    )
+    try:
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_th,
+        )
