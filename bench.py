@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_connected_components",
     "stream_stateful_running",
     "sim_ann_lsh",
+    "graph_pagerank",
+    "events_sessionize",
 ]
 
 
