@@ -706,3 +706,198 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(10000 * sum(l_extendedprice) / sum(l_quantity))
+                    AS BIGINT) AS cost_e4
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT ps.*, s_name, n_name
+        FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ), best AS (
+        SELECT *, min(cost_e4) OVER (PARTITION BY l_partkey) AS min_cost
+        FROM eu
+    )
+    SELECT p_partkey, p_name, s_name, n_name, cost_e4
+    FROM best JOIN part ON p_partkey = l_partkey
+    WHERE cost_e4 = min_cost AND p_name LIKE '%bolt%'
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (minimum-cost supplier), adapted: the operative schema has
+    no partsupp, so observed unit cost per (part, supplier) is derived from
+    lineitem (Σ price / Σ qty, e4-floored to an integer so the min-equality
+    is float-safe). The original's correlated scalar subquery ('cost = the
+    regional minimum for this part') becomes a min window over the part
+    partitioning — one shuffle instead of a rejoin of the whole subquery.
+    Dims broadcast; ties at the minimum keep all winning suppliers, as in
+    the original."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.floor(
+            F.lit(10000.0) * F.sum("l_extendedprice") / F.sum("l_quantity")
+        )
+        .cast("long")
+        .alias("cost_e4")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", "l_suppkey", "cost_e4", "s_name", "n_name")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("min_cost", F.min("cost_e4").over(w)).filter(
+        F.col("cost_e4") == F.col("min_cost")
+    )
+    return best.join(F.broadcast(p), best.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "s_name", "n_name", "cost_e4"
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH de AS (
+        SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(v, 4) AS part_value
+    FROM de, (SELECT sum(v) AS tot FROM de) t
+    WHERE v > 0.001 * t.tot
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape (important stock identification), adapted: per-part flow
+    value through one nation's suppliers, kept where it exceeds 0.1% of
+    that nation's total flow. The global threshold is a one-row aggregate
+    cross-joined back (broadcast nested loop of a scalar — the distributed
+    form of Q11's uncorrelated subquery); the nation's supplier set rides
+    in as a broadcast before the fact aggregation, so the big shuffle is
+    the per-part rollup only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    de = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_net()).alias("v"))
+    )
+    tot = de.agg(F.sum("v").alias("tot"))
+    return (
+        de.crossJoin(tot)
+        .filter(F.col("v") > 0.001 * F.col("tot"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("v", 4).alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_cardinality",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cardinality(spark, sf_dir):
+    """Q16 shape (parts/supplier relationship), adapted: distinct supplier
+    counts per (brand, type, size) from observed lineitem supply, with the
+    original's complained-about suppliers proxied by negative account
+    balance and excluded via a broadcast ANTI join (the distributed NOT
+    IN — never a filter against a collected list). Part attributes ride
+    the broadcast part dim; the one shuffle is the distinct-aggregation
+    over the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (~F.col("p_type").like("PROMO%"))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    WITH flow AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+        SELECT l_partkey, sum(qty) AS total_qty FROM flow GROUP BY l_partkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT f.l_suppkey
+        FROM flow f JOIN tot USING (l_partkey)
+        WHERE f.qty > 0.5 * total_qty
+    )
+    """,
+)
+def tpch_q20_dominant_supplier(spark, sf_dir):
+    """Q20 shape (suppliers with dominant flow), adapted: availqty > half
+    of shipped quantity becomes 'this supplier shipped more than half of a
+    bolt part's 1997 flow'. Two rollups over the same (partkey) shuffle
+    partitioning, then the qualifying supplier keys semi-join the supplier
+    dim (IN-subquery → LEFT SEMI). Quantities are integral doubles, so
+    sums and the 0.5× compare are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    flow = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = flow.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        flow.join(tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
