@@ -667,11 +667,12 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     lateness: count, per supplier, the multi-supplier orders where that
     supplier was the ONLY late shipper. The textbook form is two
     correlated EXISTS/NOT-EXISTS self-joins; the distributed rewrite
-    aggregates per-order supplier/lateness counts ONCE (n_supp, n_late)
-    and turns both correlations into predicates on that rollup — two
-    shuffles on l_orderkey total, reusing the same partitioning, instead
-    of three fact self-joins. Supplier rides in as a broadcast at the
-    end."""
+    computes per-order supplier/lateness counts as a WINDOW over the
+    per-supplier rollup (not a second rollup joined back — that would
+    recompute the whole fact subtree) and turns both correlations into
+    predicates on those counts. Exactly three exchanges — (okey, skey)
+    rollup, okey window, final s_name rollup — asserted in tests; the
+    supplier dim rides in as a broadcast at the end."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -690,11 +691,12 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
             ).alias("late")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
     culprits = (
-        per_supp.join(per_order, "l_orderkey")
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter(
             (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
         )
