@@ -552,3 +552,66 @@ def agg_corr_matrix(spark, sf_dir):
            'discount_tax',      dt
         ) AS (pair, r)"""
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                            l_partkey, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag, min(l_extendedprice) AS weighted_median_price
+    FROM t
+    WHERE 2 * cum >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (price weighted by quantity) per return flag —
+    an aggregate Spark has no builtin for, composed from two windows over
+    one partitioning: running weight along the price order and the
+    partition total; the median is the minimum price in the suffix where
+    2·cum ≥ tot (the qualifying set is a suffix of the price order, so a
+    plain min replaces any first_value gymnastics). Ordering ends in the
+    (orderkey, linenumber, partkey, suppkey) unique key so the cumulative
+    sums are engine-identical; quantities are integral doubles, so 2·cum
+    and tot are exact. One shuffle on l_returnflag + a tiny rollup; at
+    100 TB swap the flag for any higher-cardinality group key and the
+    shape is unchanged."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    ]
+    wp = Window.partitionBy("l_returnflag")
+    t = (
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        )
+        .withColumn(
+            "cum",
+            F.sum("l_quantity").over(
+                wp.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("tot", F.sum("l_quantity").over(wp))
+    )
+    return (
+        t.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median_price"))
+    )
