@@ -851,6 +851,60 @@ def sim_threshold_join(spark, sf_dir):
     return _exact_threshold_pairs(e, 0.4)
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), p AS (
+        SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+               round(list_cosine_similarity(e1.v, e2.v), 4) AS sim
+        FROM e e1 JOIN e e2 ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+        WHERE round(list_cosine_similarity(e1.v, e2.v), 4) >= 0.4
+    )
+    SELECT d.doc_id, d.lang,
+           min(p.id1)  AS dup_of,
+           count(*)    AS n_earlier_dups,
+           max(p.sim)  AS max_sim
+    FROM p JOIN documents d ON d.doc_id = p.id2
+    GROUP BY d.doc_id, d.lang
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup on ``documents``: a doc is
+    dropped when an earlier doc (smaller id, same label) sits within cosine
+    ≥ 0.4 of its embedding (threshold calibrated to this corpus — max
+    same-label cosine is ~0.475). The report lists every dropped doc with
+    its keeper (``dup_of`` = smallest such earlier id — pure-integer
+    tiebreak, no float ordering), the duplicate count, and the strongest
+    similarity; survivors are the anti-join of documents against this
+    result. Completes the dedup family (exact / MinHash / SimHash / n-gram
+    Jaccard / Levenshtein / embedding-cosine). Pairs come from the same
+    block-bounded exact ε-join as sim_threshold_join — (label, block-pair)
+    equi-join keys, so at 100 TB a skewed label spreads over N_BLOCKS²
+    tasks; swap in _lsh_threshold_pairs for the sublinear approximate path.
+    ``max`` over 4dp-rounded sims is order-independent, so the float column
+    hashes stably (sums would not)."""
+    from .similarity import _normalized, _vec
+
+    e = _normalized(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vec("embedding").alias("v")
+        )
+    )
+    pairs = _exact_threshold_pairs(e, 0.4)
+    dropped = pairs.groupBy("id2").agg(
+        F.min("id1").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_earlier_dups"),
+        F.max("sim").alias("max_sim"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return dropped.join(docs, dropped.id2 == docs.doc_id).select(
+        "doc_id", "lang", "dup_of", "n_earlier_dups", "max_sim"
+    )
+
+
 def propagate_min_labels(labels, edges, max_iters=50):
     """Iterative min-label propagation to a fixed point.
 
