@@ -24,3 +24,34 @@ def test_flagship_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[:2] == ["l_returnflag", "l_linestatus"]
+
+
+def test_hll_sketch_merge_quality(spark):
+    """Sketch-merge invariants: (a) the shard-merged estimate lands within
+    5% of the exact distinct count at lgConfigK=12 (the carried
+    rel_error_e4 column); (b) it also sits within 5% of the single-pass
+    sketch estimate. Exact equality is NOT expected: a directly-built
+    Datasketches HLL reports the HIP estimator while a union result falls
+    back to the composite estimator, so the two legitimately differ by a
+    small margin even over identical registers."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = aggregates.QUERIES["agg_hll_sketch_merge"](spark, "/root/testdata/sf0.01")
+    rows = {r["l_returnflag"]: r for r in out.collect()}
+    assert rows, "empty sketch-merge result"
+    for r in rows.values():
+        assert r["rel_error_e4"] <= 500, f"estimate off by >5%: {r}"
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    single = {
+        r["l_returnflag"]: r["est"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(12))).alias("est"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert abs(r["est_parts"] - single[flag]) <= 0.05 * single[flag], (
+            flag, r["est_parts"], single[flag],
+        )

@@ -10,6 +10,7 @@ from data_integration_exercise_spark.schemas import TABLES
 ROWS_ONLY_ALLOWED = {
     # approximate or trigger-dependent by design (SURVEY §2 / §8)
     "agg_approx_distinct",
+    "agg_hll_sketch_merge",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "stream_watermark_late",
