@@ -689,10 +689,11 @@ def multimodal_framesample(spark, sf_dir):
 def _exact_threshold_pairs(e_norm, threshold: float):
     """EXACT ε-join over pre-normalized (vec_id, label, v): every same-label
     pair with rounded cosine ≥ threshold, via the (label, block-pair)
-    decomposition (see with_block_pair)."""
-    from .similarity import _dot, with_block_pair
+    decomposition (see with_block_pair; block count measured per run by
+    adaptive_n_blocks, so small labels skip the replication)."""
+    from .similarity import _dot, adaptive_n_blocks, with_block_pair
 
-    e = with_block_pair(e_norm, "vec_id")
+    e = with_block_pair(e_norm, "vec_id", adaptive_n_blocks(e_norm))
     e1 = e.select(
         F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"), "_g", "_p"
     )

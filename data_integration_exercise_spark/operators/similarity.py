@@ -75,6 +75,28 @@ def _sql_list(xs) -> str:
 N_BLOCKS = 4
 
 
+#: exact-pair block sizing: one task's similarity matrix is (rows_per_task)²
+#: doubles — 4096² ≈ 134 MB, comfortably inside an executor task.
+ROWS_PER_BLOCK_TASK = 4096
+
+
+def adaptive_n_blocks(
+    df, key_col: str = "label", rows_per_task: int = ROWS_PER_BLOCK_TASK
+) -> int:
+    """Pick the exact-pair block count from MEASURED key cardinality.
+
+    One tiny agg (groupBy key → max count) decides how many blocks the
+    pairwise stage needs so the largest key's matrix still fits one task:
+    B = ceil(max_key_rows / rows_per_task). At test SFs (≈200 rows/label)
+    this returns 1 — the blocked plan degenerates to one matmul per label
+    with zero replication overhead — while a 100 TB skewed key engages
+    exactly the B that bounds task memory. Same measured-cardinality
+    pattern as plan_adaptive_threshold_join; the operator's output is
+    exact for every B, so the choice never shows in the result."""
+    maxc = df.groupBy(key_col).count().agg(F.max("count")).first()[0] or 0
+    return max(1, -(-maxc // rows_per_task))
+
+
 def with_block_pair(df, id_col: str, n_blocks: int = N_BLOCKS):
     """Replicate each row once per partner block for exact block-pair joins.
 
@@ -118,7 +140,9 @@ def sim_topk_cosine(spark, sf_dir):
     factors). Tasks are keyed (label, block-pair) with block = vec_id mod
     N_BLOCKS, so one task holds at most 2·(n_label/N_BLOCKS) vectors — a
     skewed label divides across N_BLOCKS·(N_BLOCKS+1)/2 tasks instead of
-    capping at one task's RAM. Each task emits only its local top-100
+    capping at one task's RAM; the block count itself comes from
+    adaptive_n_blocks, so at small label sizes B=1 and the decomposition
+    costs nothing. Each task emits only its local top-100
     (pruning is safe: the global top-100 order is a total order, so every
     global winner wins its own block) and sims leave pandas UNROUNDED —
     the 4dp rounding happens in Spark SQL so it follows the engine's
@@ -128,9 +152,9 @@ def sim_topk_cosine(spark, sf_dir):
             "vec_id", "label", _vec("embedding").alias("v")
         )
     )
-    # (_b1,_b2) is distinct across a vector's N_BLOCKS replicas (one per
-    # partner block), so no dedup shuffle is needed before the grouping.
-    blocked = with_block_pair(e, "vec_id").withColumn(
+    # (_b1,_b2) is distinct across a vector's replicas (one per partner
+    # block), so no dedup shuffle is needed before the grouping.
+    blocked = with_block_pair(e, "vec_id", adaptive_n_blocks(e)).withColumn(
         "_b1", F.least("_g", "_p")
     ).withColumn("_b2", F.greatest("_g", "_p"))
 
