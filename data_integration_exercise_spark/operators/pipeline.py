@@ -1129,3 +1129,167 @@ def multimodal_resize(spark, sf_dir):
     return d.mapInPandas(
         resize_batches, "doc_id long, p00 long, p01 long, p10 long, p11 long"
     )
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           (cum - n_tok) // 256       AS chunk_first,
+           (cum - 1) // 256           AS chunk_last,
+           (cum - n_tok) % 256        AS offset_in_chunk
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for pretraining batches: concatenate each language's
+    docs in doc_id order and cut the token stream every CAP=256 tokens —
+    the concat-and-chunk packing GPT-style loaders use. Pure integer window
+    math (running token count per lang, floor-div for the chunk ids), so
+    the map from doc to (first chunk, last chunk, offset) is engine-exact.
+    One shuffle on lang; the running sum never leaves the partition, and at
+    100 TB the partition key becomes (lang, shard) with per-shard chunk id
+    spaces — the window shape is unchanged."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr("(cum - n_tok) div 256").alias("chunk_first"),
+        F.expr("(cum - 1) div 256").alias("chunk_last"),
+        F.expr("(cum - n_tok) % 256").alias("offset_in_chunk"),
+    )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+    )
+    SELECT doc_id, lang,
+           i // 24                                   AS chunk_idx,
+           CAST(i AS BIGINT)                         AS start_tok,
+           array_to_string(l[i + 1:i + 32], ' ')     AS chunk_text,
+           least(CAST(32 AS BIGINT), len(l) - i)     AS n_chunk_tok
+    FROM tok, unnest(generate_series(0, len(l) - 1, 24)) AS t(i)
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Overlapping context-window chunking (RAG prep): each doc's token
+    sequence becomes windows of W=32 tokens at stride S=24 (8-token
+    overlap), emitted as strings (chunk_text) keyed by (doc, chunk_idx).
+    Start offsets come from an integer sequence — no UDF; slice+array_join
+    stay in codegen. Chunk boundaries depend only on the doc's own token
+    count, so the operator is embarrassingly parallel (narrow — no shuffle
+    at all) and its output is engine-exact at any partitioning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("l")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("l"),
+            F.explode(
+                F.expr("sequence(0, size(l) - 1, 24)")
+            ).alias("start_tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("start_tok div 24").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.expr("array_join(slice(l, start_tok + 1, 32), ' ')").alias("chunk_text"),
+            F.expr("least(CAST(32 AS BIGINT), size(l) - start_tok)").alias(
+                "n_chunk_tok"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_contamination_ngram",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS l
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), g AS (
+        SELECT doc_id, lang, array_to_string(l[i:i + 2], ' ') AS gram
+        FROM tok, unnest(generate_series(1, len(l) - 2)) AS t(i)
+    ), ev AS (
+        SELECT DISTINCT gram, doc_id AS eval_doc FROM g WHERE doc_id % 100 = 0
+    ), tr AS (
+        SELECT DISTINCT doc_id, lang, gram FROM g WHERE doc_id % 100 <> 0
+    )
+    SELECT tr.doc_id, tr.lang,
+           CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+           min(ev.eval_doc)                        AS first_eval_doc
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id, tr.lang
+    """,
+)
+def dedup_contamination_ngram(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the held-out eval slice (doc_id % 100 == 0 — stands in for
+    a real benchmark table). Gram length is tuned to the corpus's 31-word
+    vocabulary so the check exercises real matches; with a real tokenizer
+    the same plan runs at the standard 8-13 gram window. Both sides shingle to distinct 5-grams; the
+    eval gram table rides an explicit broadcast (eval sets are tiny next
+    to the corpus — the asymmetry that makes decontamination cheap at
+    100 TB: the fact side is a narrow gram stream, never a pair join).
+    Report: distinct shared grams + smallest matching eval doc per
+    contaminated train doc."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 3)
+    )
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 2), i -> array_join(slice(l, i, 3), ' '))"
+            )
+        ).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 100 == 0)
+        .select("gram", F.col("doc_id").alias("eval_doc"))
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 100 != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.min("eval_doc").alias("first_eval_doc"),
+        )
+    )

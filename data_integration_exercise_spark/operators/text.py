@@ -266,17 +266,18 @@ def dedup_near_jaccard(spark, sf_dir):
     (same-lang self-join, id1<id2). This is the EXACT variant — total
     compare count is O(n² per lang) by definition; the join is keyed
     (lang, block-pair) via with_block_pair so the pair space of one lang
-    spreads over N_BLOCKS² tasks instead of one (skew/memory bound). The
+    spreads over B² tasks instead of one (B measured per run by
+    adaptive_n_blocks; 1 at test SFs — no replication cost). The
     LSH-banded variant (pipeline.dedup_minhash_lsh) is the sublinear
     100 TB path. Jaccard is a ratio of exact integers, so both engines
     produce bit-identical doubles."""
-    from .similarity import with_block_pair
+    from .similarity import adaptive_n_blocks, with_block_pair
 
     d = load_table(spark, sf_dir, "documents")
-    docs = with_block_pair(
-        d.select("doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")),
-        "doc_id",
+    sets = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("s")
     )
+    docs = with_block_pair(sets, "doc_id", adaptive_n_blocks(sets, "lang"))
     d1 = docs.select(
         F.col("doc_id").alias("doc1"), F.col("lang"), F.col("s").alias("s1"), "_g", "_p"
     )
@@ -443,13 +444,14 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     reorder is Jaccard-1.0 but large edit distance; measured: the corpus's
     lev distribution is bimodal, ≤5 or ≫10, so the threshold is stable).
     Same (lang, block-pair) decomposition as dedup_near_jaccard — exact
-    O(n² per lang) compare count spread over N_BLOCKS² tasks; both engines
+    O(n² per lang) compare count spread over adaptively-many tasks; both engines
     implement classic Wagner-Fischer, so the distances are identical
     integers."""
-    from .similarity import with_block_pair
+    from .similarity import adaptive_n_blocks, with_block_pair
 
     d = load_table(spark, sf_dir, "documents")
-    docs = with_block_pair(d.select("doc_id", "lang", "text"), "doc_id")
+    texts = d.select("doc_id", "lang", "text")
+    docs = with_block_pair(texts, "doc_id", adaptive_n_blocks(texts, "lang"))
     d1 = docs.select(
         F.col("doc_id").alias("doc1"), "lang", F.col("text").alias("t1"), "_g", "_p"
     )
