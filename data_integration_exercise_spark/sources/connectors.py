@@ -390,6 +390,41 @@ def plan_cbo_stats(spark, sf_dir):
 
 
 @register(
+    "plan_exchange_reuse",
+    oracle="""
+    WITH t AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders
+    FROM t
+    WHERE n_orders = (SELECT max(n_orders) FROM t)
+    """,
+)
+def plan_exchange_reuse(spark, sf_dir):
+    """Busiest customers: per-customer order counts filtered to the maximum
+    count — the same aggregation feeds BOTH the probe side and the
+    max-scalar side, and Catalyst's ReuseExchange rule serves the two
+    branches from ONE shuffle (tests assert a ReusedExchange node in the
+    executed plan). At 100 TB this work-sharing halves the heaviest stage
+    of any self-referencing rollup ('rows at the group max/threshold over
+    the same rollup') — express both branches over the identical DataFrame
+    and the reuse is free; materializing t yourself would add a write.
+    Integer counts make the tie set engine-exact, so every tied customer
+    appears in both engines identically."""
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    mx = t.agg(F.max("n_orders").alias("mx"))
+    return (
+        t.join(F.broadcast(mx), F.col("n_orders") == F.col("mx"))
+        .select("o_custkey", "n_orders")
+    )
+
+
+@register(
     "sink_compacted",
     oracle="""
     SELECT o_orderstatus,

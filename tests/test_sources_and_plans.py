@@ -166,3 +166,14 @@ def test_runtime_bloom_filter_in_plan(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_th,
         )
+
+
+def test_exchange_reuse_plan(spark):
+    """plan_exchange_reuse's two consumers of the per-customer rollup must
+    share one shuffle: the executed plan carries a ReusedExchange node."""
+    from data_integration_exercise_spark.sources.connectors import QUERIES
+
+    df = QUERIES["plan_exchange_reuse"](spark, SF)
+    assert len(df.collect()) > 0  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
