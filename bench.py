@@ -58,15 +58,28 @@ def main() -> None:
     spark = get_session("bench")
     qs = queries()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    # Median-of-N for the BASELINE.md-comparable six so machine-contention
+    # noise is separable from real regressions (BENCH_r02's +28% headline
+    # drift vs r01 was unattributable from single runs); single timed run for
+    # the extension tier to bound total bench wall-clock.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in HEADLINE:
         if key not in qs:
             continue
         fn = qs[key]
+        reps = n_runs if key in HEADLINE[:6] else 1
         try:
             fn(spark, sf_dir).collect()  # warm-up (discarded)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            timings[key] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                runs.append(round(time.perf_counter() - t0, 4))
+            runs.sort()
+            timings[key] = runs[len(runs) // 2]
+            if reps > 1:
+                spread[key] = runs
         except Exception as e:  # a broken query must not kill the bench line
             print(f"bench: {key} failed: {e}", file=sys.stderr)
             timings[key] = -1.0
@@ -88,6 +101,7 @@ def main() -> None:
         "unit": "sec",
         "extended_total": total,
         "queries": timings,
+        "runs_per_query": spread,
         "sf": sf,
     }
     if failed:

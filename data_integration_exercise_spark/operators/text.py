@@ -434,7 +434,8 @@ def text_pmi_cooccurrence(spark, sf_dir):
            levenshtein(d1.text, d2.text) AS lev
     FROM documents d1 JOIN documents d2
       ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
-    WHERE levenshtein(d1.text, d2.text) <= 10
+    WHERE abs(len(d1.text) - len(d2.text)) <= 10
+      AND levenshtein(d1.text, d2.text) <= 10
     """,
 )
 def dedup_fuzzy_levenshtein(spark, sf_dir):
@@ -444,9 +445,13 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
     reorder is Jaccard-1.0 but large edit distance; measured: the corpus's
     lev distribution is bimodal, ≤5 or ≫10, so the threshold is stable).
     Same (lang, block-pair) decomposition as dedup_near_jaccard — exact
-    O(n² per lang) compare count spread over adaptively-many tasks; both engines
-    implement classic Wagner-Fischer, so the distances are identical
-    integers."""
+    O(n² per lang) compare count spread over adaptively-many tasks. The
+    length prefilter rides the join condition: lev ≤ 10 implies
+    ``|len(t1)−len(t2)| ≤ 10``, an O(1) test that prunes the quadratic pair
+    stream before the O(len²) Wagner-Fischer kernel evaluates (measured
+    59.6→~3 s at sf0.01; the identical implied predicate is in the oracle so
+    DuckDB prunes too). Both engines implement classic Wagner-Fischer, so
+    the distances are identical integers."""
     from .similarity import adaptive_n_blocks, with_block_pair
 
     d = load_table(spark, sf_dir, "documents")
@@ -462,15 +467,18 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         F.col("_g").alias("_g2"),
         F.col("_p").alias("_p2"),
     )
-    lev = F.levenshtein("t1", "t2")
+    # threshold form = banded Wagner-Fischer, O(len·10) not O(len²); returns
+    # -1 above the band, exact distance inside it — same integers as DuckDB.
+    lev = F.levenshtein("t1", "t2", 10)
     return (
         d1.join(
             d2,
             (d1.lang == d2.lang2)
             & (d1._g == d2._p2)
             & (d1._p == d2._g2)
-            & (d1.doc1 < d2.doc2),
+            & (d1.doc1 < d2.doc2)
+            & (F.abs(F.length("t1") - F.length("t2")) <= 10),
         )
-        .filter(lev <= 10)
+        .filter((lev >= 0) & (lev <= 10))
         .select("doc1", "doc2", "lang", lev.alias("lev"))
     )

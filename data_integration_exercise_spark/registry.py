@@ -53,11 +53,91 @@ _MODULES = [
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
 # driver-side oracle row each round. Round 1 verified the first 50 keys
-# (CORRECTNESS_r01.json, all green). Round 2 rotates the window: the keys below
-# — every §2 operator the driver has not yet checked, plus the highest-value
-# LLM-pipeline extensions — come first; the round-1-green keys go to the tail.
+# (CORRECTNESS_r01.json, all green); rounds 2+3 verified a second disjoint
+# 50-key window (CORRECTNESS_r02/r03.json, all green — r3 re-ran r2's window
+# because the rotation edit was missed that round). Round 4 rotates again: the
+# keys below are 50 of the 68 keys the driver has never checked — all 20
+# TPC-H composites, the text/dedup/similarity tails, samplers, UDF tails, and
+# graph ops. The r1- and r2-green keys go to the tail.
+#
+# ROUND-5 PLAN (the 18 keys still without a driver row after this window —
+# keep this list as the next _PRIORITY so the rotation bookkeeping survives
+# context loss):
+#   plan_cbo_stats, plan_exchange_reuse, plan_runtime_filter,
+#   plan_adaptive_threshold_join, sink_compacted, sink_orc, sink_clustered,
+#   etl_upsert_latest, etl_scd2_intervals, etl_data_profile,
+#   etl_calendar_spine, etl_schema_evolution, events_funnel,
+#   events_retention_cohorts, events_sessionize, multimodal_resize,
+#   multimodal_framesample, multimodal_audio_energy
 _PRIORITY = [
-    # §2.7 streaming (availableNow batch-equivalent checks)
+    # TPC-H composite suite (analytics.py) — the full 20 remaining shapes
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_unshipped",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    # aggregate tail
+    "agg_weighted_median",
+    "agg_hll_sketch_merge",
+    # window tail
+    "win_gaps_islands",
+    "win_percent_of_total",
+    "win_ntile_distribution",
+    # scalar-function tail
+    "fn_bitwise",
+    "fn_regexp",
+    # source tail
+    "ingest_csv_permissive",
+    # text-analysis tail
+    "text_token_count",
+    "text_fingerprint",
+    "text_keywords_topk",
+    "text_pmi_cooccurrence",
+    "text_pack_sequences",
+    "text_chunk_overlap",
+    # dedup tail
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_contamination_ngram",
+    # similarity tail
+    "sim_ann_ivf",
+    "sim_quantized_cosine",
+    # streaming tail
+    "stream_stream_join",
+    # UDF tail
+    "udf_pandas_iterator",
+    "udf_map_in_arrow",
+    # sampling & splits
+    "sample_hash_mod",
+    "sample_stratified",
+    "sample_k_per_stratum",
+    "sample_train_valid_test",
+    # diagnostics & graph
+    "diag_skew_keys",
+    "graph_pagerank",
+    "graph_degree_distribution",
+]
+
+# Keys hash/rows-verified green by the driver in rounds 2+3 (the former
+# _PRIORITY window) — demoted behind the round-4 window and the round-5
+# residue, ahead of the round-1 tail.
+_VERIFIED_R2 = [
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -65,7 +145,6 @@ _PRIORITY = [
     "stream_dedup",
     "stream_static_join",
     "stream_foreachbatch",
-    # §2.6 scalar/function families
     "fn_string",
     "fn_date",
     "fn_math",
@@ -75,7 +154,6 @@ _PRIORITY = [
     "fn_map_struct",
     "fn_null_family",
     "fn_hash",
-    # §2.8 text analytics
     "text_tokenize_wordcount",
     "text_tfidf",
     "text_ngrams",
@@ -83,18 +161,15 @@ _PRIORITY = [
     "text_sentiment_lexicon",
     "dedup_exact_text",
     "dedup_near_jaccard",
-    # §2.10 similarity / multimodal
     "sim_topk_cosine",
     "sim_knn_query",
     "sim_ann_lsh",
     "multimodal_join",
     "skyline_pareto",
-    # §2.11 UDF surface
     "udf_python_scalar",
     "udf_pandas_vectorized",
     "udaf_grouped_agg",
     "udtf_python",
-    # §2.5 tail: windows / sorts / set ops
     "win_range_frame",
     "win_first_last_value",
     "sort_multikey",
@@ -105,7 +180,6 @@ _PRIORITY = [
     "set_intersect",
     "set_except",
     "dedup_exact_rows",
-    # top LLM-pipeline extensions (judge grades these first-class)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
@@ -173,13 +247,13 @@ _VERIFIED_R1 = [
 
 
 def _reorder(d: dict) -> dict:
-    missing = [k for k in _PRIORITY + _VERIFIED_R1 if k not in d]
+    missing = [k for k in _PRIORITY + _VERIFIED_R2 + _VERIFIED_R1 if k not in d]
     if missing:
         raise ValueError(f"registry priority lists name unknown keys: {missing}")
-    tail = set(_VERIFIED_R1)
+    tail = set(_VERIFIED_R2) | set(_VERIFIED_R1)
     head = {k: d[k] for k in _PRIORITY}
     mid = {k: v for k, v in d.items() if k not in head and k not in tail}
-    end = {k: d[k] for k in _VERIFIED_R1}
+    end = {k: d[k] for k in _VERIFIED_R2 + _VERIFIED_R1}
     return {**head, **mid, **end}
 
 

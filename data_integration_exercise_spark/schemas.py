@@ -5,13 +5,15 @@ engine pins them explicitly so ingestion drift is loud. Schemas measured from
 the driver-generated parquet on 2026-08-13 (FIXTURES.md).
 
 Two views of ``events``:
-  EVENTS_RAW   — what parquet yields under spark.sql.legacy.parquet.nanosAsLong
-                 (ts is a *bigint of epoch nanoseconds*).
+  EVENTS_RAW   — the rounds-1-3 physical layout: timestamp[ns] parquet read
+                 under spark.sql.legacy.parquet.nanosAsLong (ts is a *bigint
+                 of epoch nanoseconds*). Since round 4 the driver generates
+                 timestamp[us] parquet instead (ts arrives as TIMESTAMP_NTZ);
+                 io.load_table() detects which layout it got.
   EVENTS       — the canonical engine-facing shape after io.load_table():
-                 ts as TimestampNTZ (µs, truncated from ns) plus ts_us bigint
-                 (epoch microseconds) for exact integer time arithmetic that
-                 must hash-match the DuckDB oracle (events carry sub-µs
-                 precision: 9992/10000 rows at sf0.01 have ns%1000 != 0).
+                 ts as TimestampNTZ (µs) plus ts_us bigint (epoch
+                 microseconds) for exact integer time arithmetic that must
+                 hash-match the DuckDB oracle.
 """
 
 from __future__ import annotations
