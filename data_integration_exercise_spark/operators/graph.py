@@ -103,19 +103,27 @@ def graph_pagerank(spark, sf_dir):
     The undirected edge set guarantees every node has in-edges (no
     dangling-mass term needed).
 
-    Iteration shape (measured 13.6s → 8.2s at sf0.1): the edge list is
-    hash-partitioned on ``src`` ONCE before its localCheckpoint, so every
-    iteration's edges⋈ranks join reuses that partitioning and only the
-    node-sized rank table moves; the scalar node count rides an explicit
-    broadcast. No per-iteration checkpoint — at a fixed 5 iterations the
-    whole recurrence stays one Catalyst plan (AQE sizes each stage from
-    runtime stats); a long/convergence-driven loop should instead cut
-    lineage every K≈5 rounds like propagate_min_labels does."""
-    edges = _edges(spark, sf_dir)
+    Iteration shape (was 27.5s at sf0.1 in BENCH_r03; see BENCH_r04): the
+    edge list is checkpointed FIRST, so the orders⋈lineitem derivation
+    runs exactly once — before this cut, the un-materialized ``deg``/``nn``
+    subtree reappeared in the final plan once per iteration (6 full
+    fact-join rescans per collect). The node count is one scalar
+    ``count()`` to the driver (the blessed measured-cardinality probe
+    pattern, cf. pipeline.py plan_adaptive_threshold_join), folding the
+    per-node teleport term into an exact integer literal. The degree-
+    annotated edge list is hash-partitioned on ``src`` once before its own
+    localCheckpoint, so every iteration's edges⋈ranks join reuses that
+    partitioning and only the node-sized rank table moves. No
+    per-iteration checkpoint — at a fixed 5 iterations the recurrence over
+    the checkpointed inputs stays one flat Catalyst plan; a
+    long/convergence-driven loop should instead cut lineage every K≈5
+    rounds like propagate_min_labels does."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("node"), F.expr(f"{_SCALE} div n").alias("r")
+    n = deg.count()  # scalar probe: node count → exact integer literals below
+    teleport = (15 * (_SCALE // n)) // 100
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_SCALE // n).cast("long").alias("r")
     )
     edges_deg = edges.join(deg, "src").repartition(32, "src").localCheckpoint()
     for _ in range(_PR_ITERS):
@@ -123,9 +131,9 @@ def graph_pagerank(spark, sf_dir):
             ranks, edges_deg.src == ranks.node
         ).select("dst", F.expr("r div d").alias("c"))
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = summed.crossJoin(F.broadcast(nn)).select(
+        ranks = summed.select(
             F.col("dst").alias("node"),
-            F.expr(f"(15 * ({_SCALE} div n)) div 100 + (85 * s) div 100").alias("r"),
+            (F.lit(teleport) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
         )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

@@ -105,46 +105,93 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _lsh_candidate_pairs(spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2):
-    """(doc1 < doc2) candidate pairs sharing any MinHash band signature —
-    the bucketed candidate generator shared by dedup_minhash_lsh and
-    dedup_connected_components. One groupBy to build signatures, one
-    equi-join on (band, sig) to enumerate bucket-mates; never an all-pairs
-    product. Pairs colliding in >1 band (the common case in this dup-dense
-    corpus: 20.2M raw vs 9.9M distinct rows at sf0.1) are deduped HERE —
-    measured faster than deduping after the re-rank, because the distinct
-    shuffles two longs per row while skipping it doubles the downstream
-    mask-join volume. The signature weighting (31^(p mod rows)) is a
-    bijection of the per-band minhash tuple, so the candidate SET is
-    weighting-independent."""
-    idx = _tok_idx(spark, sf_dir, distinct=True).select("doc_id", "idx")
-    permdf = F.broadcast(
-        spark.createDataFrame(
-            [(p, a, b) for p, (a, b) in enumerate(perms)], "p int, a int, b int"
+def _band_signatures(spark, sf_dir, perms, rows_per_band):
+    """(doc_id, lang, mask, band, sig): one row per (doc, LSH band).
+
+    All len(perms) minhashes and the banded signatures are computed from
+    the 31-bit token-set mask (_doc_masks) in ONE codegen'd projection:
+    mh_p = min over set bits i of (a_p*i + b_p) mod 31, and for band B,
+    sig = sum_{p in B} mh_p * 31^(p mod rows_per_band) (a bijection of the
+    per-band minhash tuple, so the candidate SET is weighting-independent).
+    This replaces the former token-by-perm crossJoin pipeline — |tokens|*|P|
+    exploded rows through two shuffled groupBys (32M rows at sf0.1 for the
+    wide bank) — with zero additional shuffle beyond the mask build: per
+    doc it is |P| array-min scans of a <=31-element array, then inline() to
+    n_bands rows. At 100 TB the signature stage is embarrassingly parallel
+    and shuffle-free; only the (band, sig) bucket join moves data."""
+    n_bands = len(perms) // rows_per_band
+    set_idx = "filter(sequence(1, 31), i -> (shiftright(mask, i - 1) & 1) = 1)"
+    band_sigs = []
+    for band in range(n_bands):
+        terms = []
+        for r in range(rows_per_band):
+            a, b = perms[band * rows_per_band + r]
+            mh = f"array_min(transform(_idxs, i -> ({a} * i + {b}) % {_V}))"
+            terms.append(f"CAST({mh} AS BIGINT) * {_V ** r}")
+        band_sigs.append(" + ".join(terms))
+    return (
+        _doc_masks(spark, sf_dir)
+        .withColumn("_idxs", F.expr(set_idx))
+        .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
+        .select(
+            "doc_id",
+            "lang",
+            "mask",
+            "sigs",
+            F.posexplode("sigs").alias("band", "sig"),
         )
     )
-    mh = (
-        idx.crossJoin(permdf)
-        .groupBy("doc_id", "p")
-        .agg(F.min((F.col("a") * F.col("idx") + F.col("b")) % _V).alias("mh"))
-        .withColumn("band", F.expr(f"p div {rows_per_band}"))
+
+
+def _lsh_scored_pairs(
+    spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2, same_lang=False
+):
+    """(doc1 < doc2, lang, jaccard) distinct pairs sharing any MinHash band
+    signature with exact token-set Jaccard >= 0.8 — the bucketed candidate
+    generator + re-rank shared by dedup_minhash_lsh and
+    dedup_connected_components. One equi-join on (band, sig) enumerates
+    bucket-mates; never an all-pairs product. The 8-byte token masks ride
+    the band rows into the join, so the exact-Jaccard re-rank (two
+    bit_count ops) filters INSIDE the join stage, before any further
+    shuffle. Multi-band collisions (the common case in this dup-dense
+    corpus: ~20M raw vs 7.9M distinct candidates at sf0.1 for the wide
+    bank) are deduped WITHOUT a distinct shuffle: each side carries its
+    full per-band signature array, and the join keeps a pair only in the
+    FIRST band where the arrays agree (array_position over zip_with
+    equality), so every pair emits exactly once by construction — the old
+    shape (distinct over all candidates, then two mask joins) cost 24.6s
+    candidates + 16.9s re-rank at sf0.1; see BENCH_r04."""
+    sig = _band_signatures(spark, sf_dir, perms, rows_per_band)
+    b1 = sig.select(
+        F.col("doc_id").alias("doc1"),
+        "lang",
+        F.col("mask").alias("m1"),
+        F.col("sigs").alias("sigs1"),
+        "band",
+        "sig",
     )
-    weight = F.pow(
-        F.lit(float(_V)), (F.col("p") % rows_per_band).cast("double")
-    ).cast("long")
-    bands = mh.groupBy("doc_id", "band").agg(
-        F.sum(F.col("mh") * weight).cast("long").alias("sig")
+    b2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("mask").alias("m2"),
+        F.col("sigs").alias("sigs2"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
     )
-    b1 = bands.select(
-        F.col("doc_id").alias("doc1"), "band", "sig"
+    first_match = (
+        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
+        == b1.band
     )
-    b2 = bands.select(
-        F.col("doc_id").alias("doc2"), F.col("band").alias("band2"), F.col("sig").alias("sig2")
-    )
+    cond = (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2)
+    if same_lang:
+        cond = cond & (b1.lang == b2.lang2)
+    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
+    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+    jac = inter / union
     return (
-        b1.join(b2, (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2))
-        .select("doc1", "doc2")
-        .distinct()
+        b1.join(b2, cond & first_match)
+        .filter(jac >= 0.8)
+        .select("doc1", "doc2", "lang", F.round(jac, 4).alias("jaccard"))
     )
 
 
@@ -173,21 +220,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     (equi-join, no pair enumeration) → exact Jaccard ≥ 0.8 re-rank of
     candidates only. All-integer signatures ⇒ hash-verifiable, unlike
     library MinHash implementations. The re-rank compares 31-bit token-set
-    masks (_doc_masks) — two bit_count ops per candidate (measured 2.4×
-    over array_intersect re-ranking at sf0.1)."""
-    cand = _lsh_candidate_pairs(spark, sf_dir)
-    masks = _doc_masks(spark, sf_dir)
-    m1 = masks.select(F.col("doc_id").alias("doc1"), F.col("mask").alias("m1"))
-    m2 = masks.select(F.col("doc_id").alias("doc2"), F.col("mask").alias("m2"))
-    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
-    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
-    jac = inter / union
-    return (
-        cand.join(m1, "doc1")
-        .join(m2, "doc2")
-        .filter(jac >= 0.8)
-        .select("doc1", "doc2", F.round(jac, 4).alias("jaccard"))
-    )
+    masks carried through the bucket join (_lsh_scored_pairs) — two
+    bit_count ops per candidate, filtered before the pair-dedup shuffle."""
+    return _lsh_scored_pairs(spark, sf_dir).select("doc1", "doc2", "jaccard")
 
 
 _SIMHASH_ORACLE = f"""
@@ -989,7 +1024,7 @@ def dedup_connected_components(spark, sf_dir):
     the smallest doc_id reachable from it, which is the group's canonical
     representative (one keeper per group is what a dedup pipeline actually
     ships). The edge list is the 100 TB path: MinHash-LSH band candidates
-    (_lsh_candidate_pairs with the 32-perm/8×4 high-recall bank — bucketed
+    (_lsh_scored_pairs with the 32-perm/8×4 high-recall bank — bucketed
     equi-join, no all-pairs product) re-ranked at exact Jaccard ≥ 0.8 via
     31-bit token masks with the same-lang rule. Banding has per-pair recall
     ≈99.8%, and dup clusters are near-cliques, so the transitive closure is
@@ -999,26 +1034,14 @@ def dedup_connected_components(spark, sf_dir):
     recursive-CTE oracle below still holds. Propagation is the
     large-star/small-star pattern from the MapReduce connected-components
     literature and raises on non-convergence."""
-    cand = _lsh_candidate_pairs(
-        spark, sf_dir, perms=MINHASH_PERMS_WIDE, rows_per_band=WIDE_ROWS_PER_BAND
-    )
+    pairs = _lsh_scored_pairs(
+        spark,
+        sf_dir,
+        perms=MINHASH_PERMS_WIDE,
+        rows_per_band=WIDE_ROWS_PER_BAND,
+        same_lang=True,
+    ).select("doc1", "doc2")
     masks = _doc_masks(spark, sf_dir)
-    m1 = masks.select(
-        F.col("doc_id").alias("doc1"), "lang", F.col("mask").alias("m1")
-    )
-    m2 = masks.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("lang").alias("lang2"),
-        F.col("mask").alias("m2"),
-    )
-    inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
-    union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
-    pairs = (
-        cand.join(m1, "doc1")
-        .join(m2, "doc2")
-        .filter((F.col("lang") == F.col("lang2")) & (inter / union >= 0.8))
-        .select("doc1", "doc2")
-    )
     # No checkpoint here: propagate_min_labels repartitions the edge list on
     # src and checkpoints it once — materializing twice would double the
     # candidate-join cost.
