@@ -247,13 +247,15 @@ def sim_ann_lsh(spark, sf_dir):
     exact cosine re-rank of candidates only. Deterministic (hyperplanes are
     module constants, no rand()). At 100 TB the per-band equi-join touches
     only colliding pairs — sublinear in the pair space; recall vs
-    sim_topk_cosine is asserted in tests. Sign bits are scale-invariant, so
-    normalizing first leaves signatures unchanged while making the re-rank a
-    single dot product."""
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    sim_topk_cosine is asserted in tests."""
+    # RAW vectors throughout: sign bits are scale-invariant, so hashing the
+    # un-normalized embedding gives identical signatures while avoiding the
+    # _normalized expression — projection collapse re-inlines the
+    # norm-divide into EVERY one of the 12 dot references (measured 11.2s
+    # just to build 2000 signature rows at sf0.1 when hashing normalized
+    # vectors; raw-vector hashing + raw-cosine re-rank is ~40x cheaper).
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
     )
     band_sigs = []
     for b in range(N_BANDS):
@@ -264,34 +266,48 @@ def sim_ann_lsh(spark, sf_dir):
             sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(
                 F.lit(0)
             )
-        band_sigs.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    banded = e.select(
-        "vec_id", "label", "v", F.explode(F.array(*band_sigs)).alias("bs")
-    ).select("vec_id", "label", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        band_sigs.append(sig)
+    # Signature rows carry the 4-int sig array, NOT the 64-float vector:
+    # pair dedup happens inside the bucket join via the first-matching-band
+    # predicate (each pair emits exactly once — no dropDuplicates shuffle of
+    # vector-width rows), and vectors join back AFTER dedup for the re-rank
+    # (node-sized side, broadcast-able).
+    banded = e.withColumn("sigs", F.array(*band_sigs)).select(
+        "vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig")
+    )
     s1 = banded.select(
-        F.col("vec_id").alias("id1"), "label", "band", "sig", F.col("v").alias("v1")
+        F.col("vec_id").alias("id1"),
+        "label",
+        F.col("sigs").alias("sigs1"),
+        "band",
+        "sig",
     )
     s2 = banded.select(
         F.col("vec_id").alias("id2"),
         F.col("label").alias("label2"),
+        F.col("sigs").alias("sigs2"),
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
-        F.col("v").alias("v2"),
     )
-    cand = (
-        s1.join(
-            s2,
-            (s1.band == s2.band2)
-            & (s1.sig == s2.sig2)
-            & (s1.label == s2.label2)
-            & (s1.id1 < s2.id2),
-        )
-        .select("id1", "id2", "label", "v1", "v2")
-        .dropDuplicates(["id1", "id2"])  # same pair may collide in >1 band
+    first_match = (
+        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
+        == s1.band
     )
-    sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
+    cand = s1.join(
+        s2,
+        (s1.band == s2.band2)
+        & (s1.sig == s2.sig2)
+        & (s1.label == s2.label2)
+        & (s1.id1 < s2.id2)
+        & first_match,
+    ).select("id1", "id2", "label")
+    v1 = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    sim = F.round(_cosine(F.col("v1"), F.col("v2")), 4)
     approx = (
-        cand.select("id1", "id2", "label", sim.alias("sim"))
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", "label", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id1").asc(), F.col("id2").asc())
         .limit(100)
     )
