@@ -608,25 +608,31 @@ def sim_ann_ivf(spark, sf_dir):
     a broadcast join + max_by, so at 100 TB it becomes a write-time
     partition key enabling cluster-pruned scans. Recall vs sim_knn_query is
     asserted in tests."""
-    from .similarity import QUERY_VEC, _dot, _normalized, _vec
+    from .similarity import QUERY_VEC, _cosine, _dot, _vec
 
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    # RAW vectors: the per-seed score dot(v, cv)/|cv| orders seeds exactly
+    # like cosine (|v| is constant across seeds) without referencing a
+    # pre-normalized column 16 times per row — projection collapse
+    # re-inlines the interpreted norm-divide into every reference (see
+    # sim_ann_lsh / _lsh_threshold_pairs for the measured pathology).
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
     )
     seeds = F.broadcast(
         e.filter(F.col("vec_id") < IVF_K).select(
             F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
         )
     )
-    # assignment: nearest seed by dot, ties to the lowest cluster id
+    # assignment: nearest seed by cosine, ties to the lowest cluster id
+    seed_score = _dot(F.col("v"), F.col("cv")) / F.sqrt(
+        _dot(F.col("cv"), F.col("cv"))
+    )
     assigned = (
         e.crossJoin(seeds)
         .groupBy("vec_id", "label")
         .agg(
             F.max_by(
-                "cluster", F.struct(_dot(F.col("v"), F.col("cv")), -F.col("cluster"))
+                "cluster", F.struct(seed_score, -F.col("cluster"))
             ).alias("cluster"),
             F.first("v").alias("v"),  # v is constant within the group
         )
@@ -638,7 +644,10 @@ def sim_ann_ivf(spark, sf_dir):
     q = F.array(*[F.lit(float(x / qn)) for x in QUERY_VEC])
     probe = F.broadcast(
         seeds.select(
-            "cluster", _dot(F.col("cv"), q).alias("qd")
+            "cluster",
+            (_dot(F.col("cv"), q) / F.sqrt(_dot(F.col("cv"), F.col("cv")))).alias(
+                "qd"
+            ),
         )
         .orderBy(F.col("qd").desc(), F.col("cluster").asc())
         .limit(IVF_PROBES)
@@ -650,7 +659,7 @@ def sim_ann_ivf(spark, sf_dir):
             "vec_id",
             "label",
             "cluster",
-            F.round(_dot(F.col("v"), q), 4).alias("sim"),
+            F.round(_cosine(F.col("v"), q), 4).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
         .limit(10)
@@ -721,13 +730,17 @@ def multimodal_framesample(spark, sf_dir):
     )
 
 
-def _exact_threshold_pairs(e_norm, threshold: float):
-    """EXACT ε-join over pre-normalized (vec_id, label, v): every same-label
-    pair with rounded cosine ≥ threshold, via the (label, block-pair)
-    decomposition (see with_block_pair; block count measured per run by
-    adaptive_n_blocks, so small labels skip the replication)."""
-    from .similarity import _dot, adaptive_n_blocks, with_block_pair
+def _exact_threshold_pairs(e_raw, threshold: float):
+    """EXACT ε-join over raw (vec_id, label, v): every same-label pair with
+    rounded cosine ≥ threshold, via the (label, block-pair) decomposition
+    (see with_block_pair; block count measured per run by adaptive_n_blocks,
+    so small labels skip the replication). Normalizes internally — the
+    single post-join dot references each normalized vector once, so the
+    interpreted-HOF re-expansion that bites multi-reference consumers (see
+    _lsh_threshold_pairs) does not apply here."""
+    from .similarity import _dot, _normalized, adaptive_n_blocks, with_block_pair
 
+    e_norm = _normalized(e_raw)
     e = with_block_pair(e_norm, "vec_id", adaptive_n_blocks(e_norm))
     e1 = e.select(
         F.col("vec_id").alias("id1"), "label", F.col("v").alias("v1"), "_g", "_p"
@@ -753,12 +766,20 @@ def _exact_threshold_pairs(e_norm, threshold: float):
     )
 
 
-def _lsh_threshold_pairs(e_norm, threshold: float):
+def _lsh_threshold_pairs(e_raw, threshold: float):
     """APPROXIMATE ε-join: banded random-hyperplane candidates (same
     signature scheme as sim_ann_lsh) re-ranked exactly — sublinear in the
     pair space, recall < 1. The scale path the cost rule switches to when
-    the exact pair budget is exceeded."""
-    from .similarity import BAND_BITS, HYPERPLANES, N_BANDS, _dot
+    the exact pair budget is exceeded.
+
+    Takes RAW (vec_id, label, v): sign bits are scale-invariant, and
+    hashing a pre-normalized column re-inlines the interpreted norm-divide
+    into all 12 hyperplane dot references (see sim_ann_lsh). Pair dedup
+    rides the bucket join via the first-matching-band predicate — no
+    dropDuplicates shuffle of vector-width rows — and NORMALIZED vectors
+    join back post-dedup (one reference per side) for the single-dot
+    re-rank."""
+    from .similarity import BAND_BITS, HYPERPLANES, N_BANDS, _dot, _normalized
 
     band_sigs = []
     for b in range(N_BANDS):
@@ -767,34 +788,41 @@ def _lsh_threshold_pairs(e_norm, threshold: float):
             plane = HYPERPLANES[b * BAND_BITS + j]
             h = F.array(*[F.lit(float(x)) for x in plane])
             sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        band_sigs.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    banded = e_norm.select(
-        "vec_id", "label", "v", F.explode(F.array(*band_sigs)).alias("bs")
-    ).select("vec_id", "label", "v", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        band_sigs.append(sig)
+    banded = e_raw.withColumn("sigs", F.array(*band_sigs)).select(
+        "vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig")
+    )
     s1 = banded.select(
-        F.col("vec_id").alias("id1"), "label", "band", "sig", F.col("v").alias("v1")
+        F.col("vec_id").alias("id1"), "label", F.col("sigs").alias("sigs1"), "band", "sig"
     )
     s2 = banded.select(
         F.col("vec_id").alias("id2"),
         F.col("label").alias("label2"),
+        F.col("sigs").alias("sigs2"),
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
-        F.col("v").alias("v2"),
     )
-    cand = (
-        s1.join(
-            s2,
-            (s1.band == s2.band2)
-            & (s1.sig == s2.sig2)
-            & (s1.label == s2.label2)
-            & (s1.id1 < s2.id2),
-        )
-        .select("id1", "id2", "label", "v1", "v2")
-        .dropDuplicates(["id1", "id2"])
+    first_match = (
+        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
+        == s1.band
     )
+    cand = s1.join(
+        s2,
+        (s1.band == s2.band2)
+        & (s1.sig == s2.sig2)
+        & (s1.label == s2.label2)
+        & (s1.id1 < s2.id2)
+        & first_match,
+    ).select("id1", "id2", "label")
+    e_norm = _normalized(e_raw)
+    v1 = e_norm.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    v2 = e_norm.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
     sim = F.round(_dot(F.col("v1"), F.col("v2")), 4)
-    return cand.select("id1", "id2", "label", sim.alias("sim")).filter(
-        F.col("sim") >= threshold
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 
@@ -837,12 +865,10 @@ def plan_adaptive_threshold_join(spark, sf_dir):
     plan is 'exact' and the output hash-matches the exact oracle (the
     strategy column records the decision); the LSH branch and the
     over-budget decision are pinned by unit tests on synthetic inputs."""
-    from .similarity import _normalized, _vec
+    from .similarity import _vec
 
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
     )
     strategy = threshold_join_strategy(e)
     pairs = (
@@ -877,12 +903,10 @@ def sim_threshold_join(spark, sf_dir):
     sublinear approximate variant is sim_ann_lsh, and
     plan_adaptive_threshold_join picks between the two from measured
     cardinalities)."""
-    from .similarity import _normalized, _vec
+    from .similarity import _vec
 
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
     )
     return _exact_threshold_pairs(e, 0.4)
 
@@ -922,12 +946,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     tasks; swap in _lsh_threshold_pairs for the sublinear approximate path.
     ``max`` over 4dp-rounded sims is order-independent, so the float column
     hashes stably (sums would not)."""
-    from .similarity import _normalized, _vec
+    from .similarity import _vec
 
-    e = _normalized(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label", _vec("embedding").alias("v")
-        )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec("embedding").alias("v")
     )
     pairs = _exact_threshold_pairs(e, 0.4)
     dropped = pairs.groupBy("id2").agg(
