@@ -125,7 +125,7 @@ def graph_pagerank(spark, sf_dir):
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_SCALE // n).cast("long").alias("r")
     )
-    edges_deg = edges.join(deg, "src").repartition(32, "src").localCheckpoint()
+    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint()
     for _ in range(_PR_ITERS):
         contrib = edges_deg.join(
             ranks, edges_deg.src == ranks.node

@@ -984,7 +984,7 @@ def propagate_min_labels(labels, edges, max_iters=50):
     point is not reached within ``max_iters`` instead of silently
     returning stale labels (a >max_iters-diameter graph must fail loudly,
     not hash-mismatch downstream)."""
-    edges = edges.repartition(32, "src").localCheckpoint(eager=True)
+    edges = edges.repartition("src").localCheckpoint(eager=True)
     frontier = labels
     for _ in range(max_iters):
         nbr = (
