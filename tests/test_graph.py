@@ -36,3 +36,14 @@ def test_pagerank_mass_and_ordering(spark):
         return ("customer" if node % 2 == 0 else "supplier", node // 2)
 
     assert ranks[key_of(hi)] > ranks[key_of(lo)], (hi, lo)
+
+
+def test_pagerank_iteration_plan_reads_no_parquet(spark):
+    """Every per-iteration input is checkpointed, so the final plan must
+    contain zero parquet scans — a FileScan in the rank recurrence means a
+    lazy subtree (edges / degrees / node count) is being re-derived from
+    the fact tables once per iteration, the regression that cost 5x at
+    sf0.1 in round 3."""
+    df = graph.QUERIES["graph_pagerank"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan[:3000]

@@ -140,3 +140,18 @@ def test_lsh_threshold_branch_recall(spark):
     approx = {(r.id1, r.id2) for r in pipeline._lsh_threshold_pairs(e, 0.4).collect()}
     assert approx <= exact  # re-rank is exact: no false positives
     assert len(approx) / max(len(exact), 1) >= 0.3, (len(approx), len(exact))
+
+
+def test_minhash_plan_has_no_pair_dedup_aggregate(spark):
+    """The first-matching-band predicate dedups candidate pairs inside the
+    bucket join, so the physical plan must contain NO aggregate or
+    distinct-style Exchange downstream of the join — pair dedup as a
+    HashAggregate over millions of candidates is the shape this operator
+    explicitly avoids. One groupBy (the mask build) feeds both join sides,
+    so at most its two hash Exchanges may appear."""
+    df = pipeline.QUERIES["dedup_minhash_lsh"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan[:3000]
+    # HashAggregates allowed: the partial+final pair of the mask groupBy,
+    # once per join side (Exchange reuse may collapse them).
+    assert plan.count("HashAggregate") <= 4, plan[:3000]
