@@ -1,0 +1,679 @@
+"""Corpus-curation extensions: quality filtering, mix control, containment
+dedup, embedding hygiene, and data-quality auditing.
+
+These extend SURVEY §2.10's training-data family with the curation stages a
+production pretraining pipeline runs between raw ingest and tokenization:
+Gopher-style rule filters, repetition detection, source-mix accounting and
+rebalancing, quote/subset (containment) dedup, nearest-centroid clustering
+over embeddings, embedding sanity checks, referential data-quality audits,
+and gap-filling for downstream feature spines.
+
+Hash-verifiability discipline (same as pipeline.py): every score is integer
+arithmetic — counts, permille ratios via integer division (Spark ``div`` and
+DuckDB ``//`` both truncate toward zero), and embedding values quantized to
+integers with ``floor(1000·x + 0.5)`` (bit-identical in both engines since
+the float→double widening and IEEE double multiply are exact). No raw float
+aggregate ever reaches the output.
+
+Thresholds (token bounds, permille cutoffs, norm bands) are calibrated
+against the measured sf0.01 corpus distributions (see docstrings) so each
+filter genuinely splits the data — a filter that keeps 100% of rows verifies
+nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_gopher_quality",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST((n_chars - len(string_split(text, ' ')) + 1) * 100
+                    // len(string_split(text, ' ')) AS BIGINT) AS mean_tok_len_x100,
+               CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                    // len(string_split(text, ' ')) AS BIGINT) AS ttr_permille,
+               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                    t -> t IN ('a', 'the'))) AS BIGINT) AS n_stop_types
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_tokens, mean_tok_len_x100, ttr_permille,
+           n_stop_types,
+           (n_tokens BETWEEN 20 AND 90)              AS flag_len,
+           (mean_tok_len_x100 BETWEEN 400 AND 520)   AS flag_mean_len,
+           (ttr_permille >= 300)                     AS flag_ttr,
+           (n_stop_types >= 1)                       AS flag_stop,
+           ((n_tokens BETWEEN 20 AND 90)
+            AND (mean_tok_len_x100 BETWEEN 400 AND 520)
+            AND ttr_permille >= 300
+            AND n_stop_types >= 1)                   AS keep
+    FROM m
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1 adapted to this
+    corpus): token-count bounds, mean-token-length band, type/token ratio
+    floor, and stopword presence, AND-combined into a keep decision.
+
+    Calibration vs measured sf0.01 distributions: n_tokens 10–99 (bounds
+    20–90 drop ~15%), mean_len_x100 370–530 (band 400–520), ttr_permille
+    p10=321 (floor 300), 47/500 docs have zero stopwords. All-integer
+    scoring — exact across engines.
+
+    100 TB: pure narrow map over the scan (one split per row, no shuffle);
+    whole-stage codegen'd HOFs. The natural first stage of every curation
+    DAG — runs at scan speed and prunes before anything expensive."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    mean_len = F.expr(
+        "CAST((n_chars - size(split(text, ' ')) + 1) * 100 AS BIGINT)"
+        " div CAST(size(split(text, ' ')) AS BIGINT)"
+    )
+    ttr = F.expr(
+        "CAST(1000 * size(array_distinct(split(text, ' '))) AS BIGINT)"
+        " div CAST(size(split(text, ' ')) AS BIGINT)"
+    )
+    n_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin("a", "the"))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_tok_len_x100"),
+        ttr.alias("ttr_permille"),
+        n_stop.alias("n_stop_types"),
+    )
+    flag_len = F.col("n_tokens").between(20, 90)
+    flag_mean = F.col("mean_tok_len_x100").between(400, 520)
+    flag_ttr = F.col("ttr_permille") >= 300
+    flag_stop = F.col("n_stop_types") >= 1
+    return m.select(
+        "*",
+        flag_len.alias("flag_len"),
+        flag_mean.alias("flag_mean_len"),
+        flag_ttr.alias("flag_ttr"),
+        flag_stop.alias("flag_stop"),
+        (flag_len & flag_mean & flag_ttr & flag_stop).alias("keep"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), r AS (
+        SELECT doc_id, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(list_max(list_transform(list_distinct(toks),
+                    x -> len(list_filter(toks, y -> y = x)))) AS BIGINT) AS top_tok_cnt,
+               CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(1000 * top_tok_cnt // n_tokens AS BIGINT) AS top_tok_permille,
+           CAST(1000 * (n_bigrams - n_distinct_bigrams) // n_bigrams AS BIGINT)
+               AS dup_bigram_permille,
+           (1000 * top_tok_cnt // n_tokens > 150
+            OR 1000 * (n_bigrams - n_distinct_bigrams) // n_bigrams > 80)
+               AS flag_repetitive
+    FROM r
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Repetition detection (the Gopher/C4 "repetitious content" family):
+    most-frequent-token coverage and duplicate-bigram fraction per document,
+    permille-scaled, with a repetitive flag at the measured p90 thresholds
+    (top-token p90=139‰ → cutoff 150; dup-bigram p90=65‰ → cutoff 80).
+
+    100 TB: computed entirely with array HOFs inside the row — no explode,
+    no shuffle, no state. The top-token count is O(|vocab|·n) per row via
+    transform-over-distinct (vocab is 31 here; for open vocabularies the
+    explode+groupBy form in text_tokenize_wordcount is the fallback).
+    Requires ≥2 tokens per doc (corpus min is 10)."""
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            """
+            CAST(array_max(transform(array_distinct(split(text, ' ')),
+                 x -> size(filter(split(text, ' '), y -> y = x)))) AS BIGINT)
+            """
+        ).alias("top_tok_cnt"),
+        F.expr("CAST(size(split(text, ' ')) - 1 AS BIGINT)").alias("n_bigrams"),
+        F.expr(
+            """
+            CAST(size(array_distinct(transform(
+                 slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                 (x, i) -> concat(x, ' ', split(text, ' ')[i + 1])))) AS BIGINT)
+            """
+        ).alias("n_distinct_bigrams"),
+    )
+    top_pm = F.expr("1000 * top_tok_cnt div n_tokens")
+    dup_pm = F.expr("1000 * (n_bigrams - n_distinct_bigrams) div n_bigrams")
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        top_pm.alias("top_tok_permille"),
+        dup_pm.alias("dup_bigram_permille"),
+        ((top_pm > 150) | (dup_pm > 80)).alias("flag_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix accounting & rebalancing
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_domain_mix",
+    oracle="""
+    WITH g AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ), t AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+        FROM g
+    )
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           CAST(1000 * g.n_tokens // t.tot_tokens AS BIGINT) AS tok_share_permille,
+           CAST(1000 * g.n_docs // t.tot_docs AS BIGINT)     AS doc_share_permille
+    FROM g, t
+    """,
+)
+def text_domain_mix(spark, sf_dir):
+    """Corpus-composition report: per (source, lang) document and token
+    counts plus permille shares of the whole corpus — the accounting table a
+    data-mixture design (e.g. The Pile / Dolma mixture tables) starts from.
+
+    100 TB: one partial-aggregated groupBy over (source, lang) — low
+    cardinality, so the shuffle is tiny regardless of input size — and the
+    grand total is a 1-row broadcast joined back (no global window)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.expr("CAST(size(split(text, ' ')) AS BIGINT)")
+    g = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("tot_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("1000 * n_tokens div tot_tokens").alias("tok_share_permille"),
+        F.expr("1000 * n_docs div tot_docs").alias("doc_share_permille"),
+    )
+
+
+@register(
+    "sample_mix_rebalance",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source, lang,
+               CAST(200 + 150 * (CAST(substr(source, 4) AS INTEGER) % 5)
+                    AS BIGINT) AS rate_permille
+        FROM documents
+    )
+    SELECT doc_id, source, lang, rate_permille,
+           CAST(1000000 // rate_permille AS BIGINT) AS weight_x1000
+    FROM r
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 1000)
+          < rate_permille
+    """,
+)
+def sample_mix_rebalance(spark, sf_dir):
+    """Per-source downsampling to a target mixture: each source gets a keep
+    rate (200–800‰, derived deterministically from the source id), rows are
+    kept by content-hash bucket (md5 of doc_id — the sampling.py discipline:
+    reproducible across engines, partitionings, and cluster sizes), and each
+    kept row carries its inverse-propensity weight ×1000 so downstream
+    aggregates can re-weight.
+
+    100 TB: scan + codegen'd md5 filter — embarrassingly parallel, no
+    shuffle, no coordination; exactly how production mixture rebalancing
+    runs (cf. C4/Dolma per-source sampling)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.lit(200)
+        + F.lit(150) * (F.substring("source", 4, 10).cast("int") % 5)
+    ).cast("long")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000
+    )
+    return (
+        d.select("doc_id", "source", "lang", rate.alias("rate_permille"))
+        .filter(bucket < F.col("rate_permille"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "rate_permille",
+            F.expr("1000000 div rate_permille").alias("weight_x1000"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_containment_bigram",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   string_split(text, ' ')[1:len(string_split(text, ' ')) - 1],
+                   (x, i) -> x || ' ' || string_split(text, ' ')[i + 1])) AS sh
+        FROM documents
+    )
+    SELECT d1.doc_id AS doc1, d2.doc_id AS doc2, d1.lang AS lang,
+           CAST(1000 * len(list_intersect(d1.sh, d2.sh))
+                // least(len(d1.sh), len(d2.sh)) AS BIGINT)
+               AS containment_permille,
+           CASE WHEN len(d1.sh) <= len(d2.sh) THEN d1.doc_id
+                ELSE d2.doc_id END AS subsumed_doc
+    FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    WHERE 1000 * len(list_intersect(d1.sh, d2.sh))
+          // least(len(d1.sh), len(d2.sh)) >= 800
+    """,
+)
+def dedup_containment_bigram(spark, sf_dir):
+    """Containment (quote/subset) dedup: C(A,B) = |A∩B| / min(|A|,|B|) over
+    bigram-shingle sets, permille-scaled, keeping pairs ≥ 800‰ and flagging
+    the smaller document as subsumed. Containment catches what Jaccard
+    misses — a short document quoted inside a long one has high containment
+    but low Jaccard (the union is dominated by the long doc).
+
+    100 TB: same blocking story as dedup_ngram_jaccard — lang-block pairs at
+    demo scale; the production path is MinHash over shingles where band
+    collisions bound candidates (dedup_minhash_lsh), with this exact
+    containment as the re-rank. Integer permille — exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.expr(
+        """
+        array_distinct(transform(
+            slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+            (x, i) -> concat(x, ' ', split(text, ' ')[i + 1])))
+        """
+    )
+    docs = d.select("doc_id", "lang", sh.alias("sh"))
+    d1 = docs.select(F.col("doc_id").alias("doc1"), "lang", F.col("sh").alias("s1"))
+    d2 = docs.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("lang2"),
+        F.col("sh").alias("s2"),
+    )
+    inter = F.size(F.array_intersect("s1", "s2")).cast("long")
+    cont_pm = F.expr(
+        "1000 * CAST(size(array_intersect(s1, s2)) AS BIGINT)"
+        " div CAST(least(size(s1), size(s2)) AS BIGINT)"
+    )
+    return (
+        d1.join(d2, (d1.lang == d2.lang2) & (d1.doc1 < d2.doc2))
+        .filter(cont_pm >= 800)
+        .select(
+            "doc1",
+            "doc2",
+            "lang",
+            cont_pm.alias("containment_permille"),
+            F.when(F.size("s1") <= F.size("s2"), F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("subsumed_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding operators
+# ---------------------------------------------------------------------------
+
+#: quantization used by both embedding ops: exact in both engines because
+#: float→double widening and double·1000 are exact IEEE operations and
+#: floor(x + 0.5) is deterministic (no round-half-mode ambiguity).
+_QUANT_SPARK = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
+@register(
+    "sim_nearest_centroid",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT) AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, pos,
+               CAST(sum(qv) // count(*) AS BIGINT) AS c
+        FROM q GROUP BY label, pos
+    ), dist AS (
+        SELECT q.vec_id, q.label, cent.clabel,
+               sum((q.qv - cent.c) * (q.qv - cent.c)) AS d2
+        FROM q JOIN cent ON q.pos = cent.pos
+        GROUP BY q.vec_id, q.label, cent.clabel
+    ), best AS (
+        SELECT vec_id, label, clabel AS assigned_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM dist
+    )
+    SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM best WHERE rn = 1 GROUP BY label, assigned_label
+    """,
+)
+def sim_nearest_centroid(spark, sf_dir):
+    """Nearest-centroid assignment (one k-means E-step with label-derived
+    centroids) + confusion summary: centroids are the per-label means of
+    quantized embeddings (integer floor-division keeps them exact), every
+    vector is assigned to the squared-L2-nearest centroid (ties → lowest
+    label), and the output is the label × assigned contingency table —
+    the clustering-quality readout.
+
+    100 TB: centroids are a tiny (k·dim) aggregate broadcast to every
+    executor; assignment is a narrow zip_with/aggregate HOF per row (no
+    shuffle, no UDF); only the final k×k contingency groupBy shuffles —
+    the canonical distributed k-means step shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
+    )
+    exploded = q.select("label", F.posexplode("qarr").alias("pos", "qv"))
+    cent = (
+        exploded.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+        .select("clabel", "pos", F.expr("s div n").alias("c"))
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+    dist = F.aggregate(
+        F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", dist.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("clabel").alias("assigned_label"))
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+@register(
+    "sim_embedding_hygiene",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(floor(1000 * v::DOUBLE + 0.5) AS BIGINT)) AS qarr
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, label,
+               CAST(len(qarr) AS BIGINT) AS dim,
+               CAST(list_sum(list_transform(qarr, x -> x * x)) AS BIGINT) AS qnorm2,
+               CAST(len(list_filter(qarr, x -> x = 0)) AS BIGINT) AS n_zero_dims,
+               CAST(len(list_filter(qarr, x -> abs(x) >= 2000)) AS BIGINT) AS n_sat_dims
+        FROM q
+    )
+    SELECT vec_id, label, dim, qnorm2, n_zero_dims, n_sat_dims,
+           (qnorm2 < 999200)  AS flag_low_norm,
+           (qnorm2 > 1000900) AS flag_high_norm,
+           (qnorm2 >= 999200 AND qnorm2 <= 1000900 AND n_sat_dims = 0) AS keep
+    FROM m
+    """,
+)
+def sim_embedding_hygiene(spark, sf_dir):
+    """Embedding sanity audit — the checks an embedding table needs before
+    any similarity work: dimensionality, quantized squared L2 norm, zero and
+    saturated dimension counts, and norm-band flags. Band 999200–1000900 is
+    calibrated to the measured sf0.01 unit-norm corpus (min 998328 / p5
+    999128 / p95 1000965 / max 1001790) so both tails actually flag rows.
+
+    100 TB: narrow map-only HOFs over the scan — no shuffle, no UDF; runs at
+    scan speed and short-circuits broken upstream encoders before an
+    expensive ANN build."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr"))
+    qnorm2 = F.aggregate(
+        F.transform("qarr", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    m = q.select(
+        "vec_id",
+        "label",
+        F.size("qarr").cast("long").alias("dim"),
+        qnorm2.alias("qnorm2"),
+        F.size(F.filter("qarr", lambda x: x == 0)).cast("long").alias("n_zero_dims"),
+        F.size(F.filter("qarr", lambda x: F.abs(x) >= 2000))
+        .cast("long")
+        .alias("n_sat_dims"),
+    )
+    low = F.col("qnorm2") < 999200
+    high = F.col("qnorm2") > 1000900
+    return m.select(
+        "*",
+        low.alias("flag_low_norm"),
+        high.alias("flag_high_norm"),
+        (~low & ~high & (F.col("n_sat_dims") == 0)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit & gap filling
+# ---------------------------------------------------------------------------
+
+@register(
+    "etl_dq_checks",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'customer_null_mktsegment',
+           CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'events_null_user',
+           CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents_empty_text',
+           CAST(count(*) FILTER (WHERE n_chars = 0 OR text = '') AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM documents
+    """,
+)
+def etl_dq_checks(spark, sf_dir):
+    """Cross-table data-quality audit: referential integrity (orphan foreign
+    keys via left-join null counts), primary-key uniqueness, null-rate and
+    domain checks — one row per named check with violation and total counts.
+    The assertion table a pipeline gates a publish on.
+
+    100 TB: each check is one aggregate pass; the referential checks are
+    joins whose strategy AQE picks (broadcast when the dimension fits,
+    shuffle otherwise) — never a collect. All eight checks run as one job
+    via union, sharing the session's scan cache where tables repeat."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    l = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    d = load_table(spark, sf_dir, "documents")
+
+    def check(name, df, violation_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(violation_col, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+
+    orphan_orders = o.join(
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left"
+    )
+    orphan_items = l.join(
+        o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left"
+    )
+    dup_pk = o.agg(
+        F.lit("orders_duplicate_pk").alias("check_name"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+        F.count("*").cast("long").alias("n_total"),
+    )
+    parts = [
+        check("orders_orphan_custkey", orphan_orders, F.col("c_custkey").isNull()),
+        check("lineitem_orphan_orderkey", orphan_items, F.col("o_orderkey").isNull()),
+        check(
+            "lineitem_discount_out_of_range",
+            l,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        ),
+        check("lineitem_nonpositive_qty", l, F.col("l_quantity") <= 0),
+        dup_pk,
+        check("customer_null_mktsegment", c, F.col("c_mktsegment").isNull()),
+        check("events_null_user", ev, F.col("user_id").isNull()),
+        check("documents_empty_text", d, (F.col("n_chars") == 0) | (F.col("text") == "")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "etl_forward_fill",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                      INTERVAL 1 DAY))::DATE AS day,
+               p.o_orderpriority
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+    ), daily AS (
+        SELECT o_orderdate AS day, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        GROUP BY o_orderdate, o_orderpriority
+    ), joined AS (
+        SELECT s.day, s.o_orderpriority, d.cnt,
+               last_value(d.cnt IGNORE NULLS) OVER (
+                   PARTITION BY s.o_orderpriority ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM spine s LEFT JOIN daily d
+          ON s.day = d.day AND s.o_orderpriority = d.o_orderpriority
+    )
+    SELECT day, o_orderpriority,
+           CAST(coalesce(filled, 0) AS BIGINT) AS n_orders,
+           (cnt IS NULL) AS was_filled
+    FROM joined
+    """,
+)
+def etl_forward_fill(spark, sf_dir):
+    """Gap-fill + last-observation-carried-forward: a dense daily spine per
+    order priority over 1995 Q1, left-joined to observed daily order counts,
+    with missing days filled by the most recent observed value (leading gaps
+    → 0) and a was_filled provenance flag — the standard feature-spine
+    densification before any time-series modeling.
+
+    100 TB: the spine is generated (no scan), the observed side is a pruned
+    aggregate (partition-pruned scan at scale), and the fill is one window
+    per priority — the partition count bounds parallelism, which is the
+    correct trade for a per-entity LOCF (each entity's timeline must be
+    contiguous in one task)."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = o.select("o_orderpriority").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    spine = days.crossJoin(F.broadcast(prios))
+    daily = (
+        o.filter(
+            F.col("o_orderdate").between("1995-01-01", "1995-03-31")
+        )
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    joined = spine.join(
+        daily,
+        (spine.day == daily.day) & (spine.o_orderpriority == daily.prio),
+        "left",
+    ).select(spine.day, "o_orderpriority", "cnt")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "day",
+        "o_orderpriority",
+        F.coalesce(F.last("cnt", ignorenulls=True).over(w), F.lit(0))
+        .cast("long")
+        .alias("n_orders"),
+        F.col("cnt").isNull().alias("was_filled"),
+    )

@@ -1,0 +1,104 @@
+"""Oracle-parity + semantic tests for the corpus-curation extensions."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_integration_exercise_spark.operators import curation
+
+from .parity import assert_parity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("key", sorted(curation.ORACLES))
+def test_parity(spark, key):
+    assert_parity(spark, key)
+
+
+def test_gopher_filter_actually_splits(spark):
+    """A quality filter that keeps everything (or nothing) verifies nothing —
+    the calibrated thresholds must split the corpus."""
+    rows = curation.QUERIES["text_gopher_quality"](spark, SF).collect()
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows), f"filter kept {kept}/{len(rows)}"
+    # every keep decision must equal the AND of its component flags
+    assert all(
+        r.keep == (r.flag_len and r.flag_mean_len and r.flag_ttr and r.flag_stop)
+        for r in rows
+    )
+
+
+def test_repetition_permilles_are_bounded(spark):
+    rows = curation.QUERIES["text_repetition_stats"](spark, SF).collect()
+    assert all(0 <= r.top_tok_permille <= 1000 for r in rows)
+    assert all(0 <= r.dup_bigram_permille < 1000 for r in rows)
+    assert any(r.flag_repetitive for r in rows)
+    assert not all(r.flag_repetitive for r in rows)
+
+
+def test_domain_mix_shares_sum_near_1000(spark):
+    """Integer-division shares under-count by < n_groups permille total."""
+    rows = curation.QUERIES["text_domain_mix"](spark, SF).collect()
+    tok_share = sum(r.tok_share_permille for r in rows)
+    assert 1000 - len(rows) <= tok_share <= 1000
+    assert sum(r.n_docs for r in rows) == 500
+
+
+def test_mix_rebalance_rates_and_weights(spark):
+    rows = curation.QUERIES["sample_mix_rebalance"](spark, SF).collect()
+    assert 0 < len(rows) < 500  # downsampled, not pass-through
+    for r in rows:
+        assert r.rate_permille in {200, 350, 500, 650, 800}
+        assert r.weight_x1000 == 1_000_000 // r.rate_permille
+    # higher-rate sources keep a larger fraction of their docs
+    from collections import Counter
+
+    kept = Counter(r.rate_permille for r in rows)
+    assert kept[800] > kept[200]
+
+
+def test_containment_flags_smaller_doc(spark):
+    rows = curation.QUERIES["dedup_containment_bigram"](spark, SF).collect()
+    for r in rows:
+        assert r.subsumed_doc in (r.doc1, r.doc2)
+        assert 800 <= r.containment_permille <= 1000
+
+
+def test_nearest_centroid_confusion_is_complete(spark):
+    rows = curation.QUERIES["sim_nearest_centroid"](spark, SF).collect()
+    assert sum(r.n_vectors for r in rows) == 500
+    # label-derived centroids must self-assign far above the 10% chance
+    # level (synthetic labels are only weakly clustered: measured 207/500)
+    diag = sum(r.n_vectors for r in rows if r.label == r.assigned_label)
+    assert diag >= 150, f"centroid assignment degenerate: diag={diag}/500"
+
+
+def test_embedding_hygiene_flags_both_tails(spark):
+    rows = curation.QUERIES["sim_embedding_hygiene"](spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r.dim == 64 for r in rows)
+    assert any(r.flag_low_norm for r in rows)
+    assert any(r.flag_high_norm for r in rows)
+    assert not any(r.flag_low_norm and r.flag_high_norm for r in rows)
+
+
+def test_dq_checks_clean_corpus_passes(spark):
+    rows = {r.check_name: r for r in curation.QUERIES["etl_dq_checks"](spark, SF).collect()}
+    assert len(rows) == 8
+    # driver testdata is referentially clean — the audit must agree
+    assert rows["orders_orphan_custkey"].n_violations == 0
+    assert rows["lineitem_orphan_orderkey"].n_violations == 0
+    assert rows["orders_duplicate_pk"].n_violations == 0
+    assert all(r.n_total > 0 for r in rows.values())
+
+
+def test_forward_fill_is_dense_and_monotone(spark):
+    rows = curation.QUERIES["etl_forward_fill"](spark, SF).collect()
+    prios = {r.o_orderpriority for r in rows}
+    # dense spine: 90 days x each priority
+    assert all(
+        sum(1 for r in rows if r.o_orderpriority == p) == 90 for p in prios
+    )
+    assert any(r.was_filled for r in rows)
+    assert all(r.n_orders >= 0 for r in rows)
