@@ -285,22 +285,6 @@ def sample_mix_rebalance(spark, sf_dir):
 # Containment dedup
 # ---------------------------------------------------------------------------
 
-def _bigram_idx(vocab_spark: str):
-    """Distinct bigrams of ``text`` as exact integer indexes.
-
-    Both tokens of every bigram are in the 31-word vocabulary, so a bigram
-    has an exact index (i-1)·31 + (j-1) ∈ [0, 961) from the 1-based
-    ``array_position`` token indexes — 961 possible values, no collisions."""
-    return F.expr(
-        f"""
-        array_distinct(transform(
-            slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-            (x, i) -> (array_position({vocab_spark}, x) - 1) * 31
-                      + (array_position({vocab_spark}, split(text, ' ')[i + 1]) - 1)))
-        """
-    )
-
-
 @register(
     "dedup_containment_bigram",
     oracle="""
@@ -339,56 +323,23 @@ def dedup_containment_bigram(spark, sf_dir):
     demo scale; the production path is MinHash over shingles where band
     collisions bound candidates (dedup_minhash_lsh), with this exact
     containment as the re-rank."""
-    from .pipeline import _VOCAB_SPARK
+    from .pipeline import bigram_mask_cols, salted_lang_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # Build the 16 mask columns via explode + bit_or GROUP BY rather than a
-    # per-row HOF aggregate: the hash aggregate is whole-stage codegen'd,
-    # acts as a pushdown barrier (a HOF-built array gets its defining
-    # aggregate re-inlined into every pushed isnotnull/extract reference —
-    # SURVEY §9 lesson 1, observed in this op's first shape), and leaves the
-    # result evenly hash-partitioned for the pair join. The exploded idx
-    # list is already distinct, so count(*) IS the shingle-set size.
-    bg = d.select("doc_id", "lang", F.explode(_bigram_idx(_VOCAB_SPARK)).alias("b"))
-    docs = bg.groupBy("doc_id", "lang").agg(
-        *[
-            F.expr(
-                f"bit_or(IF(b div 64 = {j}, shiftleft(CAST(1 AS BIGINT),"
-                f" CAST(b % 64 AS INT)), CAST(0 AS BIGINT)))"
-            ).alias(f"m{j}")
-            for j in range(16)
-        ],
-        F.count("*").cast("long").alias("nsh"),
-    )
-    # Salt the self-join: lang alone gives only |langs| join blocks (5 here),
-    # capping parallelism at 5 tasks regardless of cluster size. Bucketing
-    # the right side by doc_id % B and replicating the left side across all
-    # B buckets yields |langs|·B independent blocks, each pair met exactly
-    # once — the same skew treatment as join_skew_salted.
-    B = 8
-    d1 = docs.select(
-        F.col("doc_id").alias("doc1"),
-        "lang",
-        *[F.col(f"m{j}").alias(f"a{j}") for j in range(16)],
-        F.col("nsh").alias("n1"),
-        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bkt"),
-    )
-    d2 = docs.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("lang").alias("lang2"),
-        *[F.col(f"m{j}").alias(f"b{j}") for j in range(16)],
-        F.col("nsh").alias("n2"),
-        (F.col("doc_id") % B).cast("int").alias("bkt2"),
-    )
+    docs = bigram_mask_cols(d)
     inter = sum(
-        F.bit_count(F.col(f"a{j}").bitwiseAND(F.col(f"b{j}"))) for j in range(16)
+        F.bit_count(F.col(f"a_m{j}").bitwiseAND(F.col(f"b_m{j}"))) for j in range(16)
     ).cast("long")
     pairs = (
-        d1.join(
-            d2,
-            (d1.lang == d2.lang2) & (d1.bkt == d2.bkt2) & (d1.doc1 < d2.doc2),
+        salted_lang_pairs(docs)
+        .select(
+            "doc1",
+            "doc2",
+            "lang",
+            F.col("a_nsh").alias("n1"),
+            F.col("b_nsh").alias("n2"),
+            inter.alias("inter"),
         )
-        .select("doc1", "doc2", "lang", "n1", "n2", inter.alias("inter"))
         .filter(
             F.expr("1000 * CAST(inter AS BIGINT) div CAST(least(n1, n2) AS BIGINT)")
             >= 800
