@@ -254,8 +254,22 @@ def salted_lang_pairs(docs, n_buckets: int = 8):
     of cluster size; bucketing the right side and replicating the left
     across all buckets yields |langs|·B independent blocks, each pair met
     exactly once — the join_skew_salted treatment applied to a self-join.
-    Columns besides doc_id/lang are carried through with 1/2 suffix-free
-    renames a/b as provided by the caller's select."""
+    Columns besides doc_id/lang are carried through with a_/b_ renames.
+
+    The replicated side broadcasts (BuildLeft at these sizes), so the pair
+    stage's parallelism equals the PROBE side's partition count — which for
+    a raw single-file scan is 1 task doing the whole quadratic pair stream
+    (measured: 17 s single-task levenshtein at sf0.1). The explicit
+    repartition below guarantees an evenly hash-partitioned probe side
+    regardless of the input's physical layout; it's a no-op-sized shuffle
+    (id + carried columns) and folds into the exchange an SMJ would need
+    anyway when the build side outgrows the broadcast threshold. The
+    partition count is passed EXPLICITLY: a count-less repartition is fair
+    game for AQE partition coalescing, which sees a few MB of shuffled text
+    and merges the probe side back to ONE partition — serializing the
+    multi-million-row pair expansion that happens downstream of it (the
+    expansion's cost is invisible to the coalescing heuristic)."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     carried = [c for c in docs.columns if c not in ("doc_id", "lang")]
     d1 = docs.select(
         F.col("doc_id").alias("doc1"),
@@ -263,7 +277,7 @@ def salted_lang_pairs(docs, n_buckets: int = 8):
         *[F.col(c).alias(f"a_{c}") for c in carried],
         F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bkt"),
     )
-    d2 = docs.select(
+    d2 = docs.repartition(n_part, F.col("doc_id")).select(
         F.col("doc_id").alias("doc2"),
         F.col("lang").alias("lang2"),
         *[F.col(c).alias(f"b_{c}") for c in carried],
