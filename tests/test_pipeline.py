@@ -155,3 +155,31 @@ def test_minhash_plan_has_no_pair_dedup_aggregate(spark):
     # HashAggregates allowed: the partial+final pair of the mask groupBy,
     # once per join side (Exchange reuse may collapse them).
     assert plan.count("HashAggregate") <= 4, plan[:3000]
+
+
+def test_salted_pair_probe_side_stays_partitioned(spark):
+    """salted_lang_pairs must repartition the probe side with an EXPLICIT
+    partition count (REPARTITION_BY_NUM): a count-less repartition is fair
+    game for AQE coalescing, which merges the few-MB probe side back to one
+    partition and serializes the downstream quadratic pair expansion
+    (measured 17 s single-task levenshtein at sf0.1)."""
+    from data_integration_exercise_spark.operators import text as text_mod
+
+    df = text_mod.QUERIES["dedup_fuzzy_levenshtein"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:3000]
+
+
+def test_bigram_mask_scan_pushes_no_expression_filters(spark):
+    """bigram_mask_cols builds bitsets via explode + bit_or GROUP BY, which
+    is a pushdown barrier: the parquet scans must see only plain isnotnull
+    column filters — a per-row HOF bitset gets its defining aggregate
+    re-inlined into every pushed reference, re-evaluating the whole mask
+    build inside the scan (observed in this op's first shape)."""
+    df = pipeline.QUERIES["dedup_ngram_jaccard"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan[:2000]
+    for line in scan_lines:
+        assert "array_position" not in line, line[:300]
+        assert "bit_count" not in line, line[:300]
