@@ -177,3 +177,71 @@ def events_sessionize(spark, sf_dir):
         F.min("ts_us").alias("t_start"),
         F.max("ts_us").alias("t_end"),
     )
+
+
+@register(
+    "events_entropy_mix",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, hour(ts) AS hr, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, hour(ts)
+    ), t AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot FROM h
+        GROUP BY event_type
+    ), pk AS (
+        SELECT event_type, hr AS peak_hour,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, hr ASC) AS rn
+        FROM h
+    )
+    SELECT h.event_type,
+           t.tot AS n_events,
+           round(-sum((CAST(h.cnt AS DOUBLE) / t.tot)
+                      * log2(CAST(h.cnt AS DOUBLE) / t.tot)), 4) AS entropy_bits,
+           CAST(count(*) AS BIGINT) AS active_hours,
+           any_value(pk.peak_hour) AS peak_hour
+    FROM h
+    JOIN t ON h.event_type = t.event_type
+    JOIN pk ON h.event_type = pk.event_type AND pk.rn = 1
+    GROUP BY h.event_type, t.tot
+    """,
+)
+def events_entropy_mix(spark, sf_dir):
+    """Temporal-mix entropy per event type: the Shannon entropy (bits) of
+    each type's hour-of-day distribution, its active-hour count and peak
+    hour — the activity-spread diagnostic that separates always-on machine
+    traffic (entropy ≈ log2(24)) from bursty human behavior. Probabilities
+    are ratios of exact integer counts, so log2 sees identical doubles in
+    both engines (the text_tfidf precedent); the sum is rounded at 4dp per
+    the float-aggregate discipline.
+
+    100 TB: one (type, hour) groupBy — at most 24·|types| rows — then
+    broadcast-sized joins; the event scan is the only big pass."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    t = h.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("hr").asc())
+    pk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hr").alias("peak_hour"))
+    )
+    p = F.col("cnt").cast("double") / F.col("tot")
+    return (
+        h.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "tot")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.count("*").cast("long").alias("active_hours"),
+        )
+        .join(F.broadcast(pk), "event_type")
+        .select(
+            "event_type",
+            F.col("tot").alias("n_events"),
+            "entropy_bits",
+            "active_hours",
+            "peak_hour",
+        )
+    )

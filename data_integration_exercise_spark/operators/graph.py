@@ -193,3 +193,61 @@ def graph_degree_distribution(spark, sf_dir):
         .groupBy("node_type", "degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH flows AS (
+        SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), e AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM flows
+    )
+    SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle enumeration on the nation co-trade graph (undirected edge
+    when any customer in nation u buys from any supplier in nation v). The
+    customer↔supplier contact graph itself is bipartite — triangle-free by
+    construction — so the motif question only makes sense on this
+    projected nation graph. Edges are oriented u < v, so each triangle is
+    emitted exactly once as (n1 < n2 < n3): wedge join on the shared
+    middle vertex, closed by a third equi-join.
+
+    100 TB: the heavy part is the distinct-edge projection (big fact joins
+    feeding a low-cardinality distinct); the motif join runs on the tiny
+    projected edge list. For large graphs the same plan holds with
+    degree-based orientation (orient edges low-degree → high-degree) which
+    bounds the wedge fan-out — id order stands in for degree order here."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = flows.select(F.col("u").alias("n1"), F.col("v").alias("n2"))
+    e2 = flows.select(F.col("u").alias("m1"), F.col("v").alias("n3"))
+    e3 = flows.select(F.col("u").alias("k1"), F.col("v").alias("k2"))
+    wedges = e1.join(e2, e1.n2 == e2.m1)
+    return (
+        wedges.join(e3, (F.col("n1") == e3.k1) & (F.col("n3") == e3.k2))
+        .select("n1", "n2", "n3")
+    )

@@ -62,7 +62,7 @@ _MODULES = [
 # TPC-H composites, the text/dedup/similarity tails, samplers, UDF tails, and
 # graph ops. The r1- and r2-green keys go to the tail.
 #
-# ROUND-5 PLAN (the 27 keys still without a driver row after this window —
+# ROUND-5 PLAN (the 32 keys still without a driver row after this window —
 # keep this list as the next _PRIORITY so the rotation bookkeeping survives
 # context loss):
 #   plan_cbo_stats, plan_exchange_reuse, plan_runtime_filter,
@@ -71,10 +71,12 @@ _MODULES = [
 #   etl_calendar_spine, etl_schema_evolution, events_funnel,
 #   events_retention_cohorts, events_sessionize, multimodal_resize,
 #   multimodal_framesample, multimodal_audio_energy,
-#   plus the round-4 curation additions (operators/curation.py):
+#   plus the round-4 capability additions:
 #   text_gopher_quality, text_repetition_stats, text_domain_mix,
 #   sample_mix_rebalance, dedup_containment_bigram, sim_nearest_centroid,
-#   sim_embedding_hygiene, etl_dq_checks, etl_forward_fill
+#   sim_embedding_hygiene, etl_dq_checks, etl_forward_fill, etl_pii_mask,
+#   win_zscore_outliers, text_hashing_vectorizer, events_entropy_mix,
+#   graph_triangle_count
 _PRIORITY = [
     # TPC-H composite suite (analytics.py) — the full 20 remaining shapes
     "tpch_q2_min_cost_supplier",

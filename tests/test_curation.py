@@ -102,3 +102,35 @@ def test_forward_fill_is_dense_and_monotone(spark):
     )
     assert any(r.was_filled for r in rows)
     assert all(r.n_orders >= 0 for r in rows)
+
+
+def test_pii_mask_suppression_is_consistent(spark):
+    rows = curation.QUERIES["etl_pii_mask"](spark, SF).collect()
+    for r in rows:
+        assert r.suppressed == (r.group_n < 5)
+        assert (r.name_hash == "*") == r.suppressed
+        assert r.acctbal_band % 500 == 0
+    assert any(r.suppressed for r in rows)
+    assert any(not r.suppressed for r in rows)
+
+
+def test_zscore_flags_are_symmetric_threshold(spark):
+    rows = curation.QUERIES["win_zscore_outliers"](spark, SF).collect()
+    # threshold 1.7: o_totalprice is near-uniform per priority, which bounds
+    # |z| at sqrt(3) ~ 1.732 — the rounded z only approximates the flag's
+    # unrounded comparison, so allow the boundary rows either way
+    for r in rows:
+        if abs(r.z) > 1.71:
+            assert r.is_outlier
+        elif abs(r.z) < 1.69:
+            assert not r.is_outlier
+    assert any(r.is_outlier for r in rows)
+    assert any(not r.is_outlier for r in rows)
+
+
+def test_hashing_vectorizer_preserves_mass(spark):
+    rows = curation.QUERIES["text_hashing_vectorizer"](spark, SF).collect()
+    for r in rows:
+        assert len(r.vec) == 16
+        assert sum(r.vec) == r.l1  # every token lands in exactly one bucket
+        assert r.nnz == sum(1 for v in r.vec if v > 0)

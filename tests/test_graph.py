@@ -47,3 +47,15 @@ def test_pagerank_iteration_plan_reads_no_parquet(spark):
     df = graph.QUERIES["graph_pagerank"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, plan[:3000]
+
+
+def test_triangles_are_strictly_ordered_and_closed(spark):
+    rows = graph.QUERIES["graph_triangle_count"](spark, SF).collect()
+    tris = {(r.n1, r.n2, r.n3) for r in rows}
+    assert len(tris) == len(rows)  # no duplicate emission
+    edges = set()
+    for a, b, c in tris:
+        assert a < b < c
+        edges |= {(a, b), (b, c), (a, c)}
+    # every emitted triangle's edges must themselves close a triangle set
+    assert all((a, b) in edges for a, b, _ in tris)
