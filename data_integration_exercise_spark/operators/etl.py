@@ -371,3 +371,69 @@ def etl_schema_evolution(spark, sf_dir):
 
 
 _EVOLVE_STAGED: set[str] = set()
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 23 <> 0
+    ), b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 23 = 2 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 23 <> 1
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.o_totalprice AS old_totalprice,
+           b.o_totalprice AS new_totalprice
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+)
+def etl_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the change-data report between two table versions:
+    rows only in the new snapshot are 'added', rows only in the old are
+    'removed', rows whose payload differs are 'changed'; unchanged rows are
+    filtered out. Snapshots are derived deterministically from orders
+    (key ≡ 0 mod 23 absent from A, ≡ 1 absent from B, ≡ 2 repriced in B)
+    so both engines diff identical inputs. The +100.0 perturbation is exact
+    in doubles, so 'changed' detection is bit-exact.
+
+    100 TB: one co-partitioned FULL OUTER JOIN on the primary key — both
+    sides shuffle once on the same key (or zero times if the snapshots are
+    bucketed on it, the sink_bucketed path); the unchanged-row filter
+    drops the overwhelming majority before any downstream consumer."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 23 != 0).select(
+        F.col("o_orderkey").alias("a_key"), F.col("o_totalprice").alias("old_totalprice")
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 23 != 1)
+        .select(
+            F.col("o_orderkey").alias("b_key"),
+            F.when(
+                F.col("o_orderkey") % 23 == 2, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_totalprice"),
+        )
+    )
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    return j.filter(
+        F.col("a_key").isNull()
+        | F.col("b_key").isNull()
+        | (F.col("old_totalprice") != F.col("new_totalprice"))
+    ).select(
+        F.coalesce("a_key", "b_key").alias("o_orderkey"),
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        "old_totalprice",
+        "new_totalprice",
+    )

@@ -225,9 +225,13 @@ def graph_triangle_count(spark, sf_dir):
 
     100 TB: the heavy part is the distinct-edge projection (big fact joins
     feeding a low-cardinality distinct); the motif join runs on the tiny
-    projected edge list. For large graphs the same plan holds with
-    degree-based orientation (orient edges low-degree → high-degree) which
-    bounds the wedge fan-out — id order stands in for degree order here."""
+    projected edge list. The projection is localCheckpointed (the pagerank
+    discipline — SURVEY §9 lesson 3): the edge list feeds all THREE legs of
+    the triangle join, and without materialization each leg re-runs the
+    full fact-join subtree (observed: 3× the scan work in the physical
+    plan). For large graphs the same plan holds with degree-based
+    orientation (orient edges low-degree → high-degree) which bounds the
+    wedge fan-out — id order stands in for degree order here."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -242,6 +246,7 @@ def graph_triangle_count(spark, sf_dir):
             F.greatest("c_nationkey", "s_nationkey").alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1 = flows.select(F.col("u").alias("n1"), F.col("v").alias("n2"))
     e2 = flows.select(F.col("u").alias("m1"), F.col("v").alias("n3"))

@@ -1429,3 +1429,121 @@ def dedup_contamination_ngram(spark, sf_dir):
             F.min("eval_doc").alias("first_eval_doc"),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                   AS fp,
+               list_distinct(string_split(text, ' ')) AS s,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10)
+                   AS bkt
+        FROM documents
+    ), incr AS (SELECT * FROM d WHERE bkt = 0),
+       base AS (SELECT * FROM d WHERE bkt <> 0),
+    exact AS (
+        SELECT i.doc_id, min(b.doc_id) AS exact_dup_of
+        FROM incr i JOIN base b ON i.fp = b.fp
+        GROUP BY i.doc_id
+    ), near AS (
+        SELECT i.doc_id, b.doc_id AS near_dup_of,
+               round(CAST(len(list_intersect(i.s, b.s)) AS DOUBLE)
+                     / (len(i.s) + len(b.s) - len(list_intersect(i.s, b.s))), 4)
+                   AS near_jaccard,
+               row_number() OVER (
+                   PARTITION BY i.doc_id
+                   ORDER BY CAST(len(list_intersect(i.s, b.s)) AS DOUBLE)
+                            / (len(i.s) + len(b.s) - len(list_intersect(i.s, b.s)))
+                            DESC, b.doc_id ASC) AS rn
+        FROM incr i JOIN base b ON i.lang = b.lang
+        WHERE CAST(len(list_intersect(i.s, b.s)) AS DOUBLE)
+              / (len(i.s) + len(b.s) - len(list_intersect(i.s, b.s))) >= 0.8
+    )
+    SELECT i.doc_id, i.lang,
+           e.exact_dup_of,
+           n.near_dup_of,
+           n.near_jaccard,
+           (n.near_dup_of IS NULL) AS is_new
+    FROM incr i
+    LEFT JOIN exact e ON i.doc_id = e.doc_id
+    LEFT JOIN near n ON i.doc_id = n.doc_id AND n.rn = 1
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: check a daily increment (the md5-bucket-0 ~10%
+    slice — sampling.py's partitioning-stable split discipline) against the
+    historical base corpus WITHOUT re-clustering the base. Each increment
+    doc reports its exact duplicate in the base (token-set fingerprint
+    match), its best near-duplicate (token-mask Jaccard ≥ 0.8, highest
+    similarity, ties to the lowest base id), and an is_new verdict — the
+    admission-control query a continuously-fed training corpus runs per
+    ingest batch.
+
+    100 TB: the increment is small by construction, so it BROADCASTS to
+    the base scan — the base is never shuffled, never re-paired against
+    itself (that is the O(n²) this operator exists to avoid); Jaccard runs
+    on 31-bit token masks (bit_count ops, _doc_masks discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), ",")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    masks = _doc_masks(spark, sf_dir)
+    docs = (
+        d.select("doc_id", fp.alias("fp"), bkt.alias("bkt"))
+        .join(masks, "doc_id")
+        .select("doc_id", "lang", "fp", "mask", "bkt")
+    )
+    incr = docs.filter(F.col("bkt") == 0).drop("bkt")
+    base = docs.filter(F.col("bkt") != 0).drop("bkt")
+
+    i_fp = incr.select(F.col("doc_id"), F.col("fp"))
+    b_fp = base.select(F.col("doc_id").alias("b_doc"), F.col("fp").alias("b_fp"))
+    exact = (
+        i_fp.join(b_fp, F.col("fp") == F.col("b_fp"))
+        .groupBy("doc_id")
+        .agg(F.min("b_doc").alias("exact_dup_of"))
+    )
+
+    i_m = incr.select(
+        F.col("doc_id"), F.col("lang"), F.col("mask").alias("i_mask")
+    )
+    b_m = base.select(
+        F.col("doc_id").alias("near_doc"),
+        F.col("lang").alias("b_lang"),
+        F.col("mask").alias("b_mask"),
+    )
+    inter = F.bit_count(F.col("i_mask").bitwiseAND(F.col("b_mask"))).cast("long")
+    union = F.bit_count(F.col("i_mask").bitwiseOR(F.col("b_mask"))).cast("long")
+    jac = inter.cast("double") / union
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("near_doc").asc())
+    near = (
+        F.broadcast(i_m)
+        .join(b_m, F.col("lang") == F.col("b_lang"))
+        .select("doc_id", "near_doc", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("near_doc").alias("near_dup_of"),
+            F.round("jac", 4).alias("near_jaccard"),
+        )
+    )
+    return (
+        incr.select("doc_id", "lang")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "exact_dup_of",
+            "near_dup_of",
+            "near_jaccard",
+            F.col("near_dup_of").isNull().alias("is_new"),
+        )
+    )
