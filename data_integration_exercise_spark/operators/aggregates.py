@@ -704,3 +704,105 @@ def agg_gini_segments(spark, sf_dir):
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_ab_ttest",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority,
+               CASE WHEN (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                          % 10) < 5 THEN 'A' ELSE 'B' END AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority, grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s1,
+               CAST(sum(cents * cents) AS BIGINT) AS s2
+        FROM x GROUP BY o_orderpriority, grp
+    ), w AS (
+        SELECT a.o_orderpriority,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s1 AS DOUBLE) / a.n / 100 AS mean_a,
+               CAST(b.s1 AS DOUBLE) / b.n / 100 AS mean_b,
+               (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+                   / (a.n - 1) AS var_a,
+               (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
+                   / (b.n - 1) AS var_b
+        FROM s a JOIN s b ON a.o_orderpriority = b.o_orderpriority
+        WHERE a.grp = 'A' AND b.grp = 'B'
+    )
+    SELECT o_orderpriority, n_a, n_b,
+           round(mean_a, 4) AS mean_a,
+           round(mean_b, 4) AS mean_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a / 10000 + var_b / n_b / 10000), 4) AS t_stat
+    FROM w
+    """,
+)
+def agg_ab_ttest(spark, sf_dir):
+    """Welch two-sample t-test per order priority: orders are split into
+    A/B arms by content hash (the sampling.py discipline — the split is
+    reproducible across engines and partitionings), and each arm's mean
+    order value is compared with the Welch statistic. The experiment-
+    readout query of every A/B platform. All moments come from integer
+    cent sums (Σx, Σx² exact in BIGINT), so the float surface is the final
+    mean/variance divisions — identical doubles in both engines, rounded
+    at 4dp. On a null split like this hash split, |t| ≲ 2 is the expected
+    regime.
+
+    100 TB: one partial-aggregated groupBy per (priority, arm) — ten
+    output cells regardless of order volume."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    grp = F.when(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 < 5,
+        "A",
+    ).otherwise("B")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = (
+        o.select("o_orderpriority", grp.alias("grp"), cents.alias("cents"))
+        .groupBy("o_orderpriority", "grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+        )
+    )
+    a = s.filter(F.col("grp") == "A").select(
+        "o_orderpriority",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("sa1"),
+        F.col("s2").alias("sa2"),
+    )
+    b = s.filter(F.col("grp") == "B").select(
+        F.col("o_orderpriority").alias("prio_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("sb1"),
+        F.col("s2").alias("sb2"),
+    )
+    j = a.join(b, a.o_orderpriority == b.prio_b)
+    mean_a = F.col("sa1").cast("double") / F.col("n_a") / 100
+    mean_b = F.col("sb1").cast("double") / F.col("n_b") / 100
+    var_a = (
+        F.col("sa2").cast("double")
+        - F.col("sa1").cast("double") * F.col("sa1") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("sb2").cast("double")
+        - F.col("sb1").cast("double") * F.col("sb1") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a") / 10000 + var_b / F.col("n_b") / 10000
+    )
+    return j.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_stat"),
+    )
