@@ -54,33 +54,92 @@ _MODULES = [
 
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
-# driver-side oracle row each round. Round 1 verified the first 50 keys
-# (CORRECTNESS_r01.json, all green); rounds 2+3 verified a second disjoint
-# 50-key window (CORRECTNESS_r02/r03.json, all green — r3 re-ran r2's window
-# because the rotation edit was missed that round). Round 4 rotates again: the
-# keys below are 50 of the 68 keys the driver has never checked — all 20
-# TPC-H composites, the text/dedup/similarity tails, samplers, UDF tails, and
-# graph ops. The r1- and r2-green keys go to the tail.
+# driver-side oracle row each round. Coverage so far (all rows green, zero
+# failures ever): round 1 = first 50 keys (CORRECTNESS_r01.json); rounds 2+3 =
+# a second disjoint 50-key window (r02 ≡ r03 — the r3 rotation edit was
+# missed); round 4 = a third disjoint 50-key window (all 20 TPC-H composites
+# plus the text/dedup/similarity/sampling/UDF/graph tails). 150/189 keys have
+# a driver row entering round 5.
 #
-# ROUND-5 PLAN (the 38 keys still without a driver row after this window —
-# keep this list as the next _PRIORITY so the rotation bookkeeping survives
-# context loss):
-#   plan_cbo_stats, plan_exchange_reuse, plan_runtime_filter,
-#   plan_adaptive_threshold_join, sink_compacted, sink_orc, sink_clustered,
-#   etl_upsert_latest, etl_scd2_intervals, etl_data_profile,
-#   etl_calendar_spine, etl_schema_evolution, events_funnel,
-#   events_retention_cohorts, events_sessionize, multimodal_resize,
-#   multimodal_framesample, multimodal_audio_energy,
-#   plus the round-4 capability additions:
-#   text_gopher_quality, text_repetition_stats, text_domain_mix,
-#   sample_mix_rebalance, dedup_containment_bigram, sim_nearest_centroid,
-#   sim_embedding_hygiene, etl_dq_checks, etl_forward_fill, etl_pii_mask,
-#   win_zscore_outliers, text_hashing_vectorizer, events_entropy_mix,
-#   graph_triangle_count, dedup_incremental, etl_snapshot_diff,
-#   win_rolling_corr, text_bigram_lm_score, events_markov_transitions,
-#   agg_gini_segments
+# ROUND-5 WINDOW (below): the 39 keys the driver has never oracled — the 18
+# planned-residue keys (plan/sink/etl/events/multimodal), the 20 round-4
+# capability additions, AND agg_ab_ttest (added by the round-4 snapshot
+# commit; omitted from the old plan comment — ADVICE r4 item 5) — plus 11
+# re-verification slots for operators rewritten in round 4 AFTER their r2
+# driver row was recorded (bitset masks, in-join LSH dedup, delta-frontier
+# CC, blocked cosine): their green rows predate the code that now runs.
+#
+# ROUND-6 PLAN: after this window lands green, every registered key has a
+# driver row. Rotate _PRIORITY to (a) any operator added during round 5 and
+# (b) re-verification of anything rewritten after its latest green row;
+# demote this window to _VERIFIED_R5.
 _PRIORITY = [
-    # TPC-H composite suite (analytics.py) — the full 20 remaining shapes
+    # --- 39 never-oracled keys ---
+    # plan diagnostics & adaptive planning
+    "plan_cbo_stats",
+    "plan_exchange_reuse",
+    "plan_runtime_filter",
+    "plan_adaptive_threshold_join",
+    # sink tail
+    "sink_compacted",
+    "sink_orc",
+    "sink_clustered",
+    # ETL suite
+    "etl_upsert_latest",
+    "etl_scd2_intervals",
+    "etl_data_profile",
+    "etl_calendar_spine",
+    "etl_schema_evolution",
+    "etl_dq_checks",
+    "etl_forward_fill",
+    "etl_pii_mask",
+    "etl_snapshot_diff",
+    # event analytics
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_entropy_mix",
+    "events_markov_transitions",
+    # multimodal plumbing
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    # curation / text-quality additions (round 4)
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "text_domain_mix",
+    "text_hashing_vectorizer",
+    "text_bigram_lm_score",
+    "sample_mix_rebalance",
+    # dedup / similarity additions (round 4)
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "sim_nearest_centroid",
+    "sim_embedding_hygiene",
+    # window / aggregate additions (round 4)
+    "win_zscore_outliers",
+    "win_rolling_corr",
+    "agg_gini_segments",
+    "agg_ab_ttest",
+    # graph addition (round 4)
+    "graph_triangle_count",
+    # --- 11 re-verification slots: r2-green rows predate the r4 rewrites ---
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "sim_topk_cosine",
+    "sim_threshold_join",
+    "sim_knn_query",
+    "text_tfidf",
+    "dedup_exact_text",
+    "stream_stateful_running",
+    "text_lang_id",
+]
+
+# Keys hash/rows-verified green by the driver in round 4 (the former
+# _PRIORITY window) — demoted directly behind the round-5 window.
+_VERIFIED_R4 = [
     "tpch_q2_min_cost_supplier",
     "tpch_q3_unshipped",
     "tpch_q4_order_priority",
@@ -101,44 +160,33 @@ _PRIORITY = [
     "tpch_q20_dominant_supplier",
     "tpch_q21_waiting_supplier",
     "tpch_q22_dormant_customers",
-    # aggregate tail
     "agg_weighted_median",
     "agg_hll_sketch_merge",
-    # window tail
     "win_gaps_islands",
     "win_percent_of_total",
     "win_ntile_distribution",
-    # scalar-function tail
     "fn_bitwise",
     "fn_regexp",
-    # source tail
     "ingest_csv_permissive",
-    # text-analysis tail
     "text_token_count",
     "text_fingerprint",
     "text_keywords_topk",
     "text_pmi_cooccurrence",
     "text_pack_sequences",
     "text_chunk_overlap",
-    # dedup tail
     "dedup_ngram_jaccard",
     "dedup_fuzzy_levenshtein",
     "dedup_embedding_cosine",
     "dedup_contamination_ngram",
-    # similarity tail
     "sim_ann_ivf",
     "sim_quantized_cosine",
-    # streaming tail
     "stream_stream_join",
-    # UDF tail
     "udf_pandas_iterator",
     "udf_map_in_arrow",
-    # sampling & splits
     "sample_hash_mod",
     "sample_stratified",
     "sample_k_per_stratum",
     "sample_train_valid_test",
-    # diagnostics & graph
     "diag_skew_keys",
     "graph_pagerank",
     "graph_degree_distribution",
@@ -165,14 +213,9 @@ _VERIFIED_R2 = [
     "fn_null_family",
     "fn_hash",
     "text_tokenize_wordcount",
-    "text_tfidf",
     "text_ngrams",
     "text_lang_stats",
     "text_sentiment_lexicon",
-    "dedup_exact_text",
-    "dedup_near_jaccard",
-    "sim_topk_cosine",
-    "sim_knn_query",
     "sim_ann_lsh",
     "multimodal_join",
     "skyline_pareto",
@@ -190,14 +233,8 @@ _VERIFIED_R2 = [
     "set_intersect",
     "set_except",
     "dedup_exact_rows",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "sim_threshold_join",
-    "text_lang_id",
     "text_quality_score",
     "multimodal_decode",
-    "stream_stateful_running",
 ]
 
 # Keys already hash-verified green by the driver in round 1 — demoted to the
@@ -257,13 +294,17 @@ _VERIFIED_R1 = [
 
 
 def _reorder(d: dict) -> dict:
-    missing = [k for k in _PRIORITY + _VERIFIED_R2 + _VERIFIED_R1 if k not in d]
+    lists = _PRIORITY + _VERIFIED_R4 + _VERIFIED_R2 + _VERIFIED_R1
+    missing = [k for k in lists if k not in d]
     if missing:
         raise ValueError(f"registry priority lists name unknown keys: {missing}")
-    tail = set(_VERIFIED_R2) | set(_VERIFIED_R1)
+    dupes = {k for k in lists if lists.count(k) > 1}
+    if dupes:
+        raise ValueError(f"registry priority lists overlap: {sorted(dupes)}")
+    tail = set(_VERIFIED_R4) | set(_VERIFIED_R2) | set(_VERIFIED_R1)
     head = {k: d[k] for k in _PRIORITY}
     mid = {k: v for k, v in d.items() if k not in head and k not in tail}
-    end = {k: d[k] for k in _VERIFIED_R2 + _VERIFIED_R1}
+    end = {k: d[k] for k in _VERIFIED_R4 + _VERIFIED_R2 + _VERIFIED_R1}
     return {**head, **mid, **end}
 
 

@@ -54,79 +54,99 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-4 window so a module reorder or priority-list
+# keys each round. Pin the round-5 window so a module reorder or priority-list
 # edit can't silently re-verify already-green keys and waste a round.
-EXPECTED_R4_WINDOW = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_unshipped",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    "agg_weighted_median",
-    "agg_hll_sketch_merge",
-    "win_gaps_islands",
-    "win_percent_of_total",
-    "win_ntile_distribution",
-    "fn_bitwise",
-    "fn_regexp",
-    "ingest_csv_permissive",
-    "text_token_count",
-    "text_fingerprint",
-    "text_keywords_topk",
-    "text_pmi_cooccurrence",
-    "text_pack_sequences",
-    "text_chunk_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_contamination_ngram",
-    "sim_ann_ivf",
-    "sim_quantized_cosine",
-    "stream_stream_join",
-    "udf_pandas_iterator",
-    "udf_map_in_arrow",
-    "sample_hash_mod",
-    "sample_stratified",
-    "sample_k_per_stratum",
-    "sample_train_valid_test",
-    "diag_skew_keys",
-    "graph_pagerank",
-    "graph_degree_distribution",
+#
+# Composition: the 39 keys no round has ever oracled (18 planned residue +
+# the 20 round-4 capability additions + agg_ab_ttest) followed by 11
+# deliberate re-verification slots — operators rewritten in round 4 AFTER
+# their round-2 green row was recorded, so their driver rows predate the
+# code that now runs (VERDICT r4 "Next round" item 1).
+EXPECTED_R5_WINDOW = [
+    "plan_cbo_stats",
+    "plan_exchange_reuse",
+    "plan_runtime_filter",
+    "plan_adaptive_threshold_join",
+    "sink_compacted",
+    "sink_orc",
+    "sink_clustered",
+    "etl_upsert_latest",
+    "etl_scd2_intervals",
+    "etl_data_profile",
+    "etl_calendar_spine",
+    "etl_schema_evolution",
+    "etl_dq_checks",
+    "etl_forward_fill",
+    "etl_pii_mask",
+    "etl_snapshot_diff",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_entropy_mix",
+    "events_markov_transitions",
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "text_domain_mix",
+    "text_hashing_vectorizer",
+    "text_bigram_lm_score",
+    "sample_mix_rebalance",
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "sim_nearest_centroid",
+    "sim_embedding_hygiene",
+    "win_zscore_outliers",
+    "win_rolling_corr",
+    "agg_gini_segments",
+    "agg_ab_ttest",
+    "graph_triangle_count",
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "sim_topk_cosine",
+    "sim_threshold_join",
+    "sim_knn_query",
+    "text_tfidf",
+    "dedup_exact_text",
+    "stream_stateful_running",
+    "text_lang_id",
 ]
 
+# The 11 re-verification keys: driver-green in r2, but rewritten in r4.
+REVERIFY_R5 = set(EXPECTED_R5_WINDOW[39:])
 
-def test_round4_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R4_WINDOW
+
+def test_round5_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R5_WINDOW
 
 
-def test_round4_window_is_disjoint_from_prior_green_rounds():
-    """Every key in the round-4 window must be one the driver has never
-    oracled (rounds 1-3 covered two disjoint 50-key windows)."""
+def test_round5_window_covers_all_never_oracled_keys():
+    """The 39 non-re-verify slots must be exactly the keys no prior round
+    oracled — so CORRECTNESS_r05 green ⇒ every registered key has a driver
+    row. The 11 re-verify slots must each already have a green row (they are
+    re-checks of rewritten code, not wasted slots)."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03"):
+    for r in ("01", "02", "03", "04"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
-    overlap = set(EXPECTED_R4_WINDOW) & verified
-    assert not overlap, f"window wastes verification on already-green keys: {sorted(overlap)}"
+    if not verified:
+        return  # correctness files absent (fresh checkout) — nothing to check
+    never_oracled = set(queries()) - verified
+    window_new = set(EXPECTED_R5_WINDOW) - REVERIFY_R5
+    assert window_new == never_oracled, (
+        f"window misses: {sorted(never_oracled - window_new)}; "
+        f"wastes slots on: {sorted(window_new - never_oracled)}"
+    )
+    assert REVERIFY_R5 <= verified, (
+        f"re-verify slots never had a green row: {sorted(REVERIFY_R5 - verified)}"
+    )
 
 
 def test_queries_count_matches_survey_addendum():
