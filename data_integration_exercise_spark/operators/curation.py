@@ -764,13 +764,31 @@ def etl_pii_mask(spark, sf_dir):
 @register(
     "win_zscore_outliers",
     oracle="""
+    WITH c AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+        FROM orders
+    ), m AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice, cents,
+               sum(cents) OVER w         AS s1,
+               sum(cents * cents) OVER w AS s2,
+               count(*) OVER w           AS n
+        FROM c
+        WINDOW w AS (PARTITION BY o_orderpriority)
+    ), zc AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CASE WHEN n * s2 - s1 * s1 = 0 THEN NULL
+                    ELSE CAST(n * cents - s1 AS DOUBLE)
+                         / sqrt(CAST(n AS DOUBLE)
+                                * CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                / (CAST(n AS DOUBLE) - 1.0))
+               END AS zv
+        FROM m
+    )
     SELECT o_orderkey, o_orderpriority, o_totalprice,
-           round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_samp(o_totalprice) OVER w, 4)          AS z,
-           (abs((o_totalprice - avg(o_totalprice) OVER w)
-                / stddev_samp(o_totalprice) OVER w) > 1.7)       AS is_outlier
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority)
+           round(zv, 4)     AS z,
+           (abs(zv) > 1.7)  AS is_outlier
+    FROM zc
     """,
 )
 def win_zscore_outliers(spark, sf_dir):
@@ -780,23 +798,50 @@ def win_zscore_outliers(spark, sf_dir):
     the corpus: o_totalprice is near-uniform per priority, and a uniform
     distribution bounds |z| at √3 ≈ 1.732 (measured max 1.77), so the
     gaussian 2.5σ convention would flag nothing; 1.7 flags the measured
-    extreme tail of both sides. The two moments come from
-    ONE window partitioning (no second shuffle); rounding-at-4dp is the
-    float-aggregate discipline every hash-matched stats op here uses.
+    extreme tail of both sides.
+
+    The moments are EXACT integer-cent sums (sum, sum-of-squares in
+    decimal/HUGEINT — the agg_ab_ttest discipline; ADVICE r4): both
+    engines derive z from identical integers with the same three IEEE
+    ops (two divides, one sqrt, all correctly rounded), so the flag and
+    the 4dp-rounded z are bit-identical and partition-order-proof —
+    float window aggregates over raw doubles would be summation-order
+    traps at the |z|≈1.7 boundary. A zero-variance group yields NULL on
+    both engines by explicit case. Both moments + count come from ONE
+    window partitioning (no second shuffle).
 
     100 TB: one hash-partitioned window over the group key; moments are
-    O(1) per row once the partition is resident."""
+    O(1) per row once the partition is resident; integer sums are exact
+    regardless of executor count or merge order."""
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
-    z = (F.col("o_totalprice") - F.avg("o_totalprice").over(w)) / F.stddev_samp(
-        "o_totalprice"
-    ).over(w)
-    return o.select(
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
+    m = o.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > 1.7).alias("is_outlier"),
+        cents.alias("cents"),
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "cents",
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("s2"),
+        F.count("*").over(w).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    b = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    a = F.col("n") * F.col("cents") - F.col("s1")
+    zv = F.when(b == 0, F.lit(None)).otherwise(
+        a.cast("double") / F.sqrt(nd * b.cast("double") / (nd - F.lit(1.0)))
+    )
+    return m.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(zv, 4).alias("z"),
+        (F.abs(zv) > 1.7).alias("is_outlier"),
     )
 
 
@@ -805,8 +850,10 @@ def win_zscore_outliers(spark, sf_dir):
     oracle=f"""
     WITH d AS (
         SELECT doc_id,
-               list_transform(string_split(text, ' '),
-                   t -> list_position({_VOCAB_DUCK}, t) - 1) AS idxs
+               list_filter(
+                   list_transform(string_split(text, ' '),
+                       t -> list_position({_VOCAB_DUCK}, t) - 1),
+                   i -> i IS NOT NULL) AS idxs
         FROM documents
     )
     SELECT doc_id,
@@ -825,6 +872,11 @@ def text_hashing_vectorizer(spark, sf_dir):
     needs no vocabulary broadcast and no fitting pass, which is what makes
     it the streaming/100 TB-safe vectorizer (any new token maps somewhere
     deterministic). Bucket = vocab index mod 16; counts are exact ints.
+    Out-of-vocabulary tokens are dropped explicitly on BOTH sides (Spark:
+    array_position miss → 0 → idx −1, filtered with i >= 0; DuckDB:
+    list_position miss → NULL, filtered with i IS NOT NULL) so OOV
+    handling is defined and identical if the closed-vocab assumption ever
+    breaks (ADVICE r4); l1 therefore counts in-vocab tokens.
 
     100 TB: narrow map-only HOFs, no shuffle, no state — runs at scan
     speed and emits a constant-width feature column ready for ML."""
@@ -832,7 +884,8 @@ def text_hashing_vectorizer(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     idxs = F.expr(
-        f"transform(split(text, ' '), t -> array_position({_VOCAB_SPARK}, t) - 1)"
+        f"filter(transform(split(text, ' '),"
+        f" t -> array_position({_VOCAB_SPARK}, t) - 1), i -> i >= 0)"
     )
     m = d.select("doc_id", idxs.alias("idxs"))
     vec = F.expr(
@@ -861,8 +914,8 @@ def text_hashing_vectorizer(spark, sf_dir):
        c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY w1),
     scored AS (
         SELECT bg.doc_id,
-               CAST(floor(1e6 * log2(CAST(c2.c AS DOUBLE) / c1.c)) AS BIGINT)
-                   AS lp
+               CAST(floor(1e6 * log2(CAST(c2.c AS DOUBLE) / c1.c) + 1e-6)
+                    AS BIGINT) AS lp
         FROM bg
         JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         JOIN c1 ON bg.w1 = c1.w1
@@ -878,9 +931,14 @@ def text_bigram_lm_score(spark, sf_dir):
     """Bigram language-model quality score — the perplexity-filter stage of
     a CCNet/Dolma-style pipeline, self-trained on the corpus: P(w2|w1) =
     c(w1,w2)/c(w1) from corpus bigram counts, each bigram scored
-    floor(1e6·log2 P) (identical doubles → identical floor in both
-    engines), per-doc average in integer micro-bits via truncating
-    division. Low scores = improbable token sequences. Threshold −4.95
+    floor(1e6·log2 P + 1e-6), per-doc average in integer micro-bits via
+    truncating division. log2 is a libm transcendental with no
+    correct-rounding guarantee, so the floor carries a +1e-6 guard
+    (ADVICE r4): at the realistic boundary class — P an exact power of
+    two, where 1e6·log2 P is exactly an integer — a one-ulp-low libm
+    result would otherwise floor one lower on one engine; the guard
+    (≫ the ~4e-9 max abs error of 1-ulp log2 scaled by 1e6, ≪ the gap
+    to the next representable count ratio) makes both engines agree. Low scores = improbable token sequences. Threshold −4.95
     bits/bigram is the measured p10 (range −5.26…−4.70), so the flag fires
     on a real tail.
 
@@ -905,7 +963,7 @@ def text_bigram_lm_score(spark, sf_dir):
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     lp = F.floor(
-        F.lit(1e6) * F.log2(F.col("c2").cast("double") / F.col("c1"))
+        F.lit(1e6) * F.log2(F.col("c2").cast("double") / F.col("c1")) + F.lit(1e-6)
     ).cast("long")
     scored = (
         bg.join(F.broadcast(c2), ["w1", "w2"])

@@ -382,7 +382,10 @@ def win_rolling_corr(spark, sf_dir):
     """Rolling 7-day correlation between daily order count and daily value
     — the co-movement diagnostic for a pair of KPI series. Only complete
     7-row windows are emitted (partial windows make corr engine-dependent:
-    a 1-row window is NULL vs NaN territory). Bounded global window: the
+    a 1-row window is NULL vs NaN territory). A zero-variance window (7
+    days of identical n_orders — plausible at small SFs) yields NaN in
+    Spark but NULL in DuckDB, so the Spark side normalizes NaN → NULL
+    before rounding (ADVICE r4). Bounded global window: the
     input is one row per 1995 day (≤365 rows after pre-aggregation), the
     only acceptable unpartitioned-window shape (VERDICT r2 note on
     sorts.py:43); rounding at 4dp per the float-aggregate discipline.
@@ -401,13 +404,13 @@ def win_rolling_corr(spark, sf_dir):
     )
     w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     wn = Window.orderBy("day")
+    c = F.corr(F.col("n_orders").cast("double"), F.col("value")).over(w7)
+    c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
     return (
         daily.select(
             "day",
             "n_orders",
-            F.round(
-                F.corr(F.col("n_orders").cast("double"), F.col("value")).over(w7), 4
-            ).alias("corr7"),
+            F.round(c, 4).alias("corr7"),
             F.row_number().over(wn).alias("rn"),
         )
         .filter(F.col("rn") >= 7)

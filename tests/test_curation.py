@@ -117,12 +117,13 @@ def test_pii_mask_suppression_is_consistent(spark):
 def test_zscore_flags_are_symmetric_threshold(spark):
     rows = curation.QUERIES["win_zscore_outliers"](spark, SF).collect()
     # threshold 1.7: o_totalprice is near-uniform per priority, which bounds
-    # |z| at sqrt(3) ~ 1.732 — the rounded z only approximates the flag's
-    # unrounded comparison, so allow the boundary rows either way
+    # |z| at sqrt(3) ~ 1.732. z is now derived from exact integer-cent
+    # moments, so the only ambiguity left is the 4dp rounding of z itself:
+    # a reported |z| of exactly 1.7000 could sit either side unrounded.
     for r in rows:
-        if abs(r.z) > 1.71:
+        if abs(r.z) > 1.7:
             assert r.is_outlier
-        elif abs(r.z) < 1.69:
+        elif abs(r.z) < 1.7:
             assert not r.is_outlier
     assert any(r.is_outlier for r in rows)
     assert any(not r.is_outlier for r in rows)
