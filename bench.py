@@ -49,6 +49,17 @@ HEADLINE = [
     "events_sessionize",
 ]
 
+# Round-4 curation/ops additions, benched median-of-3 from round 5 on so
+# regressions there are attributable (VERDICT r4 item 4). Each is ≤6 s at
+# sf0.1 per SURVEY §9; the five below are the most plan-complex of the 21.
+NEW_TIER = [
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "text_bigram_lm_score",
+    "graph_triangle_count",
+    "sim_nearest_centroid",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,11 +75,11 @@ def main() -> None:
     # drift vs r01 was unattributable from single runs); single timed run for
     # the extension tier to bound total bench wall-clock.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE:
+    for key in HEADLINE + NEW_TIER:
         if key not in qs:
             continue
         fn = qs[key]
-        reps = n_runs if key in HEADLINE[:6] else 1
+        reps = n_runs if (key in HEADLINE[:6] or key in NEW_TIER) else 1
         try:
             fn(spark, sf_dir).collect()  # warm-up (discarded)
             runs = []
@@ -86,7 +97,12 @@ def main() -> None:
 
     # -1.0 marks a failed query; it must not SUBTRACT from the total
     failed = sorted(k for k, t in timings.items() if t < 0)
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in HEADLINE), 4
+    )
+    new_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in NEW_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -100,6 +116,7 @@ def main() -> None:
         "value": None if failed else baseline_subtotal,
         "unit": "sec",
         "extended_total": total,
+        "new_tier_total": new_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

@@ -1037,7 +1037,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
-def propagate_min_labels(labels, edges, max_iters=50):
+def propagate_min_labels(labels, edges, max_iters=50, stats=None):
     """Iterative min-label propagation to a fixed point.
 
     ``labels``: (doc_id, component) initial labels; ``edges``: directed
@@ -1057,7 +1057,12 @@ def propagate_min_labels(labels, edges, max_iters=50):
     collect. Needs diameter-many rounds; raises RuntimeError if the fixed
     point is not reached within ``max_iters`` instead of silently
     returning stale labels (a >max_iters-diameter graph must fail loudly,
-    not hash-mismatch downstream)."""
+    not hash-mismatch downstream).
+
+    ``stats``, if a list, collects the per-round frontier size (the count
+    already computed for the convergence check — no extra action) so
+    tests can pin the delta property: join input must shrink as
+    components converge, not stay at |V| every round."""
     edges = edges.repartition("src").localCheckpoint(eager=True)
     frontier = labels
     for _ in range(max_iters):
@@ -1082,7 +1087,10 @@ def propagate_min_labels(labels, edges, max_iters=50):
         frontier = merged.filter(F.col("component") < F.col("prev")).select(
             "doc_id", "component"
         )
-        if frontier.count() == 0:
+        n_changed = frontier.count()
+        if stats is not None:
+            stats.append(n_changed)
+        if n_changed == 0:
             return labels
     raise RuntimeError(
         f"min-label propagation did not converge in {max_iters} iterations; "

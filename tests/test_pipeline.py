@@ -115,6 +115,35 @@ def test_propagation_raises_on_nonconvergence(spark):
         pipeline.propagate_min_labels(labels, edges, max_iters=5)
 
 
+def test_propagation_frontier_shrinks_monotonically(spark):
+    """Delta-frontier pinning (VERDICT r4 item 5): on a chain labeled by
+    node id, node i's label at round r is max(0, i−r), so the changed-node
+    frontier must shrink by exactly one node per round down to zero — a
+    frontier that stays at |V| means the delta filter regressed to
+    full-graph propagation (the shape that cost 25.7 s at sf0.1 in r3)."""
+    n = 12
+    labels, edges = _chain_graph(spark, n)
+    stats: list[int] = []
+    pipeline.propagate_min_labels(labels, edges, max_iters=50, stats=stats)
+    assert stats[-1] == 0
+    assert stats == sorted(stats, reverse=True)
+    assert stats[0] == n  # every node but node 0 changes in round 1
+    assert len(stats) == n + 1  # diameter-many shrinking rounds, then the 0
+
+
+def test_propagation_senders_are_the_frontier():
+    """Source-level tripwire for the delta property itself: the per-round
+    message join must read from the FRONTIER (nodes whose label changed
+    last round), not from the full label table — results are identical
+    either way, so only this guard (and the sf0.1 bench) would catch a
+    silent revert to |E|-sized join input every round."""
+    import inspect
+
+    src = inspect.getsource(pipeline.propagate_min_labels)
+    assert "edges.join(frontier" in src
+    assert "edges.join(labels" not in src
+
+
 def test_threshold_join_strategy_rule(spark):
     """The cost rule must pick the exact plan under the pair budget and the
     LSH plan over it — measured cardinalities, not guesses."""
