@@ -718,8 +718,8 @@ def agg_gini_segments(spark, sf_dir):
     ), s AS (
         SELECT o_orderpriority, grp,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(cents) AS BIGINT) AS s1,
-               CAST(sum(cents * cents) AS BIGINT) AS s2
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
         FROM x GROUP BY o_orderpriority, grp
     ), w AS (
         SELECT a.o_orderpriority,
@@ -747,10 +747,11 @@ def agg_ab_ttest(spark, sf_dir):
     reproducible across engines and partitionings), and each arm's mean
     order value is compared with the Welch statistic. The experiment-
     readout query of every A/B platform. All moments come from integer
-    cent sums (Σx, Σx² exact in BIGINT), so the float surface is the final
-    mean/variance divisions — identical doubles in both engines, rounded
-    at 4dp. On a null split like this hash split, |t| ≲ 2 is the expected
-    regime.
+    cent sums (Σx, Σx² exact — decimal(38,0) Spark-side / HUGEINT in the
+    oracle, since Σx² exceeds int64 beyond ~2k rows per cell at max
+    o_totalprice), so the float surface is the final mean/variance
+    divisions — identical doubles in both engines, rounded at 4dp. On a
+    null split like this hash split, |t| ≲ 2 is the expected regime.
 
     100 TB: one partial-aggregated groupBy per (priority, arm) — ten
     output cells regardless of order volume."""
@@ -762,14 +763,14 @@ def agg_ab_ttest(spark, sf_dir):
         .cast("long") % 10 < 5,
         "A",
     ).otherwise("B")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)")
     s = (
         o.select("o_orderpriority", grp.alias("grp"), cents.alias("cents"))
         .groupBy("o_orderpriority", "grp")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("s1"),
-            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
         )
     )
     a = s.filter(F.col("grp") == "A").select(
@@ -805,4 +806,163 @@ def agg_ab_ttest(spark, sf_dir):
         F.round(mean_a, 4).alias("mean_a"),
         F.round(mean_b, 4).alias("mean_b"),
         F.round(t, 4).alias("t_stat"),
+    )
+
+
+_KS_PRIS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_KS_D = ",\n               ".join(
+    f"CAST(sum(CASE WHEN pri = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+    for i, p in enumerate(_KS_PRIS)
+)
+_KS_F = ", ".join(f"sum(c{i}) OVER w AS f{i}" for i in range(5))
+_KS_T = ", ".join(f"CAST(sum(c{i}) AS HUGEINT) AS n{i}" for i in range(5))
+_KS_M = ",\n            ".join(
+    f"max(abs(CAST(f.f{i} AS HUGEINT) * (t.nt - t.n{i})"
+    f" - (CAST(f.f0 + f.f1 + f.f2 + f.f3 + f.f4 AS HUGEINT) - f.f{i})"
+    f" * t.n{i})) AS d{i}"
+    for i in range(5)
+)
+_KS_UNION = "\n        UNION ALL\n".join(
+    f"""        SELECT '{p}' AS pri,
+               CAST(t.n{i} AS BIGINT) AS n_group,
+               CAST(t.nt - t.n{i} AS BIGINT) AS n_rest,
+               round(CAST(m.d{i} AS DOUBLE)
+                     / (CAST(t.n{i} AS DOUBLE)
+                        * CAST(t.nt - t.n{i} AS DOUBLE)), 4) AS ks_stat
+        FROM m, t"""
+    for i, p in enumerate(_KS_PRIS)
+)
+
+
+@register(
+    "agg_ks_test",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority AS pri
+        FROM orders
+    ), d AS (
+        SELECT cents,
+               {_KS_D}
+        FROM c GROUP BY cents
+    ), f AS (
+        SELECT cents, {_KS_F}
+        FROM d
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), t AS (
+        SELECT {_KS_T},
+               CAST(sum(c0 + c1 + c2 + c3 + c4) AS HUGEINT) AS nt
+        FROM d
+    ), m AS (
+        SELECT
+            {_KS_M}
+        FROM f, t
+    )
+{_KS_UNION}
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic, one-vs-rest per order
+    priority: D = sup_x |F_grp(x) − F_rest(x)| over the o_totalprice
+    empirical CDFs — the distribution-drift monitor a pipeline runs when
+    a segment's numeric feed may have shifted (the continuous analogue of
+    the chi-square count audit). Everything up to the final division is
+    exact integer arithmetic on integer cents: the sup is
+    max |F1·n2 − F2·n1| (decimal/HUGEINT — the products pass int64 around
+    1e10 input rows), and the single d/(n1·n2) division + 4dp round is
+    the only float surface, identical IEEE ops in both engines.
+
+    Scale shape (Spark side): the CDF is a DISTRIBUTED prefix sum — not
+    one global window over every distinct price. (1) groupBy(cents)
+    collapses ties with a map-side-combined count; (2) rows bucket by
+    $1000 price bands, and a ≤~600-row bucket-total frame (bounded by the
+    price DOMAIN, not row count) takes the only unpartitioned window to
+    produce per-bucket offsets; (3) within-bucket cumsums run partitioned
+    and parallel, plus the broadcast offset. The oracle uses the naive
+    global window — it is a correctness reference, not the scale path.
+
+    100 TB: shuffle volume is |distinct cents| after local combine;
+    the global step touches ≤ price-domain/1000 rows regardless of row
+    count; output is 5 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(cents.alias("cents"), F.col("o_orderpriority").alias("pri"))
+    d = base.groupBy("cents").agg(
+        *[
+            F.sum(F.when(F.col("pri") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, p in enumerate(_KS_PRIS)
+        ]
+    )
+    d = d.withColumn("bkt", F.expr("cents div 100000"))
+    bt = d.groupBy("bkt").agg(*[F.sum(f"c{i}").alias(f"b{i}") for i in range(5)])
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt",
+        *[
+            F.coalesce(F.sum(f"b{i}").over(wb), F.lit(0)).alias(f"o{i}")
+            for i in range(5)
+        ],
+    )
+    wc = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = d.join(F.broadcast(off), "bkt").select(
+        "cents",
+        *[
+            (F.sum(f"c{i}").over(wc) + F.col(f"o{i}")).alias(f"f{i}")
+            for i in range(5)
+        ],
+    )
+    tot = d.agg(
+        *[F.sum(f"c{i}").cast("decimal(38,0)").alias(f"n{i}") for i in range(5)],
+        F.sum(
+            F.col("c0") + F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+        )
+        .cast("decimal(38,0)")
+        .alias("nt"),
+    )
+    ft = (
+        F.col("f0") + F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4")
+    ).cast("decimal(38,0)")
+    m = (
+        f.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.max(
+                    F.abs(
+                        F.col(f"f{i}").cast("decimal(38,0)")
+                        * (F.col("nt") - F.col(f"n{i}"))
+                        - (ft - F.col(f"f{i}")) * F.col(f"n{i}")
+                    )
+                ).alias(f"d{i}")
+                for i in range(5)
+            ],
+            *[F.first(f"n{i}").alias(f"n{i}") for i in range(5)],
+            F.first("nt").alias("nt"),
+        )
+    )
+    stack_args = ", ".join(
+        f"'{p}', n{i}, d{i}" for i, p in enumerate(_KS_PRIS)
+    )
+    stacked = m.select(
+        F.expr(f"stack(5, {stack_args}) AS (pri, n_g, dmax)"), F.col("nt")
+    )
+    rest = F.col("nt") - F.col("n_g")
+    return stacked.select(
+        "pri",
+        F.col("n_g").cast("long").alias("n_group"),
+        rest.cast("long").alias("n_rest"),
+        F.round(
+            F.col("dmax").cast("double")
+            / (F.col("n_g").cast("double") * rest.cast("double")),
+            4,
+        ).alias("ks_stat"),
     )

@@ -55,3 +55,16 @@ def test_hll_sketch_merge_quality(spark):
         assert abs(r["est_parts"] - single[flag]) <= 0.05 * single[flag], (
             flag, r["est_parts"], single[flag],
         )
+
+
+def test_ks_test_statistic_bounds_and_null_regime(spark):
+    """KS ∈ [0,1] by construction; the priority assignment is independent
+    of o_totalprice in the generator, so one-vs-rest drift must be small
+    (null regime) but strictly positive (finite samples never match
+    exactly). Group sizes must partition the table."""
+    rows = aggregates.QUERIES["agg_ks_test"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    total = rows[0].n_group + rows[0].n_rest
+    for r in rows:
+        assert r.n_group + r.n_rest == total
+        assert 0.0 < r.ks_stat < 0.1, r

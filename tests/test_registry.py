@@ -138,11 +138,14 @@ def test_round5_window_covers_all_never_oracled_keys():
             pass
     if not verified:
         return  # correctness files absent (fresh checkout) — nothing to check
-    never_oracled = set(queries()) - verified
+    from data_integration_exercise_spark.registry import _ADDED_R5
+
+    never_oracled = set(queries()) - verified - set(_ADDED_R5)
     window_new = set(EXPECTED_R5_WINDOW) - REVERIFY_R5
     assert window_new == never_oracled, (
         f"window misses: {sorted(never_oracled - window_new)}; "
-        f"wastes slots on: {sorted(window_new - never_oracled)}"
+        f"wastes slots on: {sorted(window_new - never_oracled)}; "
+        "a key added this round must be listed in registry._ADDED_R5"
     )
     assert REVERIFY_R5 <= verified, (
         f"re-verify slots never had a green row: {sorted(REVERIFY_R5 - verified)}"
