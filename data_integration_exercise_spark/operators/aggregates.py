@@ -966,3 +966,119 @@ def agg_ks_test(spark, sf_dir):
             4,
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, hour(ts) AS hr, CAST(count(*) AS BIGINT) AS obs
+        FROM events GROUP BY event_type, hour(ts)
+    ), dense AS (
+        SELECT t.event_type, h.hr, COALESCE(o.obs, 0) AS obs
+        FROM (SELECT DISTINCT event_type FROM o) t
+        CROSS JOIN (SELECT DISTINCT hr FROM o) h
+        LEFT JOIN o ON o.event_type = t.event_type AND o.hr = h.hr
+    ), r AS (
+        SELECT event_type, CAST(sum(obs) AS BIGINT) AS rtot
+        FROM dense GROUP BY event_type
+    ), c AS (
+        SELECT hr, CAST(sum(obs) AS BIGINT) AS ctot FROM dense GROUP BY hr
+    ), n AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS ntot,
+               count(DISTINCT event_type) AS nr,
+               count(DISTINCT hr) AS nc
+        FROM dense
+    ), terms AS (
+        SELECT dense.event_type, r.rtot,
+               CAST(round(
+                   (CAST(dense.obs AS DOUBLE)
+                    - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
+                      / CAST(n.ntot AS DOUBLE))
+                   * (CAST(dense.obs AS DOUBLE)
+                      - CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
+                        / CAST(n.ntot AS DOUBLE))
+                   / (CAST(r.rtot AS DOUBLE) * CAST(c.ctot AS DOUBLE)
+                      / CAST(n.ntot AS DOUBLE)), 4) AS DECIMAL(18,4)) AS term,
+               n.nr, n.nc
+        FROM dense JOIN r USING (event_type) JOIN c USING (hr), n
+    ), per_type AS (
+        SELECT event_type,
+               CAST(min(rtot) AS BIGINT)     AS n_events,
+               CAST(sum(term) AS DECIMAL(38,4)) AS part,
+               (min(nr) - 1) * (min(nc) - 1) AS dof
+        FROM terms GROUP BY event_type
+    ), tot AS (SELECT CAST(sum(part) AS DECIMAL(38,4)) AS total FROM per_type)
+    SELECT event_type, n_events,
+           CAST(part AS DOUBLE)  AS chi2_part,
+           CAST(total AS DOUBLE) AS chi2_total,
+           CAST(dof AS BIGINT)   AS dof
+    FROM per_type, tot
+    """,
+)
+def agg_chi_square(spark, sf_dir):
+    """Pearson chi-square independence audit of event_type × hour-of-day —
+    the categorical drift monitor (is a segment's category mix diverging
+    from the marginal product?), sibling of agg_ks_test's continuous CDF
+    drift. The contingency table is DENSIFIED first (distinct types ×
+    distinct hours spine, zero-filled) so empty cells contribute their
+    full expected-count term instead of silently vanishing.
+
+    Determinism: each cell term (O−E)²/E runs in doubles with one pinned
+    op order over exact integer counts (E = R·C/N; all IEEE ops correctly
+    rounded ⇒ identical in both engines — the (O·N−R·C)² integer form
+    would overflow 128-bit at ~1e9-row cells, so the double form is the
+    scale-safe one), then rounds at 4dp and sums as DECIMAL(18,4): a sum
+    of exact decimals is partition-order-independent where a float sum of
+    the raw terms would not be.
+
+    100 TB: the only full-scan work is the (type, hour) count groupBy —
+    map-side combined to ≤|types|·24 cells; marginals and the term join
+    run on the broadcast-sized contingency table itself."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    types = o.select("event_type").distinct()
+    hours = o.select("hr").distinct()
+    dense = (
+        types.crossJoin(hours)
+        .join(o, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+    )
+    r = dense.groupBy("event_type").agg(F.sum("obs").alias("rtot"))
+    c = dense.groupBy("hr").agg(F.sum("obs").alias("ctot"))
+    n = dense.agg(
+        F.sum("obs").alias("ntot"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("hr").alias("nc"),
+    )
+    j = (
+        dense.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "hr")
+        .crossJoin(F.broadcast(n))
+    )
+    e = (
+        F.col("rtot").cast("double")
+        * F.col("ctot").cast("double")
+        / F.col("ntot").cast("double")
+    )
+    diff = F.col("obs").cast("double") - e
+    term = F.round(diff * diff / e, 4).cast("decimal(18,4)")
+    per_type = j.groupBy("event_type").agg(
+        F.min("rtot").cast("long").alias("n_events"),
+        F.sum(term).cast("decimal(38,4)").alias("part"),
+        ((F.min("nr") - 1) * (F.min("nc") - 1)).alias("dof"),
+    )
+    tot = per_type.agg(F.sum("part").cast("decimal(38,4)").alias("total"))
+    return per_type.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_events",
+        F.col("part").cast("double").alias("chi2_part"),
+        F.col("total").cast("double").alias("chi2_total"),
+        F.col("dof").cast("long").alias("dof"),
+    )

@@ -300,6 +300,7 @@ _VERIFIED_R1 = [
 # operator lands in this list in the same commit that registers it.
 _ADDED_R5 = [
     "agg_ks_test",
+    "agg_chi_square",
 ]
 
 

@@ -68,3 +68,19 @@ def test_ks_test_statistic_bounds_and_null_regime(spark):
     for r in rows:
         assert r.n_group + r.n_rest == total
         assert 0.0 < r.ks_stat < 0.1, r
+
+
+def test_chi_square_parts_sum_to_total_and_dense_cells(spark):
+    """chi2_part values must sum exactly to the repeated chi2_total (they
+    are decimal sums of 4dp-rounded terms — no float slop allowed), dof
+    must be (|types|-1)*(|hours|-1), and every type row must be present
+    even if some (type, hour) cell is empty."""
+    rows = aggregates.QUERIES["agg_chi_square"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    total = rows[0].chi2_total
+    assert all(r.chi2_total == total for r in rows)
+    assert abs(sum(r.chi2_part for r in rows) - total) < 1e-9
+    assert all(r.dof == (5 - 1) * (24 - 1) for r in rows)
+    assert total >= 0
