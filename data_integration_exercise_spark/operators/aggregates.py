@@ -1082,3 +1082,134 @@ def agg_chi_square(spark, sf_dir):
         F.col("total").cast("double").alias("chi2_total"),
         F.col("dof").cast("long").alias("dof"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS pri,
+               CASE WHEN (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                          % 10) < 5 THEN 1 ELSE 0 END AS is_a,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), g AS (
+        SELECT pri, cents,
+               CAST(count(*) AS BIGINT) AS ct,
+               CAST(sum(is_a) AS BIGINT) AS ca
+        FROM x GROUP BY pri, cents
+    ), f AS (
+        SELECT pri, ct, ca,
+               COALESCE(sum(ct) OVER (PARTITION BY pri ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cumbefore
+        FROM g
+    ), per AS (
+        SELECT pri,
+               CAST(sum(ca) AS BIGINT)           AS n_a,
+               CAST(sum(ct) - sum(ca) AS BIGINT) AS n_b,
+               CAST(sum(CAST(ca AS HUGEINT) * (2 * cumbefore + ct + 1))
+                    AS HUGEINT)                  AS r2a,
+               CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tie
+        FROM f GROUP BY pri
+    ), u AS (
+        SELECT pri, n_a, n_b, tie,
+               r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+               CAST(n_a AS HUGEINT) * n_b             AS mean2,
+               CAST(n_a + n_b AS BIGINT)              AS n
+        FROM per
+    )
+    SELECT pri AS o_orderpriority, n_a, n_b,
+           CAST(u2 AS BIGINT) AS u2,
+           round((CAST(u2 AS DOUBLE) - CAST(mean2 AS DOUBLE))
+                 / (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                                / 12.0)
+                               * ((CAST(n AS DOUBLE) + 1.0)
+                                  - CAST(tie AS DOUBLE)
+                                    / (CAST(n AS DOUBLE)
+                                       * (CAST(n AS DOUBLE) - 1.0))))),
+                 4) AS z_stat
+    FROM u
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test per order priority over the same
+    content-hash A/B split as agg_ab_ttest — the nonparametric member of
+    the experiment-readout family (t-test compares means, KS compares
+    CDFs, chi-square compares category mixes, U compares rank
+    distributions, robust to outliers). Ranks are kept EXACT in doubled
+    units: a tie group at value v spans ranks [F(v⁻)+1, F(v)], so twice
+    its average rank is the integer 2·F(v⁻)+c+1 — no .5 fractions, no
+    float ranks. U2 = 2·U, the tie-corrected variance term Σ(t³−t), and
+    the group sizes are all exact decimal/HUGEINT integers; the z-score
+    is the only float surface, one pinned op sequence in both engines,
+    rounded at 4dp. On the null hash split |z| ≲ 2 is the expected regime.
+
+    Scale shape: rank prefix sums run in windows PARTITIONED by priority
+    over the tie-collapsed (priority, cents) frame — for a skewed single
+    giant group, compose with agg_ks_test's bucket-offset prefix sum
+    (same algebra, one extra tiny join).
+
+    100 TB: groupBy(pri, cents) collapses ties map-side; everything after
+    is proportional to distinct values, and output is 5 rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    is_a = F.when(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+        < 5,
+        1,
+    ).otherwise(0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            is_a.alias("is_a"),
+            cents.alias("cents"),
+        )
+        .groupBy("pri", "cents")
+        .agg(
+            F.count("*").cast("long").alias("ct"),
+            F.sum("is_a").cast("long").alias("ca"),
+        )
+    )
+    wf = (
+        Window.partitionBy("pri")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = g.select(
+        "pri",
+        "ct",
+        "ca",
+        F.coalesce(F.sum("ct").over(wf), F.lit(0)).alias("cumbefore"),
+    )
+    contrib = F.col("ca").cast("decimal(38,0)") * (
+        2 * F.col("cumbefore") + F.col("ct") + 1
+    )
+    cube = F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct") - F.col(
+        "ct"
+    )
+    per = f.groupBy("pri").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        (F.sum("ct") - F.sum("ca")).cast("long").alias("n_b"),
+        F.sum(contrib).cast("decimal(38,0)").alias("r2a"),
+        F.sum(cube).cast("decimal(38,0)").alias("tie"),
+    )
+    u2 = F.col("r2a") - F.col("n_a").cast("decimal(38,0)") * (F.col("n_a") + 1)
+    mean2 = F.col("n_a").cast("decimal(38,0)") * F.col("n_b")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (F.col("n_a").cast("double") * F.col("n_b").cast("double") / F.lit(12.0)) * (
+        (n_d + F.lit(1.0))
+        - F.col("tie").cast("double") / (n_d * (n_d - F.lit(1.0)))
+    )
+    z = (u2.cast("double") - mean2.cast("double")) / (F.lit(2.0) * F.sqrt(var))
+    return per.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2"),
+        F.round(z, 4).alias("z_stat"),
+    )

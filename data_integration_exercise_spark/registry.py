@@ -301,6 +301,7 @@ _VERIFIED_R1 = [
 _ADDED_R5 = [
     "agg_ks_test",
     "agg_chi_square",
+    "agg_mann_whitney",
 ]
 
 

@@ -84,3 +84,16 @@ def test_chi_square_parts_sum_to_total_and_dense_cells(spark):
     assert abs(sum(r.chi2_part for r in rows) - total) < 1e-9
     assert all(r.dof == (5 - 1) * (24 - 1) for r in rows)
     assert total >= 0
+
+
+def test_mann_whitney_null_split_regime(spark):
+    """The hash split is independent of o_totalprice, so U2 must sit near
+    its null mean n_a*n_b (within ~4 sigma) and |z| must be small; exact
+    identity 0 <= U2 <= 2*n_a*n_b must hold."""
+    rows = aggregates.QUERIES["agg_mann_whitney"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.u2 <= 2 * r.n_a * r.n_b
+        assert abs(r.z_stat) < 4.0, r
