@@ -416,3 +416,84 @@ def win_rolling_corr(spark, sf_dir):
         .filter(F.col("rn") >= 7)
         .drop("rn")
     )
+
+
+@register(
+    "win_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS daily_cents
+        FROM orders GROUP BY 1, 2
+    ), lagged AS (
+        SELECT pri, day, daily_cents,
+               lag(daily_cents, 1) OVER w AS x1,
+               lag(daily_cents, 2) OVER w AS x2,
+               lag(daily_cents, 3) OVER w AS x3,
+               lag(daily_cents, 4) OVER w AS x4,
+               lag(daily_cents, 5) OVER w AS x5,
+               lag(daily_cents, 6) OVER w AS x6,
+               row_number() OVER w AS rn
+        FROM daily WINDOW w AS (PARTITION BY pri ORDER BY day)
+    )
+    SELECT pri AS o_orderpriority, day, daily_cents,
+           round((CAST(daily_cents AS DOUBLE)
+                  + 0.7 * (CAST(x1 AS DOUBLE)
+                  + 0.7 * (CAST(x2 AS DOUBLE)
+                  + 0.7 * (CAST(x3 AS DOUBLE)
+                  + 0.7 * (CAST(x4 AS DOUBLE)
+                  + 0.7 * (CAST(x5 AS DOUBLE)
+                  + 0.7 * CAST(x6 AS DOUBLE)))))))
+                 / 3.058819 / 100.0, 4) AS ewma
+    FROM lagged WHERE rn >= 7
+    """,
+)
+def win_ewma(spark, sf_dir):
+    """7-day exponentially weighted moving average of daily order value per
+    priority (decay q = 0.7, i.e. α = 0.3) — the trend smoother a KPI
+    pipeline runs beside win_moving_avg's flat window. Only complete 7-row
+    windows are emitted, so the normalizer is the constant Σq^j = 3.058819
+    (a decimal literal, parsed to the identical double by both engines —
+    never computed as (1−q⁷)/(1−q), which would add a float op that could
+    differ).
+
+    Determinism: inputs are exact integer cents (daily sums); the EWMA is
+    ONE pinned Horner chain x₀+q·(x₁+q·(…+q·x₆)) of correctly-rounded
+    IEEE ops written in identical nesting in both engines, then a
+    division by the literal normalizer, then the 4dp round — no float
+    window aggregate, no summation-order surface at all (lag() moves
+    values, it does not add them).
+
+    100 TB: the groupBy reduces the fact table to one row per (priority,
+    day) map-side; the lag window is partitioned per priority over that
+    pre-aggregated frame."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").alias("day"),
+            cents.alias("cents"),
+        )
+        .groupBy("pri", "day")
+        .agg(F.sum("cents").cast("long").alias("daily_cents"))
+    )
+    w = Window.partitionBy("pri").orderBy("day")
+    lagged = daily.select(
+        "pri",
+        "day",
+        "daily_cents",
+        *[F.lag("daily_cents", j).over(w).alias(f"x{j}") for j in range(1, 7)],
+        F.row_number().over(w).alias("rn"),
+    )
+    h = F.col("x6").cast("double")
+    for j in (5, 4, 3, 2, 1):
+        h = F.col(f"x{j}").cast("double") + F.lit(0.7) * h
+    h = F.col("daily_cents").cast("double") + F.lit(0.7) * h
+    return lagged.filter(F.col("rn") >= 7).select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        "daily_cents",
+        F.round(h / F.lit(3.058819) / F.lit(100.0), 4).alias("ewma"),
+    )

@@ -302,6 +302,7 @@ _ADDED_R5 = [
     "agg_ks_test",
     "agg_chi_square",
     "agg_mann_whitney",
+    "win_ewma",
 ]
 
 

@@ -34,3 +34,26 @@ def test_topk_is_sorted_prefix(spark):
     assert len(rows) == 100
     nets = [r.net_price for r in rows]
     assert nets == sorted(nets, reverse=True)
+
+
+def test_ewma_tracks_level_and_emits_complete_windows_only(spark):
+    """EWMA must sit inside the min/max envelope of its own 7-day window
+    inputs (it is a convex combination), and rows only appear from the 7th
+    day of each priority's series onward."""
+    from collections import defaultdict
+
+    rows = windows.QUERIES["win_ewma"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.o_orderpriority, r.day)):
+        series[r.o_orderpriority].append(r)
+    daily = windows.QUERIES["win_ewma"](spark, "/root/testdata/sf0.01")
+    for pri, rs in series.items():
+        vals = [r.daily_cents / 100.0 for r in rs]
+        for i, r in enumerate(rs):
+            lo = min(vals[max(0, i - 6): i + 1])
+            hi = max(vals[max(0, i - 6): i + 1])
+            # envelope is approximate at series starts (lags reach back
+            # before the first emitted row); allow the documented slack
+            if i >= 6:
+                assert lo - 1e-6 <= r.ewma <= hi + 1e-6, (pri, r)
