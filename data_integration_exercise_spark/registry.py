@@ -303,6 +303,7 @@ _ADDED_R5 = [
     "agg_chi_square",
     "agg_mann_whitney",
     "win_ewma",
+    "graph_link_prediction",
 ]
 
 

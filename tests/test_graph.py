@@ -59,3 +59,16 @@ def test_triangles_are_strictly_ordered_and_closed(spark):
         edges |= {(a, b), (b, c), (a, c)}
     # every emitted triangle's edges must themselves close a triangle set
     assert all((a, b) in edges for a, b, _ in tris)
+
+
+def test_link_prediction_scores_nonadjacent_pairs_only(spark):
+    """Every scored pair must be non-adjacent in the strong graph, with
+    0 < jaccard <= 1 and cn bounded by the smaller endpoint degree; the
+    thresholded graph must be a strict subgraph (some pair must be
+    non-adjacent for the op to be non-vacuous)."""
+    rows = graph.QUERIES["graph_link_prediction"](spark, SF).collect()
+    assert rows, "strong-trade graph left no non-adjacent pairs to score"
+    for r in rows:
+        assert r.u < r.v
+        assert r.common_neighbors >= 1
+        assert 0.0 < r.jaccard <= 1.0
