@@ -437,3 +437,72 @@ def etl_snapshot_diff(spark, sf_dir):
         "old_totalprice",
         "new_totalprice",
     )
+
+
+@register(
+    "etl_gdpr_cascade",
+    oracle="""
+    WITH del AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), ord_purge AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del)
+    ), c AS (
+        SELECT 'customer' AS table_name,
+               CAST((SELECT count(*) FROM del) AS BIGINT) AS rows_purged,
+               CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_total
+    ), o AS (
+        SELECT 'orders' AS table_name,
+               CAST((SELECT count(*) FROM ord_purge) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+    ), l AS (
+        SELECT 'lineitem' AS table_name,
+               CAST((SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IN (SELECT o_orderkey FROM ord_purge))
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    )
+    SELECT table_name, rows_purged,
+           rows_total - rows_purged AS rows_retained
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+    """,
+)
+def etl_gdpr_cascade(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: given a deletion-request set of
+    customer keys (here the deterministic c_custkey % 97 = 0 slice), report
+    exactly how many rows each downstream table purges and retains when the
+    deletion propagates customer → orders → lineitem through the foreign-key
+    chain — the dry-run every GDPR/CCPA pipeline executes before a
+    destructive write, and the same semi-join shape the actual purge uses
+    (filter = anti-join against the purge set).
+
+    100 TB: the deletion set is tiny and BROADCASTS to the orders scan; the
+    purged-order keyset feeds lineitem as a semi-join whose build side AQE
+    sizes (broadcast while small, shuffle-hash beyond). Each table
+    contributes one map-side-combined count — no row data moves, only
+    counts; the report is 3 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delset = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    ord_purge = o.join(
+        F.broadcast(delset), o.o_custkey == delset.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_purge = li.join(ord_purge, li.l_orderkey == ord_purge.o_orderkey, "left_semi")
+
+    def report(name, purged_df, total_df):
+        purged = purged_df.agg(F.count(F.lit(1)).alias("rows_purged"))
+        total = total_df.agg(F.count(F.lit(1)).alias("rows_total"))
+        return purged.crossJoin(total).select(
+            F.lit(name).alias("table_name"),
+            F.col("rows_purged").cast("long").alias("rows_purged"),
+            (F.col("rows_total") - F.col("rows_purged"))
+            .cast("long")
+            .alias("rows_retained"),
+        )
+
+    return (
+        report("customer", delset, c)
+        .unionAll(report("orders", ord_purge, o))
+        .unionAll(report("lineitem", li_purge, li))
+    )

@@ -304,6 +304,7 @@ _ADDED_R5 = [
     "agg_mann_whitney",
     "win_ewma",
     "graph_link_prediction",
+    "etl_gdpr_cascade",
 ]
 
 

@@ -54,3 +54,23 @@ def test_profile_nullable_column_counts_nulls(spark):
         pdf.loc["o_status_nullable", "n_distinct"]
         == pdf.loc["o_orderstatus", "n_distinct"] - 1
     )
+
+
+def test_gdpr_cascade_counts_are_consistent(spark):
+    """Purged+retained must equal each table's full count, the customer
+    purge must match the %97 slice exactly, and the cascade must actually
+    reach both downstream tables."""
+
+    rows = {
+        r.table_name: r
+        for r in etl.QUERIES["etl_gdpr_cascade"](spark, SF).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for name in rows:
+        t = load_table(spark, SF, name)
+        assert rows[name].rows_purged + rows[name].rows_retained == t.count()
+    c = load_table(spark, SF, "customer")
+    expect = c.filter((c.c_custkey % 97) == 0).count()
+    assert rows["customer"].rows_purged == expect
+    assert rows["orders"].rows_purged > 0
+    assert rows["lineitem"].rows_purged > rows["orders"].rows_purged
