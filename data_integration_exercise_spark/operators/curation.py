@@ -975,3 +975,106 @@ def text_bigram_lm_score(spark, sf_dir):
         F.expr("sum(lp) div count(*)").alias("avg_logp_micro"),
         (F.expr("sum(lp) div count(*)") < -4950000).alias("flag_low_quality"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH blob AS (
+        SELECT c_custkey,
+               'contact ' || c_name
+               || ' phone ' || lpad(CAST(c_custkey % 89 + 10 AS VARCHAR), 2, '0')
+                  || '-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN c_custkey % 3 = 0
+                       THEN ' alt ' || lpad(CAST(c_custkey % 77 + 20 AS VARCHAR), 2, '0')
+                            || '-' || lpad(CAST(c_custkey % 811 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST(c_custkey % 7013 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || ' email ' || lower(replace(c_name, '#', '.')) || '@example.com'
+               || ' segment ' || c_mktsegment AS txt
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+               regexp_replace(txt, '[0-9]{2,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(txt, '[0-9]{2,3}-[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(txt,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+'))
+                AS BIGINT) AS n_emails
+    FROM blob
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Regex PII scrubbing — the redaction stage every training-data
+    pipeline runs before text leaves the trust boundary (C4/Dolma-style):
+    phone numbers and email addresses are replaced with typed placeholder
+    tokens and the per-document redaction counts are kept as the audit
+    signal. The operative schema carries no raw PII columns, so the
+    PII-bearing contact blob is SYNTHESIZED deterministically from
+    customer fields first (phone digits from custkey, email from the
+    name; every third row carries a second phone so counts vary) — the
+    regex plumbing, placeholder convention, and count audit are the real
+    artifact.
+
+    Cross-engine care: patterns stay in the Java-regex ∩ RE2 common
+    subset ([0-9]/ranges/bounded repeats — no backrefs, no lookaround),
+    counts are extracted BEFORE replacement, and DuckDB's regexp_replace
+    gets the explicit 'g' flag Spark applies by default. The quantifier
+    '[a-z][a-z]+' replaces the usual '{2,}' TLD idiom because leftmost
+    semantics agree on it in both engines.
+
+    100 TB: narrow map-only projection — regex scrub runs at scan speed
+    inside whole-stage codegen, no shuffle, no state."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((key % 89 + 10).cast("string"), 2, "0"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    alt = F.when(
+        key % 3 == 0,
+        F.concat(
+            F.lit(" alt "),
+            F.concat_ws(
+                "-",
+                F.lpad((key % 77 + 20).cast("string"), 2, "0"),
+                F.lpad((key % 811).cast("string"), 3, "0"),
+                F.lpad((key % 7013).cast("string"), 4, "0"),
+            ),
+        ),
+    ).otherwise("")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com"),
+    )
+    txt = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" phone "),
+        phone,
+        alt,
+        F.lit(" email "),
+        email,
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    phone_re = "[0-9]{2,3}-[0-9]{3}-[0-9]{4}"
+    email_re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    blob = c.select("c_custkey", txt.alias("txt"))
+    return blob.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("txt", phone_re, "[PHONE]"), email_re, "[EMAIL]"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("txt", F.lit(phone_re), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("txt", F.lit(email_re), 0))
+        .cast("long")
+        .alias("n_emails"),
+    )

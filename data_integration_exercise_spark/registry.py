@@ -305,6 +305,7 @@ _ADDED_R5 = [
     "win_ewma",
     "graph_link_prediction",
     "etl_gdpr_cascade",
+    "text_pii_scrub",
 ]
 
 

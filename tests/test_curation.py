@@ -135,3 +135,21 @@ def test_hashing_vectorizer_preserves_mass(spark):
         assert len(r.vec) == 16
         assert sum(r.vec) == r.l1  # every token lands in exactly one bucket
         assert r.nnz == sum(1 for v in r.vec if v > 0)
+
+
+def test_pii_scrub_leaves_no_pii_and_counts_vary(spark):
+    """After scrubbing no phone/email pattern may survive, placeholders
+    must appear exactly as often as the pre-scrub counts, and the second
+    synthetic phone must make n_phones vary across rows."""
+    import re
+
+    rows = curation.QUERIES["text_pii_scrub"](spark, SF).collect()
+    assert rows
+    phone = re.compile(r"[0-9]{2,3}-[0-9]{3}-[0-9]{4}")
+    email = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+")
+    for r in rows:
+        assert not phone.search(r.scrubbed), r.scrubbed
+        assert not email.search(r.scrubbed), r.scrubbed
+        assert r.scrubbed.count("[PHONE]") == r.n_phones
+        assert r.scrubbed.count("[EMAIL]") == r.n_emails
+    assert {r.n_phones for r in rows} == {1, 2}
