@@ -1555,3 +1555,110 @@ def dedup_incremental(spark, sf_dir):
             F.col("near_dup_of").isNull().alias("is_new"),
         )
     )
+
+
+# 3 flipped bits spread across bands 0, 1, 2 (bits 3, 20, 40) — the
+# deterministic stand-in for re-encoding jitter; band 3 stays intact so a
+# perturbed copy still collides with its original on at least one band.
+_PHASH_JITTER = (1 << 3) | (1 << 20) | (1 << 40)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id AS img_id,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT AS ph
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               xor(('0x' || substr(md5(text), 1, 15))::BIGINT,
+                   {_PHASH_JITTER})
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT
+        FROM documents WHERE doc_id % 100 = 0
+    ), b AS (
+        SELECT img_id, ph, i AS band, (ph // p2) % 32768 AS val
+        FROM img CROSS JOIN (VALUES (0, 1), (1, 32768), (2, 1073741824),
+                                    (3, 35184372088832)) AS t(i, p2)
+    ), cand AS (
+        SELECT DISTINCT b1.img_id AS img1, b2.img_id AS img2
+        FROM b b1 JOIN b b2
+          ON b1.band = b2.band AND b1.val = b2.val
+         AND b1.img_id < b2.img_id
+    )
+    SELECT img1, img2,
+           CAST(bit_count(xor(i1.ph, i2.ph)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN img i1 ON i1.img_id = img1
+    JOIN img i2 ON i2.img_id = img2
+    WHERE bit_count(xor(i1.ph, i2.ph)) <= 8
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup detection for an image corpus — the
+    multimodal sibling of dedup_minhash_lsh: 60-bit signatures banded into
+    4×15-bit buckets, candidates from the (band, value) equi-join (never
+    all pairs), re-ranked by exact Hamming distance bit_count(xor) ≤ 8.
+    This is how web-scale image dedup actually runs (pHash/PDQ → band
+    buckets → Hamming re-rank). The container has no image codecs, so the
+    pHash stage is a deterministic STUB (md5 of the content the fake
+    decoder in multimodal_decode reads — identical images hash identically)
+    and every 50th image gains a re-encoded variant with 3 flipped bits
+    spread across bands 0-2 while every 100th gains a byte-identical
+    re-upload copy; a real pHash slots into the same column. The
+    banding, bucket join, first-band in-join dedup, and Hamming re-rank —
+    the parts that matter at scale — are real and exercised in both the
+    exact-match (hamming 0) and near-match (hamming 3) regimes.
+
+    100 TB: signature is a scan-speed projection; only (band, value)
+    buckets shuffle; pair dedup happens INSIDE the join via the
+    first-matching-band rule (SURVEY §9 lesson 2 — no distinct shuffle on
+    Spark's side; the oracle uses DISTINCT as the plain-SQL reference)."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    base = d.select(F.col("doc_id").alias("img_id"), ph.alias("ph"))
+    variants = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("img_id"),
+        ph.bitwiseXOR(F.lit(_PHASH_JITTER)).alias("ph"),
+    )
+    reuploads = d.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2000000).alias("img_id"), ph.alias("ph")
+    )
+    imgs = base.unionAll(variants).unionAll(reuploads)
+    # integer div, NOT `/`: float division of a 60-bit value loses bits
+    # beyond the 53-bit double mantissa and would desync from the oracle
+    band_vals = F.array(
+        *[F.expr(f"(ph div {2 ** (15 * i)}) % 32768") for i in range(4)]
+    )
+    sig = imgs.select("img_id", "ph", band_vals.alias("bands"))
+    a = sig.select(
+        F.col("img_id").alias("img1"),
+        F.col("ph").alias("ph1"),
+        F.col("bands").alias("bands1"),
+        F.posexplode("bands").alias("band", "val"),
+    )
+    bside = sig.select(
+        F.col("img_id").alias("img2"),
+        F.col("ph").alias("ph2"),
+        F.col("bands").alias("bands2"),
+        F.posexplode("bands").alias("band2", "val2"),
+    )
+    pairs = a.join(
+        bside,
+        (F.col("band") == F.col("band2"))
+        & (F.col("val") == F.col("val2"))
+        & (F.col("img1") < F.col("img2")),
+    )
+    first_band = (
+        F.expr("array_position(zip_with(bands1, bands2, (x, y) -> x = y), true)")
+        == F.col("band") + 1
+    )
+    hamming = F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))).cast("long")
+    return (
+        pairs.filter(first_band)
+        .select("img1", "img2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )

@@ -306,6 +306,7 @@ _ADDED_R5 = [
     "graph_link_prediction",
     "etl_gdpr_cascade",
     "text_pii_scrub",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -212,3 +212,22 @@ def test_bigram_mask_scan_pushes_no_expression_filters(spark):
     for line in scan_lines:
         assert "array_position" not in line, line[:300]
         assert "bit_count" not in line, line[:300]
+
+
+def test_phash_dedup_finds_both_regimes(spark):
+    """Exact-duplicate images must appear at hamming 0 and every
+    re-encoded variant must pair with its original at exactly hamming 3
+    (3 jittered bits); nothing between 4 and 8 exists by construction,
+    and no pair may exceed the threshold."""
+    rows = pipeline.QUERIES["multimodal_phash_dedup"](spark, SF).collect()
+    assert rows
+    assert all(0 <= r.hamming <= 8 for r in rows)
+    variant_pairs = [r for r in rows if r.img2 == r.img1 + 1000000]
+    assert variant_pairs, "no original↔variant pair surfaced"
+    assert all(r.hamming == 3 for r in variant_pairs)
+    reupload_pairs = [r for r in rows if r.img2 == r.img1 + 2000000]
+    assert reupload_pairs, "no original↔re-upload pair surfaced"
+    assert all(r.hamming == 0 for r in reupload_pairs)
+    # jittered variant ↔ re-upload of the same original is also hamming 3
+    cross = [r for r in rows if r.img2 - r.img1 == 1000000 and r.img1 >= 1000000]
+    assert all(r.hamming == 3 for r in cross)
