@@ -73,7 +73,7 @@ def test_live_unbounded_rate_source_semantics(spark):
         .start()
     )
     try:
-        deadline = _time.time() + 60
+        deadline = _time.time() + 120
         while _time.time() < deadline:
             if (
                 q.lastProgress
@@ -82,12 +82,34 @@ def test_live_unbounded_rate_source_semantics(spark):
             ):
                 break
             _time.sleep(0.5)
-        out = spark.table("live_rate_windows").toPandas()
-        assert len(out) > 0, "no closed windows emitted within deadline"
-        wm = pd.Timestamp(q.lastProgress["eventTime"]["watermark"]).tz_localize(None)
-        assert wm.year > 1970, "watermark never advanced"
-        # append-mode guarantee: every emitted window closed at/before the
-        # watermark that triggered its emission (<= current watermark)
-        assert (pd.to_datetime(out.we) <= wm).all(), (out.we.max(), wm)
     finally:
         q.stop()
+    # Assert only after stop(): reading the memory sink while the query runs
+    # races against progress reporting — addBatch makes rows visible BEFORE
+    # the batch's progress (and its watermark) is published, so a live read
+    # can see windows "ahead of" lastProgress and fail spuriously under
+    # full-suite contention.
+    out = spark.table("live_rate_windows").toPandas()
+    assert len(out) > 0, "no closed windows emitted within deadline"
+    wms = [
+        pd.Timestamp(p["eventTime"]["watermark"]).tz_localize(None)
+        for p in q.recentProgress
+        if p.get("eventTime", {}).get("watermark", "1970") > "1971"
+    ]
+    assert wms, "watermark never advanced"
+    # append-mode guarantee: every emitted window closed at/before the
+    # watermark that triggered its emission. A progress entry reports the
+    # watermark its batch USED, so a final batch interrupted by stop() may
+    # have emitted under a watermark one advance beyond max(watermark over
+    # recentProgress). But EVERY batch's watermark — including that one — is
+    # max(eventTime.max over all COMPLETED prior batches) − the 2 s delay,
+    # and those eventTime.max values are all in recentProgress. That bound
+    # is race-free and tight: an emit-before-close bug surfaces windows
+    # ~3 s ahead of the watermark (delay + open-window span) and fails it.
+    et_max = max(
+        pd.Timestamp(p["eventTime"]["max"]).tz_localize(None)
+        for p in q.recentProgress
+        if p.get("eventTime", {}).get("max")
+    )
+    wm_bound = et_max - pd.Timedelta(seconds=2)
+    assert (pd.to_datetime(out.we) <= wm_bound).all(), (out.we.max(), wm_bound)
