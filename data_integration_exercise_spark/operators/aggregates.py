@@ -1213,3 +1213,69 @@ def agg_mann_whitney(spark, sf_dir):
         u2.cast("long").alias("u2"),
         F.round(z, 4).alias("z_stat"),
     )
+
+
+_MG_K = 30  # Misra-Gries counters per partition; report threshold = n/_MG_K
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM tok
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, tot.n
+    HAVING count(*) * {_MG_K} > tot.n
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters via a two-pass Misra-Gries sketch: tokens whose
+    corpus frequency exceeds n/k (k=30). Pass 1 runs a mergeable
+    Misra-Gries summary per partition (mapInPandas with cross-batch state:
+    merge each Arrow batch's value_counts into ≤k counters; on overflow
+    subtract the (k+1)-th count from all and drop non-positives — the
+    Agarwal et al. mergeable-summaries formulation, total decrement ≤
+    n_p/(k+1)). Any token with global count > n/k therefore has
+    count_p > n_p/(k+1) in at least one partition (averaging argument)
+    and MUST survive in that partition's summary, so the ≤ k·P candidate
+    union is a superset of the true hitters. Pass 2 broadcast-semi-joins
+    the token stream against the candidates and re-counts them EXACTLY, so
+    the final HAVING filter — integer cross-multiplied, no division — is
+    precise; partition-dependent candidate noise is filtered out and the
+    result is deterministic.
+
+    100 TB: this is the bounded-memory shape for a token universe that
+    does NOT fit in an executor (a trillion-distinct-token web corpus):
+    pass 1 keeps k counters per task and ships k rows per partition —
+    no shuffle of the raw stream — and pass 2 shuffles only rows matching
+    the tiny broadcast candidate set. A plain groupBy-HAVING (the oracle)
+    would shuffle every distinct token."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def mg_summaries(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > _MG_K:
+                sub = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        yield pd.DataFrame({"token": list(counters)})
+
+    candidates = tokens.mapInPandas(mg_summaries, "token string").distinct()
+    total = tokens.agg(F.count("*").cast("long").alias("n"))
+    return (
+        tokens.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * _MG_K > F.col("n"))
+        .select("token", "n_occurrences")
+    )

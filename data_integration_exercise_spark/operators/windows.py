@@ -497,3 +497,83 @@ def win_ewma(spark, sf_dir):
         "daily_cents",
         F.round(h / F.lit(3.058819) / F.lit(100.0), 4).alias("ewma"),
     )
+
+
+@register(
+    "win_cusum_drift",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS daily_cents
+        FROM orders GROUP BY 1, 2
+    ), t AS (
+        SELECT pri, day, daily_cents,
+               CAST(sum(daily_cents) OVER (PARTITION BY pri)
+                    // count(*) OVER (PARTITION BY pri) AS BIGINT) AS target
+        FROM daily
+    ), p AS (
+        SELECT pri, day, daily_cents,
+               CAST(sum(daily_cents - target) OVER (
+                   PARTITION BY pri ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS pre
+        FROM t
+    )
+    SELECT pri AS o_orderpriority, day, daily_cents,
+           CAST(pre - least(min(pre) OVER (
+               PARTITION BY pri ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS BIGINT) AS cusum_cents
+    FROM p
+    """,
+)
+def win_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detector per order priority: the classic
+    change-point statistic S_i = max(0, S_{i-1} + (x_i - target)) over each
+    priority's daily-revenue series, with target = the series' own floored
+    mean daily cents. The recursion is NOT window-expressible directly, but
+    its closed form is: S_i = P_i − min(0, min_{j≤i} P_j) where P is the
+    plain running sum of the demeaned series — so two stacked prefix
+    windows (running sum, then prefix-min of it) compute an inherently
+    sequential statistic in one partitioned, parallel pass per priority.
+    Every quantity is integer cents (the floored-mean target keeps the
+    demeaned deltas integral), so the emitted series is bit-exact in both
+    engines — no float surface at all.
+
+    100 TB: the windows run on the pre-aggregated (priority, day) frame —
+    ≤ |days|·|priorities| rows regardless of order volume — partitioned by
+    priority, so each series sorts locally within its task; the fact scan
+    reduces map-side before the one small shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(cents).cast("long").alias("daily_cents"))
+    )
+    w_seq = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = daily.withColumn(
+        "target",
+        F.expr(
+            "sum(daily_cents) OVER (PARTITION BY pri) "
+            "div count(*) OVER (PARTITION BY pri)"
+        ),
+    )
+    p = t.withColumn(
+        "pre", F.sum(F.col("daily_cents") - F.col("target")).over(w_seq).cast("long")
+    )
+    return p.select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        "daily_cents",
+        (F.col("pre") - F.least(F.min("pre").over(w_seq), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("cusum_cents"),
+    )

@@ -307,6 +307,8 @@ _ADDED_R5 = [
     "etl_gdpr_cascade",
     "text_pii_scrub",
     "multimodal_phash_dedup",
+    "agg_heavy_hitters",
+    "win_cusum_drift",
 ]
 
 

@@ -97,3 +97,31 @@ def test_mann_whitney_null_split_regime(spark):
     for r in rows:
         assert 0 <= r.u2 <= 2 * r.n_a * r.n_b
         assert abs(r.z_stat) < 4.0, r
+
+
+def test_heavy_hitters_matches_exact_groupby_and_is_partitioning_proof(spark):
+    """The MG candidate pass may emit partition-dependent candidates, but
+    the exact recount + threshold must reproduce the plain groupBy-HAVING
+    answer exactly — including after an adversarial repartition that
+    changes every partition's local stream."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.token, r.n_occurrences)
+        for r in aggregates.QUERIES["agg_heavy_hitters"](spark, sf).collect()
+    }
+    toks = load_table(spark, sf, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n = toks.count()
+    want = {
+        (r.token, r.n)
+        for r in toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") * 30 > F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 0

@@ -57,3 +57,21 @@ def test_ewma_tracks_level_and_emits_complete_windows_only(spark):
             # before the first emitted row); allow the documented slack
             if i >= 6:
                 assert lo - 1e-6 <= r.ewma <= hi + 1e-6, (pri, r)
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    """The windowed closed form S_i = P_i - min(0, min_prefix P) must equal
+    the literal sequential recursion S_i = max(0, S_{i-1} + x_i) replayed
+    in pandas per priority, and every emitted value is >= 0."""
+    out = (
+        windows.QUERIES["win_cusum_drift"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["o_orderpriority", "day"])
+    )
+    assert (out.cusum_cents >= 0).all()
+    for pri, g in out.groupby("o_orderpriority"):
+        target = int(g.daily_cents.sum()) // len(g)
+        s = 0
+        for cents, got in zip(g.daily_cents, g.cusum_cents):
+            s = max(0, s + int(cents) - target)
+            assert s == got, (pri, s, got)
