@@ -136,3 +136,56 @@ def sample_train_valid_test(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "sample_priority_topk",
+    oracle="""
+    WITH pri AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) * 65537 AS DOUBLE)
+               / (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                  + 1) AS priority
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, round(priority, 4) AS priority
+    FROM pri
+    ORDER BY priority DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def sample_priority_topk(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup): each order draws priority
+    w/u with weight w = its value in cents and u uniform on (0,1]; the
+    top-k priorities form a weighted sample without replacement whose
+    max(w, tau) estimator gives unbiased subset sums. u comes from the
+    content-hash discipline — u = (h+1)/65537 with h the md5 16-bit
+    bucket — so the sample is reproducible across engines, partitionings
+    and cluster sizes. Determinism note: priority = double(w·65537)/(h+1)
+    is ONE exact integer product (< 2^53) followed by ONE IEEE division,
+    which both engines round identically — unlike the textbook u^(1/w)
+    exponent form whose transcendental log/pow has no cross-engine
+    rounding guarantee.
+
+    100 TB: global top-k, not a global sort — Spark's
+    TakeOrderedAndProject keeps k rows per partition map-side and merges
+    k·P on the driver; the scan is the only full pass."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    priority = (cents * 65537).cast("double") / (h + 1)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            priority.alias("priority_raw"),
+        )
+        .orderBy(F.desc("priority_raw"), "o_orderkey")
+        .limit(100)
+        .select(
+            "o_orderkey", "o_totalprice", F.round("priority_raw", 4).alias("priority")
+        )
+    )

@@ -311,6 +311,8 @@ _ADDED_R5 = [
     "win_cusum_drift",
     "events_attribution",
     "events_anomaly_mad",
+    "join_interval_overlap",
+    "sample_priority_topk",
 ]
 
 

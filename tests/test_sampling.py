@@ -46,3 +46,23 @@ def test_k_per_stratum_sizes(spark):
     pdf = sampling.QUERIES["sample_k_per_stratum"](spark, SF).toPandas()
     sizes = pdf.groupby("c_mktsegment").size()
     assert (sizes == 5).all(), sizes.to_dict()
+
+
+def test_priority_sample_favors_heavy_weights_and_is_stable(spark):
+    """k=100 of the highest w/u priorities: the sampled mean order value
+    must exceed the population mean (weighted sampling), the result must
+    be identical across two runs with different partitioning, and
+    priorities are >= the weight itself (u <= 1)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = sampling.QUERIES["sample_priority_topk"](spark, SF).toPandas()
+    assert len(out) == 100
+    pop_mean = (
+        load_table(spark, SF, "orders").agg(F.avg("o_totalprice")).first()[0]
+    )
+    assert out.o_totalprice.mean() > pop_mean
+    assert (out.priority >= out.o_totalprice * 100 - 0.01).all()
+    again = sampling.QUERIES["sample_priority_topk"](spark, SF).toPandas()
+    assert (out.o_orderkey.values == again.o_orderkey.values).all()
