@@ -1078,3 +1078,143 @@ def text_pii_scrub(spark, sf_dir):
         .cast("long")
         .alias("n_emails"),
     )
+
+
+@register(
+    "dedup_semdedup",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(1000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), qe AS (
+        SELECT vec_id, label, unnest(qv) AS qv_i,
+               unnest(range(len(qv))) AS pos
+        FROM q
+    ), cent AS (
+        SELECT label AS clabel, pos, CAST(sum(qv_i) // count(*) AS BIGINT) AS c
+        FROM qe GROUP BY label, pos
+    ), dist AS (
+        SELECT qe.vec_id, cent.clabel,
+               sum((qe.qv_i - cent.c) * (qe.qv_i - cent.c)) AS d2
+        FROM qe JOIN cent ON qe.pos = cent.pos
+        GROUP BY qe.vec_id, cent.clabel
+    ), assign AS (
+        SELECT vec_id, clabel AS cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM dist
+    ), v AS (
+        SELECT q.vec_id, a.cluster, q.qv,
+               CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS n2
+        FROM q JOIN assign a ON q.vec_id = a.vec_id AND a.rn = 1
+    ), hits AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster,
+               CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot,
+               a.n2 AS n2a, b.n2 AS n2b
+        FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+          AND 25 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+              >= 4 * a.n2 * b.n2
+    )
+    SELECT id2 AS vec_id,
+           CAST(min(cluster) AS BIGINT) AS cluster,
+           CAST(min(id1) AS BIGINT) AS dup_of,
+           CAST(count(*) AS BIGINT) AS n_cluster_dups,
+           CAST(max(10000 * dot * dot // (n2a * n2b)) AS BIGINT) AS max_cos2_bp
+    FROM hits GROUP BY id2
+    """,
+)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only compares embeddings WITHIN their k-means cluster — the cluster is
+    the blocking unit, so the pairwise stage costs Σ|cluster|² instead of
+    n². One E-step assigns each vector to the nearest integer-mean
+    centroid (squared-L2 on 1e3-quantized ints — exact, ties to lowest
+    centroid id); within a cluster, a vector is a near-dup of an earlier
+    one when cosine ≥ 0.4, decided ENTIRELY in integer arithmetic:
+    dot > 0 ∧ 25·dot² ≥ 4·|a|²·|b|² (cross-multiplied cosine², no sqrt,
+    no float surface anywhere — products bounded ≲ 8e14 < 2⁶³ for these
+    1e3-quantized 64-dim vectors). Dropped rows report their keeper
+    (lowest id), dup count, and max cos² in basis points (integer floor
+    division). Cross-cluster near-dups are invisible BY DESIGN — that is
+    SemDeDup's accepted recall trade for removing the quadratic bound.
+
+    100 TB: centroids are a tiny broadcast; assignment is narrow per-row
+    HOF math; the pair join keys on (cluster, block-pair) — with_block_pair
+    sub-blocks inside big clusters so one hot cluster spreads over B²
+    tasks, the same bound as the exact ε-join family."""
+    from .similarity import adaptive_n_blocks, with_block_pair
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", F.expr(_QUANT_SPARK).alias("qv"))
+    exploded = q.select("label", F.posexplode("qv").alias("pos", "qv_i"))
+    cent = (
+        exploded.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.sum("qv_i").alias("s"), F.count("*").alias("n"))
+        .select("clabel", "pos", F.expr("s div n").alias("c"))
+    )
+    carr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    idot = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(carr))
+        .select("vec_id", "qv", "clabel", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cluster"), "qv", idot.alias("n2"))
+    )
+    blocked = with_block_pair(
+        assigned, "vec_id", adaptive_n_blocks(assigned, "cluster")
+    )
+    a = blocked.select(
+        F.col("vec_id").alias("id1"), "cluster", F.col("qv").alias("qv1"),
+        F.col("n2").alias("n2a"), "_g", "_p",
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("id2"), F.col("cluster").alias("cluster2"),
+        F.col("qv").alias("qv2"), F.col("n2").alias("n2b"),
+        F.col("_g").alias("_g2"), F.col("_p").alias("_p2"),
+    )
+    pdot = F.aggregate(
+        F.zip_with("qv1", "qv2", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hits = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster2"))
+            & (F.col("_g") == F.col("_p2"))
+            & (F.col("_p") == F.col("_g2"))
+            & (F.col("id1") < F.col("id2")),
+        )
+        .withColumn("dot", pdot)
+        .filter(
+            (F.col("dot") > 0)
+            & (25 * F.col("dot") * F.col("dot") >= 4 * F.col("n2a") * F.col("n2b"))
+        )
+    )
+    return hits.groupBy(F.col("id2").alias("vec_id")).agg(
+        F.min("cluster").cast("long").alias("cluster"),
+        F.min("id1").cast("long").alias("dup_of"),
+        F.count("*").cast("long").alias("n_cluster_dups"),
+        F.max(
+            F.expr("10000 * dot * dot div (n2a * n2b)")
+        ).cast("long").alias("max_cos2_bp"),
+    )

@@ -313,6 +313,7 @@ _ADDED_R5 = [
     "events_anomaly_mad",
     "join_interval_overlap",
     "sample_priority_topk",
+    "dedup_semdedup",
 ]
 
 

@@ -153,3 +153,48 @@ def test_pii_scrub_leaves_no_pii_and_counts_vary(spark):
         assert r.scrubbed.count("[PHONE]") == r.n_phones
         assert r.scrubbed.count("[EMAIL]") == r.n_emails
     assert {r.n_phones for r in rows} == {1, 2}
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """Full numpy replay at sf0.001: quantize, integer-mean centroids per
+    label, nearest-centroid assignment (tie -> lowest), within-cluster
+    integer cosine rule, keeper = lowest id. Must match exactly."""
+    import numpy as np
+
+    from data_integration_exercise_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: (r.cluster, r.dup_of, r.n_cluster_dups, r.max_cos2_bp)
+        for r in curation.QUERIES["dedup_semdedup"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    labels = np.array([r.label for r in rows])
+    q = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 1000 + 0.5).astype(np.int64)
+    def trunc_div(s, n):
+        # Spark `div` and DuckDB integer `//` both truncate toward zero;
+        # numpy floor_divide floors — not the same for negative sums.
+        return np.sign(s) * (np.abs(s) // n)
+
+    cents = {
+        lab: trunc_div(q[labels == lab].sum(axis=0), (labels == lab).sum())
+        for lab in sorted(set(labels.tolist()))
+    }
+    clabels = sorted(cents)
+    cmat = np.stack([cents[c] for c in clabels])
+    d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    assign = np.array([clabels[j] for j in d2.argmin(axis=1)])  # argmin ties -> lowest index = lowest clabel
+    n2 = (q * q).sum(axis=1)
+    want = {}
+    order = np.argsort(ids)
+    for i in order:
+        for j in order:
+            if ids[i] >= ids[j] or assign[i] != assign[j]:
+                continue
+            dot = int(q[i] @ q[j])
+            if dot > 0 and 25 * dot * dot >= 4 * int(n2[i]) * int(n2[j]):
+                bp = (10000 * dot * dot) // (int(n2[i]) * int(n2[j]))
+                c, d, n, m = want.get(ids[j], (assign[j], ids[i], 0, 0))
+                want[ids[j]] = (assign[j], min(d, ids[i]), n + 1, max(m, bp))
+    assert got == want and len(want) > 0
