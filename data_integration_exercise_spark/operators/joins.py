@@ -484,3 +484,91 @@ def join_interval_overlap(spark, sf_dir):
     return pairs.groupBy(F.col("cust").alias("c_custkey")).agg(
         F.count("*").cast("long").alias("n_concurrent_pairs")
     )
+
+
+_BLOOM_BITS = 1024  # 16 x 64-bit words; 3 probes
+
+
+def _bloom_positions(key_col: str):
+    """Three independent 10-bit positions from one md5 of the key."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return [
+        F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long") % _BLOOM_BITS
+        for i in range(3)
+    ]
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Join with an explicit Bloom-filter pre-pass: the selective customer
+    subset (acctbal > 9000) builds a 1024-bit Bloom filter (bit_or over
+    3 md5-derived positions per key, 16 BIGINT words in ONE scalar row),
+    which is broadcast and applied to the orders scan BEFORE the join —
+    rows whose key misses any of the 3 bits are provably non-matching and
+    die at the scan. False positives only let extra rows reach the real
+    (broadcast) join, so the result is EXACTLY the plain join the oracle
+    states. This is the mechanism Spark's runtime row-level bloomFilter
+    injection (plan_runtime_filter) applies engine-side — hand-rolled it
+    works where the optimizer won't inject: ahead of UDF stages, custom
+    sinks, or a shuffle whose build side the planner can't see.
+
+    100 TB: the filter costs one md5 + three AND/shift per probe row at
+    scan speed and removes the non-matching bulk before any exchange;
+    the filter itself is 128 bytes regardless of build-side size (size
+    the bit count to build-side cardinality in production)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_mktsegment"
+    )
+    word_bits = (
+        build.select(F.explode(F.array(*_bloom_positions("c_custkey"))).alias("p"))
+        .select(
+            F.expr("p div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = word_bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    probed = o.crossJoin(F.broadcast(bloom)).withColumns(
+        {f"p{i}": pos for i, pos in enumerate(_bloom_positions("o_custkey"))}
+    )
+    # python-side F.shiftleft only takes a literal shift; the SQL form
+    # accepts column shift amounts, so the 3 bit tests are expr() strings.
+    bit_hit = [
+        F.expr(
+            f"(coalesce(element_at(bloom, p{i} div 64), 0L)"
+            f" & shiftleft(1L, cast(p{i} % 64 AS INT))) != 0"
+        )
+        for i in range(3)
+    ]
+    prefiltered = probed.filter(bit_hit[0] & bit_hit[1] & bit_hit[2]).select(
+        "o_custkey", "o_totalprice"
+    )
+    return (
+        prefiltered.join(
+            F.broadcast(build), prefiltered.o_custkey == build.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -1662,3 +1662,67 @@ def multimodal_phash_dedup(spark, sf_dir):
         .select("img1", "img2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 8)
     )
+
+
+@register(
+    "dedup_soft_weights",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ), pairs AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        WHERE 5 * len(list_intersect(d1.s, d2.s))
+              >= 4 * (len(d1.s) + len(d2.s) - len(list_intersect(d1.s, d2.s)))
+    ), deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near_dups
+        FROM (SELECT a AS doc_id FROM pairs
+              UNION ALL
+              SELECT b AS doc_id FROM pairs)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(deg.n_near_dups, 0) AS n_near_dups,
+           CAST(1000 // (1 + COALESCE(deg.n_near_dups, 0)) AS BIGINT)
+               AS weight_permille
+    FROM d LEFT JOIN deg ON d.doc_id = deg.doc_id
+    """,
+)
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: instead of DROPPING near-duplicates, every document gets
+    a training weight 1000/(1 + #near-dups) permille — a duplicate cluster
+    of size m contributes ~1 document's worth of gradient in total, but no
+    single copy (with its possibly-unique context) is lost. This is the
+    down-weighting alternative the D4/SlimPajama line of work argues for
+    over hard removal. Near-dup degree = count of OTHER same-lang docs at
+    token-set Jaccard ≥ 0.8, decided in integers (5·inter ≥ 4·union on
+    bit_count of 31-bit masks — no float threshold); the weight itself is
+    an integer permille floor-division. Docs with no neighbor keep weight
+    1000, via the left join.
+
+    100 TB: pairs come from the salted same-lang self-join on 8-byte
+    masks (salted_lang_pairs — |langs|·B join blocks, explicit partition
+    count, AQE-coalesce-proof); degrees are one union-all groupBy; swap
+    the exact pair stage for _lsh_scored_pairs when the corpus outgrows
+    blocked-exact range. Each stage is a bounded shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    masks = _doc_masks(spark, sf_dir)
+    pairs = salted_lang_pairs(masks)
+    inter = F.expr("bit_count(a_mask & b_mask)")
+    union = F.expr("bit_count(a_mask | b_mask)")
+    hit = pairs.filter(5 * inter >= 4 * union).select("doc1", "doc2")
+    deg = (
+        hit.select(F.col("doc1").alias("doc_id"))
+        .unionAll(hit.select(F.col("doc2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_near_dups"))
+    )
+    return d.join(deg, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_near_dups"), F.lit(0).cast("long")).alias("n_near_dups"),
+        F.expr("CAST(1000 div (1 + coalesce(n_near_dups, 0)) AS BIGINT)").alias(
+            "weight_permille"
+        ),
+    )

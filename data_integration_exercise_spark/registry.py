@@ -314,6 +314,8 @@ _ADDED_R5 = [
     "join_interval_overlap",
     "sample_priority_topk",
     "dedup_semdedup",
+    "join_bloom_prefilter",
+    "dedup_soft_weights",
 ]
 
 

@@ -65,3 +65,58 @@ def test_interval_overlap_matches_unbinned_theta_join(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bloom_prefilter_equals_plain_join_and_filters_rows(spark):
+    """False positives must not change the result: compare against the
+    plain broadcast join. Also verify the bloom pass is selective at all
+    (it must pass fewer probe rows than the full orders scan — with 1024
+    bits and a small build side, most non-matching keys die)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators.joins import _bloom_positions
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.c_mktsegment, r.n_orders, r.revenue_cents)
+        for r in joins.QUERIES["join_bloom_prefilter"](spark, sf).collect()
+    }
+    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load_table(spark, sf, "orders")
+    want = {
+        (r.c_mktsegment, r.n_orders, r.revenue_cents)
+        for r in o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # selectivity: count probe rows surviving the 3-bit test
+    word_bits = (
+        c.select(F.explode(F.array(*_bloom_positions("c_custkey"))).alias("p"))
+        .select(F.expr("p div 64").alias("word"),
+                F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("bit"))
+        .groupBy("word").agg(F.bit_or("bit").alias("bits"))
+    )
+    bloom = word_bits.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+    probed = o.crossJoin(F.broadcast(bloom)).withColumns(
+        {f"p{i}": pos for i, pos in enumerate(_bloom_positions("o_custkey"))}
+    )
+    tests = [
+        F.expr(
+            f"(coalesce(element_at(bloom, p{i} div 64), 0L)"
+            f" & shiftleft(1L, cast(p{i} % 64 AS INT))) != 0"
+        )
+        for i in range(3)
+    ]
+    n_pass = probed.filter(tests[0] & tests[1] & tests[2]).count()
+    n_match = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).count()
+    assert n_match <= n_pass < o.count()

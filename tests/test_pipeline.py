@@ -231,3 +231,26 @@ def test_phash_dedup_finds_both_regimes(spark):
     # jittered variant ↔ re-upload of the same original is also hamming 3
     cross = [r for r in rows if r.img2 - r.img1 == 1000000 and r.img1 >= 1000000]
     assert all(r.hamming == 3 for r in cross)
+
+
+def test_soft_weights_mass_conservation_and_near_dup_consistency(spark):
+    """Weights are 1000 for docs with no near-dup; a doc with n dups gets
+    floor(1000/(1+n)); the near-dup degree must agree with the exact
+    dedup_near_jaccard pair list (same threshold, both directions)."""
+    from collections import Counter
+
+    out = pipeline.QUERIES["dedup_soft_weights"](spark, SF).toPandas()
+    assert len(out) == out.doc_id.nunique()
+    assert ((out.n_near_dups == 0) == (out.weight_permille == 1000)).all()
+    assert (out.weight_permille == 1000 // (1 + out.n_near_dups)).all()
+    from data_integration_exercise_spark.operators import text as text_mod
+
+    pairs = text_mod.QUERIES["dedup_near_jaccard"](spark, SF).collect()
+    deg = Counter()
+    for r in pairs:
+        deg[r.doc1] += 1
+        deg[r.doc2] += 1
+    got = dict(zip(out.doc_id, out.n_near_dups))
+    for doc, n in deg.items():
+        assert got[doc] == n, (doc, got[doc], n)
+    assert sum(deg.values()) == 2 * len(pairs) and len(pairs) > 0
