@@ -476,3 +476,201 @@ def sim_quantized_cosine(spark, sf_dir):
         .orderBy(F.desc("cos_q8_e4"), F.asc("vec_id"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+#: the first 5 LSH hyperplanes double as integer probe vectors for MMR
+_MMR_PROBES = HYPERPLANES[:5]
+_MMR_PN2 = [sum(x * x for x in p) for p in _MMR_PROBES]
+_MMR_CAND = 16  # relevance short-list per probe
+_MMR_K = 8  # diversified picks per probe
+_QUANT_MMR = (
+    "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+)
+
+
+def _mmr_oracle() -> str:
+    probes_rows = ", ".join(
+        f"({p}, {_sql_list(_MMR_PROBES[p])}::BIGINT[], {_MMR_PN2[p]})"
+        for p in range(len(_MMR_PROBES))
+    )
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+    s{k} AS (
+        SELECT u.pid, list_append(u.chosen, u.vec_id) AS chosen,
+               u.vec_id AS picked, {k} AS step, u.score AS mmr_score
+        FROM (
+            SELECT s.pid, s.chosen, c.vec_id,
+                   7 * c.rel - 3 * ms.msim AS score,
+                   row_number() OVER (PARTITION BY s.pid
+                       ORDER BY 7 * c.rel - 3 * ms.msim DESC, c.vec_id) AS rn
+            FROM s{k - 1} s
+            JOIN cand c ON c.pid = s.pid
+                       AND NOT list_contains(s.chosen, c.vec_id)
+            JOIN (SELECT p.pid, p.va, max(p.sim) AS msim
+                  FROM psim p JOIN s{k - 1} s2
+                    ON p.pid = s2.pid AND list_contains(s2.chosen, p.vb)
+                  GROUP BY p.pid, p.va) ms
+              ON ms.pid = s.pid AND ms.va = c.vec_id
+        ) u WHERE u.rn = 1
+    )""")
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT pid, picked, step, mmr_score FROM s{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(1000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), qn AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+        FROM q
+    ), probes(pid, pv, pn2) AS (VALUES {probes_rows}),
+    scored AS (
+        SELECT p.pid, e.vec_id, e.qv, e.n2,
+               CASE WHEN CAST(list_dot_product(e.qv, p.pv) AS BIGINT) < 0
+                    THEN -1 ELSE 1 END
+               * (10000 * CAST(list_dot_product(e.qv, p.pv) AS BIGINT)
+                        * CAST(list_dot_product(e.qv, p.pv) AS BIGINT)
+                  // (e.n2 * p.pn2)) AS rel
+        FROM qn e CROSS JOIN probes p
+    ), cand AS (
+        SELECT pid, vec_id, qv, n2, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY pid
+                          ORDER BY rel DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= {_MMR_CAND}
+    ), psim AS (
+        SELECT a.pid, a.vec_id AS va, b.vec_id AS vb,
+               CASE WHEN CAST(list_dot_product(a.qv, b.qv) AS BIGINT) < 0
+                    THEN -1 ELSE 1 END
+               * (10000 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                        * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                  // (a.n2 * b.n2)) AS sim
+        FROM cand a JOIN cand b
+          ON a.pid = b.pid AND a.vec_id <> b.vec_id
+    ), s1 AS (
+        SELECT pid, [vec_id] AS chosen, vec_id AS picked, 1 AS step,
+               7 * rel AS mmr_score
+        FROM (SELECT pid, vec_id, rel,
+                     row_number() OVER (PARTITION BY pid
+                         ORDER BY rel DESC, vec_id) AS rn
+              FROM cand) WHERE rn = 1
+    ),{",".join(steps)}
+    SELECT pid AS probe_id, CAST(step AS BIGINT) AS sel_rank,
+           CAST(picked AS BIGINT) AS vec_id,
+           CAST(mmr_score AS BIGINT) AS mmr_score
+    FROM ({union})
+    """
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance retrieval: per probe, a 16-candidate
+    relevance short-list is greedily re-ranked into 8 picks maximizing
+    λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7) — the diversification
+    step a retrieval-augmented data pipeline runs so near-duplicate
+    passages don't crowd a context window. Every score is integer:
+    rel and pair-sim are signed cosine² basis points
+    (sign(dot)·10⁴·dot²/(|a|²|b|²), exact int64 floor-division on
+    1e3-quantized vectors), and the MMR objective is ×10 integerized to
+    7·rel − 3·sim, ties to lowest vec_id — so the greedy trajectory is
+    bit-identical in both engines. The oracle unrolls the 8 greedy steps
+    as static CTE stages (argmax via window per step); the Spark side
+    runs the same greedy vectorized inside one applyInPandas per probe
+    group.
+
+    100 TB: relevance scoring is a scan-speed map (broadcast probe
+    literals) + per-probe top-16 partial top-k; the greedy is O(k·c) on
+    ≤16 rows per group, embarrassingly parallel across probes/queries —
+    the sequential dependency never leaves a task."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(_QUANT_MMR).alias("qv"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    probe_structs = [
+        F.struct(
+            F.lit(p).alias("pid"),
+            F.array(*[F.lit(int(x)).cast("long") for x in _MMR_PROBES[p]]).alias("pv"),
+            F.lit(_MMR_PN2[p]).cast("long").alias("pn2"),
+        )
+        for p in range(len(_MMR_PROBES))
+    ]
+    scored = q.select(
+        "vec_id", "qv", "n2", F.explode(F.array(*probe_structs)).alias("pr")
+    ).select(
+        F.col("pr.pid").alias("pid"),
+        "vec_id",
+        "qv",
+        "n2",
+        F.aggregate(
+            F.zip_with("qv", F.col("pr.pv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+        F.col("pr.pn2").alias("pn2"),
+    ).withColumn(
+        "rel",
+        F.when(F.col("dot") < 0, -1).otherwise(1).cast("long")
+        * F.expr("10000 * dot * dot div (n2 * pn2)"),
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("pid").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .select("pid", "vec_id", "qv", "n2", "rel")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        ids = [int(x) for x in pdf.vec_id]
+        rels = {int(v): int(r) for v, r in zip(pdf.vec_id, pdf.rel)}
+        qvs = {int(v): [int(x) for x in qv] for v, qv in zip(pdf.vec_id, pdf.qv)}
+        n2s = {int(v): int(n) for v, n in zip(pdf.vec_id, pdf.n2)}
+
+        def sim(a: int, b: int) -> int:
+            dot = sum(x * y for x, y in zip(qvs[a], qvs[b]))
+            s = (10000 * dot * dot) // (n2s[a] * n2s[b])
+            return -s if dot < 0 else s
+
+        pid = int(pdf.pid.iloc[0])
+        chosen = [ids[0]]
+        out = [(pid, 1, ids[0], 7 * rels[ids[0]])]
+        while len(chosen) < _MMR_K:
+            best = None
+            for c in ids:
+                if c in chosen:
+                    continue
+                score = 7 * rels[c] - 3 * max(sim(c, s) for s in chosen)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            chosen.append(best[1])
+            out.append((pid, len(chosen), best[1], best[2]))
+        return pd.DataFrame(
+            out, columns=["probe_id", "sel_rank", "vec_id", "mmr_score"]
+        )
+
+    return cand.groupBy("pid").applyInPandas(
+        greedy, "probe_id long, sel_rank long, vec_id long, mmr_score long"
+    )

@@ -316,6 +316,7 @@ _ADDED_R5 = [
     "dedup_semdedup",
     "join_bloom_prefilter",
     "dedup_soft_weights",
+    "sim_mmr_diversify",
 ]
 
 

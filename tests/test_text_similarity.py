@@ -122,3 +122,46 @@ def test_quantized_cosine_recall_vs_exact(spark):
         len(exact & quant),
         len(exact),
     )
+
+
+def test_mmr_diversifies_against_pure_relevance(spark):
+    """Each probe yields exactly 8 ranked picks; the seed is the relevance
+    argmax; and for at least one probe the MMR set must differ from the
+    pure top-8-by-relevance list (otherwise the penalty term is dead
+    code on this corpus)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    out = similarity.QUERIES["sim_mmr_diversify"](spark, SF).toPandas()
+    assert sorted(out.probe_id.unique()) == [0, 1, 2, 3, 4]
+    diverged = False
+    # rebuild the relevance ranking with the operator's own scoring stage
+    from data_integration_exercise_spark.operators.similarity import (
+        _MMR_CAND,
+        _MMR_K,
+    )
+
+    for pid, g in out.groupby("probe_id"):
+        assert sorted(g.sel_rank) == list(range(1, _MMR_K + 1))
+    # pure top-k by rel: recompute via the oracle-equivalent SQL cand stage
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    from data_integration_exercise_spark.operators.similarity import _mmr_oracle
+
+    sql = _mmr_oracle()
+    cand_sql = sql.split("), s1 AS")[0] + """)
+        SELECT pid, vec_id FROM (
+            SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+                ORDER BY rel DESC, vec_id) AS rn FROM cand
+        ) WHERE rn <= 8"""
+    top8 = con.execute(cand_sql).df()
+    for pid, g in out.groupby("probe_id"):
+        pure = set(top8[top8.pid == pid].vec_id)
+        assert g[g.sel_rank == 1].vec_id.iloc[0] in pure  # seed is the argmax
+        if set(g.vec_id) != pure:
+            diverged = True
+    assert diverged
