@@ -1279,3 +1279,120 @@ def agg_heavy_hitters(spark, sf_dir):
         .filter(F.col("n_occurrences") * _MG_K > F.col("n"))
         .select("token", "n_occurrences")
     )
+
+
+_BOOT_B = 64  # bootstrap replicates
+#: Poisson(1) CDF thresholds scaled to the 16-bit hash domain: h<24109 -> 0
+#: draws, <48219 -> 1, ... (identical integer literals in both engines).
+_POIS_TH = [24109, 48219, 60273, 64292, 65296, 65497, 65531]
+
+
+def _pois_case(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_TH)
+    )
+    return f"CASE {cases} ELSE {len(_POIS_TH)} END"
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pri, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), rep AS (
+        SELECT b.pri, b.cents, t.i AS rb,
+               {_pois_case("('0x' || substr(md5(CAST(b.o_orderkey AS VARCHAR) "
+                           "|| ':' || CAST(t.i AS VARCHAR)), 1, 4))::BIGINT")}
+                   AS w
+        FROM base b CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS i) t
+    ), means AS (
+        SELECT pri, rb,
+               CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100 AS mean_b
+        FROM rep GROUP BY pri, rb
+    ), ranked AS (
+        SELECT pri, mean_b,
+               row_number() OVER (PARTITION BY pri ORDER BY mean_b, rb) AS rn
+        FROM means
+    ), pt AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS mean
+        FROM base GROUP BY pri
+    )
+    SELECT pt.pri AS o_orderpriority, pt.n,
+           round(pt.mean, 4) AS mean,
+           round(lo.mean_b, 4) AS ci_lo,
+           round(hi.mean_b, 4) AS ci_hi
+    FROM pt
+    JOIN ranked lo ON lo.pri = pt.pri AND lo.rn = 2
+    JOIN ranked hi ON hi.pri = pt.pri AND hi.rn = {_BOOT_B - 1}
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for mean order value per priority
+    via the SINGLE-PASS Poisson bootstrap: instead of materializing B
+    resamples, each row draws a Poisson(1) replication weight per
+    replicate b from the content hash md5(key:b) — the streaming-bootstrap
+    trick (Chamandy et al., Google) that makes resampling mergeable and
+    partition-proof, exactly what a 100 TB table needs (no multiplicity-B
+    data copy, no coordinated RNG state; the hash IS the randomness, so
+    any re-partitioning reproduces the draw). Weights come from integer
+    CDF thresholds on the 16-bit hash (identical literals in both
+    engines); each replicate mean is a ratio of exact integer sums, and
+    the CI bounds are nearest-rank order statistics of the B=64 replicate
+    means (rank 2 / rank 63 ≈ 2.5%/97.5%) — picked by row_number, never
+    interpolated, so there is no percentile-interpolation float hazard.
+
+    100 TB: the replicate dimension multiplies the partial-agg input ×B
+    but the shuffle only carries |groups|·B partial sums; everything
+    before the 64-row-per-group rank step is map-side."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = base.withColumn(
+        "rb", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    ).withColumn(
+        "w",
+        F.expr(
+            _pois_case(
+                "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
+                "':', CAST(rb AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+            )
+        ),
+    )
+    means = rep.groupBy("pri", "rb").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w")
+            / 100
+        ).alias("mean_b")
+    )
+    w_rank = Window.partitionBy("pri").orderBy("mean_b", "rb")
+    ranked = means.withColumn("rn", F.row_number().over(w_rank))
+    pt = base.groupBy("pri").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("cents").cast("double") / F.count("*") / 100).alias("mean"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("pri").alias("pri_lo"), F.col("mean_b").alias("lo")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_B - 1).select(
+        F.col("pri").alias("pri_hi"), F.col("mean_b").alias("hi")
+    )
+    return (
+        pt.join(F.broadcast(lo), pt.pri == lo.pri_lo)
+        .join(F.broadcast(hi), pt.pri == hi.pri_hi)
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n",
+            F.round("mean", 4).alias("mean"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+        )
+    )

@@ -189,3 +189,46 @@ def sample_priority_topk(spark, sf_dir):
             "o_orderkey", "o_totalprice", F.round("priority_raw", 4).alias("priority")
         )
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH k AS (
+        SELECT min(cnt) AS k FROM (
+            SELECT count(*) AS cnt FROM documents GROUP BY lang
+        )
+    )
+    SELECT lang, doc_id, n_chars
+    FROM documents, k
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= k.k
+    """,
+)
+def sample_balanced_classes(spark, sf_dir):
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents (the majority classes are downsampled to the
+    measured minority count — en is ~3x fr in this corpus), chosen in the
+    deterministic md5 order so the balanced subset is reproducible across
+    engines and re-partitionings. The per-class k is MEASURED (one tiny
+    groupBy→min aggregate carried as a 1-row broadcast), the same
+    measured-cardinality pattern as adaptive_n_blocks — never a config
+    constant that goes stale as the corpus grows.
+
+    100 TB: one shuffle on the class key with map-side partial top-k
+    (rank <= k prunes per partition); the k probe costs one scalar agg.
+    The balanced-mixture alternative with repetition is
+    sample_mix_rebalance; this is the strict no-repetition variant."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.groupBy("lang").count().agg(F.min("count").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.crossJoin(F.broadcast(k))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("lang", "doc_id", "n_chars")
+    )

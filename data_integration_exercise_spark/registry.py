@@ -317,6 +317,8 @@ _ADDED_R5 = [
     "join_bloom_prefilter",
     "dedup_soft_weights",
     "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "sample_balanced_classes",
 ]
 
 

@@ -125,3 +125,20 @@ def test_heavy_hitters_matches_exact_groupby_and_is_partitioning_proof(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_partitioning_proof(spark):
+    """ci_lo <= mean <= ci_hi for every priority on this null-ish data,
+    the CI is strictly narrower than the data range, and the draw is
+    content-hash-based so a repartitioned rerun is identical."""
+    rows = aggregates.QUERIES["agg_bootstrap_ci"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.ci_lo <= r.mean <= r.ci_hi, r
+        assert 0 < r.ci_hi - r.ci_lo < r.mean * 0.2, r
+    again = aggregates.QUERIES["agg_bootstrap_ci"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

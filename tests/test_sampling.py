@@ -66,3 +66,16 @@ def test_priority_sample_favors_heavy_weights_and_is_stable(spark):
     assert (out.priority >= out.o_totalprice * 100 - 0.01).all()
     again = sampling.QUERIES["sample_priority_topk"](spark, SF).toPandas()
     assert (out.o_orderkey.values == again.o_orderkey.values).all()
+
+
+def test_balanced_classes_equalizes_to_minority_count(spark):
+    """Every class must end at exactly the measured minority size, and
+    kept rows are a subset of the original table."""
+    from data_integration_exercise_spark.io import load_table
+
+    out = sampling.QUERIES["sample_balanced_classes"](spark, SF).toPandas()
+    orig = load_table(spark, SF, "documents").toPandas()
+    minority = orig.groupby("lang").size().min()
+    sizes = out.groupby("lang").size()
+    assert (sizes == minority).all() and len(sizes) == orig.lang.nunique()
+    assert set(out.doc_id) <= set(orig.doc_id)
