@@ -902,10 +902,10 @@ def text_hashing_vectorizer(spark, sf_dir):
     )
 
 
-@register(
-    "text_bigram_lm_score",
-    oracle="""
-    WITH toks AS (
+#: the self-trained bigram LM scoring pipeline as a reusable CTE chain —
+#: shared verbatim by text_bigram_lm_score and text_ccnet_buckets so the
+#: two oracles can never drift apart.
+_LM_SCORED_CTE = """toks AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), bg AS (
         SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -919,7 +919,13 @@ def text_hashing_vectorizer(spark, sf_dir):
         FROM bg
         JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
         JOIN c1 ON bg.w1 = c1.w1
-    )
+    )"""
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH {_LM_SCORED_CTE}
     SELECT doc_id,
            CAST(count(*) AS BIGINT)           AS n_bigrams,
            CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro,
@@ -1217,4 +1223,69 @@ def dedup_semdedup(spark, sf_dir):
         F.max(
             F.expr("10000 * dot * dot div (n2a * n2b)")
         ).cast("long").alias("max_cos2_bp"),
+    )
+
+
+@register(
+    "text_ccnet_buckets",
+    oracle=f"""
+    WITH {_LM_SCORED_CTE}, per_doc AS (
+        SELECT doc_id, CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro
+        FROM scored GROUP BY doc_id
+    ), langd AS (
+        SELECT p.doc_id, d.lang, p.avg_logp_micro
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    ), bucketed AS (
+        SELECT lang, avg_logp_micro,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logp_micro DESC, doc_id) AS b
+        FROM langd
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(avg_logp_micro) AS BIGINT) AS min_logp_micro,
+           CAST(max(avg_logp_micro) AS BIGINT) AS max_logp_micro
+    FROM bucketed GROUP BY lang, b
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per language, documents split into
+    head/middle/tail terciles of the self-trained bigram-LM score (head =
+    most probable text, the slice CCNet keeps preferentially; tail = the
+    candidates for dropping or re-review). Reuses text_bigram_lm_score's
+    scoring verbatim (the oracle shares the same CTE chain constant, so
+    the two ops cannot drift); the tercile cut is ntile(3) over the
+    deterministic (score DESC, doc_id) total order — both engines split
+    n into the same ceil/floor group sizes, so bucket membership is
+    engine-stable without any threshold constant.
+
+    100 TB: scoring is the broadcast-model pattern (tiny count model onto
+    the bigram stream); the tercile window shuffles once on lang. With
+    billions of docs per language swap ntile for the pre-aggregated
+    distributed-CDF rank (the agg_ks_test shape) — semantics identical."""
+    scored = text_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", "avg_logp_micro"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langd = scored.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logp_micro"), F.asc("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    return (
+        langd.withColumn("b", b)
+        .groupBy(
+            "lang",
+            F.when(F.col("b") == 1, "head")
+            .when(F.col("b") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("avg_logp_micro").cast("long").alias("min_logp_micro"),
+            F.max("avg_logp_micro").cast("long").alias("max_logp_micro"),
+        )
     )

@@ -506,3 +506,67 @@ def etl_gdpr_cascade(spark, sf_dir):
         .unionAll(report("orders", ord_purge, o))
         .unionAll(report("lineitem", li_purge, li))
     )
+
+
+@register(
+    "etl_cdc_deletes",
+    oracle="""
+    WITH log AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, 'I' AS op, 1 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, round(c_acctbal + 100.0, 2), c_mktsegment, 'U', 2
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, NULL, NULL, 'D', 3
+        FROM customer WHERE c_custkey % 5 = 0
+    ), latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY version DESC
+        ) AS rn
+        FROM log
+    )
+    SELECT c_custkey, c_acctbal, c_mktsegment,
+           CAST(version AS BIGINT) AS version
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def etl_cdc_deletes(spark, sf_dir):
+    """CDC apply with tombstones — the delete-aware upgrade of
+    etl_upsert_latest: a change log of inserts (v1), updates (v2, every
+    3rd key), and DELETE tombstones (v3, every 5th key) collapses to
+    latest-wins per key, and tombstoned keys VANISH from the snapshot
+    (keys divisible by 15 get updated then deleted — the delete must win).
+    This is the merge a lakehouse MERGE INTO performs; expressed as
+    union → one per-key window → filter, it needs exactly one shuffle on
+    the key and no mutable table state.
+
+    100 TB: the window partitions on the merge key (same shuffle the
+    upsert needs anyway); tombstones flow through the log as ordinary
+    rows, so retention/vacuum policy is a later filter, not a special
+    code path."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("I").alias("op"), F.lit(1).alias("version"),
+    )
+    upd = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit("U").alias("op"), F.lit(2).alias("version"),
+    )
+    dele = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"), F.lit(3).alias("version"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("version"))
+    return (
+        base.unionByName(upd).unionByName(dele)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("c_custkey", "c_acctbal", "c_mktsegment",
+                F.col("version").cast("long").alias("version"))
+    )

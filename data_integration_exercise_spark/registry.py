@@ -319,6 +319,8 @@ _ADDED_R5 = [
     "sim_mmr_diversify",
     "agg_bootstrap_ci",
     "sample_balanced_classes",
+    "etl_cdc_deletes",
+    "text_ccnet_buckets",
 ]
 
 

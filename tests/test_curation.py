@@ -198,3 +198,23 @@ def test_semdedup_matches_numpy_reference(spark):
                 c, d, n, m = want.get(ids[j], (assign[j], ids[i], 0, 0))
                 want[ids[j]] = (assign[j], min(d, ids[i]), n + 1, max(m, bp))
     assert got == want and len(want) > 0
+
+
+def test_ccnet_buckets_are_terciles_with_ordered_ranges(spark):
+    """Per lang: three buckets whose sizes differ by at most 1 and sum to
+    the doc count; head score range sits at-or-above middle, middle
+    at-or-above tail (weak inequalities: ties can straddle a cut)."""
+    out = curation.QUERIES["text_ccnet_buckets"](spark, SF).toPandas()
+    docs = curation.QUERIES["text_bigram_lm_score"](spark, SF).toPandas()
+    from data_integration_exercise_spark.io import load_table
+
+    langs = load_table(spark, SF, "documents").toPandas()
+    per_lang = langs.groupby("lang").size()
+    for lang, g in out.groupby("lang"):
+        assert set(g.bucket) == {"head", "middle", "tail"}
+        assert g.n_docs.sum() == per_lang[lang]
+        assert g.n_docs.max() - g.n_docs.min() <= 1
+        gd = g.set_index("bucket")
+        assert gd.loc["head", "min_logp_micro"] >= gd.loc["middle", "max_logp_micro"] - 0
+        assert gd.loc["middle", "min_logp_micro"] >= gd.loc["tail", "max_logp_micro"] - 0
+    assert len(docs) == per_lang.sum()

@@ -74,3 +74,20 @@ def test_gdpr_cascade_counts_are_consistent(spark):
     assert rows["customer"].rows_purged == expect
     assert rows["orders"].rows_purged > 0
     assert rows["lineitem"].rows_purged > rows["orders"].rows_purged
+
+
+def test_cdc_deletes_tombstones_win_and_counts_reconcile(spark):
+    """Keys % 5 == 0 must be absent (even when also updated: % 15 keys get
+    U then D — delete wins); survivors carry the right version; row count
+    = n - n_deleted."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = etl.QUERIES["etl_cdc_deletes"](spark, SF).toPandas()
+    c = load_table(spark, SF, "customer").select("c_custkey").toPandas()
+    n, n_del = len(c), (c.c_custkey % 5 == 0).sum()
+    assert len(out) == n - n_del
+    assert not (out.c_custkey % 5 == 0).any()
+    assert (out[out.c_custkey % 3 == 0].version == 2).all()
+    assert (out[out.c_custkey % 3 != 0].version == 1).all()
