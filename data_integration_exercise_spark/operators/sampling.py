@@ -148,7 +148,8 @@ def sample_train_valid_test(spark, sf_dir):
                   + 1) AS priority
         FROM orders
     )
-    SELECT o_orderkey, o_totalprice, round(priority, 4) AS priority
+    SELECT o_orderkey, o_totalprice,
+           CAST(floor(priority) AS BIGINT) AS priority_floor
     FROM pri
     ORDER BY priority DESC, o_orderkey
     LIMIT 100
@@ -165,7 +166,10 @@ def sample_priority_topk(spark, sf_dir):
     is ONE exact integer product (< 2^53) followed by ONE IEEE division,
     which both engines round identically — unlike the textbook u^(1/w)
     exponent form whose transcendental log/pow has no cross-engine
-    rounding guarantee.
+    rounding guarantee. The reported priority is FLOORED to an integer
+    (floor of identical doubles is identical) rather than round()ed —
+    Spark and DuckDB round() disagree on decimal-terminating ties (README
+    discipline list), floor never does.
 
     100 TB: global top-k, not a global sort — Spark's
     TakeOrderedAndProject keeps k rows per partition map-side and merges
@@ -186,7 +190,9 @@ def sample_priority_topk(spark, sf_dir):
         .orderBy(F.desc("priority_raw"), "o_orderkey")
         .limit(100)
         .select(
-            "o_orderkey", "o_totalprice", F.round("priority_raw", 4).alias("priority")
+            "o_orderkey",
+            "o_totalprice",
+            F.floor("priority_raw").cast("long").alias("priority_floor"),
         )
     )
 

@@ -63,7 +63,8 @@ def test_priority_sample_favors_heavy_weights_and_is_stable(spark):
         load_table(spark, SF, "orders").agg(F.avg("o_totalprice")).first()[0]
     )
     assert out.o_totalprice.mean() > pop_mean
-    assert (out.priority >= out.o_totalprice * 100 - 0.01).all()
+    # priority = w/u with u <= 1, so floor(priority) >= cents - 1
+    assert (out.priority_floor >= (out.o_totalprice * 100).round() - 1).all()
     again = sampling.QUERIES["sample_priority_topk"](spark, SF).toPandas()
     assert (out.o_orderkey.values == again.o_orderkey.values).all()
 
