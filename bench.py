@@ -60,6 +60,17 @@ NEW_TIER = [
     "sim_nearest_centroid",
 ]
 
+# Round-5 additions (the most plan-complex of the 16), benched median-of-3
+# from round 6 on so regressions there are attributable round-over-round.
+R5_TIER = [
+    "dedup_semdedup",
+    "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "agg_heavy_hitters",
+    "join_interval_overlap",
+    "dedup_soft_weights",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,11 +86,11 @@ def main() -> None:
     # drift vs r01 was unattributable from single runs); single timed run for
     # the extension tier to bound total bench wall-clock.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE + NEW_TIER:
+    for key in HEADLINE + NEW_TIER + R5_TIER:
         if key not in qs:
             continue
         fn = qs[key]
-        reps = n_runs if (key in HEADLINE[:6] or key in NEW_TIER) else 1
+        reps = n_runs if (key in HEADLINE[:6] or key in NEW_TIER or key in R5_TIER) else 1
         try:
             fn(spark, sf_dir).collect()  # warm-up (discarded)
             runs = []
@@ -103,6 +114,9 @@ def main() -> None:
     new_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in NEW_TIER), 4
     )
+    r5_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R5_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -117,6 +131,7 @@ def main() -> None:
         "unit": "sec",
         "extended_total": total,
         "new_tier_total": new_tier_total,
+        "r5_tier_total": r5_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

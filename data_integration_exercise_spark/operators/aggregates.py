@@ -1301,12 +1301,18 @@ def _pois_case(h: str) -> str:
         SELECT o_orderpriority AS pri, o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders
+    ), hashed AS (
+        SELECT pri, cents,
+               list_transform(range(8),
+                   g -> md5(CAST(o_orderkey AS VARCHAR)
+                            || ':' || CAST(g AS VARCHAR))) AS hs
+        FROM base
     ), rep AS (
         SELECT b.pri, b.cents, t.i AS rb,
-               {_pois_case("('0x' || substr(md5(CAST(b.o_orderkey AS VARCHAR) "
-                           "|| ':' || CAST(t.i AS VARCHAR)), 1, 4))::BIGINT")}
+               {_pois_case("('0x' || substr(b.hs[t.i // 8 + 1], "
+                           "1 + 4 * (t.i % 8), 4))::BIGINT")}
                    AS w
-        FROM base b CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS i) t
+        FROM hashed b CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS i) t
     ), means AS (
         SELECT pri, rb,
                CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100 AS mean_b
@@ -1355,14 +1361,24 @@ def agg_bootstrap_ci(spark, sf_dir):
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    rep = base.withColumn(
+    # one md5 yields eight independent 16-bit draws; computing the 8 row
+    # hashes BEFORE the xB explode cuts per-replicate work to substr+conv
+    # (measured 8.0 s -> see SURVEY round-5 notes; 64 md5/row -> 8 md5/row)
+    hashed = base.withColumn(
+        "hs",
+        F.expr(
+            "transform(sequence(0, 7), "
+            "g -> md5(concat(CAST(o_orderkey AS STRING), ':', CAST(g AS STRING))))"
+        ),
+    )
+    rep = hashed.withColumn(
         "rb", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     ).withColumn(
         "w",
         F.expr(
             _pois_case(
-                "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), "
-                "':', CAST(rb AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+                "CAST(conv(substring(hs[rb div 8], "
+                "1 + 4 * (rb % 8), 4), 16, 10) AS BIGINT)"
             )
         ),
     )
