@@ -177,3 +177,27 @@ def test_exchange_reuse_plan(spark):
     assert len(df.collect()) > 0  # AQE finalizes the plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_interval_overlap_checkpoint_prevents_double_fact_scan(spark):
+    """The span rollup is localCheckpointed before the self-join, so the
+    final plan must read the checkpointed RDD and contain NO parquet scan
+    of lineitem (a refactor dropping the checkpoint would re-execute the
+    orders-by-lineitem aggregate on both join sides)."""
+    from data_integration_exercise_spark.operators import joins
+
+    df = joins.QUERIES["join_interval_overlap"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "span checkpoint dropped: fact rescan is back"
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_heavy_hitters_candidates_are_broadcast(spark):
+    """The exact-recount pass must join the token stream against the tiny
+    MG candidate set via broadcast — a shuffle join here would defeat the
+    bounded-memory design."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    df = aggregates.QUERIES["agg_heavy_hitters"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
