@@ -1289,3 +1289,124 @@ def text_ccnet_buckets(spark, sf_dir):
             F.max("avg_logp_micro").cast("long").alias("max_logp_micro"),
         )
     )
+
+
+@register(
+    "pipeline_corpus_curate",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST((n_chars - len(string_split(text, ' ')) + 1) * 100
+                    // len(string_split(text, ' ')) AS BIGINT) AS mtl,
+               CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                    // len(string_split(text, ' ')) AS BIGINT) AS ttr,
+               CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                                    t -> t IN ('a', 'the'))) AS BIGINT) AS nst
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, lang, text FROM m
+        WHERE n_tokens BETWEEN 20 AND 90 AND mtl BETWEEN 400 AND 520
+          AND ttr >= 300 AND nst >= 1
+    ), fp AS (
+        SELECT doc_id, lang,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',')
+                   AS fingerprint
+        FROM kept
+    ), uniq AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM fp
+        ) WHERE rn = 1
+    ), splits AS (
+        SELECT lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        FROM (SELECT lang,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                     % 100 AS b
+              FROM uniq)
+    ), audit AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(count(*) FILTER (k.doc_id IS NOT NULL) AS BIGINT)
+                   AS n_quality,
+               CAST(count(*) FILTER (u.doc_id IS NOT NULL) AS BIGINT)
+                   AS n_unique
+        FROM documents d
+        LEFT JOIN kept k ON k.doc_id = d.doc_id
+        LEFT JOIN uniq u ON u.doc_id = d.doc_id
+        GROUP BY d.lang
+    )
+    SELECT s.lang, s.split, CAST(count(*) AS BIGINT) AS n_docs,
+           a.n_raw, a.n_quality, a.n_unique
+    FROM splits s JOIN audit a ON a.lang = s.lang
+    GROUP BY s.lang, s.split, a.n_raw, a.n_quality, a.n_unique
+    """,
+)
+def pipeline_corpus_curate(spark, sf_dir):
+    """End-to-end corpus curation in ONE lazy plan — the composition the
+    individual operators exist for: Gopher quality gate → exact-fingerprint
+    dedup (keep lowest id per duplicate group) → deterministic 80/10/10
+    content-hash split, emitting the per-(lang, split) counts with the
+    per-lang funnel audit (raw → quality-kept → unique) attached. Each
+    stage reuses the exact semantics of its standalone operator
+    (text_gopher_quality's thresholds, dedup_exact_text's fingerprint,
+    sample_train_valid_test's buckets), so this op doubles as an
+    integration test that the pieces compose without materialization
+    between stages.
+
+    100 TB: quality is scan-speed map work; dedup is one shuffle on the
+    fingerprint; the split is a map; the audit rides the same frame with
+    two broadcast-sized left joins. Catalyst pipelines all of it — no
+    intermediate writes, exactly how a production curation DAG should
+    run before its single sink."""
+    d = load_table(spark, sf_dir, "documents")
+    g = text_gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    kept = (
+        d.select("doc_id", "lang", "text")
+        .join(g, "doc_id")
+        .filter(F.col("keep"))
+        .drop("keep")
+    )
+    fp = kept.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split("text", " "))), ","
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    splits = uniq.select(
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias(
+            "split"
+        ),
+    )
+    audit = (
+        d.select("doc_id", "lang")
+        .join(kept.select(F.col("doc_id").alias("kd")), F.col("doc_id") == F.col("kd"), "left")
+        .join(uniq.select(F.col("doc_id").alias("ud")), F.col("doc_id") == F.col("ud"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.count("kd").cast("long").alias("n_quality"),
+            F.count("ud").cast("long").alias("n_unique"),
+        )
+    )
+    return (
+        splits.groupBy("lang", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(F.broadcast(audit), "lang")
+        .select("lang", "split", "n_docs", "n_raw", "n_quality", "n_unique")
+    )

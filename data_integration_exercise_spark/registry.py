@@ -321,6 +321,7 @@ _ADDED_R5 = [
     "sample_balanced_classes",
     "etl_cdc_deletes",
     "text_ccnet_buckets",
+    "pipeline_corpus_curate",
 ]
 
 

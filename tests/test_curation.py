@@ -218,3 +218,18 @@ def test_ccnet_buckets_are_terciles_with_ordered_ranges(spark):
         assert gd.loc["head", "min_logp_micro"] >= gd.loc["middle", "max_logp_micro"] - 0
         assert gd.loc["middle", "min_logp_micro"] >= gd.loc["tail", "max_logp_micro"] - 0
     assert len(docs) == per_lang.sum()
+
+
+def test_corpus_curate_funnel_is_consistent_with_standalone_stages(spark):
+    """n_raw >= n_quality >= n_unique per lang; per-lang split counts sum
+    to n_unique; and the quality stage agrees with text_gopher_quality's
+    own keep column."""
+    out = curation.QUERIES["pipeline_corpus_curate"](spark, SF).toPandas()
+    g = curation.QUERIES["text_gopher_quality"](spark, SF).toPandas()
+    for lang, grp in out.groupby("lang"):
+        a = grp.iloc[0]
+        assert a.n_raw >= a.n_quality >= a.n_unique > 0
+        assert grp.n_docs.sum() == a.n_unique
+        assert (grp[["n_raw", "n_quality", "n_unique"]].nunique() == 1).all()
+        assert a.n_quality == g[g.lang == lang]["keep"].sum()
+    assert set(out.split) == {"train", "valid", "test"}
