@@ -322,6 +322,7 @@ _ADDED_R5 = [
     "etl_cdc_deletes",
     "text_ccnet_buckets",
     "pipeline_corpus_curate",
+    "stream_cdc_upsert",
 ]
 
 

@@ -440,3 +440,107 @@ def stream_stream_join(spark, sf_dir):
         "inner",
     ).select("user_id", "view_id", "purchase_id", "view_ts_us", "purchase_ts_us")
     return _parquet_result(spark, joined, "stream_stream_join", "append")
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_ns(ts) // 1000 AS t, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_type,
+           cents      AS last_cents,
+           t          AS last_t
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_upsert(spark, sf_dir):
+    """Streaming CDC upsert — the foreachBatch MERGE pattern every
+    lakehouse sink runs: the event log streams in 4 time-ranged files
+    (one per micro-batch); each batch reduces to its per-user latest row,
+    then merges latest-wins into a parquet snapshot, with 'error' events
+    acting as DELETE tombstones. Tombstones PERSIST in the snapshot state
+    (a filtered-out tombstone would let an older batch's value
+    resurrect) and are dropped only in the returned view. Because the
+    merge is associative latest-wins on a deterministic (t, event_id)
+    order, the final snapshot is independent of batch boundaries — which
+    is exactly what makes it hash-verifiable against the batch oracle,
+    and what makes the pattern safe under reprocessing/backfill in
+    production. The batch-local reduce before the merge keeps per-batch
+    state traffic at |users in batch|, not |events|.
+
+    100 TB: swap the parquet overwrite for MERGE INTO on a transactional
+    table format; the per-batch shape (reduce -> keyed merge) is
+    unchanged, and state size is bounded by live keys, not stream
+    length."""
+    from pyspark.sql import Window
+
+    src = _staged_events_stream(spark, sf_dir, n_files=4)
+    snap = f"/tmp/die_spark_stage/p{os.getpid()}/sink/stream_cdc_upsert_state"
+    ckpt = f"/tmp/die_spark_stage/p{os.getpid()}/sink/stream_cdc_upsert_ckpt"
+    import shutil
+
+    # fresh state AND checkpoint per invocation: a stale checkpoint would
+    # mark the staged files already-consumed and skip every batch
+    shutil.rmtree(snap, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+
+    def merge(batch_df, _id):
+        b = batch_df.select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("t"),
+            "event_id",
+        )
+        latest_b = b.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+        bspark = batch_df.sparkSession
+        if os.path.isdir(snap):
+            merged = (
+                bspark.read.parquet(snap)
+                .unionByName(latest_b)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            # materialize before overwriting the path we just read
+            merged = merged.localCheckpoint()
+        else:
+            merged = latest_b
+        merged.write.mode("overwrite").parquet(snap)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            src.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(snap)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("cents").alias("last_cents"),
+            F.col("t").alias("last_t"),
+        )
+    )

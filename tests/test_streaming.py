@@ -113,3 +113,35 @@ def test_live_unbounded_rate_source_semantics(spark):
     )
     wm_bound = et_max - pd.Timedelta(seconds=2)
     assert (pd.to_datetime(out.we) <= wm_bound).all(), (out.we.max(), wm_bound)
+
+
+def test_cdc_upsert_state_spans_batches_and_tombstones_win(spark):
+    """The snapshot must reflect per-user latest across ALL 4 micro-batches
+    (not just the last file): every user whose final event is an 'error'
+    tombstone is absent; every other user carries their true last event."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = {r.user_id: r for r in streams.QUERIES["stream_cdc_upsert"](spark, SF).collect()}
+    e = load_table(spark, SF, "events")
+    w_last = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts_us"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    for r in w_last:
+        if r.event_type == "error":
+            assert r.user_id not in out
+        else:
+            got = out[r.user_id]
+            assert got.last_type == r.event_type
+            assert got.last_t == r.ts_us
