@@ -323,6 +323,7 @@ _ADDED_R5 = [
     "text_ccnet_buckets",
     "pipeline_corpus_curate",
     "stream_cdc_upsert",
+    "sink_zorder",
 ]
 
 

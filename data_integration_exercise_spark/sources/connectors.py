@@ -675,3 +675,93 @@ def plan_runtime_filter(spark, sf_dir):
             prev_th,
         )
     return spark.read.parquet(path)
+
+
+_ZORDER_STAGED: set[str] = set()
+
+#: Z-order interleave of 11 partkey bits with 11 day bits — sized to the
+#: DOMAINS (ship-day span ~1300, partkey ~2k at sf0.01): oversized caps
+#: would zero the top interleaved bits and waste exactly the bits coarse
+#: row-group pruning sees first. Generated as one codegen'd integer
+#: expression (literal shifts), no UDF.
+_Z_BITS = 11
+_Z_EXPR = " + ".join(
+    f"(shiftleft(shiftright(_day, {i}) & 1, {2 * i + 1})"
+    f" + shiftleft(shiftright(_part, {i}) & 1, {2 * i}))"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "sink_zorder",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    WHERE l_partkey >= 1000 AND l_partkey < 1500
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sink_zorder(spark, sf_dir):
+    """Z-order (Morton-curve) clustered sink + 2-D box query: lineitem is
+    written sorted by the bit-interleave of (l_partkey, ship-day), so
+    parquet row-group min/max stats become selective in BOTH dimensions
+    at once — the multi-dimensional upgrade of sink_clustered's 1-D range
+    layout, and the layout trick behind Delta/Iceberg OPTIMIZE ZORDER.
+    The interleave is one codegen'd integer expression (literal shifts,
+    no UDF); the result of the box query is layout-independent, which is
+    what the oracle checks — the LAYOUT benefit is pinned by the plan
+    test, which measures the scan's numOutputRows: on this corpus a
+    partkey-range predicate reads ~10% of rows from the z-layout vs 100%
+    from a date-clustered copy (row-group stats pruning, measured at
+    sf0.1).
+
+    100 TB: z-ordering is how a petabyte fact table serves range filters
+    on two+ dimensions without a second physically-sorted copy; write
+    cost is one range-repartition + local sort, query cost falls by the
+    box selectivity."""
+    path = _stage_dir(sf_dir, "sink_zorder")
+    if path not in _ZORDER_STAGED:
+        li = load_table(spark, sf_dir, "lineitem")
+        day = F.greatest(
+            F.lit(0),
+            F.least(
+                F.datediff(
+                    F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+                ),
+                F.lit(2 ** _Z_BITS - 1),
+            ),
+        )
+        part = F.least(F.col("l_partkey"), F.lit(2 ** _Z_BITS - 1))
+        (
+            li.withColumn("_day", day.cast("long"))
+            .withColumn("_part", part.cast("long"))
+            .withColumn("_z", F.expr(_Z_EXPR))
+            # 32 output files = 32+ row groups: pruning granularity follows
+            # the file count, and 8 groups expose only the top 3 z bits
+            .repartitionByRange(32, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_day", "_part", "_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _ZORDER_STAGED.add(path)
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    return (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("l_partkey") >= 1000)
+            & (F.col("l_partkey") < 1500)
+            & (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )
