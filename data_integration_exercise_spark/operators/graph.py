@@ -375,3 +375,117 @@ def graph_link_prediction(spark, sf_dir):
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+_BFS_MAX_DEPTH = 8
+_BFS_SEEDS = 5
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), seeds AS (
+        SELECT src AS node FROM (
+            SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rn FROM deg
+        ) WHERE rn <= """
+        + str(_BFS_SEEDS)
+        + """
+    ), d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+    v0 AS MATERIALIZED (SELECT node FROM d0)"""
+    ]
+    for k in range(1, _BFS_MAX_DEPTH + 1):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and the
+        # v-chain references each prior level twice, so inlining would
+        # duplicate the edge join 2^depth times (measured: the un-hinted
+        # 8-level unroll never finishes).
+        parts.append(f""",
+    d{k} AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS node, {k} AS dist
+        FROM edges e JOIN d{k - 1} p ON e.src = p.node
+        WHERE e.dst NOT IN (SELECT node FROM v{k - 1})
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT node FROM v{k - 1} UNION SELECT node FROM d{k})""")
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT node, dist FROM d{k}" for k in range(_BFS_MAX_DEPTH + 1)
+    )
+    parts.append(f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           CAST(dist AS BIGINT) AS dist
+    FROM ({union})""")
+    return "".join(parts)
+
+
+@register("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark, sf_dir):
+    """Multi-source BFS: hop distance of every reachable node from the 5
+    highest-degree suppliers/customers (ties to lowest id) — the
+    blast-radius / influence-distance query. Spark runs the frontier
+    loop: each round joins the frontier against the edge list, distincts
+    the next ring, and anti-joins everything already visited; the
+    frontier and visited sets localCheckpoint per round so no round
+    re-executes prior lineage (the graph_pagerank lesson). The loop stops
+    when the frontier empties and RAISES if depth exceeds the oracle's
+    unrolled 8 levels — the answer can therefore never silently diverge
+    from the static-CTE oracle. Unreached components are absent from the
+    output on both sides by construction.
+
+    100 TB: per round one edges⋈frontier equi-join (both sides
+    partitioned on the node key) + distinct + anti-join — the standard
+    bounded-shuffle BFS; total work is O(edges within the reached
+    ball)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("d"), F.asc("src"))
+    seeds = (
+        deg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BFS_SEEDS)
+        .select(F.col("src").alias("node"))
+    )
+    frontier = seeds.withColumn("dist", F.lit(0)).localCheckpoint()
+    visited = frontier.select("node").localCheckpoint()
+    out = [frontier]
+    depth = 0
+    while True:
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("fnode")),
+                F.col("src") == F.col("fnode"),
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        depth += 1
+        frontier = nxt.withColumn("dist", F.lit(depth)).localCheckpoint()
+        if frontier.isEmpty():
+            break
+        if depth > _BFS_MAX_DEPTH:
+            raise RuntimeError(
+                f"BFS exceeded {_BFS_MAX_DEPTH} levels; widen the oracle unroll"
+            )
+        out.append(frontier)
+        visited = visited.unionByName(frontier.select("node")).localCheckpoint()
+    alld = out[0]
+    for f_ in out[1:]:
+        alld = alld.unionByName(f_)
+    return alld.select(
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("node_key"),
+        F.col("dist").cast("long").alias("dist"),
+    )

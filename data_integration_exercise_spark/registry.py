@@ -324,6 +324,7 @@ _ADDED_R5 = [
     "pipeline_corpus_curate",
     "stream_cdc_upsert",
     "sink_zorder",
+    "graph_bfs_distances",
 ]
 
 

@@ -72,3 +72,46 @@ def test_link_prediction_scores_nonadjacent_pairs_only(spark):
         assert r.u < r.v
         assert r.common_neighbors >= 1
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_bfs_distances_match_python_bfs(spark):
+    """Replay the multi-source BFS in pure python adjacency sets and
+    compare every node's distance exactly."""
+    from collections import defaultdict, deque
+
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.node_type, r.node_key): r.dist
+        for r in graph.QUERIES["graph_bfs_distances"](spark, sf).collect()
+    }
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select((F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s"))
+        .distinct()
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r.c].add(r.s)
+        adj[r.s].add(r.c)
+    deg = sorted(((len(v), -k) for k, v in adj.items()), reverse=True)
+    seeds = [-k for _, k in deg[:5]]
+    dist = {n: 0 for n in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = {
+        ("customer" if n % 2 == 0 else "supplier", n // 2): d
+        for n, d in dist.items()
+    }
+    assert got == want and len(want) > 0
