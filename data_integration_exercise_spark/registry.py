@@ -325,6 +325,7 @@ _ADDED_R5 = [
     "stream_cdc_upsert",
     "sink_zorder",
     "graph_bfs_distances",
+    "scan_manifest_pruned",
 ]
 
 

@@ -765,3 +765,81 @@ def sink_zorder(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
     )
+
+
+_MANIFEST_STAGED: set[str] = set()
+
+
+@register(
+    "scan_manifest_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l_extendedprice), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_manifest_pruned(spark, sf_dir):
+    """Manifest-based FILE-level pruning — the Delta/Iceberg table-format
+    mechanism hand-rolled on plain parquet: the write stage lands lineitem
+    as 16 shipdate-range files and records per-file (min, max) shipdate
+    stats in a manifest; the read stage consults the MANIFEST first and
+    hands Spark only the files whose range overlaps the predicate. Plain
+    parquet cannot skip whole FILES on a non-partition predicate (the
+    reader must open every footer; row-group stats prune within a file) —
+    the manifest moves that decision to planning time, which is exactly
+    what a table format's metadata layer does. The driver-side manifest
+    read is bounded by the FILE count (planning metadata, not data). The
+    query answer is layout-independent — the oracle checks that; the
+    file-skipping is pinned by the plan test via the scan's numFiles
+    metric.
+
+    100 TB: the manifest is the difference between listing+opening a
+    million footers and reading a KB-scale stats table; every lakehouse
+    query planner starts here."""
+    base = _stage_dir(sf_dir, "scan_manifest")
+    data, manifest = base + "/data", base + "/manifest"
+    if base not in _MANIFEST_STAGED:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(16, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        (
+            spark.read.parquet(data)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("l_shipdate").alias("min_ship"),
+                F.max("l_shipdate").alias("max_ship"),
+                F.count("*").alias("n_rows"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )
+        _MANIFEST_STAGED.add(base)
+    lo = F.lit("1997-03-01").cast("timestamp_ntz")
+    hi = F.lit("1997-06-01").cast("timestamp_ntz")
+    # planning step: select overlapping files from the manifest (bounded by
+    # file count — metadata, not data)
+    files = [
+        r.file
+        for r in spark.read.parquet(manifest)
+        .filter((F.col("min_ship") < hi) & (F.col("max_ship") >= lo))
+        .select("file")
+        .collect()
+    ]
+    return (
+        spark.read.parquet(*files)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+    )

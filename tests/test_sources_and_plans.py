@@ -249,3 +249,33 @@ def test_zorder_layout_prunes_rowgroups_in_both_dimensions(spark):
     assert d_rows == total, "date layout unexpectedly pruned a partkey filter"
     assert z_rows <= total // 2, (z_rows, total)
     assert z_rows < d_rows
+
+
+def test_manifest_pruning_skips_files_at_planning_time(spark):
+    """The manifest-planned read must touch a strict subset of the 16
+    staged files (numFiles metric) and still return the exact answer of
+    an all-files read."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.sources import connectors
+
+    sf = "/root/testdata/sf0.01"
+    df = connectors.QUERIES["scan_manifest_pruned"](spark, sf)
+    got = {tuple(r) for r in df.collect()}
+    nf = len(df.inputFiles())
+    assert 0 < nf < 16, f"manifest pruning read {nf} files"
+    data = connectors._stage_dir(sf, "scan_manifest") + "/data"
+    lo = F.lit("1997-03-01").cast("timestamp_ntz")
+    hi = F.lit("1997-06-01").cast("timestamp_ntz")
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(data)
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
