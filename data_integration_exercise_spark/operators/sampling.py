@@ -238,3 +238,62 @@ def sample_balanced_classes(spark, sf_dir):
         .filter(F.col("rn") <= F.col("k"))
         .select("lang", "doc_id", "n_chars")
     )
+
+
+_TEMP_K = 300  # total docs in the temperature-balanced mix
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH n AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, nl, CAST(floor(sqrt(nl)) AS BIGINT) AS sl FROM n
+    ), tot AS (
+        SELECT CAST(sum(sl) AS BIGINT) AS s FROM w
+    ), k AS (
+        SELECT lang, nl, sl, ({_TEMP_K} * sl) // tot.s AS kl FROM w, tot
+    )
+    SELECT d.lang, d.doc_id, d.n_chars
+    FROM documents d JOIN k ON k.lang = d.lang
+    QUALIFY row_number() OVER (
+        PARTITION BY d.lang
+        ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+    ) <= k.kl
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mix (the mT5/XLM-R α-sampling rule at
+    α = 0.5): per-language quotas ∝ √n_lang, so low-resource languages are
+    up-weighted relative to their raw share without majority languages
+    vanishing — the standard pretraining-mix compromise between
+    proportional and uniform. Determinism: the weight is floor(√n) as an
+    INTEGER (IEEE sqrt of an integer is correctly rounded and identical
+    in both engines, floor makes it discrete), the normalizer is the
+    integer sum of those weights, and each quota is one integer
+    floor-division — no float normalization sum whose order could
+    differ. Selection inside a language is the reproducible md5 order.
+
+    100 TB: the quota table is |langs| rows (broadcast); selection is the
+    same one-shuffle partial-top-k as sample_k_per_stratum. The quotas
+    adapt to the measured distribution — nothing is hard-coded."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        d.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("nl"))
+        .withColumn("sl", F.floor(F.sqrt(F.col("nl"))).cast("long"))
+    )
+    tot = w.agg(F.sum("sl").cast("long").alias("s"))
+    k = w.crossJoin(F.broadcast(tot)).select(
+        "lang", F.expr(f"({_TEMP_K} * sl) div s").alias("kl")
+    )
+    win = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.join(F.broadcast(k), "lang")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= F.col("kl"))
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -326,6 +326,7 @@ _ADDED_R5 = [
     "sink_zorder",
     "graph_bfs_distances",
     "scan_manifest_pruned",
+    "sample_temperature_mix",
 ]
 
 

@@ -80,3 +80,29 @@ def test_balanced_classes_equalizes_to_minority_count(spark):
     sizes = out.groupby("lang").size()
     assert (sizes == minority).all() and len(sizes) == orig.lang.nunique()
     assert set(out.doc_id) <= set(orig.doc_id)
+
+
+def test_temperature_mix_upweights_low_resource_langs(spark):
+    """The √n quota must give minority languages a LARGER share of the mix
+    than their raw corpus share, majority languages a smaller one, and
+    per-lang counts must equal the integer quota exactly."""
+    import math
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = sampling.QUERIES["sample_temperature_mix"](spark, SF).toPandas()
+    orig = load_table(spark, SF, "documents").toPandas()
+    n = orig.groupby("lang").size()
+    sl = {la: math.floor(math.sqrt(v)) for la, v in n.items()}
+    S = sum(sl.values())
+    got = out.groupby("lang").size()
+    for la in n.index:
+        assert got.get(la, 0) == (300 * sl[la]) // S
+    total_out = got.sum()
+    for la in n.index:
+        raw_share = n[la] / n.sum()
+        mix_share = got[la] / total_out
+        if raw_share < 1 / len(n):
+            assert mix_share > raw_share, (la, raw_share, mix_share)
+    big = n.idxmax()
+    assert got[big] / total_out < n[big] / n.sum()
