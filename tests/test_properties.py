@@ -135,3 +135,114 @@ def test_session_window_boundary_semantics(spark):
 
     assert n_sessions("2024-01-01 00:30:00") == 1  # exact boundary merges
     assert n_sessions("2024-01-01 00:30:00.000001") == 2  # past it splits
+
+
+# --- pure-python hypothesis properties of round-5 algorithmic cores -------
+
+
+def test_cusum_closed_form_equals_recursion_hypothesis():
+    """win_cusum_drift's distributed closed form S_i = P_i - min(0, min
+    prefix P) must equal the sequential recursion max(0, S+x) for ANY
+    integer series (the operator relies on this identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=60))
+    def check(xs):
+        prefix, mn, s = 0, 0, 0
+        for x in xs:
+            prefix += x
+            mn = min(mn, prefix)
+            s = max(0, s + x)
+            assert prefix - min(mn, 0) == s
+
+    check()
+
+
+def test_misra_gries_candidates_superset_of_heavy_hitters_hypothesis():
+    """The per-partition mergeable MG summary (value_counts merge + trim by
+    the (k+1)-th largest) must keep every item with global count > n/k,
+    for any stream split into any batches — the guarantee
+    agg_heavy_hitters' exact recount depends on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 5
+
+    def mg(batches):
+        counters: dict[int, int] = {}
+        for batch in batches:
+            for t, c in Counter(batch).items():
+                counters[t] = counters.get(t, 0) + c
+            if len(counters) > K:
+                sub = sorted(counters.values(), reverse=True)[K]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        return set(counters)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 12), min_size=1, max_size=120),
+        st.integers(1, 5),
+    )
+    def check(stream, n_batches):
+        size = max(1, len(stream) // n_batches)
+        batches = [stream[i : i + size] for i in range(0, len(stream), size)]
+        cands = set().union(*(mg([b]) for b in batches))  # per-partition union
+        n = len(stream)
+        for item, cnt in Counter(stream).items():
+            if cnt * K > n:
+                assert item in cands, (item, cnt, n, cands)
+
+    check()
+
+
+def test_zorder_interleave_is_bijective_and_monotone_per_dim_hypothesis():
+    """The sink_zorder bit interleave must be injective over the capped
+    domain (distinct (day, part) -> distinct z) and monotone in each
+    dimension when the other is fixed — the properties range-partitioning
+    on z relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    B = 11
+
+    def z(day, part):
+        out = 0
+        for i in range(B):
+            out += (((day >> i) & 1) << (2 * i + 1)) + (((part >> i) & 1) << (2 * i))
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(0, 2**B - 1),
+        st.integers(0, 2**B - 1),
+        st.integers(0, 2**B - 1),
+        st.integers(0, 2**B - 1),
+    )
+    def check(d1, p1, d2, p2):
+        if (d1, p1) != (d2, p2):
+            assert z(d1, p1) != z(d2, p2)
+        if d1 < d2:
+            assert z(d1, p1) < z(d2, p1)
+        if p1 < p2:
+            assert z(d1, p1) < z(d1, p2)
+
+    check()
+
+
+def test_poisson_thresholds_are_a_valid_cdf():
+    """agg_bootstrap_ci's integer thresholds must be strictly increasing,
+    bounded by 65536, and within 1 of the true Poisson(1) CDF grid."""
+    import math
+
+    from data_integration_exercise_spark.operators.aggregates import _POIS_TH
+
+    assert _POIS_TH == sorted(_POIS_TH)
+    assert all(0 < t <= 65536 for t in _POIS_TH)
+    c = 0.0
+    for k, t in enumerate(_POIS_TH):
+        c += math.exp(-1) / math.factorial(k)
+        assert abs(t - c * 65536) <= 1.0
