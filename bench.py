@@ -81,16 +81,20 @@ def main() -> None:
     qs = queries()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    # Median-of-N for the BASELINE.md-comparable six so machine-contention
-    # noise is separable from real regressions (BENCH_r02's +28% headline
-    # drift vs r01 was unattributable from single runs); single timed run for
-    # the extension tier to bound total bench wall-clock.
+    # Median-of-N for every query so machine-contention noise is separable
+    # from real regressions (BENCH_r02's +28% headline drift vs r01 was
+    # unattributable from single runs; r5's extension-tier singles drifted
+    # +25% under intra-run contention).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in HEADLINE + NEW_TIER + R5_TIER:
         if key not in qs:
             continue
         fn = qs[key]
-        reps = n_runs if (key in HEADLINE[:6] or key in NEW_TIER or key in R5_TIER) else 1
+        # median-of-N everywhere from round 5: the 25-query bench has enough
+        # intra-run contention that extension-tier singles drifted +25%
+        # vs isolated re-measurement (SURVEY §10) — medians separate that
+        # noise from real regressions at the cost of ~2 extra minutes.
+        reps = n_runs
         try:
             fn(spark, sf_dir).collect()  # warm-up (discarded)
             runs = []
@@ -100,8 +104,7 @@ def main() -> None:
                 runs.append(round(time.perf_counter() - t0, 4))
             runs.sort()
             timings[key] = runs[len(runs) // 2]
-            if reps > 1:
-                spread[key] = runs
+            spread[key] = runs
         except Exception as e:  # a broken query must not kill the bench line
             print(f"bench: {key} failed: {e}", file=sys.stderr)
             timings[key] = -1.0
