@@ -1412,3 +1412,66 @@ def agg_bootstrap_ci(spark, sf_dir):
             F.round("hi", 4).alias("ci_hi"),
         )
     )
+
+
+#: Benford's-law expected first-digit frequencies, permille (floor(1000 *
+#: log10(1 + 1/d) + 0.5) precomputed as literals — no engine transcendental)
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_PERMILLE.items()
+) + " END"
+
+
+@register(
+    "agg_benford_deviation",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS d
+        FROM orders
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM digits
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM digits GROUP BY d
+    )
+    SELECT CAST(obs.d AS BIGINT) AS digit,
+           obs.n_d,
+           CAST(1000 * obs.n_d // tot.n AS BIGINT) AS obs_permille,
+           CAST({_BENFORD_CASE} AS BIGINT) AS exp_permille,
+           CAST(1000 * obs.n_d // tot.n - ({_BENFORD_CASE}) AS BIGINT)
+               AS dev_permille
+    FROM obs, tot
+    """,
+)
+def agg_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit audit over order values — the
+    fraud/data-quality screen: observed leading-digit frequencies against
+    the log10(1+1/d) expectation. The leading digit comes from the STRING
+    form of the integer cents (×100 shifts the decimal point without
+    changing the leading significant digit), so no log10/pow runs in
+    either engine; the expected frequencies are precomputed permille
+    literals and the deviation is integer arithmetic throughout. TPC-H
+    prices are near-uniform in a fixed range, so large deviations are
+    EXPECTED here — the op verifies the measurement machinery, and its
+    docstring honestly reports that this corpus is a Benford
+    counter-example, not a conforming one.
+
+    100 TB: one map (substr of a cast) + a 9-group aggregate — scan-bound
+    with a constant-size shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).alias("d")
+    )
+    tot = digits.agg(F.count("*").cast("long").alias("n"))
+    obs = digits.groupBy("d").agg(F.count("*").cast("long").alias("n_d"))
+    exp_col = F.expr(_BENFORD_CASE).cast("long")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").cast("long").alias("digit"),
+        "n_d",
+        F.expr("1000 * n_d div n").cast("long").alias("obs_permille"),
+        exp_col.alias("exp_permille"),
+        (F.expr("1000 * n_d div n") - exp_col).cast("long").alias("dev_permille"),
+    )

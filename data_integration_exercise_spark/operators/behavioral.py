@@ -434,3 +434,59 @@ def events_anomaly_mad(spark, sf_dir):
         "mad",
         ((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad"))).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day
+    ), span AS (
+        SELECT du.user_id, t.d AS day
+        FROM du CROSS JOIN (SELECT unnest(range(7)) AS off) o
+        JOIN LATERAL (SELECT du.day + to_days(CAST(o.off AS INTEGER)) AS d) t
+          ON TRUE
+    ), wau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM span GROUP BY day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(1000 * dau.dau // wau.wau AS BIGINT) AS stickiness_permille
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the product-health ratio of daily
+    actives to trailing-7-day actives. The trailing-distinct count is the
+    interesting distributed problem: a sliding count(DISTINCT) has no
+    window form, so each (user, active-day) pair EXPLODES forward onto
+    the 7 days it keeps the user "weekly active" for, turning the sliding
+    distinct into a plain per-day distinct count — the standard
+    time-decay trick that stays one shuffle. Stickiness is an integer
+    permille floor-division. Days at the end of the observed range count
+    trailing windows that extend past the data; both engines agree
+    because the construction is identical.
+
+    100 TB: the explode is ×7 on the DEDUPLICATED (user, day) frame (far
+    smaller than the event log), then one distinct-count shuffle keyed by
+    day."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    span = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = span.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("1000 * dau div wau").cast("long").alias("stickiness_permille"),
+    )

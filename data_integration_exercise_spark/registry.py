@@ -327,6 +327,8 @@ _ADDED_R5 = [
     "graph_bfs_distances",
     "scan_manifest_pruned",
     "sample_temperature_mix",
+    "agg_benford_deviation",
+    "events_dau_wau",
 ]
 
 

@@ -142,3 +142,16 @@ def test_bootstrap_ci_brackets_mean_and_is_partitioning_proof(spark):
         spark, "/root/testdata/sf0.01"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_benford_covers_all_digits_and_permilles_sum(spark):
+    """All 9 digits appear on this corpus, observed permilles sum to
+    ~1000 (floor slack < 9), and dev = obs - exp exactly."""
+    rows = aggregates.QUERIES["agg_benford_deviation"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    s = sum(r.obs_permille for r in rows)
+    assert 1000 - 9 <= s <= 1000
+    for r in rows:
+        assert r.dev_permille == r.obs_permille - r.exp_permille

@@ -87,3 +87,26 @@ def test_mad_anomalies_match_numpy_reference(spark):
         assert (g.med == med).all() and (g.mad == mad).all()
         want = (mad > 0) & (dev > 3 * mad)
         assert (g.is_anomaly.values == want).all()
+
+
+def test_dau_wau_bounds_and_bruteforce_window(spark):
+    """dau <= wau always; stickiness in (0, 1000]; and a brute-force
+    pandas trailing-7-day distinct count must agree exactly."""
+    from data_integration_exercise_spark.io import load_table
+
+    out = behavioral.QUERIES["events_dau_wau"](spark, SF).toPandas()
+    assert (out.dau <= out.wau).all()
+    assert ((out.stickiness_permille > 0) & (out.stickiness_permille <= 1000)).all()
+    du = (
+        load_table(spark, SF, "events")
+        .selectExpr("to_date(ts) AS day", "user_id")
+        .distinct()
+        .toPandas()
+    )
+    import pandas as pd
+
+    for _, r in out.iterrows():
+        d = pd.Timestamp(r.day)
+        lo = d - pd.Timedelta(days=6)
+        mask = (pd.to_datetime(du.day) >= lo) & (pd.to_datetime(du.day) <= d)
+        assert r.wau == du[mask].user_id.nunique(), r.day
