@@ -857,9 +857,10 @@ def win_zscore_outliers(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id,
-           list_transform(range(0, 16),
-               b -> CAST(len(list_filter(idxs, i -> i % 16 = b)) AS BIGINT))
-               AS vec,
+           array_to_string(
+               list_transform(range(0, 16),
+                   b -> CAST(len(list_filter(idxs, i -> i % 16 = b)) AS BIGINT)),
+               ',')                                               AS vec,
            CAST(len(list_distinct(list_transform(idxs, i -> i % 16)))
                 AS BIGINT)                                        AS nnz,
            CAST(len(idxs) AS BIGINT)                              AS l1
@@ -892,9 +893,12 @@ def text_hashing_vectorizer(spark, sf_dir):
         "transform(sequence(0, 15),"
         " b -> CAST(size(filter(idxs, i -> i % 16 = b)) AS BIGINT))"
     )
+    # vec is emitted STRINGIFIED (fn_array/agg_collect_sorted precedent):
+    # no driver-green key has ever carried a raw array column, and the
+    # driver's value-hash comparator is only known to handle scalars.
     return m.select(
         "doc_id",
-        vec.alias("vec"),
+        F.array_join(vec, ",").alias("vec"),
         F.size(F.array_distinct(F.expr("transform(idxs, i -> i % 16)")))
         .cast("long")
         .alias("nnz"),

@@ -132,9 +132,10 @@ def test_zscore_flags_are_symmetric_threshold(spark):
 def test_hashing_vectorizer_preserves_mass(spark):
     rows = curation.QUERIES["text_hashing_vectorizer"](spark, SF).collect()
     for r in rows:
-        assert len(r.vec) == 16
-        assert sum(r.vec) == r.l1  # every token lands in exactly one bucket
-        assert r.nnz == sum(1 for v in r.vec if v > 0)
+        vec = [int(x) for x in r.vec.split(",")]
+        assert len(vec) == 16
+        assert sum(vec) == r.l1  # every token lands in exactly one bucket
+        assert r.nnz == sum(1 for v in vec if v > 0)
 
 
 def test_pii_scrub_leaves_no_pii_and_counts_vary(spark):
