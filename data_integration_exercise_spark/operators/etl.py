@@ -570,3 +570,61 @@ def etl_cdc_deletes(spark, sf_dir):
         .select("c_custkey", "c_acctbal", "c_mktsegment",
                 F.col("version").cast("long").alias("version"))
     )
+
+
+_MV_CUTOFF = "1998-06-01 00:00:00"  # the already-materialized history boundary
+
+
+@register(
+    "etl_incremental_agg_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def etl_incremental_agg_refresh(spark, sf_dir):
+    """Incremental materialized-view refresh: the per-priority revenue
+    rollup is maintained as ALGEBRAIC PARTIAL STATE (count, sum, max per
+    group) so a new data slice refreshes the view by merging two small
+    state tables — never rescanning history. Here the 'materialized'
+    state is built from orders before the cutoff, the 'arriving' slice is
+    everything after, and the merge is state-wise (+, +, greatest). The
+    oracle recomputes the full aggregate from scratch — the refresh is
+    correct iff the merge is algebraically exact, which integer cents
+    guarantee (this is the same mergeable-state discipline as
+    agg_hll_sketch_merge, exact instead of sketched; AVG-style measures
+    must be carried as (sum, n), never merged as averages).
+
+    100 TB: the refresh cost is O(|new slice| + |groups|) regardless of
+    history size — the difference between a nightly full rebuild and a
+    minutes-long incremental one. The cutoff split stands in for the
+    partition boundary a production MV tracks."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp_ntz")
+
+    def partial_state(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+
+    history = partial_state(o.filter(F.col("o_orderdate") < cutoff))
+    arriving = partial_state(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        history.unionByName(arriving)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+    return merged

@@ -329,6 +329,8 @@ _ADDED_R5 = [
     "sample_temperature_mix",
     "agg_benford_deviation",
     "events_dau_wau",
+    "etl_incremental_agg_refresh",
+    "sink_idempotent_overwrite",
 ]
 
 

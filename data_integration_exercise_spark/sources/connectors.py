@@ -843,3 +843,75 @@ def scan_manifest_pruned(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "sink_idempotent_overwrite",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS month,
+               CASE WHEN date_trunc('month', o_orderdate)
+                         = TIMESTAMP '1997-06-01'
+                    THEN round(o_totalprice + 1000.0, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM final GROUP BY month
+    """,
+)
+def sink_idempotent_overwrite(spark, sf_dir):
+    """Idempotent partition backfill via DYNAMIC partition overwrite: 1997
+    orders land month-partitioned; then June is re-written with corrected
+    values (+$10.00 each) in overwrite mode with
+    partitionOverwriteMode=dynamic — only the partitions present in the
+    incoming frame are replaced, the other eleven months survive
+    untouched. This is the backfill idempotency contract every scheduled
+    pipeline needs: re-running a day/month job replaces exactly that
+    slice, with no read-modify-write of the table and no risk of
+    clobbering siblings (STATIC overwrite mode would truncate them). The
+    returned rollup proves June carries the corrected totals and the
+    other months the originals — which is precisely what the oracle
+    computes from scratch.
+
+    100 TB: partition overwrite is a metadata swap per touched partition;
+    the rewrite cost is the slice's size, never the table's."""
+    path = _stage_dir(sf_dir, "sink_idem_overwrite")
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_totalprice",
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # initial load: every month of 1997 (re-staged each call: the op IS
+        # the write path under test, so it must not reuse a stale copy)
+        y97.write.mode("overwrite").partitionBy("month").parquet(path)
+        # backfill: June only, corrected — replaces ONLY the June partition
+        fixed = y97.filter(
+            F.col("month") == F.lit("1997-06-01").cast("timestamp_ntz")
+        ).withColumn("o_totalprice", F.round(F.col("o_totalprice") + 1000.0, 2))
+        fixed.write.mode("overwrite").partitionBy("month").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("month")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

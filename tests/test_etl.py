@@ -6,6 +6,7 @@ import pytest
 
 from data_integration_exercise_spark.io import load_table
 from data_integration_exercise_spark.operators import etl
+from data_integration_exercise_spark.sources import connectors as etl_connectors
 
 from .parity import assert_parity
 
@@ -91,3 +92,77 @@ def test_cdc_deletes_tombstones_win_and_counts_reconcile(spark):
     assert not (out.c_custkey % 5 == 0).any()
     assert (out[out.c_custkey % 3 == 0].version == 2).all()
     assert (out[out.c_custkey % 3 != 0].version == 1).all()
+
+
+def test_incremental_refresh_cutoff_actually_splits(spark):
+    """The merge is only a real test if both state tables are non-empty;
+    verify the cutoff splits orders and the merged state equals a direct
+    full recompute (beyond the oracle, in-Spark)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators.etl import _MV_CUTOFF
+
+    o = load_table(spark, SF, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp_ntz")
+    n_hist = o.filter(F.col("o_orderdate") < cutoff).count()
+    n_new = o.filter(F.col("o_orderdate") >= cutoff).count()
+    assert n_hist > 0 and n_new > 0
+    got = {
+        r.o_orderpriority: (r.n_orders, r.revenue_cents, r.max_cents)
+        for r in etl.QUERIES["etl_incremental_agg_refresh"](spark, SF).collect()
+    }
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    want = {
+        r.o_orderpriority: (r.n, r.rc, r.mx)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("rc"),
+            F.max(cents).cast("long").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_idempotent_overwrite_replaces_only_the_backfilled_partition(spark):
+    """June revenue = original + 1000 cents * n_june * 100; every other
+    month's revenue is untouched; re-running the operator yields the
+    identical table (idempotency)."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    first = {
+        str(r.month): (r.n, r.revenue_cents)
+        for r in etl_connectors.QUERIES["sink_idempotent_overwrite"](spark, SF).collect()
+    }
+    again = {
+        str(r.month): (r.n, r.revenue_cents)
+        for r in etl_connectors.QUERIES["sink_idempotent_overwrite"](spark, SF).collect()
+    }
+    assert first == again and len(first) == 12
+    o = load_table(spark, SF, "orders")
+    orig = {
+        str(r.month): (r.n, r.rc)
+        for r in o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rc"),
+        )
+        .collect()
+    }
+    for m, (n, rc) in orig.items():
+        gn, grc = first[m]
+        assert gn == n
+        if m.startswith("1997-06"):
+            assert grc == rc + 100_000 * n  # +$1000.00 per order
+        else:
+            assert grc == rc
