@@ -1475,3 +1475,67 @@ def agg_benford_deviation(spark, sf_dir):
         exp_col.alias("exp_permille"),
         (F.expr("1000 * n_d div n") - exp_col).cast("long").alias("dev_permille"),
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH s AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cust_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ), t AS (
+        SELECT seg, CAST(sum(cust_cents) AS HUGEINT) AS tot,
+               CAST(sum(CAST(cust_cents AS HUGEINT) * cust_cents) AS HUGEINT)
+                   AS sumsq,
+               CAST(count(*) AS BIGINT) AS n_custs
+        FROM s GROUP BY seg
+    )
+    SELECT seg AS c_mktsegment, n_custs,
+           CAST(10000 * sumsq // (tot * tot) AS BIGINT) AS hhi_bp,
+           CAST(10000 // n_custs AS BIGINT) AS uniform_hhi_bp
+    FROM t
+    """,
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per market segment: HHI =
+    Σ share_i² over each customer's revenue share of the segment, in
+    basis points — the market-concentration companion to
+    agg_gini_segments (HHI weights the LARGE players quadratically where
+    Gini measures overall dispersion). Computed entirely in integers:
+    HHI_bp = 10⁴·Σc_i² / (Σc_i)² with cent sums in decimal/HUGEINT (Σc²
+    passes int64 around 10⁵ customers at max order values), one
+    floor-division at the end. The uniform baseline 10⁴/n is emitted so
+    the reader sees concentration relative to the all-equal floor.
+
+    100 TB: two stacked partial aggregates (customer rollup, then
+    segment moments) — shuffle volume is |customers| then |segments|."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cust_cents"))
+    )
+    t = s.groupBy("seg").agg(
+        F.sum("cust_cents").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("cust_cents").cast("decimal(38,0)") * F.col("cust_cents"))
+        .cast("decimal(38,0)")
+        .alias("sumsq"),
+        F.count("*").cast("long").alias("n_custs"),
+    )
+    # `div` (integral divide) on decimals truncates EXACTLY; a `/` + cast
+    # would round the decimal quotient at its result scale first and can
+    # step over an integer boundary a floor never crosses
+    return t.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n_custs",
+        F.expr(
+            "CAST((CAST(10000 AS DECIMAL(38,0)) * sumsq) div (tot * tot) AS BIGINT)"
+        ).alias("hhi_bp"),
+        F.expr("CAST(10000 div n_custs AS BIGINT)").alias("uniform_hhi_bp"),
+    )

@@ -490,3 +490,79 @@ def events_dau_wau(spark, sf_dir):
         "wau",
         F.expr("1000 * dau div wau").cast("long").alias("stickiness_permille"),
     )
+
+
+@register(
+    "events_churn_hazard",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               min(epoch_ns(ts) // 1000) AS first_us,
+               max(epoch_ns(ts) // 1000) AS last_us
+        FROM events GROUP BY user_id
+    ), cut AS (
+        SELECT max(last_us) AS corpus_end FROM u
+    ), lif AS (
+        SELECT user_id,
+               (last_us - first_us) // {_WEEK_US} AS lifespan_w,
+               last_us > (SELECT corpus_end FROM cut) - {_WEEK_US}
+                   AS censored
+        FROM u
+    ), risk AS (
+        SELECT l.lifespan_w, l.censored, t.w
+        FROM lif l, unnest(range(l.lifespan_w + 1)) AS t(w)
+    )
+    SELECT CAST(w AS BIGINT) AS week,
+           CAST(count(*) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN w = lifespan_w AND NOT censored
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(sum(CASE WHEN w = lifespan_w AND censored
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_censored,
+           CAST(1000 * sum(CASE WHEN w = lifespan_w AND NOT censored
+                                THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+               AS hazard_permille
+    FROM risk GROUP BY w
+    """,
+)
+def events_churn_hazard(spark, sf_dir):
+    """Weekly churn-hazard life table (the discrete Kaplan-Meier input):
+    each user's lifespan in weeks runs from first to last event; users
+    whose last event falls inside the final observed week are CENSORED
+    (still alive at the cut — counting them as churned is the classic
+    retention-analysis mistake this op models correctly). For each week
+    w: n_at_risk (lifespan ≥ w), n_churned (lifespan ended at w,
+    uncensored), n_censored, and the hazard d_w/n_w in integer permille.
+    The survival curve is the running product of (1 − hazard) — left to
+    the consumer because a float product has no cross-engine exactness
+    guarantee, while this life table is pure integers.
+
+    100 TB: one per-user min/max aggregate, then each user explodes onto
+    lifespan+1 week rows (bounded by the observation span, not event
+    volume) and a |weeks|-row rollup — event count never appears
+    downstream of the first aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
+    )
+    cut = u.agg(F.max("last_us").alias("corpus_end"))
+    lif = u.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.expr(f"(last_us - first_us) div {_WEEK_US}").alias("lifespan_w"),
+        (F.col("last_us") > F.col("corpus_end") - _WEEK_US).alias("censored"),
+    )
+    risk = lif.withColumn(
+        "w", F.explode(F.sequence(F.lit(0).cast("long"), F.col("lifespan_w")))
+    )
+    end_here = F.col("w") == F.col("lifespan_w")
+    churn = F.sum(F.when(end_here & ~F.col("censored"), 1).otherwise(0))
+    return risk.groupBy(F.col("w").cast("long").alias("week")).agg(
+        F.count("*").cast("long").alias("n_at_risk"),
+        churn.cast("long").alias("n_churned"),
+        F.sum(F.when(end_here & F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN w = lifespan_w AND NOT censored "
+            "THEN 1 ELSE 0 END) div count(*) AS BIGINT)"
+        ).alias("hazard_permille"),
+    )

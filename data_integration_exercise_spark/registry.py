@@ -331,6 +331,8 @@ _ADDED_R5 = [
     "events_dau_wau",
     "etl_incremental_agg_refresh",
     "sink_idempotent_overwrite",
+    "agg_hhi_concentration",
+    "events_churn_hazard",
 ]
 
 

@@ -155,3 +155,15 @@ def test_benford_covers_all_digits_and_permilles_sum(spark):
     assert 1000 - 9 <= s <= 1000
     for r in rows:
         assert r.dev_permille == r.obs_permille - r.exp_permille
+
+
+def test_hhi_bounds_and_uniform_floor(spark):
+    """HHI in [uniform floor, 10000]; near-uniform TPC-H customer revenue
+    should sit close to (but at or above) the 10000/n floor."""
+    rows = aggregates.QUERIES["agg_hhi_concentration"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.uniform_hhi_bp <= r.hhi_bp <= 10000
+        assert r.hhi_bp < 10 * max(1, r.uniform_hhi_bp)

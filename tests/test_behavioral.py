@@ -110,3 +110,23 @@ def test_dau_wau_bounds_and_bruteforce_window(spark):
         lo = d - pd.Timedelta(days=6)
         mask = (pd.to_datetime(du.day) >= lo) & (pd.to_datetime(du.day) <= d)
         assert r.wau == du[mask].user_id.nunique(), r.day
+
+
+def test_churn_hazard_life_table_invariants(spark):
+    """n_at_risk must be non-increasing in week; at_risk(w+1) =
+    at_risk(w) - churned(w) - censored(w); hazards within [0, 1000];
+    censoring confined to users alive near the corpus end."""
+    out = (
+        behavioral.QUERIES["events_churn_hazard"](spark, SF)
+        .toPandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    assert (out.n_at_risk.diff().dropna() <= 0).all()
+    for i in range(len(out) - 1):
+        assert (
+            out.n_at_risk[i + 1]
+            == out.n_at_risk[i] - out.n_churned[i] - out.n_censored[i]
+        )
+    assert ((out.hazard_permille >= 0) & (out.hazard_permille <= 1000)).all()
+    assert out.n_censored.sum() > 0  # the 30-day corpus must censor someone
