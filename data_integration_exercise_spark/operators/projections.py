@@ -186,3 +186,51 @@ def proj_cast(spark, sf_dir):
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_quantity").cast("int").alias("qty_int"),
     )
+
+
+@register(
+    "sql_adhoc_interface",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY n.n_name
+    HAVING count(*) >= 5
+    """,
+)
+def sql_adhoc_interface(spark, sf_dir):
+    """The ad-hoc SQL surface: every operative table is registered as a
+    temp view (io.register_views) and the query is RAW ANSI SQL through
+    spark.sql() — the interface an analyst migrating from the reference
+    engine's SQL prompt actually uses, run here without touching the
+    DataFrame API. The string is dialect-shared with the DuckDB oracle
+    verbatim except for nothing — the same text runs on both engines,
+    which is itself the compatibility claim under test. Catalyst treats
+    the parsed plan identically to a DataFrame plan (same pushdown,
+    broadcast, AQE), so there is no performance cliff between the two
+    surfaces.
+
+    100 TB: identical plan to the equivalent DataFrame query; views are
+    metadata only."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY n.n_name
+        HAVING count(*) >= 5
+        """
+    )

@@ -333,6 +333,7 @@ _ADDED_R5 = [
     "sink_idempotent_overwrite",
     "agg_hhi_concentration",
     "events_churn_hazard",
+    "sql_adhoc_interface",
 ]
 
 
