@@ -1539,3 +1539,168 @@ def agg_hhi_concentration(spark, sf_dir):
         ).alias("hhi_bp"),
         F.expr("CAST(10000 div n_custs AS BIGINT)").alias("uniform_hhi_bp"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), ranked AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+               CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+        FROM c
+    ), cuts AS (
+        SELECT pri,
+               max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi,
+               max(n) AS n
+        FROM ranked GROUP BY pri
+    )
+    SELECT r.pri AS o_orderpriority,
+           cuts.n,
+           cuts.lo AS p05_cents,
+           cuts.hi AS p95_cents,
+           CAST(sum(least(greatest(r.cents, cuts.lo), cuts.hi)) // cuts.n
+                AS BIGINT) AS winsorized_mean_cents,
+           CAST(sum(r.cents) // cuts.n AS BIGINT) AS raw_mean_cents
+    FROM ranked r JOIN cuts ON r.pri = cuts.pri
+    GROUP BY r.pri, cuts.n, cuts.lo, cuts.hi
+    """,
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """5%-winsorized mean order value per priority: values below the p5 /
+    above the p95 cut are CLAMPED to the cut (not dropped — winsorizing
+    keeps n and dampens tails where trimming changes the denominator).
+    The cuts are nearest-rank order statistics — rank ceil(q·n) by
+    row_number over the deterministic (cents, …) order — never
+    interpolated percentiles, so the whole computation is integer-exact
+    end to end (the raw mean is emitted beside it to show the tail
+    influence). The robust-location companion to events_anomaly_mad's
+    robust-scale flags.
+
+    100 TB: one keyed window for ranks (same shuffle the groupBy needs),
+    a |groups|-row cut table broadcast back, one clamped sum. For
+    heavier data swap the rank window for the distributed-CDF bucket
+    shape (agg_ks_test) — semantics identical."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    c = o.select(F.col("o_orderpriority").alias("pri"), cents.alias("cents"))
+    w = Window.partitionBy("pri").orderBy("cents")
+    wn = Window.partitionBy("pri")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn).cast("long")
+    )
+    cuts = ranked.groupBy("pri").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    return (
+        ranked.select("pri", "cents")
+        .join(F.broadcast(cuts.withColumnRenamed("pri", "pri_c")),
+              F.col("pri") == F.col("pri_c"))
+        .groupBy("pri", "n", "lo", "hi")
+        .agg(
+            F.expr("CAST(sum(least(greatest(cents, lo), hi)) div n AS BIGINT)")
+            .alias("winsorized_mean_cents"),
+            F.expr("CAST(sum(cents) div n AS BIGINT)").alias("raw_mean_cents"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n",
+            F.col("lo").alias("p05_cents"),
+            F.col("hi").alias("p95_cents"),
+            "winsorized_mean_cents",
+            "raw_mean_cents",
+        )
+    )
+
+
+@register(
+    "agg_pareto_crossover",
+    oracle="""
+    WITH s AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cust_cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ), r AS (
+        SELECT seg, cust_cents,
+               row_number() OVER w AS rn,
+               CAST(sum(cust_cents) OVER (
+                   PARTITION BY seg ORDER BY cust_cents DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(sum(cust_cents) OVER (PARTITION BY seg) AS BIGINT) AS tot,
+               CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n_custs
+        FROM s
+        WINDOW w AS (PARTITION BY seg ORDER BY cust_cents DESC, o_custkey)
+    )
+    SELECT seg AS c_mktsegment,
+           max(n_custs) AS n_custs,
+           CAST(min(rn) AS BIGINT) AS k_top,
+           CAST(1000 * min(rn) // max(n_custs) AS BIGINT)
+               AS top_share_permille
+    FROM r WHERE 5 * cum >= 4 * tot
+    GROUP BY seg
+    """,
+)
+def agg_pareto_crossover(spark, sf_dir):
+    """Pareto 80/20 crossover per market segment: the smallest k such that
+    the top-k customers (by revenue) hold ≥ 80% of segment revenue, and
+    that k as a permille of the customer base — the concentration readout
+    stated the way an account team consumes it ('x% of customers are 80%
+    of revenue'). The 80% cut is the integer cross-multiplication
+    5·cumsum ≥ 4·total on the rank-ordered running sum (deterministic
+    (revenue DESC, custkey) order), so no percentage float exists; near-
+    uniform TPC-H spend puts the crossover near 700‰ rather than 200‰,
+    which the test asserts as the honest null reading.
+
+    100 TB: one customer rollup shuffle, one per-segment window over the
+    ROLLED-UP frame (|customers| rows, not |orders|), and a min-filter —
+    the same two-stage shape as agg_hhi_concentration."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    s = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cust_cents"))
+    )
+    w = Window.partitionBy("seg").orderBy(F.desc("cust_cents"), "o_custkey")
+    wp = Window.partitionBy("seg")
+    r = s.select(
+        "seg",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cust_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cust_cents").over(wp).cast("long").alias("tot"),
+        F.count("*").over(wp).cast("long").alias("n_custs"),
+    )
+    return (
+        r.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.max("n_custs").alias("n_custs"),
+            F.min("rn").cast("long").alias("k_top"),
+            F.expr("CAST(1000 * min(rn) div max(n_custs) AS BIGINT)").alias(
+                "top_share_permille"
+            ),
+        )
+    )

@@ -334,6 +334,8 @@ _ADDED_R5 = [
     "agg_hhi_concentration",
     "events_churn_hazard",
     "sql_adhoc_interface",
+    "agg_winsorized_mean",
+    "agg_pareto_crossover",
 ]
 
 

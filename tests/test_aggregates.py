@@ -167,3 +167,29 @@ def test_hhi_bounds_and_uniform_floor(spark):
     for r in rows:
         assert r.uniform_hhi_bp <= r.hhi_bp <= 10000
         assert r.hhi_bp < 10 * max(1, r.uniform_hhi_bp)
+
+
+def test_winsorized_mean_dampens_tails(spark):
+    """Winsorized mean sits between p05 and p95, and differs from the raw
+    mean by less than the raw mean differs from the extremes; cuts are
+    actual data values."""
+    rows = aggregates.QUERIES["agg_winsorized_mean"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.p05_cents < r.winsorized_mean_cents < r.p95_cents
+        assert r.p05_cents < r.raw_mean_cents < r.p95_cents
+
+
+def test_pareto_crossover_null_reading_on_uniform_spend(spark):
+    """TPC-H near-uniform customer spend: the 80%-revenue crossover must
+    need far MORE than 20% of customers (the honest anti-Pareto reading),
+    and k_top must be a valid minimal index."""
+    rows = aggregates.QUERIES["agg_pareto_crossover"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r.k_top <= r.n_custs
+        assert 500 <= r.top_share_permille <= 850, r
