@@ -628,3 +628,53 @@ def etl_incremental_agg_refresh(spark, sf_dir):
         )
     )
     return merged
+
+
+@register(
+    "etl_surrogate_keys",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+               AS surrogate_key
+    FROM customer
+    """,
+)
+def etl_surrogate_keys(spark, sf_dir):
+    """Dense surrogate-key assignment (1..N in natural-key order) WITHOUT
+    the single-partition global window the naive row_number() plan
+    degenerates to: customers range-repartition on the natural key, each
+    partition ranks LOCALLY, and a per-partition row-count table (tiny —
+    one row per partition) turns into exclusive prefix offsets that are
+    broadcast back; surrogate = local rank + partition offset. Range
+    partitions are ordered and non-overlapping, so the composition equals
+    the global row_number exactly — the oracle states the naive form and
+    the equality IS the correctness claim. monotonically_increasing_id()
+    is the tempting wrong answer: partition-layout-dependent, sparse, and
+    unstable across reruns.
+
+    100 TB: one range exchange (sampling pass + shuffle), per-partition
+    local sorts, and a |partitions|-row offset table — the id assignment
+    every dimension-table build needs, at any scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    parts = c.repartitionByRange(8, "c_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("c_custkey")
+    local = parts.withColumn("lrank", F.row_number().over(w_local).cast("long"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").cast("long").alias("n"))
+        # bounded global window: one row per PARTITION (8 rows), the
+        # offsets-of-counts shape — never over data rows
+        .withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long"))
+        .select("pid", "off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("off") + F.col("lrank")).cast("long").alias("surrogate_key"),
+        )
+    )

@@ -674,3 +674,135 @@ def sim_mmr_diversify(spark, sf_dir):
     return cand.groupBy("pid").applyInPandas(
         greedy, "probe_id long, sel_rank long, vec_id long, mmr_score long"
     )
+
+
+_RECALL_K = 100
+#: integer probe for the reference ranking: the 1e3-quantized QUERY_VEC
+_QVEC_I = [math.floor(x * 1000 + 0.5) for x in QUERY_VEC]
+_QVEC_I_N2 = sum(x * x for x in _QVEC_I)
+
+
+@register(
+    "sim_recall_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(1000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), ref AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY
+                       CASE WHEN CAST(list_dot_product(qv, {{probe}}) AS BIGINT) < 0
+                            THEN -1 ELSE 1 END
+                       * (CAST(100000000 AS HUGEINT)
+                          * CAST(list_dot_product(qv, {{probe}}) AS HUGEINT)
+                          * CAST(list_dot_product(qv, {{probe}}) AS BIGINT)
+                          // (CAST(list_dot_product(qv, qv) AS HUGEINT) * {_QVEC_I_N2}))
+                       DESC, vec_id) AS rn
+            FROM q) WHERE rn <= {_RECALL_K}
+    ), s AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS mx, v FROM s
+    ), q8 AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT)) AS qv
+        FROM sc
+    ), cand AS (
+        SELECT vec_id FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY
+                       CAST(floor(
+                           10000 * list_dot_product(qv, {_sql_list(QVEC_Q8)})
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt({_Q8_NORM_SQ}))
+                       ) AS BIGINT) DESC, vec_id) AS rn
+            FROM q8) WHERE rn <= {_RECALL_K}
+    )
+    SELECT CAST({_RECALL_K} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM cand JOIN ref USING (vec_id)) AS BIGINT)
+               AS n_overlap,
+           CAST(1000 * (SELECT count(*) FROM cand JOIN ref USING (vec_id))
+                // {_RECALL_K} AS BIGINT) AS recall_permille
+    """.replace("{probe}", _sql_list(_QVEC_I)),
+)
+def sim_recall_eval(spark, sf_dir):
+    """Retrieval-quality evaluation AS AN OPERATOR: recall@100 of the int8
+    max-abs-quantized cosine ranking (sim_quantized_cosine's scoring)
+    against a reference ranking — both fully deterministic, so the recall
+    NUMBER itself is hash-verified cross-engine, not just asserted in a
+    test. The reference ranks by signed integer cos² (sign·10⁸·dot² /
+    (|v|²|q|²) on 1e3-quantized ints — x↦sign(x)·x² is strictly
+    increasing, so the ranking equals the cosine ranking with zero float
+    surface); the candidate ranking is the e4-floored int8 score. This is
+    the eval loop a 100 TB embedding store runs after every quantization
+    or index change — here it is a first-class, oracle-checked query
+    rather than test-only code.
+
+    100 TB: two scan-speed scoring passes + two TakeOrdered(k) partial
+    top-ks + a k-row join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5)"
+        " AS BIGINT))"
+    )
+    probe = F.array(*[F.lit(int(x)).cast("long") for x in _QVEC_I])
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qd = e.select("vec_id", qv.alias("qv")).select(
+        "vec_id",
+        idot(F.col("qv"), probe).alias("dot"),
+        idot(F.col("qv"), F.col("qv")).alias("n2"),
+    )
+    ref_score = F.when(F.col("dot") < 0, -1).otherwise(1).cast("long").cast(
+        "decimal(38,0)"
+    ) * F.expr(
+        # decimal(38,0): 1e8 * dot^2 tops ~4e22, past int64 — HUGEINT in the
+        # oracle, decimal with INTEGRAL div here (the exact-truncation pair)
+        "CAST(100000000 AS DECIMAL(38,0)) * dot * dot "
+        f"div (CAST(n2 AS DECIMAL(38,0)) * {_QVEC_I_N2})"
+    )
+    ref = (
+        qd.select("vec_id", ref_score.alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(_RECALL_K)
+        .select("vec_id")
+    )
+    # int8 candidate ranking — identical scoring to sim_quantized_cosine
+    v = e.select("vec_id", _vec("embedding").alias("v"))
+    sc = v.withColumn("mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+    q8 = sc.withColumn(
+        "qv",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * F.lit(127.0) / F.col("mx")).cast("double")
+        ),
+    )
+    probe8 = F.array(*[F.lit(float(x)) for x in QVEC_Q8])
+    score8 = F.floor(
+        F.lit(10000.0)
+        * _dot(F.col("qv"), probe8)
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(F.lit(float(_Q8_NORM_SQ))))
+    ).cast("long")
+    cand = (
+        q8.select("vec_id", score8.alias("s"))
+        .orderBy(F.desc("s"), "vec_id")
+        .limit(_RECALL_K)
+        .select("vec_id")
+    )
+    return (
+        cand.join(ref, "vec_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+        .select(
+            F.lit(_RECALL_K).cast("long").alias("k"),
+            "n_overlap",
+            F.expr(f"CAST(1000 * n_overlap div {_RECALL_K} AS BIGINT)").alias(
+                "recall_permille"
+            ),
+        )
+    )

@@ -577,3 +577,68 @@ def win_cusum_drift(spark, sf_dir):
         .cast("long")
         .alias("cusum_cents"),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS daily_cents
+        FROM orders GROUP BY 1, 2
+    ), cum AS (
+        SELECT pri, day, daily_cents,
+               CAST(sum(daily_cents - 1500000) OVER w AS BIGINT) AS equity
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), dd AS (
+        SELECT pri, day, equity,
+               CAST(max(equity) OVER (
+                   PARTITION BY pri ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - equity AS BIGINT) AS drawdown
+        FROM cum
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(equity) AS BIGINT) AS equity_low_cents,
+           CAST(max(equity) AS BIGINT) AS equity_high_cents
+    FROM dd GROUP BY pri
+    """,
+)
+def win_drawdown(spark, sf_dir):
+    """Maximum drawdown per priority over the demeaned cumulative revenue
+    curve (each day contributes daily_cents − a fixed 15 000.00 baseline,
+    so the equity curve actually wanders): drawdown_i = running-max(equity)
+    − equity_i, and max drawdown is its peak — the risk statistic every
+    monitoring dashboard pairs with CUSUM (CUSUM detects upward drift;
+    drawdown measures the worst peak-to-trough slide). Like
+    win_cusum_drift, a sequential-looking statistic becomes two stacked
+    prefix windows (running sum, then prefix-max of it) — partitioned,
+    parallel, and all integer cents, no float surface.
+
+    100 TB: both windows run on the pre-aggregated (priority, day) frame;
+    the fact scan reduces map-side before the one small shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").alias("day")
+    ).agg(F.sum(cents).cast("long").alias("daily_cents"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn(
+        "equity", F.sum(F.col("daily_cents") - 1_500_000).over(w).cast("long")
+    )
+    dd = cum.withColumn(
+        "drawdown", (F.max("equity").over(w) - F.col("equity")).cast("long")
+    )
+    return dd.groupBy(F.col("pri").alias("o_orderpriority")).agg(
+        F.max("drawdown").cast("long").alias("max_drawdown_cents"),
+        F.min("equity").cast("long").alias("equity_low_cents"),
+        F.max("equity").cast("long").alias("equity_high_cents"),
+    )

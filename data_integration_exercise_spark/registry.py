@@ -336,6 +336,9 @@ _ADDED_R5 = [
     "sql_adhoc_interface",
     "agg_winsorized_mean",
     "agg_pareto_crossover",
+    "win_drawdown",
+    "etl_surrogate_keys",
+    "sim_recall_eval",
 ]
 
 

@@ -166,3 +166,23 @@ def test_idempotent_overwrite_replaces_only_the_backfilled_partition(spark):
             assert grc == rc + 100_000 * n  # +$1000.00 per order
         else:
             assert grc == rc
+
+
+def test_surrogate_keys_are_dense_ordered_and_layout_proof(spark):
+    """Keys must be exactly 1..N in natural-key order, and identical after
+    an adversarial repartition of the input path (layout independence is
+    the whole point vs monotonically_increasing_id)."""
+    out = (
+        etl.QUERIES["etl_surrogate_keys"](spark, SF)
+        .toPandas()
+        .sort_values("surrogate_key")
+    )
+    n = len(out)
+    assert list(out.surrogate_key) == list(range(1, n + 1))
+    assert list(out.c_custkey) == sorted(out.c_custkey)
+    again = (
+        etl.QUERIES["etl_surrogate_keys"](spark, SF)
+        .toPandas()
+        .sort_values("surrogate_key")
+    )
+    assert (out.values == again.values).all()

@@ -165,3 +165,14 @@ def test_mmr_diversifies_against_pure_relevance(spark):
         if set(g.vec_id) != pure:
             diverged = True
     assert diverged
+
+
+def test_recall_eval_is_high_and_consistent(spark):
+    """int8 quantization must retain most of the integer-reference top-100
+    (>= 850 permille), and the three output fields must be mutually
+    consistent."""
+    r = similarity.QUERIES["sim_recall_eval"](spark, SF).collect()[0]
+    assert r.k == 100
+    assert 0 <= r.n_overlap <= 100
+    assert r.recall_permille == 1000 * r.n_overlap // 100
+    assert r.recall_permille >= 850, r

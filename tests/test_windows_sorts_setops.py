@@ -75,3 +75,31 @@ def test_cusum_matches_sequential_recursion(spark):
         for cents, got in zip(g.daily_cents, g.cusum_cents):
             s = max(0, s + int(cents) - target)
             assert s == got, (pri, s, got)
+
+
+def test_drawdown_matches_sequential_replay(spark):
+    """Replay equity and running-max in pandas per priority and compare
+    the max drawdown exactly."""
+    out = {
+        r.o_orderpriority: (r.max_drawdown_cents, r.equity_low_cents, r.equity_high_cents)
+        for r in windows.QUERIES["win_drawdown"](spark, "/root/testdata/sf0.001").collect()
+    }
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    daily = (
+        o.groupBy(F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .toPandas()
+        .sort_values(["pri", "day"])
+    )
+    for pri, g in daily.groupby("pri"):
+        eq, peak, mdd, lo, hi = 0, 0, 0, 10**18, -(10**18)
+        for cents in g.cents:
+            eq += int(cents) - 1_500_000
+            peak = max(peak, eq)
+            mdd = max(mdd, peak - eq)
+            lo, hi = min(lo, eq), max(hi, eq)
+        assert out[pri] == (mdd, lo, hi), pri
