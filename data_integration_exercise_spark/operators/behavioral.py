@@ -566,3 +566,71 @@ def events_churn_hazard(spark, sf_dir):
             "THEN 1 ELSE 0 END) div count(*) AS BIGINT)"
         ).alias("hazard_permille"),
     )
+
+
+@register(
+    "events_bot_detection",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000
+               - lag(epoch_ns(ts) // 1000) OVER (
+                     PARTITION BY user_id
+                     ORDER BY epoch_ns(ts) // 1000, event_id) AS gap
+        FROM events
+    ), m AS (
+        SELECT user_id,
+               CAST(count(gap) AS BIGINT) AS n_gaps,
+               CAST(sum(CAST(gap AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING count(gap) >= 20
+    )
+    SELECT user_id, n_gaps,
+           CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+           CAST(1000000 * (n_gaps * s2 - s1 * s1) // (s1 * s1) AS BIGINT)
+               AS cv2_e6,
+           (1000000 * (n_gaps * s2 - s1 * s1) // (s1 * s1)) < 200000
+               AS flag_regular
+    FROM m
+    """,
+)
+def events_bot_detection(spark, sf_dir):
+    """Bot/automation detection via inter-event-time regularity: humans
+    produce bursty gaps (coefficient of variation ≈ 1 for Poisson-like
+    arrivals, higher with sessions), schedulers and scripts produce
+    metronomic ones (CV ≪ 1). Per user: CV² in exact integer micro-units
+    — cv²·10⁶ = 10⁶·(n·Σg² − (Σg)²) / (Σg)² from HUGEINT/decimal moment
+    sums of µs gaps ((Σg)² tops int64 at ~month-long spans), one integer
+    floor-division, flag at CV² < 0.2. The same integer-moment discipline
+    as agg_ab_ttest, applied to the abuse-detection feature every event
+    pipeline computes; users need ≥ 20 gaps so the statistic is
+    meaningful.
+
+    100 TB: one user-keyed window for gaps (the sessionization shuffle),
+    one partial-agg moment rollup — no user's raw events ever leave its
+    partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    cv2 = F.expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * (n_gaps * s2 - s1 * s1) div (s1 * s1)"
+    )
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.expr("CAST(s1 div n_gaps AS BIGINT)").alias("mean_gap_us"),
+        cv2.cast("long").alias("cv2_e6"),
+        (cv2 < 200000).alias("flag_regular"),
+    )

@@ -453,3 +453,68 @@ def dedup_fuzzy_levenshtein(spark, sf_dir):
         .filter((lev >= 0) & (lev <= 10))
         .select("doc1", "doc2", "lang", lev.alias("lev"))
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), db AS (
+        SELECT DISTINCT doc_id, bigram FROM bg
+    ), freq AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM db GROUP BY bigram
+    )
+    SELECT db.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(sum(CASE WHEN freq.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare,
+           CAST(1000 * sum(CASE WHEN freq.df <= 2 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM db JOIN freq ON db.bigram = freq.bigram
+    GROUP BY db.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty score: the share of a document's distinct bigrams
+    that are RARE corpus-wide (document frequency ≤ 2) — high scores mark
+    documents contributing genuinely new text patterns (worth keeping in
+    a curation pass even if other quality signals are middling), low
+    scores mark documents made entirely of boilerplate n-grams. Document
+    frequency comes from the deduplicated (doc, bigram) stream so a
+    bigram repeated within one doc counts once; everything is integer
+    counts and one permille floor-division.
+
+    100 TB: the same explode → groupBy → broadcast-model-back shape as
+    text_tfidf — the df table is bounded by the bigram vocabulary, and
+    the scoring join rides the exploded stream with a map-side
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                          (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))
+                """
+            )
+        ).alias("bigram"),
+    ).distinct()
+    freq = bg.groupBy("bigram").agg(F.count("*").cast("long").alias("df"))
+    rare = F.sum(F.when(F.col("df") <= 2, 1).otherwise(0))
+    return (
+        bg.join(F.broadcast(freq), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            rare.cast("long").alias("n_rare"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) "
+                "div count(*) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+    )

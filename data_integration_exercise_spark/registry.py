@@ -339,6 +339,8 @@ _ADDED_R5 = [
     "win_drawdown",
     "etl_surrogate_keys",
     "sim_recall_eval",
+    "text_ngram_novelty",
+    "events_bot_detection",
 ]
 
 

@@ -130,3 +130,34 @@ def test_churn_hazard_life_table_invariants(spark):
         )
     assert ((out.hazard_permille >= 0) & (out.hazard_permille <= 1000)).all()
     assert out.n_censored.sum() > 0  # the 30-day corpus must censor someone
+
+
+def test_bot_detection_moments_match_numpy(spark):
+    """Recompute CV^2 from raw gaps with exact integer math for every
+    user and compare; CV^2 must be positive (no zero-variance users in
+    this synthetic log)."""
+    from collections import defaultdict
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = {r.user_id: r for r in behavioral.QUERIES["events_bot_detection"](spark, SF).collect()}
+    rows = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts_us", "event_id")
+        .collect()
+    )
+    seq = defaultdict(list)
+    for r in rows:
+        seq[r.user_id].append((r.ts_us, r.event_id))
+    for uid, evs in seq.items():
+        evs.sort()
+        gaps = [b[0] - a[0] for a, b in zip(evs, evs[1:])]
+        if len(gaps) < 20:
+            assert uid not in out
+            continue
+        n, s1, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        cv2 = 1_000_000 * (n * s2 - s1 * s1) // (s1 * s1)
+        r = out[uid]
+        assert (r.n_gaps, r.cv2_e6) == (n, cv2), uid
+        assert r.flag_regular == (cv2 < 200000)
+        assert r.cv2_e6 > 0

@@ -176,3 +176,28 @@ def test_recall_eval_is_high_and_consistent(spark):
     assert 0 <= r.n_overlap <= 100
     assert r.recall_permille == 1000 * r.n_overlap // 100
     assert r.recall_permille >= 850, r
+
+
+def test_ngram_novelty_bounds_and_rare_definition(spark):
+    """novelty in [0, 1000]; n_rare <= n_distinct; recompute one doc's
+    rare-bigram share from the raw corpus."""
+    from collections import Counter
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = text.QUERIES["text_ngram_novelty"](spark, SF).toPandas()
+    assert ((out.novelty_permille >= 0) & (out.novelty_permille <= 1000)).all()
+    assert (out.n_rare <= out.n_distinct_bigrams).all()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    df = Counter()
+    per_doc = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        bgs = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        per_doc[r.doc_id] = bgs
+        df.update(bgs)
+    probe = out.iloc[0]
+    bgs = per_doc[probe.doc_id]
+    n_rare = sum(1 for b in bgs if df[b] <= 2)
+    assert probe.n_distinct_bigrams == len(bgs)
+    assert probe.n_rare == n_rare
