@@ -678,3 +678,68 @@ def etl_surrogate_keys(spark, sf_dir):
             (F.col("off") + F.col("lrank")).cast("long").alias("surrogate_key"),
         )
     )
+
+
+@register(
+    "etl_table_fingerprint",
+    oracle="""
+    WITH c AS (
+        SELECT bit_xor(('0x' || substr(md5(
+                   CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+                   || c_mktsegment || '|' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 15))::BIGINT) AS fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer
+    ), o AS (
+        SELECT bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               ), 1, 15))::BIGINT) AS fp,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT 'customer' AS table_name, fp AS fingerprint, n AS n_rows FROM c
+    UNION ALL
+    SELECT 'orders', fp, n FROM o
+    """,
+)
+def etl_table_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprint: XOR of a 60-bit content hash
+    of every row's canonical string — the cheap way to answer 'is the
+    migrated copy byte-equivalent?' for a 100 TB table: both sides
+    compute one scan-speed aggregate and compare two integers, no sort,
+    no row shipping, any partitioning (XOR is commutative/associative, so
+    the combine order is free — the same mergeability argument as the
+    sketch family, here collision-bounded instead of approximate). Floats
+    enter the canonical string as integer cents, the same discipline the
+    oracles use; 60 bits keeps the hex→int conversion inside signed
+    int64 in both engines. Caveat documented honestly: XOR cannot see a
+    row REPLACED by a duplicate of another existing row (pairs cancel) —
+    the row count beside it closes the common cases, and a
+    multiset-resistant variant sums hashes mod 2⁶⁰ at one extra op.
+
+    100 TB: one narrow map + a 1-row partial aggregate per table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def fp(df, cols_expr, name):
+        return df.agg(
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5("
+                + cols_expr
+                + "), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("fingerprint"),
+            F.count("*").cast("long").alias("n_rows"),
+        ).select(F.lit(name).alias("table_name"), "fingerprint", "n_rows")
+
+    c_expr = (
+        "concat(CAST(c_custkey AS STRING), '|', c_name, '|', c_mktsegment, "
+        "'|', CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS STRING))"
+    )
+    o_expr = (
+        "concat(CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING), "
+        "'|', o_orderstatus, '|', "
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING))"
+    )
+    return fp(c, c_expr, "customer").unionByName(fp(o, o_expr, "orders"))

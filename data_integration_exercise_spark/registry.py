@@ -341,6 +341,7 @@ _ADDED_R5 = [
     "sim_recall_eval",
     "text_ngram_novelty",
     "events_bot_detection",
+    "etl_table_fingerprint",
 ]
 
 

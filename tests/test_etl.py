@@ -186,3 +186,39 @@ def test_surrogate_keys_are_dense_ordered_and_layout_proof(spark):
         .sort_values("surrogate_key")
     )
     assert (out.values == again.values).all()
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    """Identical copies (even adversarially repartitioned) agree; flipping
+    ONE row's value flips the fingerprint; n_rows matches the table."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    out = {r.table_name: r for r in etl.QUERIES["etl_table_fingerprint"](spark, SF).collect()}
+    c = load_table(spark, SF, "customer")
+    assert out["customer"].n_rows == c.count()
+    expr = (
+        "concat(CAST(c_custkey AS STRING), '|', c_name, '|', c_mktsegment, "
+        "'|', CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS STRING))"
+    )
+    agg = "bit_xor(CAST(conv(substring(md5({e}), 1, 15), 16, 10) AS BIGINT))"
+    same = (
+        c.repartition(17, "c_mktsegment")
+        .agg(F.expr(agg.format(e=expr)).alias("fp"))
+        .first()
+        .fp
+    )
+    assert same == out["customer"].fingerprint
+    tampered = (
+        c.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") == 1, F.col("c_acctbal") + 0.01).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .agg(F.expr(agg.format(e=expr)).alias("fp"))
+        .first()
+        .fp
+    )
+    assert tampered != out["customer"].fingerprint
