@@ -70,9 +70,13 @@ _MODULES = [
 # CC, blocked cosine): their green rows predate the code that now runs.
 #
 # ROUND-6 PLAN: after this window lands green, every registered key has a
-# driver row. Rotate _PRIORITY to (a) any operator added during round 5 and
-# (b) re-verification of anything rewritten after its latest green row;
-# demote this window to _VERIFIED_R5.
+# driver row except the round-5 additions. Rotate _PRIORITY to the 43
+# _ADDED_R5 keys (none has a driver row) and spend the 7 spare slots on
+# re-verification of anything rewritten after its latest green row (as of
+# round-5 end there are no such keys — text_hashing_vectorizer's output
+# change landed while it sat in the CURRENT window, so its r5 row already
+# reflects the shipped code); demote this window to _VERIFIED_R5 and update
+# tests/test_registry.py's EXPECTED window constant.
 _PRIORITY = [
     # --- 39 never-oracled keys ---
     # plan diagnostics & adaptive planning
