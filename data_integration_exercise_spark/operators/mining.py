@@ -1,0 +1,236 @@
+"""Pattern-mining and retrieval workloads — market-basket rules, item
+co-occurrence recommendations, and related "what sells with what" queries
+the reference's group-by/merge surface implies but never names.
+
+Everything here follows the house integer discipline: supports are exact
+counts, confidences/lifts are integer permille via truncating division
+(Spark ``div`` ≡ DuckDB ``//`` — both truncate toward zero, verified), and
+any product that could exceed int64 at 100 TB is computed in decimal(38,0)
+/ HUGEINT before the final BIGINT cast.
+
+Scale posture: basket expansion is always per-group (bounded by basket
+size, never all-pairs over the corpus), dimension tables broadcast, and the
+candidate space is capped by the dimension's cardinality (brand pairs ≤
+25·24/2 rows at ANY scale factor — output size is data-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry_util import new_registry
+
+QUERIES, ORACLES, register = new_registry()
+
+
+@register(
+    "mine_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS HUGEINT) AS n_orders FROM items
+    ), sup AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY p_brand
+    ), pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS support_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.support_ab,
+           sa.s AS support_a, sb.s AS support_b,
+           CAST(1000 * p.support_ab // sa.s AS BIGINT) AS conf_a_to_b_permille,
+           CAST(1000 * p.support_ab // sb.s AS BIGINT) AS conf_b_to_a_permille,
+           CAST(1000 * n.n_orders * p.support_ab
+                // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_permille
+    FROM pairs p
+    JOIN sup sa ON p.brand_a = sa.p_brand
+    JOIN sup sb ON p.brand_b = sb.p_brand
+    CROSS JOIN n
+    WHERE p.support_ab >= 20
+    """,
+)
+def mine_association_rules(spark, sf_dir):
+    """Market-basket association rules over brands co-purchased in one
+    order: for each unordered brand pair with support ≥ 20 orders, exact
+    support counts plus confidence (both directions) and lift in integer
+    permille — truncating division only, so every output digit is exact.
+
+    100 TB: the (order, brand) item set is one distinct shuffle; pair
+    candidates come from exploding each order's SORTED basket array into
+    its C(k,2) pairs map-side (bounded by basket size, never a corpus
+    self-join), and the rule table is capped at C(25,2) = 300 rows at any
+    scale — supports grow, the output does not. Brand supports and the
+    1-row order count broadcast onto the pair rollup. Lift's
+    N·support_ab product is decimal(38,0)/HUGEINT: at 1.5e10 orders the
+    int64 ceiling is real."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    # per-order C(k,2) pair explosion: flatten(transform × slice) is pure
+    # codegen — no self-join, no shuffle beyond the basket groupBy
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(brands, (x, i) ->
+                        transform(slice(brands, i + 2, size(brands)), y ->
+                            struct(x AS brand_a, y AS brand_b))))
+                    """
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("support_ab"))
+        .filter(F.col("support_ab") >= 20)
+    )
+    sup = items.groupBy("p_brand").agg(F.count("*").cast("long").alias("s"))
+    n = items.select(
+        F.count_distinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
+    )
+    sa = sup.withColumnsRenamed({"p_brand": "brand_a", "s": "support_a"})
+    sb = sup.withColumnsRenamed({"p_brand": "brand_b", "s": "support_b"})
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support_ab",
+            "support_a",
+            "support_b",
+            F.expr("1000 * support_ab div support_a").alias("conf_a_to_b_permille"),
+            F.expr("1000 * support_ab div support_b").alias("conf_b_to_a_permille"),
+            F.expr(
+                """CAST(1000 * n_orders * support_ab
+                        div (CAST(support_a AS DECIMAL(38,0)) * support_b)
+                        AS BIGINT)"""
+            ).alias("lift_permille"),
+        )
+    )
+
+
+@register(
+    "sim_item_neighbors",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT o.o_custkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ), deg AS (
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY p_brand
+    ), co AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(count(*) AS BIGINT) AS co
+        FROM baskets a JOIN baskets b
+          ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    ), sym AS (
+        SELECT brand_a AS brand, brand_b AS neighbor, co FROM co
+        UNION ALL
+        SELECT brand_b AS brand, brand_a AS neighbor, co FROM co
+    ), scored AS (
+        SELECT s.brand, s.neighbor, s.co,
+               CAST(1000000 * s.co * s.co
+                    // (CAST(da.n AS HUGEINT) * dn.n) AS BIGINT) AS cos2_ppm
+        FROM sym s
+        JOIN deg da ON s.brand = da.p_brand
+        JOIN deg dn ON s.neighbor = dn.p_brand
+    )
+    SELECT brand, neighbor, co, cos2_ppm, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY brand
+                   ORDER BY cos2_ppm DESC, neighbor) AS BIGINT) AS rnk
+        FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def sim_item_neighbors(spark, sf_dir):
+    """Item-item collaborative filtering: top-3 "customers also bought"
+    neighbors per brand, ranked by co-occurrence cosine over customer
+    baskets. cos(a,b) = co/√(nₐ·n_b) is compared via the monotone integer
+    surrogate 10⁶·co² div (nₐ·n_b) (cos² in ppm) — no square root, no
+    float surface anywhere; rank ties break on neighbor name.
+
+    100 TB: same basket-explosion shape as mine_association_rules but at
+    customer granularity — the (customer, brand) distinct set shuffles
+    once, pairs explode per basket map-side (C(k,2), k ≤ 25 brands), and
+    the similarity matrix is ≤ 300 undirected entries at any SF. Brand
+    degree vector broadcasts; the final top-3 window runs on ≤ 600 rows.
+    co² ride in HUGEINT/decimal — co ~ 1e9 customers squares past int64."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    per_cust = baskets.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    co = (
+        per_cust.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(brands, (x, i) ->
+                        transform(slice(brands, i + 2, size(brands)), y ->
+                            struct(x AS brand_a, y AS brand_b))))
+                    """
+                )
+            ).alias("pr")
+        )
+        .select("pr.brand_a", "pr.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    deg = baskets.groupBy("p_brand").agg(F.count("*").cast("long").alias("n"))
+    sym = co.select(
+        F.col("brand_a").alias("brand"), F.col("brand_b").alias("neighbor"), "co"
+    ).unionAll(
+        co.select(
+            F.col("brand_b").alias("brand"), F.col("brand_a").alias("neighbor"), "co"
+        )
+    )
+    da = deg.withColumnsRenamed({"p_brand": "brand", "n": "n_brand"})
+    dn = deg.withColumnsRenamed({"p_brand": "neighbor", "n": "n_neighbor"})
+    scored = (
+        sym.join(F.broadcast(da), "brand")
+        .join(F.broadcast(dn), "neighbor")
+        .select(
+            "brand",
+            "neighbor",
+            "co",
+            F.expr(
+                """CAST(1000000 * CAST(co AS DECIMAL(38,0)) * co
+                        div (CAST(n_brand AS DECIMAL(38,0)) * n_neighbor)
+                        AS BIGINT)"""
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy(
+        F.col("cos2_ppm").desc(), F.col("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("brand", "neighbor", "co", "cos2_ppm", "rnk")
+    )

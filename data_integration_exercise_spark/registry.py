@@ -16,6 +16,7 @@ from .operators import (
     etl,
     graph,
     joins,
+    mining,
     pipeline,
     projections,
     sampling,
@@ -50,6 +51,7 @@ _MODULES = [
     behavioral,
     graph,
     curation,
+    mining,
 ]
 
 # The driver's per-round correctness harness samples a fixed-size prefix of
@@ -70,8 +72,9 @@ _MODULES = [
 # CC, blocked cosine): their green rows predate the code that now runs.
 #
 # ROUND-6 PLAN: after this window lands green, every registered key has a
-# driver row except the round-5 additions. Rotate _PRIORITY to the 43
-# _ADDED_R5 keys (none has a driver row) and spend the 7 spare slots on
+# driver row except the round-5 additions. Rotate _PRIORITY to the first 50
+# _ADDED_R5 keys (none has a driver row; if the list exceeds 50, the tail
+# rolls to round 7) and spend any spare slots on
 # re-verification of anything rewritten after its latest green row (as of
 # round-5 end there are no such keys — text_hashing_vectorizer's output
 # change landed while it sat in the CURRENT window, so its r5 row already
@@ -346,6 +349,8 @@ _ADDED_R5 = [
     "text_ngram_novelty",
     "events_bot_detection",
     "etl_table_fingerprint",
+    "mine_association_rules",
+    "sim_item_neighbors",
 ]
 
 
