@@ -1704,3 +1704,78 @@ def agg_pareto_crossover(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "agg_linear_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                              o_orderdate) AS BIGINT) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ), m AS (
+        SELECT pri, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM daily GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_microcents_per_day,
+           CAST(sy // n AS BIGINT) AS mean_daily_cents
+    FROM m
+    """,
+)
+def agg_linear_trend(spark, sf_dir):
+    """Per-priority OLS revenue trend: slope of the daily-revenue-vs-day
+    least-squares line, closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    evaluated entirely on exact integers — x is the integer day index
+    (datediff vs a pinned anchor), y the exact daily cents sum, the four
+    moments accumulate in decimal(38,0)/HUGEINT (nΣxy scales past int64 at
+    cluster SFs), and the single division is the truncating integer div
+    both engines share (toward zero, signed — verified), scaled to
+    micro-cents/day first so no precision is thrown away. No float exists
+    anywhere in the plan.
+
+    100 TB: two groupBy passes (daily rollup, then 5-group moments) with
+    full map-side partial aggregation — the regression itself is O(groups).
+    This is the mergeable-moments pattern (same family as agg_ab_ttest):
+    shard moments add, so the fit distributes perfectly."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            )
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("pri", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    m = daily.groupBy("pri").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            """CAST(1000000 * (n * sxy - sx * sy)
+                    div (n * sxx - sx * sx) AS BIGINT)"""
+        ).alias("slope_microcents_per_day"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_daily_cents"),
+    )

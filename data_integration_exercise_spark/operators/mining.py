@@ -234,3 +234,130 @@ def sim_item_neighbors(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("brand", "neighbor", "co", "cos2_ppm", "rnk")
     )
+
+
+#: BM25 constants, pre-scaled to integers: k1 = 1.2, b = 0.75 give the
+#: per-term factor tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/S); multiplying
+#: through by 10·S turns it into the exact rational
+#: 22·S·tf / (10·S·tf + 3·S + 9·dl·N) with S = Σdl (corpus token count).
+_BM25_QUERY_TERMS = ("dup", "spark", "merge")
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(sum(dl) AS HUGEINT) AS s,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM dl
+    ), qdf AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term IN ('dup', 'spark', 'merge') GROUP BY term
+    ), idf AS (
+        SELECT term,
+               CAST(floor(1e6 * log2((2.0 * n + 2) / (2 * df + 1)) + 1e-6)
+                    AS BIGINT) AS idf_micro
+        FROM qdf CROSS JOIN corpus
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, term
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(CAST(idf.idf_micro AS HUGEINT) * 22 * c.s * tf.tf
+                    // (10 * c.s * tf.tf + 3 * c.s + 9 * CAST(dl.dl AS HUGEINT) * c.n)
+                    AS BIGINT) AS part_micro
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus c
+    ), scored AS (
+        SELECT doc_id,
+               CAST(sum(part_micro) AS BIGINT) AS score_micro,
+               CAST(count(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 full-text retrieval (Okapi, Lucene idf form) for a fixed
+    3-term disjunctive query, top-20 documents. Every factor is exact
+    integer arithmetic: the tf saturation term is cleared of its float
+    constants by multiplying through by 10·S (k1 = 1.2, b = 0.75 become
+    the integer rational 22·S·tf / (10·S·tf + 3·S + 9·dl·N)), and
+    idf = log2((2N+2)/(2df+1)) — always positive in this form — is floored
+    to integer micro-bits with the +1e-6 libm guard (the
+    text_bigram_lm_score discipline). The only division is the shared
+    truncating integer div; rank ties break on doc_id so the LIMIT-20
+    cutoff is deterministic.
+
+    100 TB: dl and per-term tf are two map-side-combined groupBys over the
+    token stream (tf pre-filtered to the query terms AT THE SCAN — the
+    inverted-index access path expressed as predicate pushdown); corpus
+    totals and the 3-row idf table broadcast onto the ≤ |q|·N_matched
+    contrib rows; global top-20 is Spark's TakeOrdered (per-partition
+    top-k, no full sort). Products ride HUGEINT/decimal(38,0): idf·22·S·tf
+    passes int64 once S reaches cluster scale."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_QUERY_TERMS)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum(F.col("dl").cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    qdf = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    idf = qdf.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.lit(1e6)
+            * F.log2(
+                (F.lit(2.0) * F.col("n").cast("double") + 2)
+                / (2 * F.col("df") + 1)
+            )
+            + F.lit(1e-6)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                """CAST(CAST(idf_micro AS DECIMAL(38,0)) * 22 * s * tf
+                        div (10 * s * tf + 3 * s
+                             + 9 * CAST(dl AS DECIMAL(38,0)) * n)
+                        AS BIGINT)"""
+            ).alias("part_micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum("part_micro").cast("long").alias("score_micro"),
+        F.count("*").cast("long").alias("n_terms_matched"),
+    )
+    top = scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    # rank window runs on the 20 surviving rows only — bounded global window
+    return top.select(
+        "doc_id",
+        "score_micro",
+        "n_terms_matched",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

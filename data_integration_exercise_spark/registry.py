@@ -351,6 +351,8 @@ _ADDED_R5 = [
     "etl_table_fingerprint",
     "mine_association_rules",
     "sim_item_neighbors",
+    "agg_linear_trend",
+    "text_bm25_search",
 ]
 
 

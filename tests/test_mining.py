@@ -30,6 +30,63 @@ def test_association_rules_invariants(spark):
     assert not pdf.duplicated(["brand_a", "brand_b"]).any()
 
 
+def test_bm25_ranking_semantics(spark):
+    """BM25 invariants: exactly 20 results with dense ranks, scores
+    non-increasing in rank order, and a doc matching the rare term 'dup'
+    (df = 25 of 500) outranks common-terms-only docs — idf must dominate."""
+    pdf = (
+        mining.QUERIES["text_bm25_search"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["rank"]) == list(range(1, 21))
+    assert (pdf.score_micro.diff().dropna() <= 0).all()
+    assert pdf.n_terms_matched.between(1, 3).all()
+    # the whole top-20 must contain 'dup' docs: rare-term idf ≫ common-term idf
+    import duckdb
+
+    con = duckdb.connect()
+    dup_docs = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE text LIKE '%dup%'"
+        ).fetchall()
+    }
+    con.close()
+    assert set(pdf.doc_id) <= dup_docs
+
+
+def test_linear_trend_matches_numpy(spark):
+    """The integer closed form must agree with numpy's lstsq slope to
+    within 1 micro-cent/day (truncation) on every priority group."""
+    import duckdb
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    res = (
+        aggregates.QUERIES["agg_linear_trend"](spark, SF_DIR)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT o_orderpriority AS pri,
+               date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS x,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+        FROM read_parquet('{SF_DIR}/orders.parquet') GROUP BY 1, 2
+        """
+    ).df()
+    con.close()
+    for pri, g in daily.groupby("pri"):
+        slope = np.polyfit(g.x.astype(float), g.y.astype(float), 1)[0]
+        got = res.loc[pri, "slope_microcents_per_day"] / 1e6
+        assert abs(got - slope) < 1e-3, (pri, got, slope)
+
+
 def test_item_neighbors_topk_shape(spark):
     """Every brand gets at most 3 neighbors, ranks are dense from 1, and
     the integer cosine² surrogate is a valid ppm (co² ≤ nₐ·n_b ⇒ ≤ 1e6)."""
