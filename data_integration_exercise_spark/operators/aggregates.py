@@ -1779,3 +1779,98 @@ def agg_linear_trend(spark, sf_dir):
         ).alias("slope_microcents_per_day"),
         F.expr("CAST(sy div n AS BIGINT)").alias("mean_daily_cents"),
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle="""
+    WITH ev AS (SELECT user_id FROM events),
+    r AS (SELECT unnest([0, 1, 2]) AS r),
+    cells AS (
+        SELECT r.r,
+               ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                                   || CAST(ev.user_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 32 AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ev CROSS JOIN r GROUP BY 1, 2
+    ), keys AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+        FROM ev GROUP BY user_id
+    )
+    SELECT k.user_id, k.exact_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           CAST(min(c.c) - k.exact_count AS BIGINT) AS overcount
+    FROM keys k
+    CROSS JOIN r
+    JOIN cells c
+      ON c.r = r.r
+     AND c.b = ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|'
+                                   || CAST(k.user_id AS VARCHAR)), 1, 4))::BIGINT % 32
+    GROUP BY k.user_id, k.exact_count
+    """,
+)
+def agg_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch built in pure SQL: a 3×32 counter matrix (three
+    md5-salted hash rows, 32 buckets) over the event stream, then the CMS
+    point estimate min_r counter[r][h_r(key)] for every key, emitted
+    beside the exact count and the (always ≥ 0) overcount — the sketch's
+    one-sided error made visible and hash-verifiable, since md5 bucketing
+    is deterministic across engines, partitionings, and merges.
+
+    100 TB: the 96-cell counter matrix is a map-side-combined groupBy over
+    the raw stream (each shard's partial matrix ADDS — the mergeability
+    that makes CMS the streaming/distributed frequency primitive; same
+    family as agg_hll_sketch_merge); the estimate pass broadcasts the
+    96-row matrix back onto the distinct-key rollup. Nothing in the plan
+    holds per-key state beyond the keyed rollup itself."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(r, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{r}|"), F.col(key_col).cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 32
+        )
+
+    hashed = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r, "user_id").alias("b"))
+                    for r in (0, 1, 2)
+                ]
+            )
+        ).alias("h")
+    ).select("h.r", "h.b")
+    cells = hashed.groupBy("r", "b").agg(F.count("*").cast("long").alias("c"))
+    keys = e.groupBy("user_id").agg(F.count("*").cast("long").alias("exact_count"))
+    probes = keys.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), bucket(r, "user_id").alias("b"))
+                    for r in (0, 1, 2)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "exact_count", "h.r", "h.b")
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )

@@ -634,3 +634,123 @@ def events_bot_detection(spark, sf_dir):
         cv2.cast("long").alias("cv2_e6"),
         (cv2 < 200000).alias("flag_regular"),
     )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000 // {_DAY_US} AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), u AS (
+        SELECT user_id,
+               CAST(max(day) AS BIGINT) AS last_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(cents) AS BIGINT) AS monetary_cents
+        FROM pur GROUP BY user_id
+    ), g AS (
+        SELECT CAST(max(last_day) AS BIGINT) AS gday,
+               CAST(count(*) AS BIGINT) AS n
+        FROM u
+    ), m AS (
+        SELECT u.user_id, g.gday - u.last_day AS recency_days,
+               u.frequency, u.monetary_cents, g.n
+        FROM u CROSS JOIN g
+    ), rd AS (
+        SELECT recency_days AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY recency_days) AS le
+        FROM m GROUP BY recency_days
+    ), fd AS (
+        SELECT frequency AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY frequency) AS le
+        FROM m GROUP BY frequency
+    ), md AS (
+        SELECT monetary_cents AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY monetary_cents) AS le
+        FROM m GROUP BY monetary_cents
+    )
+    SELECT m.user_id, m.recency_days, m.frequency, m.monetary_cents,
+           CAST(1 + 5 * (m.n - rd.le) // m.n AS BIGINT) AS r_score,
+           CAST(1 + 5 * (fd.le - fd.c) // m.n AS BIGINT) AS f_score,
+           CAST(1 + 5 * (md.le - md.c) // m.n AS BIGINT) AS m_score,
+           CAST(100 * (1 + 5 * (m.n - rd.le) // m.n)
+                + 10 * (1 + 5 * (fd.le - fd.c) // m.n)
+                + (1 + 5 * (md.le - md.c) // m.n) AS BIGINT) AS rfm
+    FROM m
+    JOIN rd ON m.recency_days = rd.v
+    JOIN fd ON m.frequency = fd.v
+    JOIN md ON m.monetary_cents = md.v
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation over purchase events: recency (days since
+    last purchase, vs the corpus max day), frequency, monetary (exact
+    cents), each scored 1-5 by HISTOGRAM quintiles — score = 1 + 5·(#users
+    strictly worse) div n, computed from the metric's value-distribution
+    rollup, NOT a per-user ntile. Equal metric values therefore share a
+    score (no arbitrary tie split), and the construction needs no global
+    per-user sort: the only windows run over the distinct-VALUE rollups
+    (recency ≤ the date span in days, frequency ≤ max purchases per user,
+    monetary ≤ the distinct spend levels), each orders of magnitude
+    smaller than the user population, then broadcast-join back.
+
+    100 TB: one user-keyed groupBy, three bounded rollup windows, three
+    broadcast joins — the per-user ntile(5) a naive RFM uses would be a
+    single-partition global sort; this shape never sorts users at all."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    u = e.select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    g = u.agg(
+        F.max("last_day").alias("gday"), F.count("*").cast("long").alias("n")
+    )
+    m = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        (F.col("gday") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        "n",
+    )
+
+    def dist(metric):
+        w = (
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # bounded global window: runs over the distinct-VALUE rollup only
+        return (
+            m.groupBy(F.col(metric).alias("v"))
+            .agg(F.count("*").alias("c"))
+            .select("v", "c", F.sum("c").over(w).alias("le"))
+        )
+
+    rd, fd, md = dist("recency_days"), dist("frequency"), dist("monetary_cents")
+    j = (
+        m.join(F.broadcast(rd.withColumnsRenamed({"v": "recency_days", "c": "rc", "le": "rle"})), "recency_days")
+        .join(F.broadcast(fd.withColumnsRenamed({"v": "frequency", "c": "fc", "le": "fle"})), "frequency")
+        .join(F.broadcast(md.withColumnsRenamed({"v": "monetary_cents", "c": "mc", "le": "mle"})), "monetary_cents")
+    )
+    r_s = F.expr("1 + 5 * (n - rle) div n")
+    f_s = F.expr("1 + 5 * (fle - fc) div n")
+    m_s = F.expr("1 + 5 * (mle - mc) div n")
+    return j.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_s.cast("long").alias("r_score"),
+        f_s.cast("long").alias("f_score"),
+        m_s.cast("long").alias("m_score"),
+        (r_s * 100 + f_s * 10 + m_s).cast("long").alias("rfm"),
+    )

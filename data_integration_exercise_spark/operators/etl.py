@@ -743,3 +743,50 @@ def etl_table_fingerprint(spark, sf_dir):
         "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING))"
     )
     return fp(c, c_expr, "customer").unionByName(fp(o, o_expr, "orders"))
+
+
+@register(
+    "etl_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT ym, 'revenue_cents' AS metric, revenue_cents AS value FROM wide
+    UNION ALL
+    SELECT ym, 'n_customers' AS metric, n_customers AS value FROM wide
+    """,
+)
+def etl_unpivot_melt(spark, sf_dir):
+    """Wide→long melt of a monthly KPI table: three metric columns
+    (n_orders / revenue_cents / n_customers, all exact BIGINTs) unpivot to
+    (ym, metric, value) rows via Spark's native ``DataFrame.unpivot`` —
+    the inverse of agg_pivot, and the shape every metrics warehouse needs
+    at the boundary between wide storage and long consumers.
+
+    100 TB: unpivot is a NARROW transformation (each input row emits its k
+    metric rows map-side, no shuffle beyond the source rollup) — the
+    oracle's 3-way UNION ALL restates the semantics but would re-scan the
+    wide table per metric; Spark's Expand-based unpivot scans once."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["ym"],
+        values=["n_orders", "revenue_cents", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -361,3 +361,123 @@ def text_bm25_search(spark, sf_dir):
         "n_terms_matched",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+#: synthetic planar coordinates: 4 md5 hex digits of a salted key, mod 10⁴ —
+#: deterministic across engines (the sampling-module bucket idiom), standing
+#: in for real lat/lon so the GRID-JOIN mechanics are testable without a geo
+#: library. Cell side 512 ≥ radius 300, so a 3×3 neighborhood is complete.
+_GRID_MOD = 10_000
+_CELL = 512
+_RADIUS2 = 300 * 300
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH c AS (
+        SELECT c_custkey,
+               ('0x' || substr(md5('cx|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+                   % {_GRID_MOD} AS x,
+               ('0x' || substr(md5('cy|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+                   % {_GRID_MOD} AS y
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey,
+               ('0x' || substr(md5('sx|' || CAST(s_suppkey AS VARCHAR)), 1, 4))::BIGINT
+                   % {_GRID_MOD} AS sx,
+               ('0x' || substr(md5('sy|' || CAST(s_suppkey AS VARCHAR)), 1, 4))::BIGINT
+                   % {_GRID_MOD} AS sy
+        FROM supplier
+    ), s9 AS (
+        SELECT s.*, s.sx // {_CELL} + dx.dx AS cell_x, s.sy // {_CELL} + dy.dy AS cell_y
+        FROM s
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    ), cand AS (
+        SELECT c.c_custkey, s9.s_suppkey,
+               (c.x - s9.sx) * (c.x - s9.sx)
+                   + (c.y - s9.sy) * (c.y - s9.sy) AS dist2
+        FROM c JOIN s9
+          ON c.x // {_CELL} = s9.cell_x AND c.y // {_CELL} = s9.cell_y
+        WHERE (c.x - s9.sx) * (c.x - s9.sx)
+                  + (c.y - s9.sy) * (c.y - s9.sy) <= {_RADIUS2}
+    )
+    SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rn
+        FROM cand)
+    WHERE rn = 1
+    """,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Nearest-supplier-within-radius spatial join via GRID BUCKETING —
+    the spatial-hash analogue of banded LSH: both sides land in 512-unit
+    grid cells, the small side replicates into its 3×3 cell neighborhood
+    (cell ≥ radius, so the neighborhood provably covers every ≤ 300-unit
+    match), candidates meet on a plain (cell_x, cell_y) equi-key, and the
+    exact integer squared distance filters inside the join. Per customer
+    the nearest match wins (dist², then suppkey — deterministic). All
+    integer; coordinates are md5-derived stand-ins for lat/lon.
+
+    100 TB: the win is turning an O(|C|·|S|) theta join into an equi-join
+    on cell keys — Spark shuffles both sides by cell (or broadcasts the
+    ×9-replicated dim side, as here), and each task only compares points
+    in adjacent cells. Density skew (a hot cell) is the salted-join
+    problem and would get the join_skew_salted treatment; the final
+    per-customer window partitions on the probe key, so it scales with
+    the probe side."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def coord(salt, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{salt}|"), F.col(key).cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _GRID_MOD
+        )
+
+    c = c.select(
+        "c_custkey", coord("cx", "c_custkey").alias("x"), coord("cy", "c_custkey").alias("y")
+    )
+    s = s.select(
+        "s_suppkey",
+        coord("sx", "s_suppkey").alias("sx"),
+        coord("sy", "s_suppkey").alias("sy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(array(-1, 0, 1), dx -> "
+        "transform(array(-1, 0, 1), dy -> struct(dx AS dx, dy AS dy)))))"
+    )
+    s9 = s.select("*", offsets.alias("o")).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.expr(f"sx div {_CELL}") + F.col("o.dx")).alias("cell_x"),
+        (F.expr(f"sy div {_CELL}") + F.col("o.dy")).alias("cell_y"),
+    )
+    cand = (
+        c.withColumn("cell_x", F.expr(f"x div {_CELL}"))
+        .withColumn("cell_y", F.expr(f"y div {_CELL}"))
+        .join(F.broadcast(s9), ["cell_x", "cell_y"])
+        .withColumn(
+            "dist2",
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+            + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy")),
+        )
+        .filter(F.col("dist2") <= _RADIUS2)
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", F.col("dist2").cast("long").alias("dist2"))
+    )

@@ -353,6 +353,10 @@ _ADDED_R5 = [
     "sim_item_neighbors",
     "agg_linear_trend",
     "text_bm25_search",
+    "events_rfm_segments",
+    "etl_unpivot_melt",
+    "agg_count_min_sketch",
+    "join_spatial_grid",
 ]
 
 

