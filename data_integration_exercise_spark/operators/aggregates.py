@@ -1874,3 +1874,95 @@ def agg_count_min_sketch(spark, sf_dir):
             (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
         )
     )
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), binned AS (
+        SELECT pri, length(bin(cents)) AS b, CAST(count(*) AS BIGINT) AS c
+        FROM c GROUP BY 1, 2
+    ), cum AS (
+        SELECT pri, b, c,
+               sum(c) OVER (PARTITION BY pri ORDER BY b) AS le,
+               sum(c) OVER (PARTITION BY pri) AS n
+        FROM binned
+    ), hit AS (
+        SELECT pri, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN 100 * le >= 50 * n THEN b END) AS b50,
+               min(CASE WHEN 100 * le >= 95 * n THEN b END) AS b95,
+               min(CASE WHEN 100 * le >= 99 * n THEN b END) AS b99
+        FROM cum GROUP BY pri
+    )
+    SELECT pri AS o_orderpriority, n,
+           CAST(1 << (b50 - 1) AS BIGINT) AS p50_lo_cents,
+           CAST((1 << b50) - 1 AS BIGINT)  AS p50_hi_cents,
+           CAST(1 << (b95 - 1) AS BIGINT) AS p95_lo_cents,
+           CAST((1 << b95) - 1 AS BIGINT)  AS p95_hi_cents,
+           CAST(1 << (b99 - 1) AS BIGINT) AS p99_lo_cents,
+           CAST((1 << b99) - 1 AS BIGINT)  AS p99_hi_cents
+    FROM hit
+    """,
+)
+def agg_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch: a log₂-binned histogram per segment (bin
+    = the integer bit-length of the cents value — computed as the LENGTH
+    of the binary string, an exact integer in both engines; never log(),
+    which is a libm transcendental) answers p50/p95/p99 with guaranteed
+    2× relative error, emitting each quantile's exact [2^(b−1), 2^b−1]
+    bin bounds. Nearest-rank bin selection is the integer cross-multiply
+    100·cum ≥ q·n — no percentile interpolation, no float.
+
+    This is the t-digest/KLL niche done with a provable-error fixed-bin
+    sketch: per-shard bin counts ADD, so at 100 TB every executor emits
+    its ≤64-bin partial, one map-side-combined groupBy merges them, and
+    the quantile read-out runs on segments×64 rows — the exact
+    percentile_disc alternative when a full sort per segment is
+    unaffordable and a bounded relative error is acceptable (accuracy is
+    tunable by sub-bin splitting; the MERGEABILITY is the point). The
+    per-segment cum window is bounded by the 64-bin domain."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .select("pri", F.length(F.conv(F.col("cents").cast("string"), 10, 2)).alias("b"))
+        .groupBy("pri", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("pri")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("pri")
+    cum = binned.select(
+        "pri",
+        "b",
+        "c",
+        F.sum("c").over(wcum).alias("le"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    hit = cum.groupBy("pri").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(100 * F.col("le") >= 50 * F.col("n"), F.col("b"))).alias("b50"),
+        F.min(F.when(100 * F.col("le") >= 95 * F.col("n"), F.col("b"))).alias("b95"),
+        F.min(F.when(100 * F.col("le") >= 99 * F.col("n"), F.col("b"))).alias("b99"),
+    )
+    return hit.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        F.expr("shiftleft(1L, b50 - 1)").alias("p50_lo_cents"),
+        F.expr("shiftleft(1L, b50) - 1").alias("p50_hi_cents"),
+        F.expr("shiftleft(1L, b95 - 1)").alias("p95_lo_cents"),
+        F.expr("shiftleft(1L, b95) - 1").alias("p95_hi_cents"),
+        F.expr("shiftleft(1L, b99 - 1)").alias("p99_lo_cents"),
+        F.expr("shiftleft(1L, b99) - 1").alias("p99_hi_cents"),
+    )

@@ -489,3 +489,93 @@ def graph_bfs_distances(spark, sf_dir):
         F.expr("node div 2").cast("long").alias("node_key"),
         F.col("dist").cast("long").alias("dist"),
     )
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    )"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, r.label,
+                   row_number() OVER (PARTITION BY e.dst
+                                      ORDER BY count(*) DESC, r.label) AS rn
+            FROM edges e JOIN l{i - 1} r ON r.node = e.src
+            GROUP BY e.dst, r.label)
+        WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           node // 2 AS node_key,
+           CAST(label AS BIGINT) AS community
+    FROM l{_LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the trade
+    network: every node starts as its own label; each of the 4 FIXED
+    rounds re-labels every node with its neighbors' most frequent label,
+    ties to the smallest label id — a fully deterministic rule (classic
+    LPA breaks ties randomly and is therefore unverifiable; smallest-label
+    is the standard derandomization), so the unrolled-CTE oracle matches
+    exactly. Fixed rounds rather than convergence: synchronous LPA can
+    oscillate on bipartite graphs (this one IS bipartite), so a
+    convergence loop could livelock — the fixed-round form is the honest
+    contract, and the round count is pinned in both engines.
+
+    100 TB: each round is one edges⋈labels equi-join + a (dst, label)
+    rollup + a dst-keyed window — all partitioned on the node key, the
+    same bounded-shuffle iteration PageRank/BFS/CC run; the edge list is
+    checkpointed once up front and each round's label table localCheckpoints
+    so no round re-executes prior lineage. The oracle's per-level CTEs are
+    MATERIALIZED (SURVEY §10 lesson 7: plain CTE inlining is exponential
+    in depth)."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        counted = (
+            edges.join(
+                labels.withColumnsRenamed({"node": "src_node"}),
+                F.col("src") == F.col("src_node"),
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("node div 2").cast("long").alias("node_key"),
+        F.col("label").cast("long").alias("community"),
+    )

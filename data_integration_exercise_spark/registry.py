@@ -357,6 +357,8 @@ _ADDED_R5 = [
     "etl_unpivot_melt",
     "agg_count_min_sketch",
     "join_spatial_grid",
+    "graph_label_propagation",
+    "agg_quantile_sketch",
 ]
 
 

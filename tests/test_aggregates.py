@@ -208,3 +208,34 @@ def test_count_min_never_underestimates(spark):
     assert (pdf.cms_estimate >= pdf.exact_count).all()
     assert (pdf.overcount > 0).any()
     assert pdf.exact_count.sum() == 10000
+
+
+def test_quantile_sketch_bounds_bracket_exact_percentiles(spark):
+    """Each emitted [lo, hi] bin must contain the EXACT nearest-rank
+    percentile of the underlying cents distribution — the sketch's 2×
+    error guarantee, checked against DuckDB's quantile_disc."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_quantile_sketch"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas().set_index("o_orderpriority")
+    con = duckdb.connect()
+    exact = con.execute(
+        """
+        SELECT o_orderpriority AS pri,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.50) AS p50,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.95) AS p95,
+               quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99
+        FROM read_parquet('/root/testdata/sf0.01/orders.parquet')
+        GROUP BY 1
+        """
+    ).df().set_index("pri")
+    con.close()
+    for pri in exact.index:
+        for q in ("50", "95", "99"):
+            lo = pdf.loc[pri, f"p{q}_lo_cents"]
+            hi = pdf.loc[pri, f"p{q}_hi_cents"]
+            assert lo <= exact.loc[pri, f"p{q}"] <= hi, (pri, q, lo, hi)
+            assert hi < 2 * lo + 2  # the advertised 2× relative error

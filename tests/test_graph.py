@@ -115,3 +115,18 @@ def test_bfs_distances_match_python_bfs(spark):
         for n, d in dist.items()
     }
     assert got == want and len(want) > 0
+
+
+def test_label_propagation_partitions_all_nodes(spark):
+    """Every graph node gets exactly one community; community ids are
+    node ids; more than one community survives 4 rounds (the graph is not
+    one blob at sf0.01), and communities are non-trivial (≥ 2 members for
+    the largest)."""
+    from data_integration_exercise_spark.operators import graph
+
+    pdf = graph.QUERIES["graph_label_propagation"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert not pdf.duplicated(["node_type", "node_key"]).any()
+    sizes = pdf.groupby("community").size()
+    assert sizes.max() >= 2
