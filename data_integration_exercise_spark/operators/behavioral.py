@@ -754,3 +754,126 @@ def events_rfm_segments(spark, sf_dir):
         m_s.cast("long").alias("m_score"),
         (r_s * 100 + f_s * 10 + m_s).cast("long").alias("rfm"),
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+    )
+    SELECT event_type AS e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """User-journey path analysis: every 3-step event-type sequence
+    (trigram) across all users, with exact counts — the Markov-transition
+    operator's higher-order sibling, the query behind "what do users do
+    right before purchasing?". Event order is the deterministic
+    (ts_us, event_id) total order, so identical across engines and
+    partitionings.
+
+    100 TB: one user-keyed window (two leads, values move, nothing sums)
+    + one rollup bounded by |event_types|³ = 125 rows regardless of SF —
+    the classic sequence-explosion shape where output stays tiny while
+    input scales."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH pur AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000 // {_WEEK_US} AS week,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), firstw AS (
+        SELECT user_id, min(week) AS cohort_week FROM pur GROUP BY user_id
+    ), csize AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        FROM firstw GROUP BY cohort_week
+    ), wk AS (
+        SELECT f.cohort_week, p.week - f.cohort_week AS week_offset,
+               CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+        FROM pur p JOIN firstw f ON p.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT w.cohort_week, w.week_offset, c.n_users, w.revenue_cents,
+           CAST(sum(w.revenue_cents) OVER (
+                PARTITION BY w.cohort_week ORDER BY w.week_offset)
+                AS BIGINT) AS cum_revenue_cents,
+           CAST(sum(w.revenue_cents) OVER (
+                PARTITION BY w.cohort_week ORDER BY w.week_offset)
+                // c.n_users AS BIGINT) AS ltv_per_user_cents
+    FROM wk w JOIN csize c ON w.cohort_week = c.cohort_week
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: users cohorted by first-purchase
+    epoch-week; for each (cohort, weeks-since-acquisition) the exact
+    revenue, the running cumulative revenue, and the per-user LTV
+    (truncating division) — retention's revenue-weighted companion, the
+    curve every growth team reads. Exact integer cents and week ids
+    end to end.
+
+    100 TB: one user-keyed min-groupBy (cohort assignment), one
+    (user→cohort) broadcast-back join, one (cohort, offset) rollup, then
+    a cumulative window PARTITIONED by cohort over the ≤ weeks² offset
+    rows — never over users. Same shuffle budget as
+    events_retention_cohorts plus one bounded window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    pur = e.select(
+        "user_id",
+        F.expr(f"ts_us div {_WEEK_US}").alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    firstw = pur.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    csize = firstw.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    wk = (
+        pur.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        wk.join(F.broadcast(csize), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wcum).alias("cum_revenue_cents"),
+            F.expr(
+                """CAST(sum(revenue_cents) OVER (
+                       PARTITION BY cohort_week ORDER BY week_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       div n_users AS BIGINT)"""
+            ).alias("ltv_per_user_cents"),
+        )
+    )

@@ -359,6 +359,8 @@ _ADDED_R5 = [
     "join_spatial_grid",
     "graph_label_propagation",
     "agg_quantile_sketch",
+    "events_path_trigrams",
+    "events_cohort_ltv",
 ]
 
 

@@ -187,3 +187,45 @@ def test_rfm_scores_are_quintiles(spark):
         diffs = srt.diff().dropna()
         assert (diffs >= 0).all() if better_high else (diffs <= 0).all()
     assert (pdf.rfm == pdf.r_score * 100 + pdf.f_score * 10 + pdf.m_score).all()
+
+
+def test_path_trigrams_conservation(spark):
+    """Trigram counts must sum to Σ_user max(0, n_events_user − 2) — every
+    position yields exactly one trigram."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_path_trigrams"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    con = duckdb.connect()
+    expected = con.execute(
+        """
+        SELECT sum(greatest(n - 2, 0)) FROM (
+            SELECT count(*) AS n
+            FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+            GROUP BY user_id)
+        """
+    ).fetchone()[0]
+    con.close()
+    assert pdf.n_paths.sum() == expected
+    assert len(pdf) <= 125  # 5^3 event types
+
+
+def test_cohort_ltv_monotone_cumulative(spark):
+    """Per cohort, cumulative revenue is non-decreasing in week_offset and
+    equals the running sum of the per-offset revenue; LTV = cum div users."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = (
+        behavioral.QUERIES["events_cohort_ltv"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["cohort_week", "week_offset"])
+    )
+    for _, g in pdf.groupby("cohort_week"):
+        assert (g.cum_revenue_cents.diff().dropna() >= 0).all()
+        assert (g.revenue_cents.cumsum() == g.cum_revenue_cents).all()
+    assert (
+        pdf.ltv_per_user_cents == pdf.cum_revenue_cents // pdf.n_users
+    ).all()
