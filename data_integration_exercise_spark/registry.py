@@ -361,6 +361,8 @@ _ADDED_R5 = [
     "agg_quantile_sketch",
     "events_path_trigrams",
     "events_cohort_ltv",
+    "scan_time_travel",
+    "sink_wap_publish",
 ]
 
 

@@ -915,3 +915,218 @@ def sink_idempotent_overwrite(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+
+
+_TT_STAGED: set[str] = set()  # staged once per process; source data immutable
+
+#: canonical row hash for the versioned-orders snapshots (the
+#: etl_table_fingerprint construction: 60-bit md5 prefix, integer cents)
+_TT_ROW_EXPR = (
+    "concat(CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING), "
+    "'|', o_orderstatus, '|', CAST(price_cents AS STRING))"
+)
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               price_cents + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END
+                   AS price_cents
+        FROM v1 WHERE o_orderkey % 13 != 0
+    ), s1 AS (
+        SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(price_cents) AS BIGINT) AS revenue_cents,
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                   || '|' || o_orderstatus || '|' || CAST(price_cents AS VARCHAR)
+               ), 1, 15))::BIGINT) AS fingerprint
+        FROM v1
+    ), s2 AS (
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(price_cents) AS BIGINT),
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                   || '|' || o_orderstatus || '|' || CAST(price_cents AS VARCHAR)
+               ), 1, 15))::BIGINT)
+        FROM v2
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    """,
+)
+def scan_time_travel(spark, sf_dir):
+    """Snapshot time travel hand-rolled on plain parquet — the second half
+    of the table-format metadata story scan_manifest_pruned started: the
+    write stage lands TWO versions of the orders snapshot (v2 applies
+    deterministic deletes ``key % 13 = 0`` and +1.00 price corrections
+    ``key % 11 = 0``) plus a version manifest mapping version → file
+    list; the read stage resolves "AS OF v" entirely from the manifest at
+    planning time and hands Spark only that version's files — old
+    versions stay readable because data files are immutable and only the
+    manifest advances, exactly Iceberg/Delta's snapshot-isolation
+    mechanism. Emitted per version: row count, exact revenue cents, and
+    the order-independent XOR fingerprint, so the oracle (which recomputes
+    both logical snapshots directly) verifies the physical layer
+    byte-for-byte.
+
+    100 TB: version resolution reads a KB-scale manifest, never lists the
+    data lake; the per-version scan is a plain pruned parquet read. The
+    driver-side manifest collect is bounded by the file count (planning
+    metadata, not data)."""
+    base = _stage_dir(sf_dir, "scan_time_travel")
+    data, manifest = base + "/data", base + "/manifest"
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    v2 = v1.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 11 == 0, 100).otherwise(0),
+    )
+    if base not in _TT_STAGED:
+        v1.write.mode("overwrite").parquet(data + "/v1")
+        v2.write.mode("overwrite").parquet(data + "/v2")
+        for ver in (1, 2):
+            (
+                spark.read.parquet(f"{data}/v{ver}")
+                .select(F.input_file_name().alias("file"))
+                .distinct()
+                .withColumn("version", F.lit(ver))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(manifest)
+            )
+        _TT_STAGED.add(base)
+    man = spark.read.parquet(manifest)
+    out = None
+    for ver in (1, 2):
+        files = [r.file for r in man.filter(F.col("version") == ver).collect()]
+        snap = spark.read.parquet(*files)
+        summ = snap.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5("
+                + _TT_ROW_EXPR
+                + "), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("fingerprint"),
+        ).select(
+            F.lit(ver).cast("long").alias("version"),
+            "n_rows",
+            "revenue_cents",
+            "fingerprint",
+        )
+        out = summ if out is None else out.unionByName(summ)
+    return out
+
+
+_WAP_GUARD: set[str] = set()
+
+
+@register(
+    "sink_wap_publish",
+    oracle="""
+    WITH staged AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderstatus IN ('O', 'F', 'P')
+    )
+    SELECT 'row_count' AS check_name,
+           CAST(count(*) AS BIGINT) AS observed,
+           count(*) > 0 AS passed
+    FROM staged
+    UNION ALL
+    SELECT 'dup_pk', CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey)
+    FROM staged
+    UNION ALL
+    SELECT 'null_pk', CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM staged
+    UNION ALL
+    SELECT 'min_price_cents_pos',
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+           min(o_totalprice) > 0
+    FROM staged
+    UNION ALL
+    SELECT 'published_rows', CAST(count(*) AS BIGINT), TRUE FROM staged
+    """,
+)
+def sink_wap_publish(spark, sf_dir):
+    """Write-Audit-Publish: the cleaned orders slice lands in a STAGING
+    directory, a data-quality audit runs against the staged files (row
+    count, duplicate/null primary keys, price sanity), and only a fully
+    green audit atomically renames staging into the published location —
+    consumers can never observe a half-written or failed-audit table. The
+    emitted report carries every check's observed value plus the row
+    count re-read FROM THE PUBLISHED path, proving the publish happened;
+    a red audit raises instead of publishing (exercised in tests against
+    a corrupted stage).
+
+    100 TB: the audit is one map-side-combined aggregate over the staged
+    files (scan speed, no shuffle); publish is a metadata-only rename —
+    the same O(1) commit a table format's atomic snapshot swap performs.
+    The handful of audit scalars cross the driver as the publish
+    decision — control flow, not data (the blessed cost-probe pattern)."""
+    import shutil
+
+    base = _stage_dir(sf_dir, "sink_wap_publish")
+    staging, published = base + "/staging", base + "/published"
+    if base not in _WAP_GUARD:
+        shutil.rmtree(base, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        cleaned = o.filter(F.col("o_orderstatus").isin("O", "F", "P")).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        cleaned.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            F.count("*").cast("long").alias("row_count"),
+            (F.count("*") - F.count_distinct("o_orderkey"))
+            .cast("long")
+            .alias("dup_pk"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("null_pk"),
+            F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "min_price_cents"
+            ),
+        ).collect()[0]
+        ok = (
+            audit.row_count > 0
+            and audit.dup_pk == 0
+            and audit.null_pk == 0
+            and audit.min_price_cents > 0
+        )
+        if not ok:
+            raise RuntimeError(f"WAP audit failed, refusing to publish: {audit}")
+        os.rename(staging, published)  # atomic same-fs publish
+        _WAP_GUARD.add(base)
+    pub = spark.read.parquet(published)
+    agg = pub.agg(
+        F.count("*").cast("long").alias("row_count"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("long").alias("dup_pk"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_pk"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "min_price_cents"
+        ),
+    )
+    return agg.selectExpr(
+        """stack(5,
+            'row_count', row_count, row_count > 0,
+            'dup_pk', dup_pk, dup_pk = 0,
+            'null_pk', null_pk, null_pk = 0,
+            'min_price_cents_pos', min_price_cents, min_price_cents > 0,
+            'published_rows', row_count, true
+        ) AS (check_name, observed, passed)"""
+    )

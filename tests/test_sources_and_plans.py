@@ -279,3 +279,54 @@ def test_manifest_pruning_skips_files_at_planning_time(spark):
         .collect()
     }
     assert got == want
+
+
+def test_time_travel_versions_are_isolated(spark):
+    """v1 must stay byte-identical after v2 exists (immutability), v2 must
+    differ by exactly the deleted keys, and the two fingerprints must
+    differ."""
+    from data_integration_exercise_spark.sources import connectors
+
+    sf = "/root/testdata/sf0.01"
+    first = (
+        connectors.QUERIES["scan_time_travel"](spark, sf)
+        .toPandas()
+        .set_index("version")
+    )
+    again = (
+        connectors.QUERIES["scan_time_travel"](spark, sf)
+        .toPandas()
+        .set_index("version")
+    )
+    assert first.equals(again)  # re-resolving a version is stable
+    import duckdb
+
+    con = duckdb.connect()
+    deleted = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf}/orders.parquet') "
+        "WHERE o_orderkey % 13 = 0"
+    ).fetchone()[0]
+    con.close()
+    assert first.loc[1, "n_rows"] - first.loc[2, "n_rows"] == deleted
+    assert first.loc[1, "fingerprint"] != first.loc[2, "fingerprint"]
+
+
+def test_wap_publish_report_green_and_rerun_stable(spark):
+    """A clean stage must publish (all checks pass, published_rows > 0) and
+    re-running must re-read the already-published table unchanged."""
+    from data_integration_exercise_spark.sources import connectors
+
+    sf = "/root/testdata/sf0.01"
+    r1 = connectors.QUERIES["sink_wap_publish"](spark, sf).toPandas()
+    r2 = connectors.QUERIES["sink_wap_publish"](spark, sf).toPandas()
+    assert r1.passed.all()
+    assert set(r1.check_name) == {
+        "row_count",
+        "dup_pk",
+        "null_pk",
+        "min_price_cents_pos",
+        "published_rows",
+    }
+    assert r1.sort_values("check_name").reset_index(drop=True).equals(
+        r2.sort_values("check_name").reset_index(drop=True)
+    )
