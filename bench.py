@@ -71,6 +71,17 @@ R5_TIER = [
     "dedup_soft_weights",
 ]
 
+# Late-round-5 additions (the most plan-complex of the mining/retrieval/
+# lifecycle wave), benched median-of-3 like every other tier.
+R5B_TIER = [
+    "mine_association_rules",
+    "sim_item_neighbors",
+    "text_bm25_search",
+    "graph_label_propagation",
+    "events_rfm_segments",
+    "join_spatial_grid",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +97,7 @@ def main() -> None:
     # unattributable from single runs; r5's extension-tier singles drifted
     # +25% under intra-run contention).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE + NEW_TIER + R5_TIER:
+    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER:
         if key not in qs:
             continue
         fn = qs[key]
@@ -120,6 +131,9 @@ def main() -> None:
     r5_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R5_TIER), 4
     )
+    r5b_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R5B_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -135,6 +149,7 @@ def main() -> None:
         "extended_total": total,
         "new_tier_total": new_tier_total,
         "r5_tier_total": r5_tier_total,
+        "r5b_tier_total": r5b_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

@@ -877,3 +877,162 @@ def events_cohort_ltv(spark, sf_dir):
             ).alias("ltv_per_user_cents"),
         )
     )
+
+
+@register(
+    "events_funnel_latency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(epoch_ns(ts) // 1000) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND epoch_ns(e.ts) // 1000 > s.t0
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > v.t1
+        GROUP BY e.user_id
+    ), sv AS (
+        SELECT v.t1 - s.t0 AS lat FROM s JOIN v ON s.user_id = v.user_id
+    ), vp AS (
+        SELECT p.t2 - v.t1 AS lat FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT 'signup_to_view' AS stage_pair,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(lat) AS BIGINT) AS min_latency_us,
+           CAST(median(lat) AS DOUBLE) AS median_latency_us,
+           CAST(max(lat) AS BIGINT) AS max_latency_us
+    FROM sv
+    UNION ALL
+    SELECT 'view_to_purchase', CAST(count(*) AS BIGINT), CAST(min(lat) AS BIGINT),
+           CAST(median(lat) AS DOUBLE), CAST(max(lat) AS BIGINT)
+    FROM vp
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Time-to-convert per funnel stage pair: for users who progressed
+    signup→view→purchase (the events_funnel stage semantics verbatim —
+    earliest qualifying event strictly after the prior stage), the min /
+    median / max inter-stage latency in µs. Latencies are exact integer
+    µs, so the median is an exact dyadic rational (the events_anomaly_mad
+    argument) — engine-stable with no rounding guard.
+
+    100 TB: the three stage frontiers are user-keyed min-groupBys that
+    shrink monotonically; latency frames join on user_id; each median
+    runs over one stage-pair's conversions. Same shuffle budget as
+    events_funnel plus two small aggregates."""
+    e = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prior, prior_t, t_name):
+        cand = e.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts_us")
+        )
+        if prior is None:
+            return cand.groupBy("user_id").agg(F.min("ts_us").alias(t_name))
+        return (
+            cand.join(prior, "user_id")
+            .filter(F.col("ts_us") > F.col(prior_t))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(t_name))
+        )
+
+    s = stage("signup", None, None, "t0")
+    v = stage("view", s, "t0", "t1")
+    p = stage("purchase", v, "t1", "t2")
+
+    def lat_summary(frame, name):
+        return frame.agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.min("lat").alias("min_latency_us"),
+            F.median("lat").cast("double").alias("median_latency_us"),
+            F.max("lat").alias("max_latency_us"),
+        ).select(F.lit(name).alias("stage_pair"), "*")
+
+    sv = s.join(v, "user_id").select((F.col("t1") - F.col("t0")).alias("lat"))
+    vp = v.join(p, "user_id").select((F.col("t2") - F.col("t1")).alias("lat"))
+    return lat_summary(sv, "signup_to_view").unionByName(
+        lat_summary(vp, "view_to_purchase")
+    )
+
+
+@register(
+    "events_bounce_rate",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+               CASE WHEN epoch_ns(ts) // 1000
+                         - lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) > {_SESSION_GAP_US}
+                         OR lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), y AS (
+        SELECT user_id, t,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM x
+    ), sess AS (
+        SELECT user_id, session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(t) // {_DAY_US} AS day
+        FROM y GROUP BY user_id, session_idx
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS bounce_permille
+    FROM sess GROUP BY day
+    """,
+)
+def events_bounce_rate(spark, sf_dir):
+    """Daily bounce rate: share of sessions (30-min-gap sessionization,
+    the events_sessionize cut verbatim) containing exactly one event,
+    bucketed by session-start day — integer permille via truncating
+    division, everything exact.
+
+    100 TB: identical shuffle shape to events_sessionize (one user-keyed
+    window + per-session rollup reusing the partitioning), then a
+    day-level rollup bounded by the calendar."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_idx",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(f"min(ts_us) div {_DAY_US}").alias("day"),
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST(1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("bounce_permille"),
+    )

@@ -576,3 +576,102 @@ def join_bloom_prefilter(spark, sf_dir):
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "join_temporal_scd2",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS prev_status
+        FROM orders
+    ), hist AS (
+        SELECT o_custkey, o_orderstatus AS status,
+               o_orderdate AS effective_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS effective_to
+        FROM seq
+        WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ), probes AS (
+        SELECT o.o_custkey, l.l_shipdate,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT h.status AS status_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+    FROM probes p
+    LEFT JOIN hist h
+      ON p.o_custkey = h.o_custkey
+     AND h.effective_from <= p.l_shipdate
+     AND (p.l_shipdate < h.effective_to OR h.effective_to IS NULL)
+    GROUP BY h.status
+    """,
+)
+def join_temporal_scd2(spark, sf_dir):
+    """Point-in-time dimension join — the query every SCD2 history exists
+    for: each shipped line item picks up the customer status that was
+    VALID AT ITS SHIP DATE. The oracle states the natural interval theta
+    join; Spark instead runs the as-of shape that scales: change rows and
+    probe rows UNION into one stream, one customer-keyed window
+    carry-forwards the last change (changes sort before probes on equal
+    dates, matching the closed-open interval convention; ties among
+    same-date changes resolve by orderkey exactly as the interval stitch
+    does) — no interval join, no range explosion, one shuffle on the
+    dimension key. Probes before a customer's first change keep NULL
+    status on both sides.
+
+    100 TB: the union stream is facts + changes partitioned once on
+    custkey; the window moves values (no sums); the final rollup is
+    |status| rows. The theta-join formulation the oracle uses would be a
+    per-customer cross of facts × history versions — the as-of rewrite is
+    THE standard fix (cf. join_asof), here applied to SCD2."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("tag"),
+            F.col("o_orderkey").alias("tie"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    probes = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            "o_custkey",
+            F.col("l_shipdate").alias("t"),
+            F.lit(1).alias("tag"),
+            F.col("l_orderkey").alias("tie"),
+            F.lit(None).cast("string").alias("status"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    stream = changes.unionByName(probes)
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "tag", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = stream.withColumn(
+        "status_at_ship", F.last("status", ignorenulls=True).over(wc)
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .groupBy("status_at_ship")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

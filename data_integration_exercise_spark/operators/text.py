@@ -518,3 +518,77 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("novelty_permille"),
         )
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT) AS r,
+               f
+        FROM freq
+    ), pts AS (
+        SELECT CAST(floor(1e6 * log2(CAST(r AS DOUBLE)) + 1e-6) AS HUGEINT) AS x,
+               CAST(floor(1e6 * log2(CAST(f AS DOUBLE)) + 1e-6) AS HUGEINT) AS y
+        FROM ranked
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS zipf_slope_micro
+    FROM m
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
+    log₂(freq) vs log₂(rank) — the one-number lexical-diversity
+    diagnostic (natural corpora sit near −1; this synthetic near-uniform
+    vocabulary reads much flatter, and the test asserts that honest
+    value). Both logs are floored integer micro-bits with the +1e-6 libm
+    guard (the text_bigram_lm_score discipline), the OLS closed form runs
+    on decimal/HUGEINT moments (the agg_linear_trend pattern), and the
+    single signed division is the shared truncating div — no float
+    surface survives to the output.
+
+    100 TB: one token-frequency groupBy (map-side combined), then a
+    ranking window and the 5-moment fold over |vocab| rows — the heavy
+    lifting is the frequency rollup; everything after is bounded by
+    vocabulary size, which grows sublinearly in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("token"))
+    # bounded global window: |vocab| rows, not corpus rows
+    dec = "decimal(38,0)"
+    pts = freq.select(
+        F.floor(F.lit(1e6) * F.log2(F.row_number().over(w).cast("double")) + F.lit(1e-6))
+        .cast(dec)
+        .alias("x"),
+        F.floor(F.lit(1e6) * F.log2(F.col("f").cast("double")) + F.lit(1e-6))
+        .cast(dec)
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr(
+            """CAST(1000000 * (n * sxy - sx * sy)
+                    div (n * sxx - sx * sx) AS BIGINT)"""
+        ).alias("zipf_slope_micro"),
+    )

@@ -363,6 +363,10 @@ _ADDED_R5 = [
     "events_cohort_ltv",
     "scan_time_travel",
     "sink_wap_publish",
+    "join_temporal_scd2",
+    "events_funnel_latency",
+    "events_bounce_rate",
+    "text_zipf_slope",
 ]
 
 

@@ -229,3 +229,39 @@ def test_cohort_ltv_monotone_cumulative(spark):
     assert (
         pdf.ltv_per_user_cents == pdf.cum_revenue_cents // pdf.n_users
     ).all()
+
+
+def test_funnel_latency_consistent_with_funnel_counts(spark):
+    """Stage-pair user counts must equal the events_funnel stage counts,
+    and latencies must be strictly positive (strict-ordering semantics)."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    lat = (
+        behavioral.QUERIES["events_funnel_latency"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("stage_pair")
+    )
+    fun = behavioral.QUERIES["events_funnel"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert lat.loc["signup_to_view", "n_users"] == fun.n_signup_view[0]
+    assert lat.loc["view_to_purchase", "n_users"] == fun.n_signup_view_purchase[0]
+    assert (lat.min_latency_us > 0).all()
+    assert (lat.median_latency_us >= lat.min_latency_us).all()
+    assert (lat.max_latency_us >= lat.median_latency_us).all()
+
+
+def test_bounce_rate_consistent_with_sessionize(spark):
+    """Session totals must match events_sessionize and the permille ratio
+    must be the exact truncating quotient."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    br = behavioral.QUERIES["events_bounce_rate"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    sess = behavioral.QUERIES["events_sessionize"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert br.n_sessions.sum() == len(sess)
+    assert br.n_bounces.sum() == (sess.n_events == 1).sum()
+    assert (br.bounce_permille == 1000 * br.n_bounces // br.n_sessions).all()

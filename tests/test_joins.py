@@ -120,3 +120,24 @@ def test_bloom_prefilter_equals_plain_join_and_filters_rows(spark):
     n_pass = probed.filter(tests[0] & tests[1] & tests[2]).count()
     n_match = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).count()
     assert n_match <= n_pass < o.count()
+
+
+def test_temporal_scd2_conserves_lineitems(spark):
+    """Every line item lands in exactly one status bucket (incl. NULL for
+    pre-history probes), so n_items must sum to |lineitem| and revenue to
+    the exact total cents."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import joins
+
+    pdf = joins.QUERIES["join_temporal_scd2"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    con = duckdb.connect()
+    n, cents = con.execute(
+        "SELECT count(*), sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+        "FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    ).fetchone()
+    con.close()
+    assert pdf.n_items.sum() == n
+    assert pdf.revenue_cents.sum() == cents

@@ -201,3 +201,37 @@ def test_ngram_novelty_bounds_and_rare_definition(spark):
     n_rare = sum(1 for b in bgs if df[b] <= 2)
     assert probe.n_distinct_bigrams == len(bgs)
     assert probe.n_rare == n_rare
+
+
+def test_zipf_slope_matches_numpy_loglog_fit(spark):
+    """The integer OLS must agree with numpy's float log-log fit to within
+    the micro-bit flooring error, and this near-uniform synthetic corpus
+    must read much flatter than a natural-language −1."""
+    import duckdb
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import text
+
+    row = (
+        text.QUERIES["text_zipf_slope"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    freqs = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT count(*) AS f FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+            GROUP BY token ORDER BY f DESC
+            """
+        ).fetchall()
+    ]
+    con.close()
+    x = np.log2(np.arange(1, len(freqs) + 1))
+    y = np.log2(np.array(freqs, dtype=float))
+    slope = np.polyfit(x, y, 1)[0]
+    assert row.n_tokens == len(freqs)
+    assert abs(row.zipf_slope_micro / 1e6 - slope) < 0.01
+    assert -0.6 < row.zipf_slope_micro / 1e6 < 0  # flat, not Zipfian
