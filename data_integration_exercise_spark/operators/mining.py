@@ -61,8 +61,11 @@ def mine_association_rules(spark, sf_dir):
     support counts plus confidence (both directions) and lift in integer
     permille — truncating division only, so every output digit is exact.
 
-    100 TB: the (order, brand) item set is one distinct shuffle; pair
-    candidates come from exploding each order's SORTED basket array into
+    100 TB: ONE shuffle total on the fact side — collect_set dedups
+    inside the basket groupBy, so no separate distinct pass; the basket
+    table localCheckpoints because three consumers (pairs, supports,
+    order count) would otherwise each re-execute the fact join (SURVEY §9
+    lesson 4). Pair candidates explode each order's SORTED basket into
     its C(k,2) pairs map-side (bounded by basket size, never a corpus
     self-join), and the rule table is capped at C(25,2) = 300 rows at any
     scale — supports grow, the output does not. Brand supports and the
@@ -71,13 +74,11 @@ def mine_association_rules(spark, sf_dir):
     int64 ceiling is real."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = (
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("brands")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint()
     )
     # per-order C(k,2) pair explosion: flatten(transform × slice) is pure
     # codegen — no self-join, no shuffle beyond the basket groupBy
@@ -98,10 +99,12 @@ def mine_association_rules(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("support_ab"))
         .filter(F.col("support_ab") >= 20)
     )
-    sup = items.groupBy("p_brand").agg(F.count("*").cast("long").alias("s"))
-    n = items.select(
-        F.count_distinct("l_orderkey").cast("decimal(38,0)").alias("n_orders")
+    sup = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("s"))
     )
+    n = baskets.agg(F.count("*").cast("decimal(38,0)").alias("n_orders"))
     sa = sup.withColumnsRenamed({"p_brand": "brand_a", "s": "support_a"})
     sb = sup.withColumnsRenamed({"p_brand": "brand_b", "s": "support_b"})
     return (
@@ -169,22 +172,24 @@ def sim_item_neighbors(spark, sf_dir):
     float surface anywhere; rank ties break on neighbor name.
 
     100 TB: same basket-explosion shape as mine_association_rules but at
-    customer granularity — the (customer, brand) distinct set shuffles
-    once, pairs explode per basket map-side (C(k,2), k ≤ 25 brands), and
-    the similarity matrix is ≤ 300 undirected entries at any SF. Brand
-    degree vector broadcasts; the final top-3 window runs on ≤ 600 rows.
-    co² ride in HUGEINT/decimal — co ~ 1e9 customers squares past int64."""
+    customer granularity — ONE customer-keyed shuffle builds the basket
+    table (collect_set dedups in-shuffle, no separate distinct), which
+    localCheckpoints because both the pair explosion and the degree
+    rollup consume it (SURVEY §9 lesson 4 — otherwise each re-executes
+    the two fact joins). Pairs explode per basket map-side (C(k,2), k ≤
+    25 brands); the similarity matrix is ≤ 300 undirected entries at any
+    SF. Brand degree vector broadcasts; the final top-3 window runs on ≤
+    600 rows. co² rides HUGEINT/decimal — co ~ 1e9 customers squares past
+    int64."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
+    per_cust = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("o_custkey", "p_brand")
-        .distinct()
-    )
-    per_cust = baskets.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_set("p_brand")).alias("brands")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint()
     )
     co = (
         per_cust.select(
@@ -202,7 +207,11 @@ def sim_item_neighbors(spark, sf_dir):
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("long").alias("co"))
     )
-    deg = baskets.groupBy("p_brand").agg(F.count("*").cast("long").alias("n"))
+    deg = (
+        per_cust.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
     sym = co.select(
         F.col("brand_a").alias("brand"), F.col("brand_b").alias("neighbor"), "co"
     ).unionAll(

@@ -139,3 +139,21 @@ def test_item_neighbors_topk_shape(spark):
     assert (by_brand.max() <= 3).all()
     assert (by_brand.apply(lambda s: sorted(s) == list(range(1, len(s) + 1)))).all()
     assert (pdf.brand != pdf.neighbor).all()
+
+
+def test_basket_ops_plan_single_fact_pass(spark):
+    """The basket table is built once (localCheckpoint) — downstream
+    consumers must NOT re-execute the fact join: the final plans carry
+    only the small-side broadcast joins plus the bounded rollup
+    exchanges."""
+    for key, max_ex in [("mine_association_rules", 4), ("sim_item_neighbors", 6)]:
+        plan = (
+            mining.QUERIES[key](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= max_ex, (key, plan[:2000])
+        assert "SortMergeJoin" not in plan, key
+        # the checkpointed basket table surfaces as a scan, not a join tree
+        assert "Scan ExistingRDD" in plan, key
