@@ -1966,3 +1966,64 @@ def agg_quantile_sketch(spark, sf_dir):
         F.expr("shiftleft(1L, b99 - 1)").alias("p99_lo_cents"),
         F.expr("shiftleft(1L, b99) - 1").alias("p99_hi_cents"),
     )
+
+
+@register(
+    "agg_seasonality_dow",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_part('isodow', o_orderdate) AS BIGINT) AS dow,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), per AS (
+        SELECT pri, dow, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM d GROUP BY pri, dow
+    ), tot AS (
+        SELECT pri, CAST(sum(revenue_cents) AS BIGINT) AS total_cents FROM per
+        GROUP BY pri
+    )
+    SELECT p.pri AS o_orderpriority, p.dow, p.n_orders, p.revenue_cents,
+           CAST(7000 * CAST(p.revenue_cents AS HUGEINT)
+                // t.total_cents AS BIGINT) AS seasonality_permille
+    FROM per p JOIN tot t ON p.pri = t.pri
+    """,
+)
+def agg_seasonality_dow(spark, sf_dir):
+    """Day-of-week seasonality index per priority: each ISO weekday's
+    revenue share scaled so a perfectly flat week reads 1000‰ per day
+    (7000·share, truncating div — integer exact; ISO dow pinned Mon=1 on
+    both engines, the fn_date convention). The index > 1000 marks
+    over-trading days; the test asserts the 7 values straddle 1000.
+
+    100 TB: one (priority, dow) rollup (map-side combined, ≤ 35 groups)
+    + a broadcast totals join. The HUGEINT/decimal product: 7000·cents
+    exceeds int64 once a segment's revenue passes ~1.3e15 cents."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("dow"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("pri", "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    tot = per.groupBy("pri").agg(F.sum("revenue_cents").alias("total_cents"))
+    return (
+        per.join(F.broadcast(tot), "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "dow",
+            "n_orders",
+            "revenue_cents",
+            F.expr(
+                """CAST(7000 * CAST(revenue_cents AS DECIMAL(38,0))
+                        div total_cents AS BIGINT)"""
+            ).alias("seasonality_permille"),
+        )
+    )

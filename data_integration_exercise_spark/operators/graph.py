@@ -579,3 +579,87 @@ def graph_label_propagation(spark, sf_dir):
         F.expr("node div 2").cast("long").alias("node_key"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e0 AS MATERIALIZED (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    )"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""", k{i} AS MATERIALIZED (
+        SELECT src FROM e{i - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+    ), e{i} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{i - 1} e
+        JOIN k{i} a ON e.src = a.src
+        JOIN k{i} b ON e.dst = b.src
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           src // 2 AS node_key,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark, sf_dir):
+    """3-core decomposition of the trade network by iterative peeling:
+    repeatedly drop nodes with degree < 3 and the edges touching them
+    until the survivor set is stable — the standard cohesive-subgraph /
+    spam-cluster primitive. Both engines run EXACTLY 6 peeling rounds
+    (peeling is idempotent at the fixed point, so extra rounds are
+    no-ops and the unrolled oracle stays exact); Spark additionally
+    CHECKS convergence after round 6 and raises if another round would
+    still remove nodes — the answer can never silently be a non-core.
+    Emitted: every surviving node with its within-core degree.
+
+    100 TB: each round is one degree rollup + two semi-join filters, all
+    partitioned on the node key (the CC/BFS/LPA bounded-shuffle loop);
+    the edge list shrinks monotonically so later rounds are cheaper.
+    localCheckpoint per round cuts the 6-deep lineage."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnsRenamed({"src": "dst"}), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    # convergence check: one more peel must remove nothing
+    still = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") < _KCORE_K)
+        .count()
+    )
+    if still:
+        raise RuntimeError(
+            f"k-core not converged after {_KCORE_ROUNDS} rounds; widen the unroll"
+        )
+    return edges.groupBy("src").agg(F.count("*").cast("long").alias("core_degree")).select(
+        F.when(F.col("src") % 2 == 0, "customer").otherwise("supplier").alias("node_type"),
+        F.expr("src div 2").cast("long").alias("node_key"),
+        "core_degree",
+    )

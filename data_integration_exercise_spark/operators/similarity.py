@@ -806,3 +806,108 @@ def sim_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "sim_pq_quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+        FROM embeddings
+    ), sub AS (
+        SELECT vec_id, m.m, q.qv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+        FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
+    ), sube AS (
+        SELECT vec_id, m,
+               unnest(list_transform(sv, (v, i) -> i)) AS i,
+               unnest(sv) AS x
+        FROM sub
+    ), cbe AS (
+        SELECT m, vec_id % 4 AS c, i,
+               CAST(sum(x) // count(*) AS BIGINT) AS cent
+        FROM sube GROUP BY m, vec_id % 4, i
+    ), scored AS (
+        SELECT s.vec_id, s.m, cb.c,
+               CAST(sum((s.x - cb.cent) * (s.x - cb.cent)) AS BIGINT) AS d2
+        FROM sube s JOIN cbe cb ON s.m = cb.m AND s.i = cb.i
+        GROUP BY s.vec_id, s.m, cb.c
+    ), best AS (
+        SELECT vec_id, m, c, d2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, c) AS rn
+            FROM scored)
+        WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(c AS VARCHAR), '' ORDER BY m) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS recon_err_sq
+    FROM best GROUP BY vec_id
+    """,
+)
+def sim_pq_quantize(spark, sf_dir):
+    """Product quantization — the compression layer every billion-vector
+    ANN index (FAISS IVF-PQ) stands on: the 64-dim embedding splits into
+    8 sub-vectors of 8 dims, each assigned to its nearest of 4 per-
+    subspace centroids, so a vector stores as an 8-symbol code (2 bytes)
+    instead of 256 float bytes. Everything is exact integer: elements
+    quantize to int (floor ×1024) BEFORE any mean (a float mean would be
+    summation-order-dependent), codebooks are integer means (truncating
+    div) over the deterministic ``vec_id % 4`` partition — one E-step of
+    k-means, which is all a verifiable fixture can honestly claim —
+    assignment is integer squared-L2 argmin with smallest-centroid ties,
+    and the emitted reconstruction error is the exact integer residual.
+
+    100 TB: the codebook is a 32-row broadcast (8 subspaces × 4
+    centroids); encoding is a map-side explode → argmin per (vec,
+    subspace) with NO shuffle on the vector table beyond the final
+    per-vec regroup — at a billion vectors this is one pass, and
+    distance queries against codes become 8 table lookups (the ADC
+    trick), which is why PQ beats raw floats at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    sub = q.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                """transform(sequence(0, 7), m ->
+                       struct(m AS m, slice(qv, m * 8 + 1, 8) AS sv))"""
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    cb = (
+        sub.groupBy("m", (F.col("vec_id") % 4).alias("c"))
+        .agg(
+            F.array(
+                *[
+                    F.expr(f"CAST(sum(sv[{i}]) div count(*) AS BIGINT)")
+                    for i in range(8)
+                ]
+            ).alias("centroid")
+        )
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "c",
+        F.expr(
+            """aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),
+                         0L, (acc, x) -> acc + x)"""
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("m", "c"))), lambda s: s.c.cast("string"))
+        ).alias("pq_code"),
+        F.sum("d2").cast("long").alias("recon_err_sq"),
+    )

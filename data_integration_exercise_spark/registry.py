@@ -367,6 +367,9 @@ _ADDED_R5 = [
     "events_funnel_latency",
     "events_bounce_rate",
     "text_zipf_slope",
+    "sim_pq_quantize",
+    "graph_k_core",
+    "agg_seasonality_dow",
 ]
 
 

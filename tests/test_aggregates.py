@@ -239,3 +239,17 @@ def test_quantile_sketch_bounds_bracket_exact_percentiles(spark):
             hi = pdf.loc[pri, f"p{q}_hi_cents"]
             assert lo <= exact.loc[pri, f"p{q}"] <= hi, (pri, q, lo, hi)
             assert hi < 2 * lo + 2  # the advertised 2× relative error
+
+
+def test_seasonality_index_averages_to_flat(spark):
+    """Per priority, the 7 indices must average ~1000‰ (they partition the
+    revenue) and both over- and under-trading days must exist."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_seasonality_dow"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    for pri, g in pdf.groupby("o_orderpriority"):
+        assert len(g) == 7
+        assert abs(g.seasonality_permille.sum() - 7000) <= 7  # truncation slack
+        assert g.seasonality_permille.max() > 1000 > g.seasonality_permille.min()

@@ -130,3 +130,15 @@ def test_label_propagation_partitions_all_nodes(spark):
     assert not pdf.duplicated(["node_type", "node_key"]).any()
     sizes = pdf.groupby("community").size()
     assert sizes.max() >= 2
+
+
+def test_k_core_survivors_have_core_degree(spark):
+    """Every surviving node's within-core degree is ≥ k = 3, and the core
+    is a strict subgraph of the full graph (fewer nodes than degrees ≥ 3
+    in the raw graph would suggest, or equal)."""
+    from data_integration_exercise_spark.operators import graph
+
+    pdf = graph.QUERIES["graph_k_core"](spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) > 0
+    assert (pdf.core_degree >= 3).all()
+    assert not pdf.duplicated(["node_type", "node_key"]).any()

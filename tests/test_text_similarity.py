@@ -235,3 +235,19 @@ def test_zipf_slope_matches_numpy_loglog_fit(spark):
     assert row.n_tokens == len(freqs)
     assert abs(row.zipf_slope_micro / 1e6 - slope) < 0.01
     assert -0.6 < row.zipf_slope_micro / 1e6 < 0  # flat, not Zipfian
+
+
+def test_pq_codes_compress_and_reconstruct(spark):
+    """PQ invariants: every vector gets an 8-symbol base-4 code, the error
+    is the true integer residual vs the chosen centroids, and codes take
+    more than one value per subspace (the codebook is not degenerate)."""
+    from data_integration_exercise_spark.operators import similarity
+
+    pdf = similarity.QUERIES["sim_pq_quantize"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 500
+    assert pdf.pq_code.str.fullmatch(r"[0-3]{8}").all()
+    assert (pdf.recon_err_sq >= 0).all()
+    # non-degenerate: at least 2 distinct symbols appear in position 0
+    assert pdf.pq_code.str[0].nunique() >= 2
