@@ -1036,3 +1036,55 @@ def events_bounce_rate(spark, sf_dir):
             " div count(*) AS BIGINT)"
         ).alias("bounce_permille"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // {_DAY_US} AS day
+        FROM events
+    ), first_day AS (
+        SELECT user_id, min(day) AS d0 FROM activity GROUP BY user_id
+    )
+    SELECT a.day,
+           CAST(sum(CASE WHEN a.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning,
+           CAST(1000 * sum(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS returning_permille
+    FROM activity a JOIN first_day f ON a.user_id = f.user_id
+    GROUP BY a.day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning active-user split — the growth-accounting
+    companion to DAU/WAU: each (user, day) activity row is 'new' iff the
+    day is the user's first-ever active day. Exact integer day ids and a
+    truncating permille.
+
+    100 TB: one distinct on (user, day), one user-keyed min, one
+    broadcast-back join, one calendar-bounded rollup — the
+    events_retention_cohorts shuffle budget."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).distinct()
+    first_day = activity.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN day > d0 THEN 1 ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("returning_permille"),
+        )
+    )

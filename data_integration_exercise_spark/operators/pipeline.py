@@ -1726,3 +1726,64 @@ def dedup_soft_weights(spark, sf_dir):
             "weight_permille"
         ),
     )
+
+
+@register(
+    "multimodal_shard_plan",
+    oracle="""
+    WITH ordered AS (
+        SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars AS cum_before
+        FROM documents
+    ), planned AS (
+        SELECT doc_id, lang, n_chars, cum_before // 4000 AS shard_id
+        FROM ordered
+    )
+    SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM planned GROUP BY lang, shard_id
+    """,
+)
+def multimodal_shard_plan(spark, sf_dir):
+    """WebDataset-style shard planning: documents pack sequentially (by
+    doc_id within language) into ~4000-char shards — shard_id is the
+    EXCLUSIVE prefix sum of sizes divided by the capacity, the exact
+    greedy first-fit a tar-shard writer performs, computed as one window
+    instead of a sequential loop. Emitted per shard: count, bytes, and
+    the [first, last] doc range (shards are contiguous by construction —
+    the property that makes resumable sequential writers possible).
+
+    100 TB: the prefix sum partitions by language here; for a single
+    global sequence at petabyte scale, swap the window for the
+    etl_surrogate_keys two-phase construction (per-range local sums + a
+    broadcast offset table) — the packing rule itself is unchanged. The
+    per-shard rollup reuses the window's partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            """(sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_chars) div 4000"""
+        ).alias("shard_id"),
+    )
+    return planned.groupBy("lang", "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

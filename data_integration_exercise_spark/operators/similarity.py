@@ -808,10 +808,10 @@ def sim_recall_eval(spark, sf_dir):
     )
 
 
-@register(
-    "sim_pq_quantize",
-    oracle="""
-    WITH q AS (
+#: shared PQ quantize→codebook→assignment CTE chain — used verbatim by the
+#: sim_pq_quantize and sim_adc_search oracles so the two can never drift
+#: (the _LM_SCORED_CTE precedent).
+_PQ_CODES_CTE = """q AS (
         SELECT vec_id,
                list_transform(embedding,
                               x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
@@ -824,10 +824,24 @@ def sim_recall_eval(spark, sf_dir):
                unnest(list_transform(sv, (v, i) -> i)) AS i,
                unnest(sv) AS x
         FROM sub
+    ), seed AS (
+        SELECT m, vec_id AS c, i, x AS cent FROM sube WHERE vec_id < 16
+    ), a1 AS (
+        SELECT s.vec_id, s.m, sd.c,
+               CAST(sum((s.x - sd.cent) * (s.x - sd.cent)) AS BIGINT) AS d2
+        FROM sube s JOIN seed sd ON s.m = sd.m AND s.i = sd.i
+        GROUP BY s.vec_id, s.m, sd.c
+    ), asg1 AS (
+        SELECT vec_id, m, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY d2, c) AS rn
+            FROM a1)
+        WHERE rn = 1
     ), cbe AS (
-        SELECT m, vec_id % 4 AS c, i,
-               CAST(sum(x) // count(*) AS BIGINT) AS cent
-        FROM sube GROUP BY m, vec_id % 4, i
+        SELECT s.m, a.c, s.i,
+               CAST(sum(s.x) // count(*) AS BIGINT) AS cent
+        FROM sube s JOIN asg1 a ON s.vec_id = a.vec_id AND s.m = a.m
+        GROUP BY s.m, a.c, s.i
     ), scored AS (
         SELECT s.vec_id, s.m, cb.c,
                CAST(sum((s.x - cb.cent) * (s.x - cb.cent)) AS BIGINT) AS d2
@@ -839,32 +853,13 @@ def sim_recall_eval(spark, sf_dir):
                                          ORDER BY d2, c) AS rn
             FROM scored)
         WHERE rn = 1
-    )
-    SELECT vec_id,
-           string_agg(CAST(c AS VARCHAR), '' ORDER BY m) AS pq_code,
-           CAST(sum(d2) AS BIGINT) AS recon_err_sq
-    FROM best GROUP BY vec_id
-    """,
-)
-def sim_pq_quantize(spark, sf_dir):
-    """Product quantization — the compression layer every billion-vector
-    ANN index (FAISS IVF-PQ) stands on: the 64-dim embedding splits into
-    8 sub-vectors of 8 dims, each assigned to its nearest of 4 per-
-    subspace centroids, so a vector stores as an 8-symbol code (2 bytes)
-    instead of 256 float bytes. Everything is exact integer: elements
-    quantize to int (floor ×1024) BEFORE any mean (a float mean would be
-    summation-order-dependent), codebooks are integer means (truncating
-    div) over the deterministic ``vec_id % 4`` partition — one E-step of
-    k-means, which is all a verifiable fixture can honestly claim —
-    assignment is integer squared-L2 argmin with smallest-centroid ties,
-    and the emitted reconstruction error is the exact integer residual.
+    )"""
 
-    100 TB: the codebook is a 32-row broadcast (8 subspaces × 4
-    centroids); encoding is a map-side explode → argmin per (vec,
-    subspace) with NO shuffle on the vector table beyond the final
-    per-vec regroup — at a billion vectors this is one pass, and
-    distance queries against codes become 8 table lookups (the ADC
-    trick), which is why PQ beats raw floats at scale."""
+
+def _pq_parts(spark, sf_dir):
+    """Shared Spark-side PQ construction: (sub-vectors, codebook, best
+    assignment) — the exact mirror of the oracle's _PQ_CODES_CTE, factored
+    so sim_pq_quantize and sim_adc_search cannot drift."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -881,8 +876,29 @@ def sim_pq_quantize(spark, sf_dir):
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    seed = sub.filter(F.col("vec_id") < 16).select(
+        "m", F.col("vec_id").alias("c"), F.col("sv").alias("centroid")
+    )
+    a1 = sub.join(F.broadcast(seed), "m").select(
+        "vec_id",
+        "m",
+        "c",
+        F.expr(
+            """aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),
+                         0L, (acc, x) -> acc + x)"""
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window as _W
+
+    w1 = _W.partitionBy("vec_id", "m").orderBy("d2", "c")
+    asg1 = (
+        a1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "c")
+    )
     cb = (
-        sub.groupBy("m", (F.col("vec_id") % 4).alias("c"))
+        sub.join(asg1, ["vec_id", "m"])
+        .groupBy("m", "c")
         .agg(
             F.array(
                 *[
@@ -904,10 +920,126 @@ def sim_pq_quantize(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return sub, cb, best
+
+
+@register(
+    "sim_pq_quantize",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT vec_id,
+           string_agg(CAST(c AS VARCHAR), '-' ORDER BY m) AS pq_code,
+           CAST(sum(d2) AS BIGINT) AS recon_err_sq
+    FROM best GROUP BY vec_id
+    """,
+)
+def sim_pq_quantize(spark, sf_dir):
+    """Product quantization — the compression layer every billion-vector
+    ANN index (FAISS IVF-PQ) stands on: the 64-dim embedding splits into
+    8 sub-vectors of 8 dims, each assigned to its nearest of 16 per-
+    subspace centroids, so a vector stores as an 8-symbol code (4 bytes)
+    instead of 256 float bytes. Everything is exact integer: elements
+    quantize to int (floor ×1024) BEFORE any mean (a float mean would be
+    summation-order-dependent), codebooks start from 16 REAL sub-vectors
+    (vec_id 0-15 — k-means++-style spread, where modulo-partition means
+    would all collapse to the global mean on this data) refined by ONE
+    exact Lloyd step (integer argmin assign, truncating-div means) —
+    assignment is integer squared-L2 argmin with smallest-centroid ties,
+    and the emitted reconstruction error is the exact integer residual.
+
+    100 TB: the codebook is a 128-row broadcast (8 subspaces × 16
+    centroids); encoding is a map-side explode → argmin per (vec,
+    subspace) with NO shuffle on the vector table beyond the final
+    per-vec regroup — at a billion vectors this is one pass, and
+    distance queries against codes become 8 table lookups (the ADC
+    trick), which is why PQ beats raw floats at scale."""
+    _sub, _cb, best = _pq_parts(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.concat_ws(
-            "", F.transform(F.array_sort(F.collect_list(F.struct("m", "c"))), lambda s: s.c.cast("string"))
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "c"))),
+                lambda st: st.c.cast("string"),
+            ),
         ).alias("pq_code"),
         F.sum("d2").cast("long").alias("recon_err_sq"),
+    )
+
+
+@register(
+    "sim_adc_search",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}, probee AS (
+        SELECT vec_id AS probe_id, m,
+               unnest(list_transform(sv, (v, i) -> i)) AS i,
+               unnest(sv) AS x
+        FROM sub WHERE vec_id < 5
+    ), dtab AS (
+        SELECT p.probe_id, p.m, cb.c,
+               CAST(sum((p.x - cb.cent) * (p.x - cb.cent)) AS BIGINT) AS d2
+        FROM probee p JOIN cbe cb ON p.m = cb.m AND p.i = cb.i
+        GROUP BY p.probe_id, p.m, cb.c
+    ), adc AS (
+        SELECT d.probe_id, b.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+        FROM best b JOIN dtab d ON b.m = d.m AND b.c = d.c
+        WHERE b.vec_id != d.probe_id
+        GROUP BY d.probe_id, b.vec_id
+    )
+    SELECT probe_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+    WHERE rn <= 5
+    """,
+)
+def sim_adc_search(spark, sf_dir):
+    """Asymmetric distance computation over PQ codes — how a billion-
+    vector index actually answers queries: each of the 5 probe vectors
+    precomputes its 8×4 integer distance table to the codebook
+    (||probe_m − centroid(m,c)||², exact), and every database vector's
+    approximate distance is then just the SUM OF 8 TABLE LOOKUPS on its
+    code symbols — the database vectors themselves are never touched
+    again. Top-5 per probe, (distance, vec_id) ties. Shares _pq_parts /
+    _PQ_CODES_CTE with sim_pq_quantize, so encoder and searcher can't
+    drift; everything integer, so the APPROXIMATE result is still exactly
+    hash-verifiable (approximation error is in the metric, not the
+    engine).
+
+    100 TB: the distance table is |probes|·32 rows broadcast onto the
+    code table (8 rows per vector, narrow join on (m, c)); per-probe
+    accumulation is one groupBy on (probe, vec). No vector data moves —
+    that is the entire point of PQ+ADC at scale; recall tuning is
+    codebook size, measured here by the companion recall test."""
+    sub, cb, best = _pq_parts(spark, sf_dir)
+    probes = sub.filter(F.col("vec_id") < 5).withColumnsRenamed(
+        {"vec_id": "probe_id", "sv": "pv"}
+    )
+    dtab = probes.join(F.broadcast(cb), "m").select(
+        "probe_id",
+        "m",
+        "c",
+        F.expr(
+            """aggregate(zip_with(pv, centroid, (a, b) -> (a - b) * (a - b)),
+                         0L, (acc, x) -> acc + x)"""
+        ).alias("td2"),
+    )
+    adc = (
+        best.drop("d2")
+        .join(F.broadcast(dtab), ["m", "c"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("td2").cast("long").alias("adc_d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "vec_id", "adc_d2", "rnk")
     )

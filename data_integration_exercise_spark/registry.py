@@ -370,6 +370,9 @@ _ADDED_R5 = [
     "sim_pq_quantize",
     "graph_k_core",
     "agg_seasonality_dow",
+    "multimodal_shard_plan",
+    "events_new_vs_returning",
+    "sim_adc_search",
 ]
 
 

@@ -265,3 +265,22 @@ def test_bounce_rate_consistent_with_sessionize(spark):
     assert br.n_sessions.sum() == len(sess)
     assert br.n_bounces.sum() == (sess.n_events == 1).sum()
     assert (br.bounce_permille == 1000 * br.n_bounces // br.n_sessions).all()
+
+
+def test_new_vs_returning_conserves_active_users(spark):
+    """Per day new + returning = daily active users; total new across all
+    days = total distinct users."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_new_vs_returning"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    con = duckdb.connect()
+    n_users = con.execute(
+        "SELECT count(DISTINCT user_id) FROM read_parquet('/root/testdata/sf0.01/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert pdf.n_new.sum() == n_users
+    assert (pdf.n_new + pdf.n_returning > 0).all()
