@@ -2027,3 +2027,125 @@ def agg_seasonality_dow(spark, sf_dir):
             ).alias("seasonality_permille"),
         )
     )
+
+
+@register(
+    "agg_ratio_delta_method",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+                   AS arm,
+               CAST(count(*) AS BIGINT) AS y,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM u GROUP BY arm
+    ), f AS (
+        SELECT arm, CAST(n AS BIGINT) AS n_users,
+               CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+               CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+               CAST(sxy AS DOUBLE) AS sxyd
+        FROM m
+    ), g AS (
+        SELECT arm, n_users, r,
+               sqrt((((sxxd - sxd * sxd / nd)
+                      - 2 * r * (sxyd - sxd * syd / nd))
+                      + r * r * (syyd - syd * syd / nd))
+                    / (nd - 1) / nd)
+                   / (syd / nd) AS se
+        FROM f
+    )
+    SELECT arm, n_users,
+           CAST(floor(1e6 * r) AS BIGINT) AS ratio_micro,
+           CAST(floor(1e6 * se) AS BIGINT) AS se_micro,
+           CAST(floor(1e6 * (r - 1.96 * se)) AS BIGINT) AS ci_lo_micro,
+           CAST(floor(1e6 * (r + 1.96 * se)) AS BIGINT) AS ci_hi_micro
+    FROM g
+    """,
+)
+def agg_ratio_delta_method(spark, sf_dir):
+    """Ratio-metric confidence interval via the delta method — the A/B
+    readout agg_ab_ttest cannot give: revenue-per-event is a ratio of two
+    user-level sums, so its variance needs Var(x̄/ȳ) ≈ (vₓ − 2R·c_xy +
+    R²·v_y)/(n·ȳ²), with every moment accumulated as an EXACT integer
+    (HUGEINT/decimal) and the float surface confined to one pinned
+    expression tree of correctly-rounded IEEE ops (div/mul/sub/sqrt —
+    identical nesting in both engines ⇒ identical doubles), floored to
+    micro units (floor of identical doubles never diverges; SURVEY §10
+    lesson 8). Arms are the md5 hash split agg_ab_ttest uses.
+
+    100 TB: one user-keyed rollup, one 2-group moment fold — the
+    mergeable-moments family; the delta method is precisely what makes
+    ratio metrics computable in one distributed pass (the naive
+    alternative resamples users)."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.count("*").cast("long").alias("y"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+    )
+    dec = "decimal(38,0)"
+    m = u.groupBy("arm").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    f = m.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        (F.col("sx").cast("double") / F.col("sy").cast("double")).alias("r"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+        F.col("syy").cast("double").alias("syyd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+    )
+    g = f.select(
+        "arm",
+        "n_users",
+        "r",
+        F.expr(
+            """sqrt((((sxxd - sxd * sxd / nd)
+                      - 2 * r * (sxyd - sxd * syd / nd))
+                      + r * r * (syyd - syd * syd / nd))
+                    / (nd - 1) / nd)
+                   / (syd / nd)"""
+        ).alias("se"),
+    )
+    return g.select(
+        "arm",
+        "n_users",
+        F.floor(F.lit(1e6) * F.col("r")).cast("long").alias("ratio_micro"),
+        F.floor(F.lit(1e6) * F.col("se")).cast("long").alias("se_micro"),
+        F.floor(F.lit(1e6) * (F.col("r") - 1.96 * F.col("se")))
+        .cast("long")
+        .alias("ci_lo_micro"),
+        F.floor(F.lit(1e6) * (F.col("r") + 1.96 * F.col("se")))
+        .cast("long")
+        .alias("ci_hi_micro"),
+    )

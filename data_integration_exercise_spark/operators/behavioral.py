@@ -1088,3 +1088,87 @@ def events_new_vs_returning(spark, sf_dir):
             ).alias("returning_permille"),
         )
     )
+
+
+_7D_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_feature_pit",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ns(ts) // 1000 AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), feat AS (
+        SELECT user_id, event_id, event_type, t,
+               count(*) OVER w - 1 AS n_events_7d,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER w
+                   - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS n_purchases_7d,
+               sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+                   OVER w
+                   - CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END
+                   AS spend_cents_7d
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t
+                     RANGE BETWEEN {_7D_US} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, t AS label_t_us,
+           CAST(n_events_7d AS BIGINT) AS n_events_7d,
+           CAST(n_purchases_7d AS BIGINT) AS n_purchases_7d,
+           CAST(spend_cents_7d AS BIGINT) AS spend_cents_7d
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def events_feature_pit(spark, sf_dir):
+    """Point-in-time feature extraction — the leakage-free training-set
+    query a feature store exists to answer: for every purchase (label)
+    event, the user's trailing-7-day activity count, purchase count, and
+    spend, computed STRICTLY BEFORE the label. One RANGE-framed window
+    per user over exact integer µs does it without any self-join: the
+    frame ends at CURRENT ROW and the label row's own contribution is
+    subtracted arithmetically — subtracting the current row is exact and
+    engine-stable, whereas a `1 PRECEDING` range bound would silently
+    include same-timestamp peer events on one engine and not the other
+    only if tie order differed; with the subtraction form, same-µs peers
+    are consistently INCLUDED on both (they are in the frame either
+    way).
+
+    100 TB: one user-keyed shuffle, one sorted RANGE window — the
+    classic leakage trap (joining TODAY's aggregate onto yesterday's
+    label) needs a second pass; this shape cannot leak by construction
+    because the frame is bounded at the label's own timestamp."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-_7D_US, Window.currentRow)
+    )
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    p_cents = F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+    feat = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        (F.count("*").over(w) - 1).cast("long").alias("n_events_7d"),
+        (F.sum(is_p).over(w) - is_p).cast("long").alias("n_purchases_7d"),
+        (F.sum(p_cents).over(w) - p_cents).cast("long").alias("spend_cents_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("label_t_us"),
+        "n_events_7d",
+        "n_purchases_7d",
+        "spend_cents_7d",
+    )

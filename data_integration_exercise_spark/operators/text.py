@@ -592,3 +592,77 @@ def text_zipf_slope(spark, sf_dir):
                     div (n * sxx - sx * sx) AS BIGINT)"""
         ).alias("zipf_slope_micro"),
     )
+
+
+@register(
+    "text_dedup_paragraph_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id, k.k AS chunk_idx,
+               array_to_string(t[k.k * 10 + 1 : k.k * 10 + 10], ' ') AS chunk
+        FROM toks
+        CROSS JOIN (SELECT unnest(range(0, 200)) AS k) k
+        WHERE k.k * 10 < len(t)
+    ), df AS (
+        SELECT chunk, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.n_occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks,
+           CAST(1000 * sum(CASE WHEN d.n_occurrences > 1 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS dup_permille
+    FROM chunks c JOIN df d ON c.chunk = d.chunk
+    GROUP BY c.doc_id
+    """,
+)
+def text_dedup_paragraph_chunks(spark, sf_dir):
+    """Sub-document (paragraph-level) duplication audit — the Dolma/
+    RefinedWeb stage that exact whole-doc dedup misses: documents split
+    into non-overlapping 10-token chunks (the paragraph stand-in for this
+    corpus), each chunk's corpus-wide occurrence count is computed, and
+    every document reports its duplicated-chunk fraction in permille —
+    the removal/downweight signal for boilerplate-heavy pages.
+
+    100 TB: chunking is a narrow map (slice arithmetic, no shuffle); the
+    chunk-frequency model is one map-side-combined groupBy on the chunk
+    string (in production, on a 64-bit chunk fingerprint — same plan);
+    the broadcast-back is a fingerprint join. Work scales with corpus
+    tokens, state with DISTINCT chunks — exactly how the paragraph-dedup
+    stage of a web-scale pipeline is shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """filter(
+                       transform(sequence(0, 199), k ->
+                           struct(k AS chunk_idx,
+                                  array_join(slice(split(text, ' '),
+                                                   k * 10 + 1, 10), ' ')
+                                      AS chunk,
+                                  k * 10 < size(split(text, ' ')) AS keep)),
+                       s -> s.keep)"""
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    df_model = chunks.groupBy("chunk").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    return (
+        chunks.join(df_model, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occurrences") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            F.expr(
+                "CAST(1000 * sum(CASE WHEN n_occurrences > 1 THEN 1 ELSE 0 END)"
+                " div count(*) AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+    )

@@ -373,6 +373,10 @@ _ADDED_R5 = [
     "multimodal_shard_plan",
     "events_new_vs_returning",
     "sim_adc_search",
+    "events_feature_pit",
+    "text_dedup_paragraph_chunks",
+    "agg_ratio_delta_method",
+    "etl_data_vault",
 ]
 
 

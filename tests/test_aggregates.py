@@ -253,3 +253,39 @@ def test_seasonality_index_averages_to_flat(spark):
         assert len(g) == 7
         assert abs(g.seasonality_permille.sum() - 7000) <= 7  # truncation slack
         assert g.seasonality_permille.max() > 1000 > g.seasonality_permille.min()
+
+
+def test_ratio_delta_method_matches_scipy_style_reference(spark):
+    """The integer-moment delta method must agree with a float numpy
+    reference to within 1 micro unit, and the CI must bracket the ratio."""
+    import duckdb
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_ratio_delta_method"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas().set_index("arm")
+    con = duckdb.connect()
+    u = con.execute(
+        """
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS arm,
+               count(*) AS y,
+               sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x
+        FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+        GROUP BY user_id
+        """
+    ).df()
+    con.close()
+    for arm, g in u.groupby("arm"):
+        x, y = g.x.to_numpy(float), g.y.to_numpy(float)
+        n, r = len(g), x.sum() / y.sum()
+        var = (
+            (x.var(ddof=1) - 2 * r * np.cov(x, y, ddof=1)[0, 1] + r * r * y.var(ddof=1))
+            / n
+        ) / (y.mean() ** 2)
+        se = np.sqrt(var)
+        assert abs(pdf.loc[arm, "ratio_micro"] - np.floor(1e6 * r)) <= 1
+        assert abs(pdf.loc[arm, "se_micro"] - np.floor(1e6 * se)) <= 1
+        assert pdf.loc[arm, "ci_lo_micro"] <= pdf.loc[arm, "ratio_micro"] <= pdf.loc[arm, "ci_hi_micro"]

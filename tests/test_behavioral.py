@@ -284,3 +284,38 @@ def test_new_vs_returning_conserves_active_users(spark):
     con.close()
     assert pdf.n_new.sum() == n_users
     assert (pdf.n_new + pdf.n_returning > 0).all()
+
+
+def test_feature_pit_no_leakage(spark):
+    """Spot-check the PIT features against a brute-force per-label scan:
+    the window form must equal counting events in (t−7d, t] minus the
+    label itself — and features must never see the future."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_feature_pit"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    con = duckdb.connect()
+    brute = con.execute(
+        """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS t,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+        )
+        SELECT l.event_id,
+               (SELECT count(*) FROM e x
+                WHERE x.user_id = l.user_id AND x.event_id != l.event_id
+                  AND x.t >= l.t - 604800000000 AND x.t <= l.t) AS n_events_7d
+        FROM e l WHERE l.event_type = 'purchase'
+        ORDER BY l.event_id LIMIT 50
+        """
+    ).df()
+    con.close()
+    got = pdf.set_index("event_id")
+    for _, r in brute.iterrows():
+        assert got.loc[r.event_id, "n_events_7d"] == r.n_events_7d
+    assert (pdf.n_purchases_7d <= pdf.n_events_7d).all()
+    assert (pdf.spend_cents_7d >= 0).all()

@@ -235,3 +235,32 @@ def test_unpivot_roundtrips_the_wide_table(spark):
     assert wide.notna().all().all()
     assert (wide.n_orders >= wide.n_customers).all()
     assert (pdf.groupby("ym").size() == 3).all()
+
+
+def test_data_vault_counts(spark):
+    """Hub counts equal dimension cardinalities; the link equals the
+    distinct trade-pair count; satellite rows mirror the hub."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import etl
+
+    pdf = etl.QUERIES["etl_data_vault"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas().set_index("vault_table")
+    con = duckdb.connect()
+    nc, ns, nl = con.execute(
+        """
+        SELECT (SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/customer.parquet')),
+               (SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/supplier.parquet')),
+               (SELECT count(*) FROM (
+                   SELECT DISTINCT o.o_custkey, l.l_suppkey
+                   FROM read_parquet('/root/testdata/sf0.01/orders.parquet') o
+                   JOIN read_parquet('/root/testdata/sf0.01/lineitem.parquet') l
+                     ON o.o_orderkey = l.l_orderkey))
+        """
+    ).fetchone()
+    con.close()
+    assert pdf.loc["hub_customer", "n_rows"] == nc
+    assert pdf.loc["sat_customer", "n_rows"] == nc
+    assert pdf.loc["hub_supplier", "n_rows"] == ns
+    assert pdf.loc["link_trade", "n_rows"] == nl

@@ -325,3 +325,34 @@ def test_shard_plan_respects_capacity_and_order(spark):
         assert list(g.shard_id) == list(range(len(g)))
         # contiguity: next shard's first doc follows this shard's last
         assert (g.first_doc.shift(-1).dropna() > g.last_doc[:-1]).all()
+
+
+def test_paragraph_chunk_dedup_flags_dup_docs(spark):
+    """The synthetic corpus contains exact-duplicate documents (the 'dup'
+    cluster) — their chunks must read 1000‰ duplicated, and chunk counts
+    must conserve ceil(tokens/10) per doc."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import text
+
+    pdf = text.QUERIES["text_dedup_paragraph_chunks"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    con = duckdb.connect()
+    tok = con.execute(
+        """
+        SELECT doc_id, len(string_split(text, ' ')) AS n,
+               text LIKE '%dup%' AS is_dup
+        FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        """
+    ).df()
+    con.close()
+    m = pdf.merge(tok, on="doc_id")
+    assert (m.n_chunks == (m.n + 9) // 10).all()
+    # duplicate-cluster docs are overwhelmingly chunk-duplicated (the
+    # trailing partial chunk can be unique; one cluster member may pair
+    # at whole-doc granularity only) — far above the background either way
+    d = m[m.is_dup].dup_permille
+    assert (d >= 600).mean() >= 0.9
+    assert d.mean() > m[~m.is_dup].dup_permille.mean() + 500
+    assert m.dup_permille.between(0, 1000).all()
