@@ -234,3 +234,45 @@ def sql_adhoc_interface(spark, sf_dir):
         HAVING count(*) >= 5
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal >= 100.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized SQL — the injection-safe surface a production SQL
+    gateway exposes: the query text carries ONLY named placeholders
+    (:segments, :min_bal) and the values travel as bound arguments
+    through ``spark.sql(query, args=...)``; Catalyst substitutes them as
+    literals BEFORE optimization, so constant folding and predicate
+    pushdown see the real values (a prepared plan with unknown
+    parameters could not prune). The oracle states the same query with
+    the values inlined — binding is a client-surface concern the result
+    must be invariant to, which is exactly what the hash check proves.
+
+    100 TB: identical plan to the literal query; parameter binding is
+    free at planning time."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS balance_cents
+        FROM customer
+        WHERE c_mktsegment IN (:seg_a, :seg_b) AND c_acctbal >= :min_bal
+        GROUP BY c_mktsegment
+        """,
+        args={"seg_a": "BUILDING", "seg_b": "MACHINERY", "min_bal": 100.0},
+    )

@@ -666,3 +666,132 @@ def text_dedup_paragraph_chunks(spark, sf_dir):
             ).alias("dup_permille"),
         )
     )
+
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+    WITH words AS (
+        SELECT token AS w, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ), s0 AS MATERIALIZED (
+        SELECT array_to_string(string_split_regex(w, ''), ' ') || ' </w>' AS seq, f
+        FROM words
+    )"""
+    ]
+    for i in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+        SELECT sym1 || ' ' || sym2 AS pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT t[j] AS sym1, t[j+1] AS sym2, f FROM (
+                SELECT string_split(seq, ' ') AS t, f FROM s{i - 1}),
+                unnest(range(1, len(t))) AS u(j))
+        GROUP BY sym1, sym2
+    ), b{i} AS MATERIALIZED (
+        SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ), s{i} AS MATERIALIZED (
+        SELECT trim(replace(' ' || seq || ' ',
+                            ' ' || (SELECT pair FROM b{i}) || ' ',
+                            ' ' || replace((SELECT pair FROM b{i}), ' ', '')
+                                || ' ')) AS seq, f
+        FROM s{i - 1}
+    ), t{i} AS (
+        SELECT CAST(sum(f * len(string_split(seq, ' '))) AS BIGINT) AS total
+        FROM s{i}
+    )"""
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, (SELECT pair FROM b{i}) AS pair, "
+        f"replace((SELECT pair FROM b{i}), ' ', '') AS new_symbol, "
+        f"(SELECT cnt FROM b{i}) AS pair_count, "
+        f"(SELECT total FROM t{i}) AS corpus_symbols_after"
+        for i in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append("\n    " + rows)
+    return "".join(parts)
+
+
+@register("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark, sf_dir):
+    """Byte-pair-encoding tokenizer TRAINING as a distributed query — the
+    subword-vocabulary stage of every LLM data pipeline: 8 merge rounds,
+    each picking the corpus-weighted most frequent adjacent symbol pair
+    (ties lexicographic — classic BPE tie-breaks arbitrarily and would be
+    unverifiable) and fusing it everywhere via delimiter-padded string
+    replace, which performs exactly BPE's leftmost non-overlapping merge
+    in both engines. Emitted per round: the merge, its weighted count,
+    and the corpus token count after the merge — the compression curve.
+
+    100 TB: THE point of this shape — the only corpus-scale pass is the
+    word-frequency rollup (map-side combined); every merge round then
+    operates on the VOCABULARY table (|vocab| rows, sublinear in corpus),
+    with the winning pair carried as a broadcast 1-row join, never a
+    driver literal. This is how subword training actually scales: word
+    counts once, merge loop on the count table (the HuggingFace
+    tokenizers design, distributed). Rounds localCheckpoint so the loop
+    stays flat (lesson 13: plan-compile cost is real cost)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    s = words.select(
+        F.concat(
+            F.array_join(F.split("w", ""), " "), F.lit(" </w>")
+        ).alias("seq"),
+        "f",
+    ).localCheckpoint()
+    out = None
+    for i in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            s.select(
+                F.posexplode(F.expr("slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1)")).alias("j", "sym1"),
+                F.col("seq"),
+                F.col("f"),
+            )
+            .select(
+                F.concat(
+                    F.col("sym1"),
+                    F.lit(" "),
+                    F.expr("split(seq, ' ')[j + 1]"),
+                ).alias("pair"),
+                "f",
+            )
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        s = (
+            s.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    """trim(replace(concat(' ', seq, ' '),
+                                    concat(' ', pair, ' '),
+                                    concat(' ', replace(pair, ' ', ''), ' ')))"""
+                ).alias("seq"),
+                "f",
+            )
+            .localCheckpoint()
+        )
+        total = s.agg(
+            F.sum(F.col("f") * F.size(F.split("seq", " "))).cast("long").alias(
+                "corpus_symbols_after"
+            )
+        )
+        row = (
+            best.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(i).cast("long").alias("round"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("new_symbol"),
+                F.col("cnt").cast("long").alias("pair_count"),
+                "corpus_symbols_after",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

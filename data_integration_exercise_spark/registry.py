@@ -377,6 +377,9 @@ _ADDED_R5 = [
     "text_dedup_paragraph_chunks",
     "agg_ratio_delta_method",
     "etl_data_vault",
+    "text_bpe_train",
+    "sql_parameterized",
+    "scan_partition_evolution",
 ]
 
 

@@ -1130,3 +1130,93 @@ def sink_wap_publish(spark, sf_dir):
             'published_rows', row_count, true
         ) AS (check_name, observed, passed)"""
     )
+
+
+_PE_STAGED: set[str] = set()
+
+
+@register(
+    "scan_partition_evolution",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-15'
+      AND l_shipdate <  TIMESTAMP '1997-04-20'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_partition_evolution(spark, sf_dir):
+    """Partition-spec EVOLUTION — the table-format capability plain Hive
+    layouts lack: history landed month-partitioned (ym=YYYY-MM), the
+    spec later evolved to day partitioning (day=YYYY-MM-DD), and ONE
+    logical table must answer predicates across both physical layouts.
+    The split date (1997-01-01) is recorded alongside the data; the read
+    path prunes each layout in ITS OWN granularity (months overlapping
+    the predicate on the old files, days on the new) and unions the two
+    scans — exactly how Iceberg evaluates a residual per partition spec.
+    The answer is layout-invariant (the oracle reads the raw table); the
+    pruning is pinned by a plan test on each scan's partition count.
+
+    100 TB: spec evolution without this mechanism means rewriting the
+    entire history to the new layout; with it, old data keeps its
+    coarser pruning and new data gets the finer one — both pruned at
+    PLANNING time via partition values, no footer reads."""
+    base = _stage_dir(sf_dir, "scan_partition_evolution")
+    old_dir, new_dir = base + "/ym_layout", base + "/wk_layout"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_shipdate"
+    )
+    split = F.lit("1997-01-01").cast("timestamp_ntz")
+    anchor = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    if base not in _PE_STAGED:
+        (
+            li.filter(F.col("l_shipdate") < split)
+            .withColumn("ym", F.date_format("l_shipdate", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("ym")
+            .parquet(old_dir)
+        )
+        (
+            li.filter(F.col("l_shipdate") >= split)
+            .withColumn("wk", F.expr(
+                "datediff(l_shipdate, TIMESTAMP_NTZ '1995-01-01 00:00:00') div 7"
+            ))
+            .write.mode("overwrite")
+            .partitionBy("wk")
+            .parquet(new_dir)
+        )
+        _PE_STAGED.add(base)
+    lo = F.lit("1997-03-15").cast("timestamp_ntz")
+    hi = F.lit("1997-04-20").cast("timestamp_ntz")
+    import datetime as _dt
+
+    _a = _dt.date(1995, 1, 1)
+    lo_wk = (_dt.date(1997, 3, 15) - _a).days // 7
+    hi_wk = (_dt.date(1997, 4, 19) - _a).days // 7
+    old_scan = (
+        spark.read.parquet(old_dir)
+        # month-granular residual on the old spec (prunes to ym dirs)
+        .filter((F.col("ym") >= "1997-03") & (F.col("ym") <= "1997-04"))
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .drop("ym")
+    )
+    new_scan = (
+        spark.read.parquet(new_dir)
+        # week-granular residual on the evolved spec
+        .filter((F.col("wk") >= lo_wk) & (F.col("wk") <= hi_wk))
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .drop("wk")
+    )
+    return (
+        old_scan.unionByName(new_scan)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

@@ -330,3 +330,22 @@ def test_wap_publish_report_green_and_rerun_stable(spark):
     assert r1.sort_values("check_name").reset_index(drop=True).equals(
         r2.sort_values("check_name").reset_index(drop=True)
     )
+
+
+def test_partition_evolution_prunes_each_layout(spark):
+    """Both physical layouts must prune at their own granularity: the
+    month layout to its ym partitions, the evolved layout to its wk
+    partitions (the predicate spans 1997-03-15..04-20)."""
+    from data_integration_exercise_spark.sources import connectors
+
+    df = connectors.QUERIES["scan_partition_evolution"](
+        spark, "/root/testdata/sf0.01"
+    )
+    df.collect()  # ensure staged
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # two scans; partition filters must appear on ym and day
+    assert "ym" in plan and "wk" in plan
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "scan with empty partition filters"

