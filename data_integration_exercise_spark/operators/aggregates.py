@@ -2149,3 +2149,120 @@ def agg_ratio_delta_method(spark, sf_dir):
         .cast("long")
         .alias("ci_hi_micro"),
     )
+
+
+@register(
+    "agg_ab_power_mde",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2
+                   AS arm,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM u
+    ), f AS (
+        SELECT n_a, n_b,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(sx AS DOUBLE) AS sxd,
+               CAST(sxx AS DOUBLE) AS sxxd
+        FROM m
+    ), g AS (
+        SELECT n_a, n_b,
+               sqrt((sxxd - sxd * sxd / nd) / (nd - 1)) AS sd,
+               sxd / nd AS mean,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+        FROM f
+    )
+    SELECT n_a, n_b,
+           CAST(floor(1e4 * sd) AS BIGINT) AS pooled_sd_centicents,
+           CAST(floor(1e4 * ((1.96 + 0.8416) * sd
+                             * sqrt(1.0 / nad + 1.0 / nbd))) AS BIGINT)
+               AS mde_abs_centicents,
+           CAST(floor(1000 * ((1.96 + 0.8416) * sd
+                              * sqrt(1.0 / nad + 1.0 / nbd)) / mean)
+                AS BIGINT) AS mde_rel_permille
+    FROM g
+    """,
+)
+def agg_ab_power_mde(spark, sf_dir):
+    """A/B power analysis: the minimum detectable effect at α = 0.05,
+    power = 0.80 for the user-spend metric under the current md5 arm
+    split — MDE = (z₀.₉₇₅ + z₀.₈)·sd·√(1/nₐ + 1/n_b), the number every
+    experiment review asks for BEFORE shipping a test. Moments accumulate
+    as exact integers; the float surface is one pinned IEEE tree
+    (sub/div/mul/sqrt with the z literals 1.96 and 0.8416), floored to
+    centi-cent / permille integers (floor of identical doubles never
+    diverges — lesson 8).
+
+    100 TB: one user rollup + a single global moment fold — the
+    experiment-sizing query runs at the same cost as a count."""
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+    )
+    dec = "decimal(38,0)"
+    m = u.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    g = m.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            """sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1))"""
+        ).alias("sd"),
+        F.expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean"),
+        F.col("n_a").cast("double").alias("nad"),
+        F.col("n_b").cast("double").alias("nbd"),
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        F.floor(F.lit(1e4) * F.col("sd")).cast("long").alias("pooled_sd_centicents"),
+        F.floor(
+            F.lit(1e4)
+            * (
+                (F.lit(1.96) + F.lit(0.8416))
+                * F.col("sd")
+                * F.sqrt(F.lit(1.0) / F.col("nad") + F.lit(1.0) / F.col("nbd"))
+            )
+        )
+        .cast("long")
+        .alias("mde_abs_centicents"),
+        F.floor(
+            F.lit(1000)
+            * (
+                (F.lit(1.96) + F.lit(0.8416))
+                * F.col("sd")
+                * F.sqrt(F.lit(1.0) / F.col("nad") + F.lit(1.0) / F.col("nbd"))
+            )
+            / F.col("mean")
+        )
+        .cast("long")
+        .alias("mde_rel_permille"),
+    )

@@ -891,3 +891,91 @@ def etl_data_vault(spark, sf_dir):
         .unionByName(fp(link, "link_trade"))
         .unionByName(fp(sat, "sat_customer"))
     )
+
+
+@register(
+    "etl_reconcile_buckets",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), v2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               price_cents + CASE WHEN o_orderkey % 11 = 0 THEN 100 ELSE 0 END
+                   AS price_cents
+        FROM v1 WHERE o_orderkey % 13 != 0
+    ), f1 AS (
+        SELECT o_orderkey % 16 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_v1,
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                   || '|' || o_orderstatus || '|' || CAST(price_cents AS VARCHAR)
+               ), 1, 15))::BIGINT) AS fp_v1
+        FROM v1 GROUP BY o_orderkey % 16
+    ), f2 AS (
+        SELECT o_orderkey % 16 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_v2,
+               bit_xor(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                   || '|' || o_orderstatus || '|' || CAST(price_cents AS VARCHAR)
+               ), 1, 15))::BIGINT) AS fp_v2
+        FROM v2 GROUP BY o_orderkey % 16
+    )
+    SELECT f1.bucket, f1.n_v1, f2.n_v2, f1.fp_v1, f2.fp_v2,
+           (f1.fp_v1 != f2.fp_v2 OR f1.n_v1 != f2.n_v2) AS differs
+    FROM f1 JOIN f2 ON f1.bucket = f2.bucket
+    """,
+)
+def etl_reconcile_buckets(spark, sf_dir):
+    """Hierarchical reconciliation drill-down — what you run when two
+    table fingerprints DISAGREE: both versions (the scan_time_travel
+    snapshot definitions) fingerprint per key-bucket (key % 16), so a
+    whole-table mismatch localizes to the handful of buckets whose XOR
+    or count differs, and the next drill level only rescans those. Here
+    v2 carries deterministic deletes and price corrections, so the test
+    can assert exactly which buckets light up (every bucket containing a
+    %11 or %13 key).
+
+    100 TB: each level is one scan-speed aggregate per side with a
+    16-row exchange — log₁₆(keyspace) levels pinpoint a single damaged
+    row without ever shipping data, the binary-search-by-checksum
+    pattern every cross-region copy validator uses."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    v2 = v1.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "price_cents",
+        F.col("price_cents")
+        + F.when(F.col("o_orderkey") % 11 == 0, 100).otherwise(0),
+    )
+    row = (
+        "concat(CAST(o_orderkey AS STRING), '|', CAST(o_custkey AS STRING), "
+        "'|', o_orderstatus, '|', CAST(price_cents AS STRING))"
+    )
+
+    def bucketed(df, n_col, fp_col):
+        return df.groupBy((F.col("o_orderkey") % 16).alias("bucket")).agg(
+            F.count("*").cast("long").alias(n_col),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(" + row + "), 1, 15), 16, 10)"
+                " AS BIGINT))"
+            ).alias(fp_col),
+        )
+
+    f1 = bucketed(v1, "n_v1", "fp_v1")
+    f2 = bucketed(v2, "n_v2", "fp_v2")
+    return f1.join(f2, "bucket").select(
+        "bucket",
+        "n_v1",
+        "n_v2",
+        "fp_v1",
+        "fp_v2",
+        (
+            (F.col("fp_v1") != F.col("fp_v2")) | (F.col("n_v1") != F.col("n_v2"))
+        ).alias("differs"),
+    )

@@ -1043,3 +1043,105 @@ def sim_adc_search(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("probe_id", "vec_id", "adc_d2", "rnk")
     )
+
+
+@register(
+    "sim_truncated_dims_eval",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+        FROM embeddings
+    ), pairs AS (
+        SELECT p.vec_id AS probe_id, b.vec_id,
+               p.qv AS pv, b.qv AS bv
+        FROM q p CROSS JOIN q b
+        WHERE p.vec_id < 5 AND b.vec_id != p.vec_id
+    ), pe AS (
+        SELECT probe_id, vec_id,
+               unnest(list_transform(pv, (v, i) -> i)) AS i,
+               unnest(pv) AS px, unnest(bv) AS bx
+        FROM pairs
+    ), d AS (
+        SELECT probe_id, vec_id,
+               CAST(sum((px - bx) * (px - bx)) AS BIGINT) AS d_full,
+               CAST(sum(CASE WHEN i <= 16
+                             THEN (px - bx) * (px - bx) ELSE 0 END) AS BIGINT)
+                   AS d_trunc
+        FROM pe GROUP BY probe_id, vec_id
+    ), rf AS (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY d_full, vec_id) AS r_full,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY d_trunc, vec_id) AS r_trunc
+        FROM d
+    )
+    SELECT probe_id,
+           CAST(count(*) FILTER (r_full <= 5 AND r_trunc <= 5) AS BIGINT)
+               AS overlap_at_5,
+           CAST(min(CASE WHEN r_full = 1 THEN r_trunc END) AS BIGINT)
+               AS trunc_rank_of_true_nn
+    FROM rf GROUP BY probe_id
+    """,
+)
+def sim_truncated_dims_eval(spark, sf_dir):
+    """Matryoshka-style truncation evaluation: how much retrieval quality
+    survives keeping only the first 16 of 64 embedding dims — per probe,
+    the overlap between the full-dimension top-5 and the truncated top-5,
+    plus where the TRUE nearest neighbor lands in the truncated ranking.
+    The modern embedding-serving question (MRL / dimension-sliced
+    indexes), answered with exact integer-quantized L2 on both sides so
+    the evaluation itself is hash-verifiable.
+
+    100 TB: the 5 probes broadcast against the corpus (linear scan, no
+    pair shuffle); both distances come out of ONE zip_with pass over
+    each pair (the truncated sum is a conditional inside the same fold);
+    rankings are probe-partitioned windows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    probes = q.filter(F.col("vec_id") < 5).withColumnsRenamed(
+        {"vec_id": "probe_id", "qv": "pv"}
+    )
+    d = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.expr(
+                """aggregate(zip_with(pv, qv, (a, b) -> (a - b) * (a - b)),
+                             0L, (acc, x) -> acc + x)"""
+            ).alias("d_full"),
+            F.expr(
+                """aggregate(zip_with(slice(pv, 1, 16), slice(qv, 1, 16),
+                                      (a, b) -> (a - b) * (a - b)),
+                             0L, (acc, x) -> acc + x)"""
+            ).alias("d_trunc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("probe_id").orderBy("d_full", "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy("d_trunc", "vec_id")
+    rf = d.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_trunc"),
+    )
+    return rf.groupBy("probe_id").agg(
+        F.sum(
+            F.when((F.col("r_full") <= 5) & (F.col("r_trunc") <= 5), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("overlap_at_5"),
+        F.min(F.when(F.col("r_full") == 1, F.col("r_trunc")))
+        .cast("long")
+        .alias("trunc_rank_of_true_nn"),
+    )

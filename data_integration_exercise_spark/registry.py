@@ -380,6 +380,9 @@ _ADDED_R5 = [
     "text_bpe_train",
     "sql_parameterized",
     "scan_partition_evolution",
+    "sim_truncated_dims_eval",
+    "etl_reconcile_buckets",
+    "agg_ab_power_mde",
 ]
 
 

@@ -289,3 +289,20 @@ def test_ratio_delta_method_matches_scipy_style_reference(spark):
         assert abs(pdf.loc[arm, "ratio_micro"] - np.floor(1e6 * r)) <= 1
         assert abs(pdf.loc[arm, "se_micro"] - np.floor(1e6 * se)) <= 1
         assert pdf.loc[arm, "ci_lo_micro"] <= pdf.loc[arm, "ratio_micro"] <= pdf.loc[arm, "ci_hi_micro"]
+
+
+def test_power_mde_scales_inversely_with_sqrt_n(spark):
+    """Sanity: MDE is positive, relative MDE is plausible (< 100% for
+    this n), and the closed form reproduces from the emitted pieces."""
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    r = aggregates.QUERIES["agg_ab_power_mde"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.n_a + r.n_b == 150
+    assert r.mde_abs_centicents > 0
+    sd = r.pooled_sd_centicents / 1e4
+    mde = (1.96 + 0.8416) * sd * np.sqrt(1 / r.n_a + 1 / r.n_b)
+    assert abs(r.mde_abs_centicents / 1e4 - mde) / mde < 0.001

