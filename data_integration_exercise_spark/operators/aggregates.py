@@ -2266,3 +2266,87 @@ def agg_ab_power_mde(spark, sf_dir):
         .cast("long")
         .alias("mde_rel_permille"),
     )
+
+
+@register(
+    "agg_rollforward_balance",
+    oracle="""
+    WITH inflow AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS inflow_cents
+        FROM orders GROUP BY 1
+    ), outflow AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS outflow_cents
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), months AS (
+        SELECT coalesce(i.ym, o.ym) AS ym,
+               coalesce(i.inflow_cents, 0) AS inflow_cents,
+               coalesce(o.outflow_cents, 0) AS outflow_cents
+        FROM inflow i FULL OUTER JOIN outflow o ON i.ym = o.ym
+    )
+    SELECT ym,
+           CAST(coalesce(sum(inflow_cents - outflow_cents) OVER (
+                ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS opening_cents,
+           inflow_cents, outflow_cents,
+           CAST(sum(inflow_cents - outflow_cents) OVER (
+                ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS closing_cents
+    FROM months
+    """,
+)
+def agg_rollforward_balance(spark, sf_dir):
+    """Monthly balance roll-forward — the accounting reconciliation table
+    (opening + inflow − outflow = closing, every month, with this
+    month's closing next month's opening): order revenue flows in,
+    returned-line value flows out, all exact integer cents. The identity
+    is structural (both balances come from the SAME cumulative window at
+    different frame ends), so it cannot drift — and the test asserts the
+    ledger chains anyway, because a rollforward whose identity isn't
+    checked is how reconciliation bugs ship.
+
+    100 TB: two month-level rollups (map-side combined) + a full outer
+    join on the month key + one window over the CALENDAR-bounded month
+    axis — the global window is bounded by months, not rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inflow = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "inflow_cents"
+        )
+    )
+    outflow = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "outflow_cents"
+            )
+        )
+    )
+    months = (
+        inflow.join(outflow, "ym", "full_outer")
+        .select(
+            "ym",
+            F.coalesce("inflow_cents", F.lit(0)).alias("inflow_cents"),
+            F.coalesce("outflow_cents", F.lit(0)).alias("outflow_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    net = F.col("inflow_cents") - F.col("outflow_cents")
+    w_open = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, -1)
+    w_close = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded global window: one row per calendar month
+    return months.select(
+        "ym",
+        F.coalesce(F.sum(net).over(w_open), F.lit(0))
+        .cast("long")
+        .alias("opening_cents"),
+        "inflow_cents",
+        "outflow_cents",
+        F.sum(net).over(w_close).cast("long").alias("closing_cents"),
+    )

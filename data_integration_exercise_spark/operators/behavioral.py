@@ -1172,3 +1172,130 @@ def events_feature_pit(spark, sf_dir):
         "n_purchases_7d",
         "spend_cents_7d",
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+               CASE WHEN epoch_ns(ts) // 1000
+                         - lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) > {_SESSION_GAP_US}
+                         OR lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id
+                               ORDER BY epoch_ns(ts) // 1000, event_id
+                           ) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), y AS (
+        SELECT user_id, t,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_idx
+        FROM x
+    ), sess AS (
+        SELECT user_id, session_idx, min(t) AS s, max(t) AS e
+        FROM y GROUP BY user_id, session_idx
+    ), segs AS (
+        SELECT user_id, session_idx, d.day,
+               greatest(s, d.day * {_DAY_US}) AS seg_s,
+               least(e, (d.day + 1) * {_DAY_US} - 1) AS seg_e
+        FROM sess,
+             unnest(range(s // {_DAY_US}, e // {_DAY_US} + 1)) AS d(day)
+    ), pts AS (
+        SELECT day, seg_s AS t, 1 AS delta, user_id, session_idx FROM segs
+        UNION ALL
+        SELECT day, seg_e + 1 AS t, -1, user_id, session_idx FROM segs
+    ), run AS (
+        SELECT day,
+               sum(delta) OVER (
+                   PARTITION BY day
+                   ORDER BY t, delta DESC, user_id, session_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS conc
+        FROM pts
+    )
+    SELECT r.day, CAST(max(r.conc) AS BIGINT) AS peak_concurrency,
+           CAST(count(DISTINCT (s.user_id, s.session_idx)) AS BIGINT)
+               AS n_sessions_touching
+    FROM run r JOIN segs s ON r.day = s.day
+    GROUP BY r.day
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the capacity-planning sweep-line
+    query: sessions (the 30-min-gap cut) SPLIT AT MIDNIGHT into per-day
+    segments, each segment emits a +1/−1 event pair, and the day's peak
+    is the max of the running sum over the (time, +1-before-−1,
+    session-id) total order — closed intervals, so a session ending the
+    exact µs another starts counts both. The midnight split is what
+    makes the sweep scale: every window partitions BY DAY, never
+    globally; a session spanning days contributes a segment to each.
+
+    100 TB: sessionization is the standard user-keyed window; the sweep
+    is a day-partitioned window over 2·segments rows. For a day whose
+    event volume alone overwhelms one partition, the sweep sub-shards by
+    time range with per-shard offsets — the surrogate-keys composition —
+    but the DAY partition is the natural unit every capacity dashboard
+    uses."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, 1)
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "session_idx",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts_us").alias("s"), F.max("ts_us").alias("e"))
+    )
+    segs = sess.select(
+        "user_id",
+        "session_idx",
+        F.explode(
+            F.expr(f"sequence(s div {_DAY_US}, e div {_DAY_US})")
+        ).alias("day"),
+        "s",
+        "e",
+    ).select(
+        "user_id",
+        "session_idx",
+        "day",
+        F.greatest(F.col("s"), F.col("day") * _DAY_US).alias("seg_s"),
+        F.least(F.col("e"), (F.col("day") + 1) * _DAY_US - 1).alias("seg_e"),
+    )
+    pts = segs.select(
+        "day", F.col("seg_s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_idx"
+    ).unionByName(
+        segs.select(
+            "day",
+            (F.col("seg_e") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    ws = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(ws).alias("conc"))
+    peaks = run.groupBy("day").agg(F.max("conc").cast("long").alias("peak_concurrency"))
+    touching = segs.groupBy("day").agg(
+        F.count_distinct("user_id", "session_idx").cast("long").alias(
+            "n_sessions_touching"
+        )
+    )
+    return peaks.join(touching, "day")

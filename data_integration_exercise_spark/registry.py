@@ -383,6 +383,8 @@ _ADDED_R5 = [
     "sim_truncated_dims_eval",
     "etl_reconcile_buckets",
     "agg_ab_power_mde",
+    "events_peak_concurrency",
+    "agg_rollforward_balance",
 ]
 
 

@@ -306,3 +306,23 @@ def test_power_mde_scales_inversely_with_sqrt_n(spark):
     sd = r.pooled_sd_centicents / 1e4
     mde = (1.96 + 0.8416) * sd * np.sqrt(1 / r.n_a + 1 / r.n_b)
     assert abs(r.mde_abs_centicents / 1e4 - mde) / mde < 0.001
+
+
+def test_rollforward_ledger_chains(spark):
+    """closing(t) == opening(t+1) for every consecutive month, and
+    closing == opening + inflow − outflow row-wise."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = (
+        aggregates.QUERIES["agg_rollforward_balance"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .toPandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    assert (
+        pdf.closing_cents
+        == pdf.opening_cents + pdf.inflow_cents - pdf.outflow_cents
+    ).all()
+    assert (pdf.closing_cents[:-1].values == pdf.opening_cents[1:].values).all()

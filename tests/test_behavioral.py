@@ -319,3 +319,17 @@ def test_feature_pit_no_leakage(spark):
         assert got.loc[r.event_id, "n_events_7d"] == r.n_events_7d
     assert (pdf.n_purchases_7d <= pdf.n_events_7d).all()
     assert (pdf.spend_cents_7d >= 0).all()
+
+
+def test_peak_concurrency_bounds(spark):
+    """Peak per day is ≥ 1, ≤ sessions touching the day, and the all-day
+    max is ≤ the number of users (one concurrent session per user under a
+    gap-based cut)."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_peak_concurrency"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert (pdf.peak_concurrency >= 1).all()
+    assert (pdf.peak_concurrency <= pdf.n_sessions_touching).all()
+    assert pdf.peak_concurrency.max() <= 150
