@@ -2350,3 +2350,51 @@ def agg_rollforward_balance(spark, sf_dir):
         "outflow_cents",
         F.sum(net).over(w_close).cast("long").alias("closing_cents"),
     )
+
+
+@register(
+    "agg_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, revenue_cents,
+           lag(revenue_cents, 12) OVER (ORDER BY ym) AS prior_year_cents,
+           CAST(1000 * (revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY ym))
+                // lag(revenue_cents, 12) OVER (ORDER BY ym) AS BIGINT)
+               AS yoy_growth_permille
+    FROM monthly
+    """,
+)
+def agg_yoy_growth(spark, sf_dir):
+    """Year-over-year growth per month: each month against the same month
+    one year earlier via lag(12) over the calendar axis, growth as a
+    signed truncating permille (both engines truncate toward zero —
+    verified). Months without a prior-year counterpart emit NULLs rather
+    than silently dropping — the honest edge for the first year.
+
+    100 TB: one month rollup + a window over the calendar-bounded month
+    axis."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    w = Window.orderBy("ym")
+    prior = F.lag("revenue_cents", 12).over(w)
+    # bounded global window: one row per calendar month
+    return monthly.select(
+        "ym",
+        "revenue_cents",
+        prior.alias("prior_year_cents"),
+        F.expr(
+            """CAST(1000 * (revenue_cents - lag(revenue_cents, 12) OVER (ORDER BY ym))
+                    div lag(revenue_cents, 12) OVER (ORDER BY ym) AS BIGINT)"""
+        ).alias("yoy_growth_permille"),
+    )

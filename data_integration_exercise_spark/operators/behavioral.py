@@ -1299,3 +1299,45 @@ def events_peak_concurrency(spark, sf_dir):
         )
     )
     return peaks.join(touching, "day")
+
+
+@register(
+    "events_cumulative_reach",
+    oracle=f"""
+    WITH first_day AS (
+        SELECT user_id, min(epoch_ns(ts) // 1000 // {_DAY_US}) AS d0
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT d0 AS day, CAST(count(*) AS BIGINT) AS n_new
+        FROM first_day GROUP BY d0
+    )
+    SELECT day, n_new,
+           CAST(sum(n_new) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumulative_reach
+    FROM per_day
+    """,
+)
+def events_cumulative_reach(spark, sf_dir):
+    """Cumulative audience reach: running count of DISTINCT users ever
+    seen, by day. A running count(DISTINCT) has no window form at any
+    scale — the standard rewrite attributes each user to their FIRST
+    active day once, and the cumulative sum of new-user counts over the
+    calendar IS the distinct reach (each user contributes exactly once).
+
+    100 TB: one user-keyed min, one day rollup, one window bounded by
+    the calendar — the rewrite turns an impossible running-distinct into
+    three cheap passes, which is why every growth dashboard computes
+    reach this way."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.expr(f"min(ts_us div {_DAY_US})").alias("d0")
+    )
+    per_day = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded global window: one row per calendar day
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cumulative_reach")
+    )

@@ -663,3 +663,93 @@ def graph_k_core(spark, sf_dir):
         F.expr("src div 2").cast("long").alias("node_key"),
         "core_degree",
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), ed AS (
+        SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd.d AS HUGEINT) AS y
+        FROM edges e
+        JOIN deg ds ON e.src = ds.src
+        JOIN deg dd ON e.dst = dd.src
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(floor(1e6 *
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+               AS BIGINT) AS assortativity_micro
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the trade network: the Pearson correlation
+    of (source degree, destination degree) over all directed edges —
+    negative for hub-and-spoke graphs (high-degree suppliers connect to
+    low-degree customers), positive for social-style graphs; THE
+    one-number structure diagnostic after the degree histogram. Moments
+    accumulate as exact HUGEINT/decimal integers; the correlation itself
+    is one pinned IEEE tree floored to micro units (lesson 8).
+
+    100 TB: degree table joined twice onto the edge list (both joins on
+    the node key), then a single moment fold — the same bounded-shuffle
+    budget as one PageRank iteration."""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    dec = "decimal(38,0)"
+    ed = (
+        edges.join(deg.withColumnsRenamed({"src": "src", "d": "dx"}), "src")
+        .join(
+            deg.withColumnsRenamed({"src": "dst", "d": "dy"}),
+            "dst",
+        )
+        .select(F.col("dx").cast(dec).alias("x"), F.col("dy").cast(dec).alias("y"))
+    )
+    m = ed.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * F.sqrt(
+                    F.col("n").cast("double") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

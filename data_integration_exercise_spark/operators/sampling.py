@@ -297,3 +297,68 @@ def sample_temperature_mix(spark, sf_dir):
         .filter(F.col("rn") <= F.col("kl"))
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@register(
+    "sample_importance_estimate",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               {_bucket_duck('o_orderkey', 10)} = 0 AS in_sample
+        FROM orders
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample,
+               CAST(sum(cents) AS BIGINT) AS true_total_cents,
+               CAST(10 * sum(CASE WHEN in_sample THEN cents ELSE 0 END)
+                    AS BIGINT) AS estimated_total_cents
+        FROM s
+    )
+    SELECT n_total, n_sample, true_total_cents, estimated_total_cents,
+           CAST(1000 * abs(estimated_total_cents - true_total_cents)
+                // true_total_cents AS BIGINT) AS abs_error_permille
+    FROM agg
+    """,
+)
+def sample_importance_estimate(spark, sf_dir):
+    """Horvitz-Thompson estimation from a hash sample: the 10%
+    deterministic md5 bucket (sample_hash_mod's exact rule) estimates the
+    corpus revenue total by weighting every sampled row at 1/p = 10; the
+    exact total, the estimate, and the realized error (permille) are all
+    emitted — the query pattern that makes 10× cheaper dashboards
+    honest, because the weight correction and its error are computed, not
+    assumed. Everything integer (the weight is exact, the error is a
+    truncating div).
+
+    100 TB: one scan computes BOTH totals in a single aggregate (the
+    estimate costs nothing extra here because the scan already runs; in
+    production only the sampled partition is scanned and the true total
+    is the known baseline being reconciled). Hash sampling keeps the
+    estimate reproducible across engines and reruns — a seeded RNG
+    sample could never be cross-verified."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (_bucket_spark("o_orderkey", 10) == 0).alias("in_sample"),
+    )
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sample"),
+        F.sum("cents").alias("true_total_cents"),
+        (F.lit(10) * F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0)))
+        .cast("long")
+        .alias("estimated_total_cents"),
+    )
+    return agg.select(
+        "n_total",
+        "n_sample",
+        "true_total_cents",
+        "estimated_total_cents",
+        F.expr(
+            """CAST(1000 * abs(estimated_total_cents - true_total_cents)
+                    div true_total_cents AS BIGINT)"""
+        ).alias("abs_error_permille"),
+    )

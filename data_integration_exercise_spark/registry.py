@@ -385,6 +385,10 @@ _ADDED_R5 = [
     "agg_ab_power_mde",
     "events_peak_concurrency",
     "agg_rollforward_balance",
+    "events_cumulative_reach",
+    "agg_yoy_growth",
+    "sample_importance_estimate",
+    "graph_assortativity",
 ]
 
 

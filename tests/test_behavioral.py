@@ -333,3 +333,17 @@ def test_peak_concurrency_bounds(spark):
     assert (pdf.peak_concurrency >= 1).all()
     assert (pdf.peak_concurrency <= pdf.n_sessions_touching).all()
     assert pdf.peak_concurrency.max() <= 150
+
+
+def test_cumulative_reach_saturates_at_user_count(spark):
+    """Reach is non-decreasing and ends at the distinct user count."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = (
+        behavioral.QUERIES["events_cumulative_reach"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("day")
+    )
+    assert (pdf.cumulative_reach.diff().dropna() > 0).all()
+    assert pdf.cumulative_reach.iloc[-1] == 150
+    assert pdf.n_new.sum() == 150

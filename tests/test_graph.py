@@ -142,3 +142,16 @@ def test_k_core_survivors_have_core_degree(spark):
     assert len(pdf) > 0
     assert (pdf.core_degree >= 3).all()
     assert not pdf.duplicated(["node_type", "node_key"]).any()
+
+
+def test_assortativity_in_valid_range_and_negative(spark):
+    """A bipartite hub-spoke trade graph is disassortative: the
+    coefficient must be a valid correlation and ≤ 0 here."""
+    from data_integration_exercise_spark.operators import graph
+
+    r = graph.QUERIES["graph_assortativity"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert -1_000_000 <= r.assortativity_micro <= 1_000_000
+    assert r.assortativity_micro <= 0
+    assert r.n_directed_edges > 0

@@ -106,3 +106,21 @@ def test_temperature_mix_upweights_low_resource_langs(spark):
             assert mix_share > raw_share, (la, raw_share, mix_share)
     big = n.idxmax()
     assert got[big] / total_out < n[big] / n.sum()
+
+
+def test_importance_estimate_within_sampling_error(spark):
+    """The HT estimate must land within a plausible band of the truth
+    (~10% sample of 15k rows ⇒ relative error well under 10%), and the
+    emitted error must be the exact recomputed permille."""
+    from data_integration_exercise_spark.operators import sampling
+
+    r = sampling.QUERIES["sample_importance_estimate"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r.n_total == 15000
+    assert 0.05 < r.n_sample / r.n_total < 0.15
+    assert (
+        r.abs_error_permille
+        == 1000 * abs(r.estimated_total_cents - r.true_total_cents) // r.true_total_cents
+    )
+    assert r.abs_error_permille < 100
