@@ -1341,3 +1341,48 @@ def events_cumulative_reach(spark, sf_dir):
     return per_day.select(
         "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cumulative_reach")
     )
+
+
+_10MIN_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "events_velocity_flags",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, t AS t_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_10min,
+           count(*) OVER w > 3 AS is_velocity_flag
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN {_10MIN_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_velocity_flags(spark, sf_dir):
+    """Fraud velocity rule: flag any purchase that is the 4th-or-later in
+    its user's trailing 10-minute window — the classic card-testing /
+    bot-burst detector, as one RANGE-framed count per user over exact
+    integer µs (the events_feature_pit frame shape, inclusive of the
+    current event — velocity rules count the triggering transaction).
+
+    100 TB: one user-keyed sorted window, no self-join — the rule
+    engines that matter run exactly this shape in both batch backtests
+    and the streaming twin (a watermarked sliding count)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_10MIN_US, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("t_us"),
+        F.count("*").over(w).cast("long").alias("n_in_10min"),
+        (F.count("*").over(w) > 3).alias("is_velocity_flag"),
+    )

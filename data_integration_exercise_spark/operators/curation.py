@@ -1414,3 +1414,92 @@ def pipeline_corpus_curate(spark, sf_dir):
         .join(F.broadcast(audit), "lang")
         .select("lang", "split", "n_docs", "n_raw", "n_quality", "n_unique")
     )
+
+
+@register(
+    "text_lm_backoff_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS u(i)
+    ), c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2),
+       c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw FROM bg GROUP BY w1),
+       uni AS (
+        SELECT tok AS w2, CAST(count(*) AS BIGINT) AS uw FROM (
+            SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), tot AS (SELECT CAST(count(*) AS HUGEINT) AS T FROM (SELECT unnest(t) FROM toks)),
+    scored AS (
+        SELECT bg.doc_id,
+               CAST(floor(1e6 * log2(
+                   CAST(7 * CAST(c2.cb AS HUGEINT) * tot.T
+                        + 3 * CAST(uni.uw AS HUGEINT) * c1.cw AS DOUBLE)
+                   / CAST(10 * CAST(c1.cw AS HUGEINT) * tot.T AS DOUBLE)
+               ) + 1e-6) AS BIGINT) AS lp
+        FROM bg
+        JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        JOIN c1 ON bg.w1 = c1.w1
+        JOIN uni ON bg.w2 = uni.w2
+        CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) // count(*) AS BIGINT) AS avg_logp_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_backoff_score(spark, sf_dir):
+    """Interpolated (Jelinek-Mercer) bigram/unigram LM scoring — the
+    smoothing text_bigram_lm_score deliberately omits: P = 0.7·P_bigram +
+    0.3·P_unigram, so unseen-in-context words back off to their corpus
+    rate instead of −∞, which is what production perplexity filters
+    (KenLM-style) actually do. The mixture stays an exact integer
+    rational ((7·c_b·T + 3·u_{w2}·c_{w1}) / (10·c_{w1}·T), HUGEINT/
+    decimal numerator — c_b·T passes int64 at cluster scale) until the
+    single log2, floored to micro-bits with the +1e-6 libm guard.
+
+    100 TB: three count models over the token stream (all map-side
+    combined; each ≤ |vocab|² rows) broadcast onto the bigram stream +
+    one 1-row total — the bigram-LM shuffle budget plus one broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+                          (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))
+                """
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("long").alias("cw"))
+    uni = toks.groupBy(F.col("tok").alias("w2")).agg(
+        F.count("*").cast("long").alias("uw")
+    )
+    tot = toks.agg(F.count("*").cast("decimal(38,0)").alias("T"))
+    lp = F.floor(
+        F.lit(1e6)
+        * F.log2(
+            F.expr(
+                """CAST(7 * CAST(cb AS DECIMAL(38,0)) * T
+                        + 3 * CAST(uw AS DECIMAL(38,0)) * cw AS DOUBLE)"""
+            )
+            / F.expr("CAST(10 * CAST(cw AS DECIMAL(38,0)) * T AS DOUBLE)")
+        )
+        + F.lit(1e-6)
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .join(F.broadcast(uni), ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr("sum(lp) div count(*)").alias("avg_logp_micro"),
+    )

@@ -642,3 +642,77 @@ def win_drawdown(spark, sf_dir):
         F.min("equity").cast("long").alias("equity_low_cents"),
         F.max("equity").cast("long").alias("equity_high_cents"),
     )
+
+
+@register(
+    "win_hampel_filter",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, o_orderdate AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), lw AS (
+        SELECT pri, day, cents,
+               list_sort(list(cents) OVER w) AS win,
+               CAST(count(*) OVER w AS BIGINT) AS n_win
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), med AS (
+        SELECT pri, day, cents, win[4] AS rmed
+        FROM lw WHERE n_win = 7
+    ), mad AS (
+        SELECT med.pri, med.day, med.cents, med.rmed,
+               list_sort(list_transform(l.win, x -> abs(x - med.rmed)))[4] AS rmad
+        FROM med JOIN lw l USING (pri, day)
+    )
+    SELECT pri AS o_orderpriority, day, cents, rmed AS rolling_median_cents,
+           rmad AS rolling_mad_cents,
+           (rmad > 0 AND abs(cents - rmed) > 3 * rmad) AS is_outlier
+    FROM mad
+    """,
+)
+def win_hampel_filter(spark, sf_dir):
+    """Hampel outlier filter: each day's revenue against the ROLLING
+    7-day median ± 3·rolling-MAD — the robust windowed cousin of
+    win_zscore_outliers (a single spike cannot drag its own threshold).
+    No engine has a median window function; both sides collect the 7-row
+    frame into an array, sort it, and index the middle — exact integer
+    order statistics, no interpolation, so the strict compare needs no
+    rounding guard. Only complete 7-day frames emit; MAD = 0 (a constant
+    week) flags nothing via the explicit conjunct (the
+    events_anomaly_mad rule).
+
+    100 TB: the frame is a CONSTANT 7 rows, so the collect-sort-index
+    costs O(7 log 7) per row inside a priority-partitioned window — the
+    legitimate use of collect_list in a frame (unbounded frames would
+    not be); daily pre-aggregation bounds the window input to the
+    calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("pri").orderBy("day").rowsBetween(-3, 3)
+    lw = daily.select(
+        "pri",
+        "day",
+        "cents",
+        F.array_sort(F.collect_list("cents").over(w)).alias("win"),
+        F.count("*").over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    med = lw.withColumn("rmed", F.expr("win[3]"))
+    mad = med.withColumn(
+        "rmad", F.expr("array_sort(transform(win, x -> abs(x - rmed)))[3]")
+    )
+    return mad.select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        "cents",
+        F.col("rmed").alias("rolling_median_cents"),
+        F.col("rmad").alias("rolling_mad_cents"),
+        (
+            (F.col("rmad") > 0)
+            & (F.abs(F.col("cents") - F.col("rmed")) > 3 * F.col("rmad"))
+        ).alias("is_outlier"),
+    )

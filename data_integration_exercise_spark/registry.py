@@ -389,6 +389,9 @@ _ADDED_R5 = [
     "agg_yoy_growth",
     "sample_importance_estimate",
     "graph_assortativity",
+    "win_hampel_filter",
+    "events_velocity_flags",
+    "text_lm_backoff_score",
 ]
 
 

