@@ -2398,3 +2398,311 @@ def agg_yoy_growth(spark, sf_dir):
                     div lag(revenue_cents, 12) OVER (ORDER BY ym) AS BIGINT)"""
         ).alias("yoy_growth_permille"),
     )
+
+
+#: KMV sketch parameters: k minimum 60-bit md5-derived hash values per set.
+#: Domain M = 2^60; the classic estimator D-hat = (k-1)*M / h_(k).
+_KMV_K = 128
+_KMV_M = 1 << 60
+_KMV_H = (
+    "('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR) || '@' || "
+    "CAST(epoch_ns(ts) // 1000 // 86400000000 AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+
+@register(
+    "agg_kmv_set_ops",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT event_type AS side, {_KMV_H} AS h
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), ska AS (
+        SELECT h FROM ud WHERE side = 'click' ORDER BY h LIMIT {_KMV_K}
+    ), skb AS (
+        SELECT h FROM ud WHERE side = 'purchase' ORDER BY h LIMIT {_KMV_K}
+    ), sku AS (
+        SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        ORDER BY h LIMIT {_KMV_K}
+    ), ka AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_a, max(h) AS hk_a FROM ska
+    ), kb AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_b, max(h) AS hk_b FROM skb
+    ), ku AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_u, max(h) AS hk_u FROM sku
+    ), com AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common FROM sku
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ), flags AS (
+        SELECT h,
+               max(CASE WHEN side = 'click' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN side = 'purchase' THEN 1 ELSE 0 END) AS in_b
+        FROM ud GROUP BY h
+    ), ex AS (
+        SELECT CAST(sum(in_a) AS BIGINT) AS n_a_exact,
+               CAST(sum(in_b) AS BIGINT) AS n_b_exact,
+               CAST(count(*) AS BIGINT) AS n_union_exact,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_inter_exact
+        FROM flags
+    )
+    SELECT ex.n_a_exact, ex.n_b_exact, ex.n_union_exact, ex.n_inter_exact,
+           CAST(CAST(ka.k_a - 1 AS HUGEINT) * {_KMV_M} // ka.hk_a AS BIGINT)
+               AS est_a,
+           CAST(CAST(kb.k_b - 1 AS HUGEINT) * {_KMV_M} // kb.hk_b AS BIGINT)
+               AS est_b,
+           CAST(CAST(ku.k_u - 1 AS HUGEINT) * {_KMV_M} // ku.hk_u AS BIGINT)
+               AS est_union,
+           CAST(com.n_common * (CAST(ku.k_u - 1 AS HUGEINT) * {_KMV_M} // ku.hk_u)
+                // ku.k_u AS BIGINT) AS est_inter,
+           CAST(1000 * com.n_common // ku.k_u AS BIGINT) AS jaccard_est_permille,
+           CAST(1000 * ex.n_inter_exact // ex.n_union_exact AS BIGINT)
+               AS jaccard_exact_permille
+    FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku CROSS JOIN com
+    """,
+)
+def agg_kmv_set_ops(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketches with SET-OPERATION algebra:
+    sketch the set of click user-days and the set of purchase user-days
+    (k = 128 smallest 60-bit md5 hashes each), then estimate |A|, |B|,
+    |A∪B|, |A∩B| and the Jaccard similarity FROM THE SKETCHES ALONE —
+    union sketch = k smallest of the merged sketches (KMV_k(A∪B) ⊆
+    KMV_k(A) ∪ KMV_k(B), so it is exactly computable), intersection via
+    the standard J-hat = |union-sketch ∩ A ∩ B| / k (membership of a
+    union-sketch value in A is decidable from KMV_k(A) because the union's
+    k-th minimum never exceeds A's). Everything is exact integer
+    arithmetic on the deterministic hashes — the estimator
+    (k−1)·2⁶⁰ div h₍ₖ₎ rides HUGEINT/decimal(38,0) — so both engines
+    produce bit-identical estimates. Exact distinct counts ride along as
+    audit columns (the sample_importance_estimate discipline).
+
+    100 TB: THE mergeable-sketch pattern HLL cannot give you — KMV
+    supports intersection, not just union. Per-side sketches come from
+    ``ORDER BY h LIMIT k`` = TakeOrderedAndProject (per-partition top-k
+    heaps, no global sort, no full shuffle); the deduplicated (side,
+    user-day) frame localCheckpoints once and feeds the two sketch scans
+    plus ONE exact-audit groupBy. At a real 100 TB the audit columns are
+    the thing you'd drop; the sketch path shuffles k = 128 rows per set."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("kmv|"),
+                    F.col("user_id").cast("string"),
+                    F.lit("@"),
+                    F.expr("ts_us div 86400000000").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ud = (
+        e.select(F.col("event_type").alias("side"), h.alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ska = ud.filter(F.col("side") == "click").select("h").orderBy("h").limit(_KMV_K)
+    skb = (
+        ud.filter(F.col("side") == "purchase").select("h").orderBy("h").limit(_KMV_K)
+    )
+    ska = ska.localCheckpoint()
+    skb = skb.localCheckpoint()
+    sku = ska.union(skb).distinct().orderBy("h").limit(_KMV_K).localCheckpoint()
+    ka = ska.agg(
+        F.count("*").cast("long").alias("k_a"), F.max("h").alias("hk_a")
+    )
+    kb = skb.agg(
+        F.count("*").cast("long").alias("k_b"), F.max("h").alias("hk_b")
+    )
+    ku = sku.agg(
+        F.count("*").cast("long").alias("k_u"), F.max("h").alias("hk_u")
+    )
+    com = (
+        sku.join(ska, "h", "semi")
+        .join(skb, "h", "semi")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    ex = (
+        ud.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "click", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == "purchase", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+        .agg(
+            F.sum("in_a").cast("long").alias("n_a_exact"),
+            F.sum("in_b").cast("long").alias("n_b_exact"),
+            F.count("*").cast("long").alias("n_union_exact"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_exact"),
+        )
+    )
+    est = lambda k, hk: F.expr(  # noqa: E731
+        f"CAST(CAST({k} - 1 AS DECIMAL(38,0)) * {_KMV_M} div {hk} AS BIGINT)"
+    )
+    return (
+        ex.crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .crossJoin(F.broadcast(ku))
+        .crossJoin(F.broadcast(com))
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            est("k_a", "hk_a").alias("est_a"),
+            est("k_b", "hk_b").alias("est_b"),
+            est("k_u", "hk_u").alias("est_union"),
+            F.expr(
+                f"""CAST(n_common * (CAST(k_u - 1 AS DECIMAL(38,0)) * {_KMV_M}
+                         div hk_u) div k_u AS BIGINT)"""
+            ).alias("est_inter"),
+            F.expr("CAST(1000 * n_common div k_u AS BIGINT)").alias(
+                "jaccard_est_permille"
+            ),
+            F.expr("CAST(1000 * n_inter_exact div n_union_exact AS BIGINT)").alias(
+                "jaccard_exact_permille"
+            ),
+        )
+    )
+
+
+#: experiment cutover: events strictly before this epoch-µs instant are the
+#: "pre" period (2024-01-16T00:00:00Z — the midpoint of the 30-day log).
+_DID_CUT_US = 1_705_363_200_000_000
+
+
+@register(
+    "agg_did_uplift",
+    oracle=f"""
+    WITH p AS (
+        SELECT CASE WHEN (('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                           1, 4))::BIGINT % 10) < 5
+                    THEN 'T' ELSE 'C' END AS arm,
+               CASE WHEN epoch_ns(ts) // 1000 < {_DID_CUT_US}
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT CAST(count(*) FILTER (arm = 'T' AND period = 'pre') AS BIGINT)
+                   AS n_t_pre,
+               CAST(count(*) FILTER (arm = 'T' AND period = 'post') AS BIGINT)
+                   AS n_t_post,
+               CAST(count(*) FILTER (arm = 'C' AND period = 'pre') AS BIGINT)
+                   AS n_c_pre,
+               CAST(count(*) FILTER (arm = 'C' AND period = 'post') AS BIGINT)
+                   AS n_c_post,
+               CAST(sum(CAST(cents AS HUGEINT)) FILTER (arm = 'T' AND period = 'pre')
+                   AS HUGEINT) AS s_t_pre,
+               CAST(sum(CAST(cents AS HUGEINT)) FILTER (arm = 'T' AND period = 'post')
+                   AS HUGEINT) AS s_t_post,
+               CAST(sum(CAST(cents AS HUGEINT)) FILTER (arm = 'C' AND period = 'pre')
+                   AS HUGEINT) AS s_c_pre,
+               CAST(sum(CAST(cents AS HUGEINT)) FILTER (arm = 'C' AND period = 'post')
+                   AS HUGEINT) AS s_c_post
+        FROM p
+    ), m AS (
+        SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+               1000000 * s_t_pre // n_t_pre AS m_t_pre,
+               1000000 * s_t_post // n_t_post AS m_t_post,
+               1000000 * s_c_pre // n_c_pre AS m_c_pre,
+               1000000 * s_c_post // n_c_post AS m_c_post
+        FROM s
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(m_t_pre AS BIGINT) AS mean_t_pre_microcents,
+           CAST(m_t_post AS BIGINT) AS mean_t_post_microcents,
+           CAST(m_c_pre AS BIGINT) AS mean_c_pre_microcents,
+           CAST(m_c_post AS BIGINT) AS mean_c_post_microcents,
+           CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)
+               AS did_microcents
+    FROM m
+    """,
+)
+def agg_did_uplift(spark, sf_dir):
+    """Difference-in-differences experiment readout: users hash into
+    treatment/control arms (per-USER assignment — the unit of treatment,
+    unlike agg_ab_ttest's per-order split), purchases split pre/post a
+    fixed cutover instant, and the uplift estimate is the classic 2×2
+    DiD — (T_post − T_pre) − (C_post − C_pre) — on mean purchase value.
+    Cell means are exact integer micro-cents (10⁶·Σcents div n, sums in
+    decimal(38,0)/HUGEINT), so the DiD estimate is a difference of exact
+    integers: no float anywhere, bit-identical across engines. On this
+    null assignment the true uplift is 0, so |DiD| should be small
+    relative to the cell means — asserted in tests.
+
+    100 TB: ONE global aggregate with eight conditional partials
+    (map-side combine does all the work — a single 1-row result, zero
+    joins, zero shuffles beyond the final 8-number merge); the arm/period
+    labels are pure projections. This is the canonical experimentation-
+    platform readout shape."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did|"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 5,
+        "T",
+    ).otherwise("C")
+    period = F.when(F.col("ts_us") < _DID_CUT_US, "pre").otherwise("post")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    p = e.select(arm.alias("arm"), period.alias("period"), cents.alias("cents"))
+
+    def cell(a, per, agg, name):
+        cond = (F.col("arm") == a) & (F.col("period") == per)
+        return agg(F.when(cond, F.col("cents"))).alias(name)
+
+    s = p.agg(
+        F.count(F.when((F.col("arm") == "T") & (F.col("period") == "pre"), 1))
+        .cast("long")
+        .alias("n_t_pre"),
+        F.count(F.when((F.col("arm") == "T") & (F.col("period") == "post"), 1))
+        .cast("long")
+        .alias("n_t_post"),
+        F.count(F.when((F.col("arm") == "C") & (F.col("period") == "pre"), 1))
+        .cast("long")
+        .alias("n_c_pre"),
+        F.count(F.when((F.col("arm") == "C") & (F.col("period") == "post"), 1))
+        .cast("long")
+        .alias("n_c_post"),
+        cell("T", "pre", F.sum, "s_t_pre"),
+        cell("T", "post", F.sum, "s_t_post"),
+        cell("C", "pre", F.sum, "s_c_pre"),
+        cell("C", "post", F.sum, "s_c_post"),
+    )
+    m = s.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.expr("1000000 * s_t_pre div n_t_pre").alias("m_t_pre"),
+        F.expr("1000000 * s_t_post div n_t_post").alias("m_t_post"),
+        F.expr("1000000 * s_c_pre div n_c_pre").alias("m_c_pre"),
+        F.expr("1000000 * s_c_post div n_c_post").alias("m_c_post"),
+    )
+    return m.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.col("m_t_pre").cast("long").alias("mean_t_pre_microcents"),
+        F.col("m_t_post").cast("long").alias("mean_t_post_microcents"),
+        F.col("m_c_pre").cast("long").alias("mean_c_pre_microcents"),
+        F.col("m_c_post").cast("long").alias("mean_c_post_microcents"),
+        F.expr("CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT)").alias(
+            "did_microcents"
+        ),
+    )

@@ -716,3 +716,91 @@ def win_hampel_filter(spark, sf_dir):
             & (F.abs(F.col("cents") - F.col("rmed")) > 3 * F.col("rmad"))
         ).alias("is_outlier"),
     )
+
+
+@register(
+    "win_rolling_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    ), sums AS (
+        SELECT o_orderpriority, day, revenue_cents,
+               CAST(count(*) OVER w AS HUGEINT) AS n,
+               CAST(sum(CAST(day AS HUGEINT)) OVER w AS HUGEINT) AS sx,
+               CAST(sum(CAST(revenue_cents AS HUGEINT)) OVER w AS HUGEINT) AS sy,
+               CAST(sum(CAST(day AS HUGEINT) * revenue_cents) OVER w AS HUGEINT)
+                   AS sxy,
+               CAST(sum(CAST(day AS HUGEINT) * day) OVER w AS HUGEINT) AS sxx
+        FROM daily
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderpriority, day, revenue_cents,
+           CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(1000000 * (n * sxy - sx * sy)
+                          // (n * sxx - sx * sx) AS BIGINT)
+           END AS slope_microcents_per_day
+    FROM sums
+    """,
+)
+def win_rolling_slope(spark, sf_dir):
+    """Rolling 30-day OLS revenue trend per order priority: the regression
+    slope over each trailing window comes from five EXACT windowed sums
+    (n, Σx, Σy, Σxy, Σx² — x = epoch-day, y = daily cents, all
+    decimal(38,0)/HUGEINT), so slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is a
+    ratio of exact integers, emitted as a signed truncating micro-cents-
+    per-day value (Spark ``div`` ≡ DuckDB ``//``, both toward zero —
+    §9 discipline). Single-day windows have zero x-variance and emit an
+    honest NULL instead of a fake flat slope. The windowed-sums trick is
+    how agg_linear_trend's closed form slides without recomputation.
+
+    100 TB: one day-grain rollup (map-side combined), then one RANGE-
+    framed window per priority over the calendar-bounded daily series —
+    ~2 400 rows per partition regardless of fact volume. Products ride
+    decimal(38,0): n·Σxy exceeds int64 once daily revenue crosses ~10¹⁴
+    cents-days."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias(
+            "day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = daily.select(
+        "o_orderpriority",
+        "day",
+        "revenue_cents",
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+        F.sum(d38("day")).over(w).alias("sx"),
+        F.sum(d38("revenue_cents")).over(w).alias("sy"),
+        F.sum(d38("day") * F.col("revenue_cents")).over(w).alias("sxy"),
+        F.sum(d38("day") * F.col("day")).over(w).alias("sxx"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        "day",
+        "revenue_cents",
+        F.col("n").cast("long").alias("n_window"),
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            F.expr(
+                """CAST(1000000 * (n * sxy - sx * sy)
+                        div (n * sxx - sx * sx) AS BIGINT)"""
+            ),
+        ).alias("slope_microcents_per_day"),
+    )

@@ -392,6 +392,9 @@ _ADDED_R5 = [
     "win_hampel_filter",
     "events_velocity_flags",
     "text_lm_backoff_score",
+    "agg_kmv_set_ops",
+    "agg_did_uplift",
+    "win_rolling_slope",
 ]
 
 

@@ -326,3 +326,59 @@ def test_rollforward_ledger_chains(spark):
         == pdf.opening_cents + pdf.inflow_cents - pdf.outflow_cents
     ).all()
     assert (pdf.closing_cents[:-1].values == pdf.opening_cents[1:].values).all()
+
+
+def test_kmv_sketch_estimates_and_algebra(spark):
+    """KMV invariants: estimates land within the ~1/sqrt(k-1) error regime
+    of the exact audit counts, the sketch algebra is internally consistent
+    (union >= both sides >= intersection), and the Jaccard estimate tracks
+    the exact Jaccard."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    r = (
+        aggregates.QUERIES["agg_kmv_set_ops"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    # exact side: click/purchase user-day sets genuinely differ
+    assert 0 < r["n_inter_exact"] < min(r["n_a_exact"], r["n_b_exact"])
+    assert r["n_union_exact"] > max(r["n_a_exact"], r["n_b_exact"])
+    # estimator accuracy: std ~ 1/sqrt(127) ~ 8.9%; generous 0.5 rel bound
+    for est, exact in [
+        ("est_a", "n_a_exact"),
+        ("est_b", "n_b_exact"),
+        ("est_union", "n_union_exact"),
+    ]:
+        assert abs(r[est] - r[exact]) <= 0.5 * r[exact] + 10, (est, r)
+    assert r["est_union"] >= max(r["est_a"], r["est_b"]) * 0.8
+    assert 0 <= r["est_inter"] <= r["est_union"]
+    assert abs(r["jaccard_est_permille"] - r["jaccard_exact_permille"]) <= 250
+
+
+def test_did_uplift_null_experiment(spark):
+    """On a hash-split null assignment the true uplift is zero: the DiD
+    estimate must be small relative to the cell means, cells partition the
+    purchase log, and all means are positive micro-cents."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    r = (
+        aggregates.QUERIES["agg_did_uplift"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    import duckdb
+
+    n_purch = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/events.parquet' "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert r["n_t_pre"] + r["n_t_post"] + r["n_c_pre"] + r["n_c_post"] == n_purch
+    means = [
+        r["mean_t_pre_microcents"],
+        r["mean_t_post_microcents"],
+        r["mean_c_pre_microcents"],
+        r["mean_c_post_microcents"],
+    ]
+    assert all(m > 0 for m in means)
+    # null experiment: |DiD| well under the mean purchase value itself
+    assert abs(r["did_microcents"]) < max(means)

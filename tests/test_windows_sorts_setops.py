@@ -121,3 +121,34 @@ def test_hampel_filter_robustness(spark):
         abs(flagged.cents - flagged.rolling_median_cents)
         > 3 * flagged.rolling_mad_cents
     ).all()
+
+
+def test_rolling_slope_matches_numpy_refit(spark):
+    """Recompute a handful of windows with numpy lstsq: the integer
+    micro-slope must equal floor-toward-zero of the float OLS slope
+    (ratio of exact integers), single-day windows emit NULL, and window
+    sizes respect the 30-day range frame."""
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_rolling_slope"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["o_orderpriority", "day"])
+    )
+    assert pdf.n_window.between(1, 30).all()
+    one = pdf[pdf.o_orderpriority == "1-URGENT"].reset_index(drop=True)
+    assert one.loc[0, "n_window"] == 1 and one.loc[0].isna().slope_microcents_per_day
+    for idx in [50, 200, len(one) - 1]:
+        row = one.loc[idx]
+        win = one[(one.day > row.day - 30) & (one.day <= row.day)]
+        assert len(win) == row.n_window
+        x, y = win.day.to_numpy(float), win.revenue_cents.to_numpy(float)
+        n = len(x)
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = n * (x * x).sum() - x.sum() ** 2
+        if den > 0:
+            expect = int(1e6 * num / den)  # int() truncates toward zero
+            got = int(row.slope_microcents_per_day)
+            assert abs(got - expect) <= 1, (idx, got, expect)
