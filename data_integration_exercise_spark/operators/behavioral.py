@@ -1386,3 +1386,152 @@ def events_velocity_flags(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_in_10min"),
         (F.count("*").over(w) > 3).alias("is_velocity_flag"),
     )
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min(epoch_ns(ts) // 1000) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s.t0
+        GROUP BY e.user_id
+    ), cut AS (
+        SELECT max(epoch_ns(ts) // 1000) AS corpus_end FROM events
+    ), dur AS (
+        SELECT s.user_id,
+               CASE WHEN p.t1 IS NOT NULL THEN (p.t1 - s.t0) // {_DAY_US}
+                    ELSE ((SELECT corpus_end FROM cut) - s.t0) // {_DAY_US}
+               END AS d,
+               CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ), hist AS (
+        SELECT d, CAST(sum(ev) AS BIGINT) AS n_events,
+               CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+        FROM dur GROUP BY d
+    ), risk AS (
+        SELECT d, n_events, n_censored,
+               CAST(sum(n_events + n_censored)
+                    OVER (ORDER BY d DESC) AS BIGINT) AS n_risk
+        FROM hist
+    ), steps AS (
+        SELECT d, n_events, n_censored, n_risk,
+               n_events = n_risk AS surv_is_zero,
+               CASE WHEN n_events < n_risk
+                    THEN CAST(floor(1e6 * log2(CAST(n_risk - n_events AS DOUBLE)
+                                               / n_risk) + 1e-6) AS BIGINT)
+                    ELSE 0 END AS step_log2_micro
+        FROM risk WHERE n_events > 0
+    )
+    SELECT CAST(d AS BIGINT) AS day, n_risk, n_events, n_censored, surv_is_zero,
+           CASE WHEN surv_is_zero THEN NULL
+                ELSE CAST(sum(step_log2_micro) OVER (ORDER BY d) AS BIGINT)
+           END AS surv_log2_micro
+    FROM steps
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve for signup→purchase
+    conversion latency: per user, days from first signup to first
+    subsequent purchase; users who never convert are RIGHT-CENSORED at the
+    corpus end (the honest handling — dropping them biases the curve
+    down). At each conversion day d the risk set n_i counts everyone with
+    duration ≥ d (censored-at-d users stay at risk through d, the standard
+    convention), and the survival curve is the running product
+    Π(1 − dᵢ/nᵢ) — carried as an exact integer SUM of per-step
+    floor(10⁶·log2((n−d)/n) + 1e-6) micro-bits (the text_bigram_lm_score
+    libm-guard discipline: each step is one guarded transcendental of an
+    exact small-integer ratio; the accumulation is exact integer
+    addition). If the final conversion day exhausts the risk set the curve
+    hits exactly zero — that terminal row carries ``surv_is_zero = true``
+    and an honest NULL log-survival (log 0 is undefined, and faking a
+    sentinel would corrupt downstream arithmetic). Complements
+    events_churn_hazard: that op emits per-week
+    hazards, this one the cumulative survival function of a DIFFERENT
+    duration (conversion latency, not lifespan).
+
+    100 TB: two user-keyed min-aggregations + one left join build the
+    duration table; the life-table suffix-sum window runs on the
+    ≤ 30-row day histogram — per-user data never reaches a window."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    cut = e.agg(F.max("ts_us").alias("corpus_end"))
+    dur = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(), F.expr(f"(t1 - t0) div {_DAY_US}")
+            )
+            .otherwise(F.expr(f"(corpus_end - t0) div {_DAY_US}"))
+            .alias("d"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    hist = dur.groupBy("d").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        (F.count("*") - F.sum("ev")).cast("long").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.col("d").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded global windows: one row per distinct duration day (≤ corpus span)
+    risk = hist.select(
+        "d",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w_desc)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    steps = (
+        risk.filter(F.col("n_events") > 0)
+        .withColumn("surv_is_zero", F.col("n_events") == F.col("n_risk"))
+        .withColumn(
+            "step_log2_micro",
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.floor(
+                    F.lit(1e6)
+                    * F.log2(
+                        (F.col("n_risk") - F.col("n_events")).cast("double")
+                        / F.col("n_risk")
+                    )
+                    + F.lit(1e-6)
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    w_asc = Window.orderBy("d").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("d").cast("long").alias("day"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "surv_is_zero",
+        F.when(
+            ~F.col("surv_is_zero"),
+            F.sum("step_log2_micro").over(w_asc).cast("long"),
+        ).alias("surv_log2_micro"),
+    )

@@ -1787,3 +1787,61 @@ def multimodal_shard_plan(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANG_ID_ORACLE}
+    ), m AS (
+        SELECT lang AS true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    ), rt AS (
+        SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS n_true FROM m GROUP BY 1
+    ), ct AS (
+        SELECT pred_lang, CAST(sum(n_docs) AS BIGINT) AS n_pred FROM m GROUP BY 1
+    )
+    SELECT m.true_lang, m.pred_lang, m.n_docs, rt.n_true, ct.n_pred,
+           CAST(1000 * m.n_docs // rt.n_true AS BIGINT) AS share_of_true_permille,
+           CAST(1000 * m.n_docs // ct.n_pred AS BIGINT) AS share_of_pred_permille
+    FROM m JOIN rt ON m.true_lang = rt.true_lang
+           JOIN ct ON m.pred_lang = ct.pred_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Model-evaluation confusion matrix for the text_lang_id classifier
+    against the gold ``lang`` column: one row per observed (true,
+    predicted) pair with exact counts, class totals, and integer-permille
+    shares — diagonal rows read as per-class recall (share_of_true) and
+    precision (share_of_pred), off-diagonal rows as directed confusion
+    rates. Composes ON the registered text_lang_id plan (same predictions
+    the driver verifies), so the eval can never drift from the model it
+    claims to score.
+
+    100 TB: the expensive part is the prediction plan itself; the matrix
+    is one (true, pred)-keyed count (≤ |langs|² = 25 cells) with two
+    broadcast total joins — evaluation cost is amortized into the scoring
+    pass."""
+    pred = text_lang_id(spark, sf_dir)
+    m = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    rt = m.groupBy("true_lang").agg(F.sum("n_docs").cast("long").alias("n_true"))
+    ct = m.groupBy("pred_lang").agg(F.sum("n_docs").cast("long").alias("n_pred"))
+    return (
+        m.join(F.broadcast(rt), "true_lang")
+        .join(F.broadcast(ct), "pred_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            "n_true",
+            "n_pred",
+            F.expr("CAST(1000 * n_docs div n_true AS BIGINT)").alias(
+                "share_of_true_permille"
+            ),
+            F.expr("CAST(1000 * n_docs div n_pred AS BIGINT)").alias(
+                "share_of_pred_permille"
+            ),
+        )
+    )

@@ -362,3 +362,100 @@ def sample_importance_estimate(spark, sf_dir):
                     div true_total_cents AS BIGINT)"""
         ).alias("abs_error_permille"),
     )
+
+
+#: deterministic negatives per customer for implicit-feedback training pairs
+_NEG_K = 2
+
+
+@register(
+    "sample_negatives",
+    oracle=f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey, p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+    ), brands AS (
+        SELECT DISTINCT p_brand FROM part
+    ), cand AS (
+        SELECT c.c_custkey AS o_custkey, b.p_brand
+        FROM customer c CROSS JOIN brands b
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+                          WHERE pos.o_custkey = c.c_custkey
+                            AND pos.p_brand = b.p_brand)
+    ), neg AS (
+        SELECT o_custkey, p_brand FROM (
+            SELECT o_custkey, p_brand,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY ('0x' || substr(md5('neg|' ||
+                           CAST(o_custkey AS VARCHAR) || '|' || p_brand),
+                           1, 15))::BIGINT, p_brand) AS rn
+            FROM cand)
+        WHERE rn <= {_NEG_K}
+    )
+    SELECT o_custkey, p_brand, CAST(1 AS BIGINT) AS label FROM pos
+    UNION ALL
+    SELECT o_custkey, p_brand, CAST(0 AS BIGINT) AS label FROM neg
+    """,
+)
+def sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for implicit-feedback training
+    pairs (the word2vec / two-tower recsys data-prep step): positives are
+    the observed distinct (customer, brand) purchases; negatives are, per
+    customer, the 2 hash-ranked brands the customer has NEVER
+    bought — an ANTI-JOIN against the positives, so label noise is zero
+    by construction (uniform random negatives would collide with unseen
+    positives). The md5 ranking makes the draw reproducible across
+    engines, partitionings, and reruns (§10 lesson 10).
+
+    100 TB: the candidate space is customers × the BROADCAST 25-row brand
+    dimension (linear in customers, never |users|×|items| materialized
+    beyond the stream), the anti-join shuffles on the composite key, and
+    the per-customer top-k window partitions on the probe key. For a
+    million-item catalog the same shape holds with a hash-bucketed
+    candidate slice instead of the full cross product."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    brands = p.select("p_brand").distinct()
+    cand = (
+        c.select(F.col("c_custkey").alias("o_custkey"))
+        .crossJoin(F.broadcast(brands))
+        .join(pos, ["o_custkey", "p_brand"], "left_anti")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("o_custkey").cast("string"),
+                    F.lit("|"),
+                    F.col("p_brand"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(h.asc(), F.col("p_brand").asc())
+    neg = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEG_K)
+        .select("o_custkey", "p_brand")
+    )
+    return pos.select(
+        "o_custkey", "p_brand", F.lit(1).cast("long").alias("label")
+    ).unionAll(
+        neg.select("o_custkey", "p_brand", F.lit(0).cast("long").alias("label"))
+    )

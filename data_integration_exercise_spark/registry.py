@@ -395,6 +395,9 @@ _ADDED_R5 = [
     "agg_kmv_set_ops",
     "agg_did_uplift",
     "win_rolling_slope",
+    "events_survival_km",
+    "text_langid_confusion",
+    "sample_negatives",
 ]
 
 

@@ -380,3 +380,57 @@ def test_velocity_flags_match_brute_force(spark):
     got = pdf.set_index("event_id")
     for _, r in brute.iterrows():
         assert got.loc[r.event_id, "n_in_10min"] == r.n
+
+
+def test_survival_km_matches_manual_product_limit(spark):
+    """Recompute the KM curve in pandas from raw durations: risk sets,
+    event counts, and the micro-log2 survival accumulation must match the
+    distributed result row for row; the curve must be monotone
+    non-increasing and the first risk set must equal the signup cohort."""
+    import math
+
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = (
+        behavioral.QUERIES["events_survival_km"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    dur = con.execute(
+        """
+        WITH e AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/events.parquet')),
+        s AS (SELECT user_id, min(epoch_ns(ts) // 1000) t0 FROM e
+              WHERE event_type = 'signup' GROUP BY 1),
+        p AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000) t1 FROM e JOIN s USING (user_id)
+              WHERE event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s.t0 GROUP BY 1),
+        c AS (SELECT max(epoch_ns(ts) // 1000) cend FROM e)
+        SELECT CASE WHEN t1 IS NOT NULL THEN (t1 - t0) // 86400000000
+                    ELSE ((SELECT cend FROM c) - t0) // 86400000000 END d,
+               t1 IS NOT NULL ev
+        FROM s LEFT JOIN p USING (user_id)
+        """
+    ).df()
+    con.close()
+    n_cohort = len(dur)
+    assert pdf.n_risk.iloc[0] <= n_cohort
+    assert (pdf.n_risk.diff().dropna() < 0).all()  # strictly shrinking risk sets
+    # manual product-limit recomputation
+    cum = 0
+    for _, row in pdf.iterrows():
+        n = (dur.d >= row.day).sum()
+        d = ((dur.d == row.day) & dur.ev).sum()
+        assert n == row.n_risk and d == row.n_events, (row.day, n, d)
+        if d < n:
+            cum += math.floor(1e6 * math.log2((n - d) / n) + 1e-6)
+            assert row.surv_log2_micro == cum
+        else:
+            assert row.surv_is_zero and row.surv_log2_micro is None or (
+                row.surv_log2_micro != row.surv_log2_micro
+            )
+    # survival only decreases
+    sl = pdf.surv_log2_micro.dropna()
+    assert (sl.diff().dropna() < 0).all()

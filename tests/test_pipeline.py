@@ -254,3 +254,30 @@ def test_soft_weights_mass_conservation_and_near_dup_consistency(spark):
     for doc, n in deg.items():
         assert got[doc] == n, (doc, got[doc], n)
     assert sum(deg.values()) == 2 * len(pairs) and len(pairs) > 0
+
+
+def test_langid_confusion_consistent_with_predictions(spark):
+    """The matrix must tie out exactly with the per-doc predictions: cell
+    counts sum to the corpus, class totals match both margins, diagonal
+    shares read as recall/precision, and every class beats the 200-permille
+    chance level (the synthetic corpus shares most vocab across langs, so
+    the matrix is genuinely confused — which is what the eval is for)."""
+    from data_integration_exercise_spark.operators import pipeline
+
+    m = (
+        pipeline.QUERIES["text_langid_confusion"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    pred = (
+        pipeline.QUERIES["text_lang_id"](spark, "/root/testdata/sf0.01").toPandas()
+    )
+    assert m.n_docs.sum() == len(pred) == 500
+    for lang, grp in m.groupby("true_lang"):
+        assert grp.n_true.nunique() == 1
+        assert grp.n_docs.sum() == grp.n_true.iloc[0]
+        diag = grp[grp.pred_lang == lang]
+        assert len(diag) == 1 and diag.share_of_true_permille.iloc[0] > 200
+    acc = m[m.true_lang == m.pred_lang].n_docs.sum() / m.n_docs.sum()
+    assert acc > 0.3  # measured 0.364 at sf0.01 — far above the 0.2 chance
+    assert (m.share_of_true_permille.between(0, 1000)).all()
+    assert (m.share_of_pred_permille.between(0, 1000)).all()

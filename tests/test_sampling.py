@@ -124,3 +124,31 @@ def test_importance_estimate_within_sampling_error(spark):
         == 1000 * abs(r.estimated_total_cents - r.true_total_cents) // r.true_total_cents
     )
     assert r.abs_error_permille < 100
+
+
+def test_negative_sampling_exclusion_and_quota(spark):
+    """Negatives must NEVER collide with positives (the anti-join
+    guarantee), each customer gets min(2, 25 - n_pos) negatives, and the
+    draw is deterministic across reruns."""
+    from data_integration_exercise_spark.operators import sampling
+
+    pdf = (
+        sampling.QUERIES["sample_negatives"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    pos = pdf[pdf.label == 1]
+    neg = pdf[pdf.label == 0]
+    pk = set(map(tuple, pos[["o_custkey", "p_brand"]].values))
+    nk = set(map(tuple, neg[["o_custkey", "p_brand"]].values))
+    assert not (pk & nk)
+    n_pos = pos.groupby("o_custkey").size()
+    n_neg = neg.groupby("o_custkey").size()
+    for cust, k in n_neg.items():
+        expect = min(2, 25 - n_pos.get(cust, 0))
+        assert k == expect, (cust, k, expect)
+    # rerun: identical draw
+    pdf2 = (
+        sampling.QUERIES["sample_negatives"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    assert set(map(tuple, pdf2[pdf2.label == 0][["o_custkey", "p_brand"]].values)) == nk
