@@ -1503,3 +1503,77 @@ def text_lm_backoff_score(spark, sf_dir):
         F.count("*").cast("long").alias("n_bigrams"),
         F.expr("sum(lp) div count(*)").alias("avg_logp_micro"),
     )
+
+
+@register(
+    "sim_cluster_purity",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT) AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), cent AS (
+        SELECT label AS clabel, pos,
+               CAST(sum(qv) // count(*) AS BIGINT) AS c
+        FROM q GROUP BY label, pos
+    ), dist AS (
+        SELECT q.vec_id, q.label, cent.clabel,
+               sum((q.qv - cent.c) * (q.qv - cent.c)) AS d2
+        FROM q JOIN cent ON q.pos = cent.pos
+        GROUP BY q.vec_id, q.label, cent.clabel
+    ), best AS (
+        SELECT vec_id, label, clabel AS assigned_label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        FROM dist
+    ), cells AS (
+        SELECT label, assigned_label, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM best WHERE rn = 1 GROUP BY label, assigned_label
+    ), ranked AS (
+        SELECT assigned_label, label, n_vectors,
+               row_number() OVER (PARTITION BY assigned_label
+                                  ORDER BY n_vectors DESC, label) AS rk,
+               CAST(sum(n_vectors) OVER (PARTITION BY assigned_label) AS BIGINT)
+                   AS n_cluster
+        FROM cells
+    )
+    SELECT assigned_label, n_cluster,
+           label AS majority_label,
+           n_vectors AS n_majority,
+           CAST(1000 * n_vectors // n_cluster AS BIGINT) AS purity_permille
+    FROM ranked WHERE rk = 1
+    """,
+)
+def sim_cluster_purity(spark, sf_dir):
+    """Per-cluster purity readout composed ON the registered
+    sim_nearest_centroid contingency table: for each assigned cluster,
+    its size, majority true label (ties → lowest label), majority count,
+    and purity in exact integer permille — the clustering-eval companion
+    to text_langid_confusion's classifier eval. Because it consumes the
+    same plan the driver verifies, the metric can never drift from the
+    assignment it claims to score.
+
+    100 TB: the contingency table is k×k (≤ 100 cells for any corpus);
+    the argmax window and purity arithmetic run on that bounded frame —
+    evaluation cost is entirely the upstream assignment pass."""
+    cells = sim_nearest_centroid(spark, sf_dir)
+    w = Window.partitionBy("assigned_label").orderBy(
+        F.col("n_vectors").desc(), F.col("label")
+    )
+    wtot = Window.partitionBy("assigned_label")
+    ranked = cells.select(
+        "assigned_label",
+        "label",
+        "n_vectors",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_vectors").over(wtot).cast("long").alias("n_cluster"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "assigned_label",
+        "n_cluster",
+        F.col("label").alias("majority_label"),
+        F.col("n_vectors").alias("n_majority"),
+        F.expr("CAST(1000 * n_vectors div n_cluster AS BIGINT)").alias(
+            "purity_permille"
+        ),
+    )

@@ -979,3 +979,76 @@ def etl_reconcile_buckets(spark, sf_dir):
             (F.col("fp_v1") != F.col("fp_v2")) | (F.col("n_v1") != F.col("n_v2"))
         ).alias("differs"),
     )
+
+
+@register(
+    "etl_late_dim_unknown",
+    oracle="""
+    WITH dim AS (
+        SELECT c.c_custkey, n.n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE (('0x' || substr(md5('late|' || CAST(c.c_custkey AS VARCHAR)),
+                1, 4))::BIGINT % 10) != 0
+    )
+    SELECT coalesce(d.n_name, 'UNKNOWN') AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(DISTINCT CASE WHEN d.c_custkey IS NULL
+                                    THEN o.o_custkey END) AS BIGINT)
+               AS n_late_members
+    FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+    GROUP BY 1
+    """,
+)
+def etl_late_dim_unknown(spark, sf_dir):
+    """Late-arriving-dimension handling with an UNKNOWN-member bucket: a
+    hash-selected 10% of customers is withheld from the dimension
+    (simulating members whose dim rows haven't replicated yet), the fact
+    LEFT-joins the dim, and unresolved keys roll into the 'UNKNOWN'
+    nation rather than silently dropping revenue — the inferred-member
+    pattern every Kimball warehouse runs, with an audit column counting
+    the distinct late members per bucket so the repair backlog is
+    observable.
+
+    100 TB: one broadcast dim join (the withheld-member filter is a
+    projection on the dim side), one nation-keyed rollup; the UNKNOWN
+    bucket concentrates all late keys but is pre-aggregated before any
+    further joins, so it cannot become a skew key downstream."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("late|"), F.col("c_custkey").cast("string"))
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            != 0
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count_distinct(
+                F.when(F.col("c_custkey").isNull(), F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("n_late_members"),
+        )
+    )

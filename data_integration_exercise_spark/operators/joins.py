@@ -675,3 +675,59 @@ def join_temporal_scd2(spark, sf_dir):
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 97 END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                    ELSE l_orderkey % 97 END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.bucket, l.n_orders, l.revenue_cents, r.n_items
+    FROM l JOIN r ON l.bucket IS NOT DISTINCT FROM r.bucket
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """NULL-safe equi-join (Spark ``<=>`` / eqNullSafe ≡ SQL IS NOT
+    DISTINCT FROM): the one join-predicate semantic a plain ``=`` cannot
+    express — under ``=`` the NULL bucket silently drops (NULL = NULL is
+    NULL, not true); under ``<=>`` the two NULL groups MATCH, so the
+    quarantine bucket survives the join. Both sides pre-aggregate to one
+    row per bucket (97 moduli + the NULL bucket), making the NULL-key
+    row's presence in the output the observable contract.
+
+    100 TB: null-safe equality still plans as a hash join in Spark (the
+    key is wrapped, not theta-joined) — same shuffle/broadcast strategies
+    apply; pre-aggregation keeps the NULL group from becoming a skew key
+    when nulls are a large fraction of the fact table (the real-world
+    case this semantic exists for)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = o.groupBy(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderkey") % 97)
+        .alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    r = li.groupBy(
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_orderkey") % 97)
+        .alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_items"))
+    return l.join(r, l["bucket"].eqNullSafe(r["bucket"])).select(
+        l["bucket"], "n_orders", "revenue_cents", "n_items"
+    )

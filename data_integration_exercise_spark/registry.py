@@ -398,6 +398,9 @@ _ADDED_R5 = [
     "events_survival_km",
     "text_langid_confusion",
     "sample_negatives",
+    "join_null_safe",
+    "etl_late_dim_unknown",
+    "sim_cluster_purity",
 ]
 
 

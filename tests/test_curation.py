@@ -256,3 +256,26 @@ def test_backoff_score_dominates_pure_bigram(spark):
     j = back.join(pure, lsuffix="_b", rsuffix="_p")
     assert (j.n_bigrams_b == j.n_bigrams_p).all()
     assert j.avg_logp_micro_b.corr(j.avg_logp_micro_p) > 0.9
+
+
+def test_cluster_purity_ties_out_with_contingency(spark):
+    """Purity rows must recompute exactly from the nearest-centroid
+    contingency: per-cluster majority, sizes, and permille floor."""
+    from data_integration_exercise_spark.operators import curation
+
+    cells = (
+        curation.QUERIES["sim_nearest_centroid"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    pur = (
+        curation.QUERIES["sim_cluster_purity"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("assigned_label")
+    )
+    for cl, grp in cells.groupby("assigned_label"):
+        top = grp.sort_values(["n_vectors", "label"], ascending=[False, True]).iloc[0]
+        row = pur.loc[cl]
+        assert row.n_cluster == grp.n_vectors.sum()
+        assert row.majority_label == top.label and row.n_majority == top.n_vectors
+        assert row.purity_permille == 1000 * top.n_vectors // grp.n_vectors.sum()
+    assert pur.purity_permille.between(1, 1000).all()

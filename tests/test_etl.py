@@ -286,3 +286,23 @@ def test_reconcile_buckets_flags_exactly_the_touched_buckets(spark):
     ).fetchone()[0]
     con.close()
     assert (pdf.n_v1 - pdf.n_v2).sum() == deleted
+
+
+def test_late_dim_unknown_conserves_revenue(spark):
+    """No revenue may vanish on unresolved members: bucket totals equal the
+    raw fact totals, the UNKNOWN bucket is non-empty (10% withheld), and
+    late-member counts only appear there."""
+    from data_integration_exercise_spark.operators import etl
+
+    pdf = etl.QUERIES["etl_late_dim_unknown"](spark, "/root/testdata/sf0.01").toPandas()
+    import duckdb
+
+    tot = duckdb.sql(
+        "SELECT count(*), sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "FROM '/root/testdata/sf0.01/orders.parquet'"
+    ).fetchone()
+    assert pdf.n_orders.sum() == tot[0]
+    assert pdf.revenue_cents.sum() == tot[1]
+    unk = pdf[pdf.nation == "UNKNOWN"]
+    assert len(unk) == 1 and unk.n_late_members.iloc[0] > 0
+    assert (pdf[pdf.nation != "UNKNOWN"].n_late_members == 0).all()

@@ -141,3 +141,21 @@ def test_temporal_scd2_conserves_lineitems(spark):
     con.close()
     assert pdf.n_items.sum() == n
     assert pdf.revenue_cents.sum() == cents
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    """The NULL bucket must survive the join (the semantic the op exists
+    for), a plain = join must drop exactly that one row, and the modulo
+    buckets partition the fact tables."""
+    from data_integration_exercise_spark.operators import joins
+
+    pdf = joins.QUERIES["join_null_safe"](spark, "/root/testdata/sf0.01").toPandas()
+    null_row = pdf[pdf.bucket.isna()]
+    assert len(null_row) == 1 and null_row.n_orders.iloc[0] > 0 and null_row.n_items.iloc[0] > 0
+    assert len(pdf) == 98  # all 97 moduli survive the mod-7 nulling + NULL
+    import duckdb
+
+    n_orders = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/orders.parquet'"
+    ).fetchone()[0]
+    assert pdf.n_orders.sum() == n_orders
