@@ -276,3 +276,60 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"seg_a": "BUILDING", "seg_b": "MACHINERY", "min_bal": 100.0},
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey, 0 AS depth, c_custkey AS root_key,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS path_balance_cents
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, p.depth + 1, p.root_key,
+               p.path_balance_cents + CAST(round(c.c_acctbal * 100) AS BIGINT)
+        FROM customer c JOIN chain p ON c.c_custkey // 10 = p.c_custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT c_custkey, CAST(depth AS BIGINT) AS depth,
+           root_key, path_balance_cents
+    FROM chain
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE on the SQL surface (Spark 4's WITH RECURSIVE —
+    SPARK-24497, new in this major version): flatten the implicit
+    customer hierarchy parent(c) = c div 10 into per-customer depth, root
+    ancestor, and the exact path-summed account balance down the chain —
+    the org-chart/BOM rollup shape that is NOT expressible as joins of
+    static depth (the hierarchy deepens with the key domain: depth
+    log₁₀ N). Anchor = the sub-10 roots; each recursion step is one
+    equi-join, so the whole traversal is depth-many shuffles, not a
+    driver loop — contrast with graph_bfs_distances, which hand-rolls the
+    same frontier iteration imperatively. Balances accumulate in exact
+    integer cents.
+
+    100 TB: each recursion level joins the (shrinking) frontier against
+    the customer table on its key — broadcast-able frontiers, and AQE
+    re-plans each level independently. Recursion depth is log₁₀ of the
+    key domain (4 levels at 10⁴ keys, 10 at 10¹⁰), not data volume."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey, 0 AS depth, c_custkey AS root_key,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS path_balance_cents
+            FROM customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, p.depth + 1, p.root_key,
+                   p.path_balance_cents + CAST(round(c.c_acctbal * 100) AS BIGINT)
+            FROM customer c JOIN chain p ON c.c_custkey div 10 = p.c_custkey
+            WHERE c.c_custkey >= 10
+        )
+        SELECT c_custkey, CAST(depth AS BIGINT) AS depth,
+               root_key, path_balance_cents
+        FROM chain
+        """
+    )

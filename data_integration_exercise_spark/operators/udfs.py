@@ -225,3 +225,98 @@ def udtf_python(spark, sf_dir):
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "udf_grouped_train",
+    oracle="""
+    WITH per_order AS (
+        SELECT n.n_name, o.o_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, o.o_orderkey, o.o_totalprice
+    ), sums AS (
+        SELECT n_name,
+               CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(n_items) AS HUGEINT) AS sx,
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(n_items AS HUGEINT) * cents) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(n_items AS HUGEINT) * n_items) AS HUGEINT) AS sxx
+        FROM per_order GROUP BY n_name
+    )
+    SELECT n_name, CAST(n AS BIGINT) AS n_orders,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_microcents_per_item,
+           CAST(1000000 * (sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                // ((n * sxx - sx * sx) * n) AS BIGINT) AS intercept_microcents
+    FROM sums
+    """,
+)
+def udf_grouped_train(spark, sf_dir):
+    """Grouped-map model training via applyInPandas — the one-model-per-
+    segment pattern (per-nation OLS of order value on basket size): each
+    nation's orders arrive as ONE pandas frame and the fit runs in
+    arbitrary Python. The fit itself uses exact arbitrary-precision
+    Python-int moment sums (Σx, Σy, Σxy, Σx²) rather than numpy float
+    reductions, so slope/intercept are exact integer rationals truncated
+    to micro-cents — bit-identical to the oracle's HUGEINT closed form
+    (float summation ORDER would differ between engines; §10 lesson 9).
+
+    100 TB: applyInPandas shuffles once on the group key and streams each
+    group through Arrow; 25 nation-sized groups is the degenerate-skew
+    case, so real deployments sub-shard (train on per-shard moments, merge
+    — exactly what the exact integer moments permit: they are mergeable
+    partials, unlike fitted coefficients)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderkey", "o_totalprice")
+        .agg(F.count("*").cast("long").alias("n_items"))
+        .select(
+            "n_name",
+            "n_items",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["n_items"]]
+        ys = [int(v) for v in pdf["cents"]]
+        n_ = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n_ * sxy - sx * sy, n_ * sxx - sx * sx
+        # Python int division truncates toward MINUS infinity; match the
+        # engines' toward-zero `div` explicitly
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        slope = tdiv(1_000_000 * num, den)
+        intercept = tdiv(1_000_000 * (sy * den - num * sx), den * n_)
+        return pd.DataFrame(
+            {
+                "n_name": [pdf["n_name"].iloc[0]],
+                "n_orders": [n_],
+                "slope_microcents_per_item": [slope],
+                "intercept_microcents": [intercept],
+            }
+        )
+
+    return per_order.groupBy("n_name").applyInPandas(
+        fit,
+        "n_name string, n_orders long, slope_microcents_per_item long, "
+        "intercept_microcents long",
+    )

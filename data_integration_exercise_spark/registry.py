@@ -401,6 +401,8 @@ _ADDED_R5 = [
     "join_null_safe",
     "etl_late_dim_unknown",
     "sim_cluster_purity",
+    "sql_recursive_cte",
+    "udf_grouped_train",
 ]
 
 
