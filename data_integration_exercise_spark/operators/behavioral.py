@@ -1535,3 +1535,77 @@ def events_survival_km(spark, sf_dir):
             F.sum("step_log2_micro").over(w_asc).cast("long"),
         ).alias("surv_log2_micro"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT a.event_type, a.day, a.cents AS actual_cents,
+               f.cents AS forecast_cents,
+               CAST(1000 * abs(a.cents - f.cents) // a.cents AS BIGINT)
+                   AS ape_permille
+        FROM daily a JOIN daily f
+          ON a.event_type = f.event_type AND a.day = f.day + 7
+        WHERE a.cents > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(ape_permille) // count(*) AS BIGINT) AS mape_permille,
+           CAST(1000 * sum(forecast_cents - actual_cents)
+                // sum(actual_cents) AS BIGINT) AS bias_permille
+    FROM scored GROUP BY event_type
+    """,
+)
+def events_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest: forecast(day) = actual(day − 7)
+    per event type (the same-weekday-last-week baseline every real
+    forecaster must beat), scored as integer MAPE permille and a signed
+    aggregate bias permille over all scoreable days. The lag is an exact
+    self-JOIN on (type, day − 7), not a row-offset lag — missing days
+    cannot silently misalign the season. All arithmetic is exact cents
+    with truncating division, so the scorecard hashes identically across
+    engines.
+
+    100 TB: one day-grain rollup (map-side combined) and a self-join on
+    the bounded (type, day) frame — forecast evaluation rides the rollup,
+    never the raw event log."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a = daily.select(
+        "event_type", "day", F.col("cents").alias("actual_cents")
+    )
+    f = daily.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    scored = (
+        a.join(f, ["event_type", "day"])
+        .filter(F.col("actual_cents") > 0)
+        .select(
+            "event_type",
+            "actual_cents",
+            "forecast_cents",
+            F.expr(
+                "CAST(1000 * abs(actual_cents - forecast_cents) "
+                "div actual_cents AS BIGINT)"
+            ).alias("ape_permille"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days_scored"),
+        F.expr("CAST(sum(ape_permille) div count(*) AS BIGINT)").alias(
+            "mape_permille"
+        ),
+        F.expr(
+            """CAST(1000 * sum(forecast_cents - actual_cents)
+                    div sum(actual_cents) AS BIGINT)"""
+        ).alias("bias_permille"),
+    )

@@ -490,3 +490,195 @@ def join_spatial_grid(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("c_custkey", "s_suppkey", F.col("dist2").cast("long").alias("dist2"))
     )
+
+
+#: RRF smoothing constant (the standard k = 60 from the original paper) and
+#: the integer contribution scale: contribution(rank) = 1e9 div (60 + rank).
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=None,  # assembled below — needs the similarity-module constants
+)
+def sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    ranking (the text_bm25_search scoring, unlimited) and the quantized-
+    cosine vector ranking (the sim_quantized_cosine rule over the aligned
+    embeddings table) fuse as RRF(d) = Σ 10⁹ div (60 + rankᵢ(d)) — the
+    integer form of the standard 1/(k+rank) sum, so fusion is exact and
+    engine-identical even though the two underlying scores live on
+    incomparable scales (that scale-freeness is WHY RRF is the default
+    hybrid fusion). Docs absent from the sparse lexical list contribute
+    only their vector term (standard RRF over ranked-list union); top-20
+    fused docs win, ties on doc_id.
+
+    100 TB: each leg is its own proven scale shape (BM25: two map-side
+    token rollups + broadcast idf; cosine: scan + TakeOrdered); fusion
+    adds one full-outer join on doc_id and a 20-row TakeOrdered — the
+    fusion stage is never the bottleneck, and each leg can be served from
+    its own index/store."""
+    from .similarity import _Q8_NORM_SQ, QVEC_Q8, _dot, _vec
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_QUERY_TERMS)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum(F.col("dl").cast("decimal(38,0)")).alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    qdf = qtoks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    idf = qdf.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.lit(1e6)
+            * F.log2(
+                (F.lit(2.0) * F.col("n").cast("double") + 2) / (2 * F.col("df") + 1)
+            )
+            + F.lit(1e-6)
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    text_scores = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.expr(
+                """CAST(CAST(idf_micro AS DECIMAL(38,0)) * 22 * s * tf
+                        div (10 * s * tf + 3 * s
+                             + 9 * CAST(dl AS DECIMAL(38,0)) * n)
+                        AS BIGINT)"""
+            ).alias("part_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_micro").cast("long").alias("score_micro"))
+    )
+    wt = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    # bounded global window: only docs matching ≥1 query term are ranked
+    text_rank = text_scores.select(
+        "doc_id", F.row_number().over(wt).cast("long").alias("text_rank")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), _vec("embedding").alias("v")
+    )
+    s = e.withColumn("mx", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))))
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("mx")).cast("double"),
+        ),
+    )
+    probe = F.array(*[F.lit(float(x)) for x in QVEC_Q8])
+    cos = F.floor(
+        F.lit(10000.0)
+        * _dot(F.col("qv"), probe)
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(F.lit(float(_Q8_NORM_SQ))))
+    ).cast("long")
+    wv = Window.orderBy(F.col("cos_q8_e4").desc(), "doc_id")
+    # bounded global window: one rank pass over the embedding corpus — at
+    # 100 TB this leg would come from the ANN index's top-N instead
+    vec_rank = q.select("doc_id", cos.alias("cos_q8_e4")).select(
+        "doc_id", F.row_number().over(wv).cast("long").alias("vec_rank")
+    )
+
+    fused = (
+        text_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + text_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_SCALE} div ({_RRF_K} + vec_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_score_nano"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score_nano").desc(), "doc_id").limit(20)
+
+
+def _hybrid_rrf_oracle() -> str:
+    from .similarity import _Q8_NORM_SQ, _sql_list, QVEC_Q8
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), corpus AS (
+        SELECT CAST(sum(dl) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        FROM dl
+    ), qdf AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks WHERE term IN ('dup', 'spark', 'merge') GROUP BY term
+    ), idf AS (
+        SELECT term,
+               CAST(floor(1e6 * log2((2.0 * n + 2) / (2 * df + 1)) + 1e-6)
+                    AS BIGINT) AS idf_micro
+        FROM qdf CROSS JOIN corpus
+    ), tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term IN ('dup', 'spark', 'merge')
+        GROUP BY doc_id, term
+    ), text_scores AS (
+        SELECT tf.doc_id,
+               CAST(sum(CAST(idf.idf_micro AS HUGEINT) * 22 * c.s * tf.tf
+                    // (10 * c.s * tf.tf + 3 * c.s + 9 * CAST(dl.dl AS HUGEINT) * c.n))
+                    AS BIGINT) AS score_micro
+        FROM tf
+        JOIN idf ON tf.term = idf.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN corpus c
+        GROUP BY tf.doc_id
+    ), text_rank AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS BIGINT) AS text_rank
+        FROM text_scores
+    ), ev AS (
+        SELECT vec_id AS doc_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), sq AS (
+        SELECT doc_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM ev
+    ), qv AS (
+        SELECT doc_id,
+               list_transform(v, x -> CAST(floor(x * 127 / mx) AS BIGINT)) AS qv
+        FROM sq
+    ), cosd AS (
+        SELECT doc_id,
+               CAST(floor(10000 * list_dot_product(qv, {_sql_list(QVEC_Q8)})
+                    / (sqrt(list_dot_product(qv, qv)) * sqrt({_Q8_NORM_SQ})))
+                    AS BIGINT) AS cos_q8_e4
+        FROM qv
+    ), vec_rank AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_q8_e4 DESC, doc_id)
+               AS BIGINT) AS vec_rank
+        FROM cosd
+    )
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.text_rank, v.vec_rank,
+           CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + t.text_rank), 0)
+                + coalesce({_RRF_SCALE} // ({_RRF_K} + v.vec_rank), 0) AS BIGINT)
+               AS rrf_score_nano
+    FROM text_rank t FULL OUTER JOIN vec_rank v ON t.doc_id = v.doc_id
+    ORDER BY rrf_score_nano DESC, doc_id
+    LIMIT 20
+    """
+
+
+ORACLES["sim_hybrid_rrf"] = _hybrid_rrf_oracle()

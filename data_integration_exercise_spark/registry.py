@@ -403,6 +403,8 @@ _ADDED_R5 = [
     "sim_cluster_purity",
     "sql_recursive_cte",
     "udf_grouped_train",
+    "sim_hybrid_rrf",
+    "events_forecast_backtest",
 ]
 
 

@@ -434,3 +434,32 @@ def test_survival_km_matches_manual_product_limit(spark):
     # survival only decreases
     sl = pdf.surv_log2_micro.dropna()
     assert (sl.diff().dropna() < 0).all()
+
+
+def test_forecast_backtest_scores_all_types(spark):
+    """Every event type scores 23 days (30-day log, 7-day season), MAPE is
+    a valid permille, and a manual recomputation for one type matches."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import behavioral
+
+    pdf = (
+        behavioral.QUERIES["events_forecast_backtest"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert len(pdf) == 5
+    assert (pdf.n_days_scored == 23).all()
+    assert pdf.mape_permille.between(0, 2000).all()
+    daily = duckdb.sql(
+        "SELECT event_type, epoch_ns(ts) // 1000 // 86400000000 AS day, "
+        "sum(CAST(round(value * 100) AS BIGINT)) AS cents "
+        "FROM '/root/testdata/sf0.01/events.parquet' GROUP BY 1, 2"
+    ).df()
+    g = daily[daily.event_type == "purchase"].set_index("day").cents
+    apes = [
+        1000 * abs(int(g[d]) - int(g[d - 7])) // int(g[d])
+        for d in g.index
+        if d - 7 in g.index
+    ]
+    assert pdf.loc["purchase", "mape_permille"] == sum(apes) // len(apes)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from data_integration_exercise_spark.operators import mining
@@ -157,3 +158,26 @@ def test_basket_ops_plan_single_fact_pass(spark):
         assert "SortMergeJoin" not in plan, key
         # the checkpointed basket table surfaces as a scan, not a join tree
         assert "Scan ExistingRDD" in plan, key
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    """RRF invariants: 20 results, scores non-increasing, every row carries
+    a vector rank (dense leg), the lexical top-1 and vector top-1 both
+    survive into the fused top-20, and each fused score recomputes from
+    its two ranks."""
+    pdf = (
+        mining.QUERIES["sim_hybrid_rrf"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("rrf_score_nano", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 20
+    assert (pdf.rrf_score_nano.diff().dropna() <= 0).all()
+    assert pdf.vec_rank.notna().all()
+    assert (pdf.text_rank == 1).any() or (pdf.vec_rank == 1).any()
+    for _, r in pdf.iterrows():
+        expect = 0
+        if not pd.isna(r.text_rank):
+            expect += 1_000_000_000 // (60 + int(r.text_rank))
+        expect += 1_000_000_000 // (60 + int(r.vec_rank))
+        assert r.rrf_score_nano == expect
