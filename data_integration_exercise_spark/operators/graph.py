@@ -753,3 +753,112 @@ def graph_assortativity(spark, sf_dir):
         .cast("long")
         .alias("assortativity_micro"),
     )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH flows AS (
+        SELECT least(c.c_nationkey, s.s_nationkey)    AS u,
+               greatest(c.c_nationkey, s.s_nationkey) AS v,
+               CAST(count(*) AS BIGINT)               AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS ecnt,
+               CAST(sum(w) AS BIGINT)   AS wtot
+        FROM flows
+    ), strong AS (
+        SELECT u, v FROM flows, stats WHERE 4 * w * ecnt >= 5 * wtot
+    ), d AS (
+        SELECT u AS a, v AS b FROM strong
+        UNION ALL
+        SELECT v, u FROM strong
+    ), deg AS (
+        SELECT a, CAST(count(*) AS BIGINT) AS dg FROM d GROUP BY a
+    ), wedge AS (
+        SELECT d1.a AS u, d2.b AS v, d1.b AS mid
+        FROM d d1 JOIN d d2 ON d1.b = d2.a AND d1.a < d2.b
+    ), scored AS (
+        SELECT w.u, w.v,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(1000000000000 //
+                        CAST(floor(1e6 * log2(CAST(dz.dg AS DOUBLE)) + 1e-6)
+                             AS BIGINT)) AS BIGINT) AS aa_score_micro
+        FROM wedge w JOIN deg dz ON w.mid = dz.a
+        GROUP BY w.u, w.v
+    )
+    SELECT CAST(s.u AS BIGINT) AS u, CAST(s.v AS BIGINT) AS v,
+           s.common_neighbors, s.aa_score_micro
+    FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM strong e WHERE e.u = s.u AND e.v = s.v)
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the strong-trade nation graph — the
+    degree-weighted refinement of graph_link_prediction's common-neighbor
+    count: each shared partner z contributes 1/log₂(deg z), so a RARE
+    shared partner (low degree) predicts a future edge far more strongly
+    than a hub everyone trades with. The per-neighbor term is the exact
+    integer 10¹² div floor(10⁶·log₂(deg) + 1e-6) (one guarded
+    transcendental of a small exact integer — the §10 discipline; deg ≥ 2
+    always, since a common neighbor touches both endpoints), and the pair
+    score is an exact integer sum of those terms, so ranking is engine-
+    identical with no float accumulation.
+
+    100 TB: identical shape to the sibling op — fact joins collapse
+    map-side to the ≤|nations|² edge list; the wedge join carries the mid
+    node so its degree joins BEFORE the pair rollup (one extra broadcast
+    join versus the CN count, same shuffle structure)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    stats = flows.agg(F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot"))
+    strong = (
+        flows.crossJoin(F.broadcast(stats))
+        .filter(4 * F.col("w") * F.col("ecnt") >= 5 * F.col("wtot"))
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    d = strong.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        strong.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = d.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("dg"))
+    d1 = d.select(F.col("a").alias("u"), F.col("b").alias("mid"))
+    d2 = d.select(F.col("a").alias("mid2"), F.col("b").alias("v"))
+    dz = deg.select(F.col("a").alias("mid"), F.col("dg").alias("dg_mid"))
+    term = F.expr(
+        """1000000000000 div
+           CAST(floor(1e6 * log2(CAST(dg_mid AS DOUBLE)) + 1e-6) AS BIGINT)"""
+    )
+    scored = (
+        d1.join(d2, (F.col("mid") == F.col("mid2")) & (F.col("u") < F.col("v")))
+        .join(F.broadcast(dz), "mid")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(term).cast("long").alias("aa_score_micro"),
+        )
+    )
+    return scored.join(strong, ["u", "v"], "left_anti").select(
+        F.col("u").cast("long").alias("u"),
+        F.col("v").cast("long").alias("v"),
+        "common_neighbors",
+        "aa_score_micro",
+    )

@@ -804,3 +804,93 @@ def win_rolling_slope(spark, sf_dir):
             ),
         ).alias("slope_microcents_per_day"),
     )
+
+
+@register(
+    "win_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+        GROUP BY 1, 2
+    ), idxed AS (
+        SELECT pri, day, cents,
+               CAST(row_number() OVER (PARTITION BY pri ORDER BY day) AS BIGINT)
+                   AS i,
+               CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n_days
+        FROM daily
+    ), rec AS (
+        SELECT pri, i, n_days, cents AS l, CAST(0 AS BIGINT) AS b
+        FROM idxed WHERE i = 1
+        UNION ALL
+        SELECT x.pri, x.i, x.n_days,
+               (x.cents + 3 * (r.l + r.b)) // 4 AS l,
+               (((x.cents + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4 AS b
+        FROM idxed x JOIN rec r ON x.pri = r.pri AND x.i = r.i + 1
+    )
+    SELECT pri AS o_orderpriority, n_days,
+           l AS level_cents, b AS trend_cents,
+           l + b AS forecast_next_cents
+    FROM rec WHERE i = n_days
+    """,
+)
+def win_holt_linear(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) over each
+    priority's final-two-month daily revenue series, α = β = 1/4 as exact
+    integer recurrences — lₜ = (yₜ + 3(l+b)) div 4, bₜ = ((lₜ−l) + 3b)
+    div 4 — folded in ONE codegen'd ``aggregate`` HOF over the sorted
+    per-group array (the win_ewma Horner-chain discipline extended to
+    2-state recursion, which no window frame can express). The oracle
+    replays the identical integer recursion as a recursive CTE, so every
+    step truncates identically and the fold is bit-exact. Gap days are
+    treated as consecutive observations (documented; a calendar-spine
+    variant would densify first — etl_calendar_spine exists for exactly
+    that).
+
+    100 TB: one day-grain rollup, then one collect per priority of a
+    CALENDAR-BOUNDED series (≤ 61 elements regardless of fact volume) and
+    a linear fold — state-recursive smoothing without a driver loop,
+    UDF, or per-row shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-06-01"
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    series = daily.groupBy("pri").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s["cents"],
+        ).alias("ys")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            slice(ys, 2, size(ys) - 1),
+            named_struct('l', ys[0], 'b', CAST(0 AS BIGINT)),
+            (acc, y) -> named_struct(
+                'l', (y + 3 * (acc.l + acc.b)) div 4,
+                'b', (((y + 3 * (acc.l + acc.b)) div 4 - acc.l) + 3 * acc.b) div 4
+            )
+        )
+        """
+    )
+    return series.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.size("ys").cast("long").alias("n_days"),
+        fold.alias("st"),
+    ).select(
+        "o_orderpriority",
+        "n_days",
+        F.col("st.l").alias("level_cents"),
+        F.col("st.b").alias("trend_cents"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next_cents"),
+    )

@@ -405,6 +405,8 @@ _ADDED_R5 = [
     "udf_grouped_train",
     "sim_hybrid_rrf",
     "events_forecast_backtest",
+    "win_holt_linear",
+    "graph_adamic_adar",
 ]
 
 

