@@ -2706,3 +2706,158 @@ def agg_did_uplift(spark, sf_dir):
             "did_microcents"
         ),
     )
+
+
+@register(
+    "agg_cuped_adjusted",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                           1, 4))::BIGINT % 10) < 5
+                    THEN 'T' ELSE 'C' END AS arm,
+               CAST(sum(CASE WHEN epoch_ns(ts) // 1000 < {_DID_CUT_US}
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS x,
+               CAST(sum(CASE WHEN epoch_ns(ts) // 1000 >= {_DID_CUT_US}
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS HUGEINT) AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), pooled AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx
+        FROM p
+    ), arms AS (
+        SELECT arm,
+               CAST(count(*) AS HUGEINT) AS n_arm,
+               CAST(sum(x) AS HUGEINT) AS sx_arm,
+               CAST(sum(y) AS HUGEINT) AS sy_arm
+        FROM p GROUP BY arm
+    ), theta AS (
+        SELECT n * sxy - sx * sy AS th_num,
+               n * sxx - sx * sx AS th_den,
+               n, sx
+        FROM pooled
+    ), adj AS (
+        SELECT a.arm, CAST(a.n_arm AS BIGINT) AS n_users,
+               CAST(1000000 * a.sy_arm // a.n_arm AS BIGINT)
+                   AS raw_mean_microcents,
+               CAST(1000000 * (a.sy_arm * t.th_den * t.n
+                               - t.th_num * (a.sx_arm * t.n - t.sx * a.n_arm))
+                    // (a.n_arm * t.th_den * t.n) AS BIGINT)
+                   AS cuped_mean_microcents
+        FROM arms a CROSS JOIN theta t
+    )
+    SELECT t.arm AS arm_t, c.arm AS arm_c,
+           t.n_users AS n_t, c.n_users AS n_c,
+           t.raw_mean_microcents AS raw_mean_t,
+           c.raw_mean_microcents AS raw_mean_c,
+           t.raw_mean_microcents - c.raw_mean_microcents AS raw_diff_microcents,
+           t.cuped_mean_microcents AS cuped_mean_t,
+           c.cuped_mean_microcents AS cuped_mean_c,
+           t.cuped_mean_microcents - c.cuped_mean_microcents
+               AS cuped_diff_microcents
+    FROM adj t JOIN adj c ON t.arm = 'T' AND c.arm = 'C'
+    """,
+)
+def agg_cuped_adjusted(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013 — the
+    industry-standard pre-period adjustment): per user, x = pre-cutover
+    purchase cents (the covariate) and y = post-cutover cents (the
+    metric); θ = cov(x,y)/var(x) estimated POOLED across arms, and each
+    arm's adjusted mean is ȳ − θ(x̄_arm − x̄). Everything stays an exact
+    integer rational — θ is carried as the pair (nΣxy − ΣxΣy,
+    nΣx² − (Σx)²) and the adjusted mean is one decimal(38,0)/HUGEINT
+    expression over exact sums, truncated to micro-cents — so the
+    variance-reduced lift is bit-identical across engines (a float θ
+    would order-depend). Same hash arms and cutover as agg_did_uplift:
+    DiD corrects with the CONTROL's time delta, CUPED with each unit's
+    OWN pre-period — the two standard answers to the same noise problem.
+
+    100 TB: one user-keyed conditional rollup builds (x, y); pooled
+    moments and the 2-row arm table are single partial aggregates —
+    three scans of a per-user frame that is itself one shuffle of the
+    fact log. Magnitude audit: Σy·θ_den·n ≈ 10³⁵ at 10⁹ users × 10⁵
+    cents stays inside decimal(38,0)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did|"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 5,
+        "T",
+    ).otherwise("C")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    p = e.groupBy("user_id", arm.alias("arm")).agg(
+        F.sum(F.when(F.col("ts_us") < _DID_CUT_US, cents).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts_us") >= _DID_CUT_US, cents).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    p = p.localCheckpoint()
+    pooled = p.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    arms = p.groupBy("arm").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    adj = arms.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        F.col("n_arm").cast("long").alias("n_users"),
+        F.expr("CAST(1000000 * sy_arm div n_arm AS BIGINT)").alias(
+            "raw_mean_microcents"
+        ),
+        F.expr(
+            """CAST(1000000 * (sy_arm * (n * sxx - sx * sx) * n
+                               - (n * sxy - sx * sy)
+                                 * (sx_arm * n - sx * n_arm))
+                    div (n_arm * (n * sxx - sx * sx) * n) AS BIGINT)"""
+        ).alias("cuped_mean_microcents"),
+    )
+    t = adj.filter(F.col("arm") == "T").select(
+        F.col("arm").alias("arm_t"),
+        F.col("n_users").alias("n_t"),
+        F.col("raw_mean_microcents").alias("raw_mean_t"),
+        F.col("cuped_mean_microcents").alias("cuped_mean_t"),
+    )
+    c = adj.filter(F.col("arm") == "C").select(
+        F.col("arm").alias("arm_c"),
+        F.col("n_users").alias("n_c"),
+        F.col("raw_mean_microcents").alias("raw_mean_c"),
+        F.col("cuped_mean_microcents").alias("cuped_mean_c"),
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        "arm_t",
+        "arm_c",
+        "n_t",
+        "n_c",
+        "raw_mean_t",
+        "raw_mean_c",
+        (F.col("raw_mean_t") - F.col("raw_mean_c")).alias("raw_diff_microcents"),
+        "cuped_mean_t",
+        "cuped_mean_c",
+        (F.col("cuped_mean_t") - F.col("cuped_mean_c")).alias(
+            "cuped_diff_microcents"
+        ),
+    )

@@ -795,3 +795,103 @@ def text_bpe_train(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: winnowing parameters (Schleimer/Wilkerson/Aiken, MOSS): k-gram size 4,
+#: window 4 → guarantee: any shared run of ≥ k+w-1 = 7 tokens yields at
+#: least one shared fingerprint. Pairs need ≥ 5 shared prints to report.
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 5
+
+
+@register(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), kg AS (
+        SELECT doc_id, n - {_WINNOW_K - 1} AS m, CAST(u.i AS BIGINT) AS p,
+               ('0x' || substr(md5('win|' ||
+                   array_to_string(toks[u.i:u.i + {_WINNOW_K - 1}], ' ')),
+                   1, 15))::BIGINT AS h
+        FROM t, unnest(range(1, n - {_WINNOW_K - 2})) AS u(i)
+    ), win AS (
+        SELECT doc_id, p - o.off AS j, h, p
+        FROM kg, unnest(range({_WINNOW_W})) AS o(off)
+        WHERE p - o.off >= 1 AND p - o.off <= m - {_WINNOW_W - 1}
+    ), sel AS (
+        SELECT doc_id, j, min(struct_pack(h := h, np := -p)) AS s
+        FROM win GROUP BY doc_id, j
+    ), fp AS (
+        SELECT DISTINCT doc_id, s.h AS h FROM sel
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fingerprints
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def dedup_winnowing(spark, sf_dir):
+    """Winnowing fingerprint dedup (Schleimer-Wilkerson-Aiken, the MOSS
+    algorithm): every 4-token k-gram hashes to a 60-bit integer, each
+    sliding window of 4 consecutive k-gram hashes selects its minimum
+    (ties → rightmost, via min over the (h, −pos) struct — lexicographic
+    struct comparison is identical in both engines), and documents
+    sharing ≥ 5 selected fingerprints pair up. Unlike MinHash (a GLOBAL
+    similarity sketch), winnowing is POSITION-LOCAL: it provably catches
+    any copied run of ≥ k+w−1 = 7 tokens regardless of how different the
+    rest of the two documents is — the plagiarism/boilerplate detector,
+    complementary to dedup_minhash_lsh.
+
+    100 TB: fingerprint density is 2/(w+1) ≈ 40% of k-grams — each doc
+    emits a bounded print set map-side (array HOFs, no shuffle); the only
+    shuffles are the (doc, window) argmin groupBy and the print-bucket
+    equi-join (the LSH-band join shape — never all-pairs). A hot print
+    (true boilerplate) is the salted-join case; at this corpus the
+    buckets stay tiny."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.filter(F.size("toks") >= _WINNOW_K + _WINNOW_W - 1)
+    harr = F.expr(
+        f"""
+        transform(sequence(1, size(toks) - {_WINNOW_K - 1}), i ->
+            CAST(conv(substring(md5(concat('win|',
+                concat_ws(' ', slice(toks, i, {_WINNOW_K})))), 1, 15),
+                16, 10) AS BIGINT))
+        """
+    )
+    kg = d.select(
+        "doc_id",
+        (F.size("toks") - (_WINNOW_K - 1)).alias("m"),
+        F.posexplode(harr).alias("p0", "h"),
+    ).select("doc_id", "m", (F.col("p0") + 1).alias("p"), "h")
+    win = (
+        kg.select(
+            "doc_id",
+            "m",
+            "p",
+            "h",
+            F.explode(F.expr(f"sequence(0, {_WINNOW_W - 1})")).alias("off"),
+        )
+        .withColumn("j", F.col("p") - F.col("off"))
+        .filter((F.col("j") >= 1) & (F.col("j") <= F.col("m") - (_WINNOW_W - 1)))
+    )
+    sel = win.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).alias("s")
+    )
+    fp = sel.select("doc_id", F.col("s.h").alias("h")).distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= _WINNOW_MIN_SHARED)
+    )

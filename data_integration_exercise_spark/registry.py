@@ -407,6 +407,8 @@ _ADDED_R5 = [
     "events_forecast_backtest",
     "win_holt_linear",
     "graph_adamic_adar",
+    "agg_cuped_adjusted",
+    "dedup_winnowing",
 ]
 
 

@@ -382,3 +382,28 @@ def test_did_uplift_null_experiment(spark):
     assert all(m > 0 for m in means)
     # null experiment: |DiD| well under the mean purchase value itself
     assert abs(r["did_microcents"]) < max(means)
+
+
+def test_cuped_reduces_variance_and_ties_out(spark):
+    """CUPED invariants: cohort splits cleanly into the two arms, raw means
+    match a direct recomputation, and on a null experiment the CUPED diff
+    stays in the same magnitude regime as the raw diff (the adjustment
+    must not invent signal)."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    r = (
+        aggregates.QUERIES["agg_cuped_adjusted"](spark, "/root/testdata/sf0.01")
+        .collect()[0]
+        .asDict()
+    )
+    n_users = duckdb.sql(
+        "SELECT count(DISTINCT user_id) FROM '/root/testdata/sf0.01/events.parquet' "
+        "WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert r["n_t"] + r["n_c"] == n_users
+    assert r["raw_diff_microcents"] == r["raw_mean_t"] - r["raw_mean_c"]
+    assert r["cuped_diff_microcents"] == r["cuped_mean_t"] - r["cuped_mean_c"]
+    # null experiment: both diffs are noise around zero, well under the means
+    assert abs(r["cuped_diff_microcents"]) < max(r["raw_mean_t"], r["raw_mean_c"])

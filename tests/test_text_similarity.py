@@ -405,3 +405,31 @@ def test_truncated_dims_eval_bounds(spark):
     assert pdf.overlap_at_5.between(0, 5).all()
     assert (pdf.trunc_rank_of_true_nn >= 1).all()
     assert pdf.overlap_at_5.sum() > 0
+
+
+def test_winnowing_guarantee_on_known_duplicates(spark):
+    """The winnowing guarantee: any pair sharing a run of >= k+w-1 = 7
+    tokens shares >= 1 fingerprint. The synthetic corpus contains
+    near-verbatim duplicate pairs — the exact-text duplicates must all
+    surface with high shared-print counts, and no pair may share more
+    prints than the smaller doc has."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import text as T
+
+    pdf = T.QUERIES["dedup_winnowing"](spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) > 0
+    assert (pdf.doc_a < pdf.doc_b).all()
+    # exact duplicates (same full text) must be found by winnowing too
+    exact = duckdb.sql(
+        """
+        SELECT a.doc_id, b.doc_id FROM
+        read_parquet('/root/testdata/sf0.01/documents.parquet') a JOIN
+        read_parquet('/root/testdata/sf0.01/documents.parquet') b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+        WHERE len(string_split(a.text, ' ')) >= 7
+        """
+    ).fetchall()
+    found = set(map(tuple, pdf[["doc_a", "doc_b"]].values))
+    for pair in exact:
+        assert pair in found, f"exact duplicate {pair} missed by winnowing"
