@@ -2861,3 +2861,108 @@ def agg_cuped_adjusted(spark, sf_dir):
             "cuped_diff_microcents"
         ),
     )
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle="""
+    WITH yearly AS (
+        SELECT p.p_brand,
+               CAST(strftime(l.l_shipdate, '%Y') AS INTEGER) AS yr,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l.l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.p_brand, a.q AS q0, b.q AS q1,
+               a.rev_cents AS rev0_cents, b.rev_cents AS rev1_cents
+        FROM yearly a JOIN yearly b ON a.p_brand = b.p_brand
+        WHERE a.yr = 1999 AND b.yr = 2000
+    ), fx AS (
+        SELECT p_brand, q0, q1, rev0_cents, rev1_cents,
+               CAST(1000000 * (CAST(rev1_cents AS HUGEINT) * q0
+                               - CAST(rev0_cents AS HUGEINT) * q1)
+                    // q1 AS BIGINT) AS price_effect_micro,
+               CAST(1000000 * CAST(rev0_cents AS HUGEINT) * (q1 - q0)
+                    // q0 AS BIGINT) AS volume_effect_micro
+        FROM paired
+    )
+    SELECT p_brand, q0, q1, rev0_cents, rev1_cents,
+           rev1_cents - rev0_cents AS delta_cents,
+           price_effect_micro, volume_effect_micro,
+           1000000 * (rev1_cents - rev0_cents)
+               - price_effect_micro - volume_effect_micro AS joint_effect_micro
+    FROM fx
+    """,
+)
+def agg_price_volume_mix(spark, sf_dir):
+    """Price-volume-mix decomposition of year-over-year revenue growth per
+    brand (the FP&A bridge chart): Δrev splits into a price effect
+    (p₁ − p₀)·q₀ = (rev₁·q₀ − rev₀·q₁) div q₁, a volume effect
+    p₀·(q₁ − q₀) = rev₀·Δq div q₀, and the joint term defined RESIDUALLY
+    (10⁶·Δrev − price − volume) so the three effects reconcile to the
+    revenue bridge EXACTLY by construction — no float drift can break the
+    waterfall. Unit prices never materialize as floats; both effects are
+    single HUGEINT/decimal(38,0) rationals truncated to micro-cents.
+
+    100 TB: one (brand, year)-keyed rollup over the fact scan with the
+    shipdate predicate pushed to parquet, then a self-join on the ≤25-row
+    brand axis — the decomposition is free once the rollup exists."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1999-01-01") & (F.col("l_shipdate") < "2001-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yearly = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    a = yearly.filter(F.col("yr") == 1999).select(
+        "p_brand",
+        F.col("q").alias("q0"),
+        F.col("rev_cents").alias("rev0_cents"),
+    )
+    b = yearly.filter(F.col("yr") == 2000).select(
+        "p_brand",
+        F.col("q").alias("q1"),
+        F.col("rev_cents").alias("rev1_cents"),
+    )
+    fx = a.join(b, "p_brand").select(
+        "p_brand",
+        "q0",
+        "q1",
+        "rev0_cents",
+        "rev1_cents",
+        F.expr(
+            """CAST(1000000 * (CAST(rev1_cents AS DECIMAL(38,0)) * q0
+                               - CAST(rev0_cents AS DECIMAL(38,0)) * q1)
+                    div q1 AS BIGINT)"""
+        ).alias("price_effect_micro"),
+        F.expr(
+            """CAST(1000000 * CAST(rev0_cents AS DECIMAL(38,0)) * (q1 - q0)
+                    div q0 AS BIGINT)"""
+        ).alias("volume_effect_micro"),
+    )
+    return fx.select(
+        "p_brand",
+        "q0",
+        "q1",
+        "rev0_cents",
+        "rev1_cents",
+        (F.col("rev1_cents") - F.col("rev0_cents")).alias("delta_cents"),
+        "price_effect_micro",
+        "volume_effect_micro",
+        (
+            F.lit(1000000) * (F.col("rev1_cents") - F.col("rev0_cents"))
+            - F.col("price_effect_micro")
+            - F.col("volume_effect_micro")
+        ).alias("joint_effect_micro"),
+    )

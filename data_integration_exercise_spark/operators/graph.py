@@ -862,3 +862,119 @@ def graph_adamic_adar(spark, sf_dir):
         "common_neighbors",
         "aa_score_micro",
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH labs AS ({_lpa_oracle()}
+    ), nodes AS (
+        SELECT CASE WHEN node_type = 'customer' THEN node_key * 2
+                    ELSE node_key * 2 + 1 END AS node,
+               community
+        FROM labs
+    ), pairs AS (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), m AS (
+        SELECT CAST(count(*) AS HUGEINT) AS m FROM pairs
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT cnode AS node FROM pairs
+            UNION ALL SELECT snode FROM pairs) GROUP BY node
+    ), intra AS (
+        SELECT nc.community, CAST(count(*) AS BIGINT) AS e_c
+        FROM pairs p
+        JOIN nodes nc ON p.cnode = nc.node
+        JOIN nodes ns ON p.snode = ns.node
+        WHERE nc.community = ns.community
+        GROUP BY nc.community
+    ), dsum AS (
+        SELECT n.community, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(CAST(deg.d AS HUGEINT)) AS HUGEINT) AS d_c
+        FROM nodes n JOIN deg ON n.node = deg.node
+        GROUP BY n.community
+    )
+    SELECT CAST(d.community AS BIGINT) AS community, d.n_nodes,
+           CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+           CAST(d.d_c AS BIGINT) AS degree_sum,
+           CAST(1000000 * (4 * m.m * coalesce(i.e_c, 0) - d.d_c * d.d_c)
+                // (4 * m.m * m.m) AS BIGINT) AS contrib_micro
+    FROM dsum d LEFT JOIN intra i ON d.community = i.community
+    CROSS JOIN m
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the label-propagation communities — the eval
+    that says whether LPA found structure or noise: per community c,
+    contribution e_c/m − (d_c/2m)², carried as the exact integer
+    (4m·e_c − d_c²) div 4m² in micro units (one signed truncating
+    division per community; Q = Σ contrib). Composes ON the registered
+    graph_label_propagation plan, so the score always grades the shipped
+    communities — and on THIS graph it exposes a textbook failure:
+    synchronous LPA on a bipartite graph oscillates into the 2-coloring
+    (all customers one label, all suppliers the other), every edge
+    crosses, and Q lands at exactly −0.5 — the eval catching a real
+    algorithmic artifact is the point of having it.
+
+    100 TB: the LPA labels frame localCheckpoints once (it is an
+    iterative plan — recomputing it three times for the three consumers
+    would re-run every round; the pagerank lesson), then intra-edge
+    count, degree sums, and node counts are three keyed rollups on the
+    bounded edge/node lists."""
+    labs = graph_label_propagation(spark, sf_dir)
+    nodes = labs.select(
+        F.when(F.col("node_type") == "customer", F.col("node_key") * 2)
+        .otherwise(F.col("node_key") * 2 + 1)
+        .alias("node"),
+        "community",
+    ).localCheckpoint()
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    m = pairs.agg(F.count("*").cast("decimal(38,0)").alias("m"))
+    deg = (
+        pairs.select(F.col("cnode").alias("node"))
+        .unionAll(pairs.select(F.col("snode").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    nc = nodes.withColumnsRenamed({"node": "cnode", "community": "comm_c"})
+    ns = nodes.withColumnsRenamed({"node": "snode", "community": "comm_s"})
+    intra = (
+        pairs.join(nc, "cnode")
+        .join(ns, "snode")
+        .filter(F.col("comm_c") == F.col("comm_s"))
+        .groupBy(F.col("comm_c").alias("community"))
+        .agg(F.count("*").cast("long").alias("e_c"))
+    )
+    dsum = (
+        nodes.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("d_c"),
+        )
+    )
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            F.expr(
+                """CAST(1000000 * (4 * m * coalesce(e_c, 0) - d_c * d_c)
+                        div (4 * m * m) AS BIGINT)"""
+            ).alias("contrib_micro"),
+        )
+    )

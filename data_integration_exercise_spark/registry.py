@@ -409,6 +409,8 @@ _ADDED_R5 = [
     "graph_adamic_adar",
     "agg_cuped_adjusted",
     "dedup_winnowing",
+    "graph_modularity",
+    "agg_price_volume_mix",
 ]
 
 

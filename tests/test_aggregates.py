@@ -407,3 +407,20 @@ def test_cuped_reduces_variance_and_ties_out(spark):
     assert r["cuped_diff_microcents"] == r["cuped_mean_t"] - r["cuped_mean_c"]
     # null experiment: both diffs are noise around zero, well under the means
     assert abs(r["cuped_diff_microcents"]) < max(r["raw_mean_t"], r["raw_mean_c"])
+
+
+def test_price_volume_mix_bridge_reconciles(spark):
+    """The waterfall identity must hold exactly per brand: price + volume
+    + joint = 1e6·Δrev, with 25 brands and positive quantities."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_price_volume_mix"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 25
+    assert (pdf.q0 > 0).all() and (pdf.q1 > 0).all()
+    lhs = (
+        pdf.price_effect_micro + pdf.volume_effect_micro + pdf.joint_effect_micro
+    )
+    assert (lhs == 1_000_000 * pdf.delta_cents).all()
+    assert (pdf.delta_cents == pdf.rev1_cents - pdf.rev0_cents).all()

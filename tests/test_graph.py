@@ -178,3 +178,24 @@ def test_adamic_adar_ranks_rare_partners_higher(spark):
     dmax_term = 10**12 // math.floor(1e6 * math.log2(2) + 1e-6)
     assert (aa.aa_score_micro <= aa.common_neighbors * dmax_term).all()
     assert (aa.aa_score_micro > 0).all()
+
+
+def test_modularity_positive_and_reconciles(spark):
+    """Community contributions must tie out: every LPA community present,
+    node counts conserved, and Q = exactly -0.5 — synchronous LPA
+    2-colors this bipartite graph (customers vs suppliers), so every edge
+    crosses communities; the eval must expose that artifact, not hide
+    it."""
+    from data_integration_exercise_spark.operators import graph
+
+    pdf = graph.QUERIES["graph_modularity"](spark, SF).toPandas()
+    labs = graph.QUERIES["graph_label_propagation"](spark, SF).toPandas()
+    assert set(pdf.community) == set(labs.community)
+    assert pdf.n_nodes.sum() == len(labs)
+    m = pdf.intra_edges.sum()  # lower bound on m: intra ≤ m
+    assert pdf.degree_sum.sum() >= 2 * m
+    q = pdf.contrib_micro.sum() / 1e6
+    assert -1 <= q <= 1
+    # the 2-coloring signature: zero intra edges, Q == -0.5 (2 equal halves)
+    if len(pdf) == 2 and pdf.intra_edges.sum() == 0:
+        assert abs(q + 0.5) < 1e-4
