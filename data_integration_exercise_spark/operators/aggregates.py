@@ -2966,3 +2966,97 @@ def agg_price_volume_mix(spark, sf_dir):
             - F.col("volume_effect_micro")
         ).alias("joint_effect_micro"),
     )
+
+
+@register(
+    "agg_quantile_treatment_effect",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               CASE WHEN (('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)),
+                           1, 4))::BIGINT % 10) < 5
+                    THEN 'T' ELSE 'C' END AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT arm, cents,
+               CAST(row_number() OVER (PARTITION BY arm
+                                       ORDER BY cents, event_id) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+        FROM p
+    ), deciles AS (
+        SELECT r.arm, d.k, r.cents
+        FROM ranked r JOIN (SELECT unnest(range(1, 10)) AS k) d
+          ON r.rn = (d.k * r.n + 9) // 10
+    )
+    SELECT t.k AS decile,
+           t.cents AS t_value_cents,
+           c.cents AS c_value_cents,
+           t.cents - c.cents AS qte_cents
+    FROM deciles t JOIN deciles c ON t.k = c.k
+    WHERE t.arm = 'T' AND c.arm = 'C'
+    """,
+)
+def agg_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects — the distributional view the mean-based
+    readouts (t-test, DiD, CUPED) cannot give: per decile k, the exact
+    nearest-rank quantile (rank ⌈k·n/10⌉ = (k·n+9) div 10, ties broken by
+    event_id so the order statistic is fully determined) of purchase
+    value in each hash arm, and their difference. A treatment that only
+    moves the tail shows a flat QTE curve with a spiked 9th decile —
+    invisible to every mean. All integer cents; no interpolation (the
+    nearest-rank estimator is the one that stays exact).
+
+    100 TB: one ranking window per arm (two partitions here — the
+    documented exact path; the mergeable approx path is
+    agg_quantile_sketch) + a 9-row broadcast rank probe; the decile join
+    touches 9 rows per arm."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("did|"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 5,
+        "T",
+    ).otherwise("C")
+    p = e.select(
+        "event_id",
+        arm.alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("arm").orderBy("cents", "event_id")
+    wn = Window.partitionBy("arm")
+    ranked = p.select(
+        "arm",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count("*").over(wn).cast("long").alias("n"),
+    )
+    ks = spark.range(1, 10).select(F.col("id").cast("long").alias("k"))
+    deciles = ranked.join(
+        F.broadcast(ks),
+        F.col("rn") == F.expr("(k * n + 9) div 10"),
+    ).select("arm", "k", "cents")
+    t = deciles.filter(F.col("arm") == "T").select(
+        F.col("k").alias("decile"), F.col("cents").alias("t_value_cents")
+    )
+    c = deciles.filter(F.col("arm") == "C").select(
+        F.col("k").alias("decile"), F.col("cents").alias("c_value_cents")
+    )
+    return t.join(c, "decile").select(
+        "decile",
+        "t_value_cents",
+        "c_value_cents",
+        (F.col("t_value_cents") - F.col("c_value_cents")).alias("qte_cents"),
+    )

@@ -1577,3 +1577,104 @@ def sim_cluster_purity(spark, sf_dir):
             "purity_permille"
         ),
     )
+
+
+@register(
+    "text_kl_source_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT DISTINCT token FROM tok
+    ), vstat AS (
+        SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+    ), corpus AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token
+    ), ctot AS (
+        SELECT CAST(count(*) AS BIGINT) AS t FROM tok
+    ), src AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS cs
+        FROM tok GROUP BY source, token
+    ), stot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS ts FROM tok GROUP BY source
+    ), grid AS (
+        SELECT s.source, v.token, coalesce(src.cs, 0) AS cs, st.ts,
+               c.c, ct.t, vs.v
+        FROM (SELECT DISTINCT source FROM tok) s
+        CROSS JOIN vocab v
+        LEFT JOIN src ON src.source = s.source AND src.token = v.token
+        JOIN stot st ON st.source = s.source
+        JOIN corpus c ON c.token = v.token
+        CROSS JOIN ctot ct CROSS JOIN vstat vs
+    ), terms AS (
+        SELECT source, ts, v,
+               (cs + 1) * CAST(floor(1e6 * log2(
+                   (CAST(cs AS DOUBLE) + 1) * (t + v)
+                   / ((CAST(ts AS DOUBLE) + v) * (c + 1))) + 1e-6) AS BIGINT)
+                   AS wterm
+        FROM grid
+    )
+    SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+           CAST(max(v) AS BIGINT) AS vocab_size,
+           CAST(sum(wterm) // (max(ts) + max(v)) AS BIGINT) AS kl_micro
+    FROM terms GROUP BY source
+    """,
+)
+def text_kl_source_drift(spark, sf_dir):
+    """Per-source distribution-shift audit: KL(P_source ‖ P_corpus) over
+    the Laplace-smoothed unigram distributions — the drift detector a
+    training pipeline runs before admitting a new source (a source whose
+    token mix diverges from the corpus gets flagged, not silently mixed).
+    Implemented as the exact integer functional Σ (c_s+1)·⌊10⁶·log₂(ratio)
+    + 1e-6⌋ div (T_s+V): one guarded transcendental per (source, vocab)
+    cell of an exact rational, weighted and normalized by integer
+    arithmetic only — the summation order cannot drift because the terms
+    are integers. Smoothing uses the corpus vocabulary V, so sources
+    missing a token still contribute its mass honestly.
+
+    100 TB: two token rollups (per-source and corpus) shrink the stream
+    to |sources|·|vocab| cells; the grid is a broadcast cross of the two
+    tiny dimensions. For open-vocabulary corpora the vocab axis is the
+    hashing-vectorizer's bucketed one (text_hashing_vectorizer) — same
+    shape, fixed width."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    vocab = tok.select("token").distinct()
+    vstat = vocab.agg(F.count("*").cast("long").alias("v"))
+    corpus = tok.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    ctot = tok.agg(F.count("*").cast("long").alias("t"))
+    src = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("cs")
+    )
+    stot = tok.groupBy("source").agg(F.count("*").cast("long").alias("ts"))
+    grid = (
+        tok.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(vocab))
+        .join(src, ["source", "token"], "left")
+        .fillna({"cs": 0})
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(vstat))
+    )
+    wterm = (F.col("cs") + 1) * F.floor(
+        F.lit(1e6)
+        * F.log2(
+            (F.col("cs").cast("double") + 1)
+            * (F.col("t") + F.col("v"))
+            / ((F.col("ts").cast("double") + F.col("v")) * (F.col("c") + 1))
+        )
+        + F.lit(1e-6)
+    ).cast("long")
+    return (
+        grid.select("source", "ts", "v", wterm.alias("wterm"))
+        .groupBy("source")
+        .agg(
+            F.max("ts").cast("long").alias("n_tokens"),
+            F.max("v").cast("long").alias("vocab_size"),
+            F.expr("CAST(sum(wterm) div (max(ts) + max(v)) AS BIGINT)").alias(
+                "kl_micro"
+            ),
+        )
+    )

@@ -411,6 +411,8 @@ _ADDED_R5 = [
     "dedup_winnowing",
     "graph_modularity",
     "agg_price_volume_mix",
+    "text_kl_source_drift",
+    "agg_quantile_treatment_effect",
 ]
 
 

@@ -424,3 +424,41 @@ def test_price_volume_mix_bridge_reconciles(spark):
     )
     assert (lhs == 1_000_000 * pdf.delta_cents).all()
     assert (pdf.delta_cents == pdf.rev1_cents - pdf.rev0_cents).all()
+
+
+def test_qte_deciles_are_exact_order_statistics(spark):
+    """Each decile value must equal the python-side nearest-rank order
+    statistic of the same arm's cents, and the QTE curve of the null
+    experiment must be small relative to the decile values."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = (
+        aggregates.QUERIES["agg_quantile_treatment_effect"](
+            spark, "/root/testdata/sf0.01"
+        )
+        .toPandas()
+        .set_index("decile")
+        .sort_index()
+    )
+    assert list(pdf.index) == list(range(1, 10))
+    assert pdf.t_value_cents.is_monotonic_increasing
+    assert pdf.c_value_cents.is_monotonic_increasing
+    rows = duckdb.sql(
+        """
+        SELECT (('0x' || substr(md5('did|' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                % 10) < 5 AS is_t,
+               CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        FROM '/root/testdata/sf0.01/events.parquet' WHERE event_type = 'purchase'
+        """
+    ).df()
+    for is_t, col in [(True, "t_value_cents"), (False, "c_value_cents")]:
+        vals = (
+            rows[rows.is_t == is_t]
+            .sort_values(["cents", "event_id"])
+            .cents.tolist()
+        )
+        n = len(vals)
+        for k in range(1, 10):
+            assert pdf.loc[k, col] == vals[(k * n + 9) // 10 - 1]

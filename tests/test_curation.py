@@ -279,3 +279,19 @@ def test_cluster_purity_ties_out_with_contingency(spark):
         assert row.majority_label == top.label and row.n_majority == top.n_vectors
         assert row.purity_permille == 1000 * top.n_vectors // grp.n_vectors.sum()
     assert pur.purity_permille.between(1, 1000).all()
+
+
+def test_kl_drift_nonnegative_and_uniform_corpus(spark):
+    """KL against the pooled corpus: 20 sources, each KL >= 0 up to the
+    per-term floor truncation (bounded below by -V/(T_s+V) micro), and on
+    this uniformly-generated corpus no source should drift far."""
+    from data_integration_exercise_spark.operators import curation
+
+    pdf = curation.QUERIES["text_kl_source_drift"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 20
+    assert (pdf.vocab_size == 31).all()
+    # floor-truncation can push a true-zero KL slightly negative: bound it
+    assert (pdf.kl_micro >= -1000).all()
+    assert (pdf.kl_micro < 200_000).all()  # < 0.2 bits: same-distribution regime
