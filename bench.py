@@ -82,6 +82,18 @@ R5B_TIER = [
     "join_spatial_grid",
 ]
 
+# Final round-5 wave (sketches, hybrid retrieval, winnowing, graph evals),
+# benched median-of-3 like every other tier. graph_modularity re-runs LPA
+# internally, so its entry tracks the composed cost.
+R5C_TIER = [
+    "agg_kmv_set_ops",
+    "sim_hybrid_rrf",
+    "dedup_winnowing",
+    "graph_modularity",
+    "sql_recursive_cte",
+    "sample_negatives",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +109,7 @@ def main() -> None:
     # unattributable from single runs; r5's extension-tier singles drifted
     # +25% under intra-run contention).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER:
+    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER:
         if key not in qs:
             continue
         fn = qs[key]
@@ -134,6 +146,9 @@ def main() -> None:
     r5b_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R5B_TIER), 4
     )
+    r5c_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R5C_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -150,6 +165,7 @@ def main() -> None:
         "new_tier_total": new_tier_total,
         "r5_tier_total": r5_tier_total,
         "r5b_tier_total": r5b_tier_total,
+        "r5c_tier_total": r5c_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
