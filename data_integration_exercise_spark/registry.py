@@ -72,14 +72,15 @@ _MODULES = [
 # CC, blocked cosine): their green rows predate the code that now runs.
 #
 # ROUND-6 PLAN: after this window lands green, every registered key has a
-# driver row except the round-5 additions. Rotate _PRIORITY to the first 50
-# _ADDED_R5 keys (none has a driver row; if the list exceeds 50, the tail
-# rolls to round 7) and spend any spare slots on
-# re-verification of anything rewritten after its latest green row (as of
-# round-5 end there are no such keys — text_hashing_vectorizer's output
-# change landed while it sat in the CURRENT window, so its r5 row already
-# reflects the shipped code); demote this window to _VERIFIED_R5 and update
-# tests/test_registry.py's EXPECTED window constant.
+# driver row except the round-5 additions. Rotate _PRIORITY to the FIRST 50
+# _ADDED_R5 keys (107 keys as of round-5 end, none with a driver row — the
+# remaining 57 fill rounds 7 and 8; append any round-6 additions to
+# _ADDED_R5's tail so the queue order stays stable) and spend any spare
+# slots on re-verification of anything rewritten after its latest green row
+# (as of round-5 end there are no such keys — text_hashing_vectorizer's
+# output change landed while it sat in the CURRENT window, so its r5 row
+# already reflects the shipped code); demote this window to _VERIFIED_R5 and
+# update tests/test_registry.py's EXPECTED window constant.
 _PRIORITY = [
     # --- 39 never-oracled keys ---
     # plan diagnostics & adaptive planning
