@@ -3060,3 +3060,104 @@ def agg_quantile_treatment_effect(spark, sf_dir):
         "c_value_cents",
         (F.col("t_value_cents") - F.col("c_value_cents")).alias("qte_cents"),
     )
+
+
+#: raking: 2 full IPF sweeps (row then column, twice) — fixed iteration
+#: count so both engines run the identical integer recursion.
+_IPF_SWEEPS = 2
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for i in range(1, _IPF_SWEEPS + 1):
+        steps.append(
+            f""", r{i} AS (
+        SELECT p.seg, p.rg, p.n, p.w * t.tgt // m.wsum AS w
+        FROM {prev} p
+        JOIN (SELECT seg, sum(n * w) AS wsum FROM {prev} GROUP BY seg) m
+          ON p.seg = m.seg
+        CROSS JOIN tot t
+    ), c{i} AS (
+        SELECT p.seg, p.rg, p.n, p.w * t.tgt // m.wsum AS w
+        FROM r{i} p
+        JOIN (SELECT rg, sum(n * w) AS wsum FROM r{i} GROUP BY rg) m
+          ON p.rg = m.rg
+        CROSS JOIN tot t
+    )"""
+        )
+        prev = f"c{i}"
+    return f"""
+    WITH cells AS (
+        SELECT c.c_mktsegment AS seg, r.r_name AS rg,
+               CAST(count(*) AS HUGEINT) AS n
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(n) * 1000000 // 5 AS HUGEINT) AS tgt FROM cells
+    ), w0 AS (
+        SELECT seg, rg, n, CAST(1000000 AS HUGEINT) AS w FROM cells
+    ){"".join(steps)}
+    SELECT seg AS c_mktsegment, rg AS r_name,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(w AS BIGINT) AS weight_micro,
+           CAST(n * w AS BIGINT) AS weighted_micro
+    FROM {prev}
+    """
+
+
+@register("agg_ipf_raking", oracle=_ipf_oracle())
+def agg_ipf_raking(spark, sf_dir):
+    """Survey raking / iterative proportional fitting: calibrate per-cell
+    weights on the (market segment × region) contingency table so BOTH
+    margins match uniform targets (total/5 per segment and per region) —
+    the post-stratification step every survey/panel pipeline runs when
+    the sample's mix drifts from the population's. Two full IPF sweeps
+    (row-adjust then column-adjust, twice — a FIXED count, so the
+    recursion is identical on both engines), every update the exact
+    integer w·target div Σ(n·w) in micro units; the oracle unrolls the
+    same sweeps as CTEs. After two sweeps the row margins are exact and
+    the column margins are within integer-truncation slack — the test
+    bounds both.
+
+    100 TB: the contingency table is |segments|·|regions| rows (25 here)
+    built by one keyed rollup with two broadcast dim joins; each sweep is
+    two groupBys + a broadcast of the 1-row target — iteration cost is
+    independent of fact volume, the signature IPF property."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("rg"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("n"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.expr("CAST(sum(n) * 1000000 div 5 AS DECIMAL(38,0))").alias("tgt")
+    )
+    cur = cells.withColumn("w", F.lit(1_000_000).cast("decimal(38,0)")).crossJoin(
+        F.broadcast(tot)
+    )
+    for _ in range(_IPF_SWEEPS):
+        for key in ["seg", "rg"]:
+            marg = cur.groupBy(key).agg(
+                F.sum(F.col("n") * F.col("w")).alias("wsum")
+            )
+            cur = (
+                cur.join(F.broadcast(marg), key)
+                .withColumn("w", F.expr("w * tgt div wsum").cast("decimal(38,0)"))
+                .drop("wsum")
+            )
+    return cur.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("rg").alias("r_name"),
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("w").cast("long").alias("weight_micro"),
+        (F.col("n") * F.col("w")).cast("long").alias("weighted_micro"),
+    )

@@ -731,3 +731,94 @@ def join_null_safe(spark, sf_dir):
     return l.join(r, l["bucket"].eqNullSafe(r["bucket"])).select(
         l["bucket"], "n_orders", "revenue_cents", "n_items"
     )
+
+
+@register(
+    "join_mutual_best_match",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey, s_nationkey,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents
+        FROM supplier
+    ), cand AS (
+        SELECT c.c_custkey, s.s_suppkey, c.c_nationkey AS nationkey,
+               abs(c.c_cents - s.s_cents) AS dist_cents
+        FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+    ), best_c AS (
+        SELECT c_custkey, s_suppkey FROM (
+            SELECT c_custkey, s_suppkey,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY dist_cents, s_suppkey) AS rn
+            FROM cand)
+        WHERE rn = 1
+    ), best_s AS (
+        SELECT c_custkey, s_suppkey FROM (
+            SELECT c_custkey, s_suppkey,
+                   row_number() OVER (PARTITION BY s_suppkey
+                                      ORDER BY dist_cents, c_custkey) AS rn
+            FROM cand)
+        WHERE rn = 1
+    )
+    SELECT b.c_custkey, b.s_suppkey, cand.nationkey, cand.dist_cents
+    FROM best_c b
+    JOIN best_s m ON b.c_custkey = m.c_custkey AND b.s_suppkey = m.s_suppkey
+    JOIN cand ON cand.c_custkey = b.c_custkey AND cand.s_suppkey = b.s_suppkey
+    """,
+)
+def join_mutual_best_match(spark, sf_dir):
+    """Mutual-best-match entity linkage: customers and suppliers block on
+    nation, score by exact |account-balance| distance in cents, and a pair
+    links only when EACH side is the other's single best candidate
+    (ties → smallest key) — the mutual-nearest-neighbor rule that gives a
+    deterministic 1:1 partial matching without iterative assignment
+    (greedy global matching is sequential; mutual-best is its standard
+    distributed relaxation, also the rule used for embedding-space
+    bitext/record alignment). Every score is an exact integer, so the
+    matching is engine-identical.
+
+    100 TB: candidates form per-block (nation) products — the record-
+    linkage blocking discipline (never a global cross join); the two
+    argmax windows partition on each side's key, and the mutual check is
+    one equi-join of the two best-lists. Oversized blocks get the
+    join_skew_salted treatment upstream."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("c_cents"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("s_cents"),
+    )
+    cand = (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("c_nationkey").alias("nationkey"),
+            F.abs(F.col("c_cents") - F.col("s_cents")).alias("dist_cents"),
+        )
+        .localCheckpoint()
+    )
+    wc = Window.partitionBy("c_custkey").orderBy("dist_cents", "s_suppkey")
+    ws = Window.partitionBy("s_suppkey").orderBy("dist_cents", "c_custkey")
+    best_c = (
+        cand.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey")
+    )
+    best_s = (
+        cand.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey")
+    )
+    return (
+        best_c.join(best_s, ["c_custkey", "s_suppkey"])
+        .join(cand, ["c_custkey", "s_suppkey"])
+        .select("c_custkey", "s_suppkey", "nationkey", "dist_cents")
+    )

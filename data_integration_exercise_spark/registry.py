@@ -414,6 +414,8 @@ _ADDED_R5 = [
     "agg_price_volume_mix",
     "text_kl_source_drift",
     "agg_quantile_treatment_effect",
+    "join_mutual_best_match",
+    "agg_ipf_raking",
 ]
 
 

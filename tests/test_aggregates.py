@@ -462,3 +462,26 @@ def test_qte_deciles_are_exact_order_statistics(spark):
         n = len(vals)
         for k in range(1, 10):
             assert pdf.loc[k, col] == vals[(k * n + 9) // 10 - 1]
+
+
+def test_ipf_raking_margins_converge(spark):
+    """After two sweeps the column (region) margins — adjusted last — must
+    match the uniform target exactly up to integer truncation, and the row
+    margins must sit within a small relative slack; weights stay positive
+    and mass is conserved within truncation loss."""
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = aggregates.QUERIES["agg_ipf_raking"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 25
+    assert (pdf.weight_micro > 0).all()
+    total = pdf.n_customers.sum()
+    target = total * 1_000_000 // 5
+    col = pdf.groupby("r_name").weighted_micro.sum()
+    # last-adjusted margin: off only by truncation, bounded by sum(n) per
+    # region (each cell's floor-truncated w loses < 1 micro PER UNIT of n)
+    slack = pdf.groupby("r_name").n_customers.sum()
+    assert ((col - target).abs() <= slack).all()
+    row = pdf.groupby("c_mktsegment").weighted_micro.sum()
+    assert ((row - target).abs() / target <= 0.02).all()  # one sweep behind

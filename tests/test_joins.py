@@ -159,3 +159,34 @@ def test_null_safe_join_keeps_null_bucket(spark):
         "SELECT count(*) FROM '/root/testdata/sf0.01/orders.parquet'"
     ).fetchone()[0]
     assert pdf.n_orders.sum() == n_orders
+
+
+def test_mutual_best_match_is_one_to_one_and_mutual(spark):
+    """The matching must be a 1:1 partial matching (no key repeats), every
+    pair must be in-block (same nation), and spot-recomputing both argmaxes
+    for a few pairs must confirm mutuality."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import joins
+
+    pdf = joins.QUERIES["join_mutual_best_match"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) > 0
+    assert pdf.c_custkey.is_unique and pdf.s_suppkey.is_unique
+    cand = duckdb.sql(
+        """
+        SELECT c.c_custkey, s.s_suppkey, c.c_nationkey,
+               abs(CAST(round(c.c_acctbal * 100) AS BIGINT)
+                   - CAST(round(s.s_acctbal * 100) AS BIGINT)) AS d
+        FROM '/root/testdata/sf0.01/customer.parquet' c
+        JOIN '/root/testdata/sf0.01/supplier.parquet' s
+          ON c.c_nationkey = s.s_nationkey
+        """
+    ).df()
+    for _, row in pdf.head(5).iterrows():
+        mine = cand[cand.c_custkey == row.c_custkey].sort_values(["d", "s_suppkey"])
+        assert mine.iloc[0].s_suppkey == row.s_suppkey
+        theirs = cand[cand.s_suppkey == row.s_suppkey].sort_values(["d", "c_custkey"])
+        assert theirs.iloc[0].c_custkey == row.c_custkey
+        assert mine.iloc[0].d == row.dist_cents
