@@ -3161,3 +3161,119 @@ def agg_ipf_raking(spark, sf_dir):
         F.col("w").cast("long").alias("weight_micro"),
         (F.col("n") * F.col("w")).cast("long").alias("weighted_micro"),
     )
+
+
+@register(
+    "agg_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01'
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT a.pri,
+               CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.pri = b.pri AND a.d < b.d
+        GROUP BY a.pri
+    ), n AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY pri
+    ), ties AS (
+        SELECT pri, CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT pri, cents, count(*) AS t FROM daily
+              GROUP BY pri, cents HAVING count(*) > 1)
+        GROUP BY pri
+    )
+    SELECT n.pri AS o_orderpriority, n.n_days, s.s_stat,
+           n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+               - coalesce(ties.tie_term, 0) AS var18,
+           CASE WHEN s.s_stat > 0 THEN 'increasing'
+                WHEN s.s_stat < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM n JOIN s ON n.pri = s.pri
+    LEFT JOIN ties ON n.pri = ties.pri
+    """,
+)
+def agg_mann_kendall(spark, sf_dir):
+    """Mann-Kendall non-parametric trend test over each priority's
+    final-two-month daily revenue: S = Σ_{i<j} sign(xⱼ − xᵢ) — a pure
+    integer statistic, no distributional assumption, the standard
+    monotone-trend detector for irregular series (completes the
+    non-parametric family beside agg_ks_test and agg_mann_whitney). The
+    variance ships as the exact integer 18·Var(S) = n(n−1)(2n+5) − Σ
+    t(t−1)(2t+5) with the tie correction computed from actual duplicate
+    values, so a consumer can form the z-statistic without this engine
+    ever touching a float.
+
+    100 TB: the pairwise sign sum runs on the calendar-bounded daily
+    rollup (≤ 61 rows per priority → ≤ 1 830 pairs), never the fact
+    table; the self-join is per-priority and the rollup is map-side
+    combined."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-06-01"
+    )
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+        .localCheckpoint()
+    )
+    a = daily.select("pri", F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(
+        F.col("pri").alias("pri_b"), F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, (F.col("pri") == F.col("pri_b")) & (F.col("da") < F.col("db")))
+        .groupBy("pri")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = daily.groupBy("pri").agg(F.count("*").cast("long").alias("n_days"))
+    ties = (
+        daily.groupBy("pri", "cents")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("pri")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("long").alias(
+                "tie_term"
+            )
+        )
+    )
+    return (
+        n.join(s, "pri")
+        .join(ties, "pri", "left")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_days",
+            "s_stat",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("var18"),
+            F.when(F.col("s_stat") > 0, "increasing")
+            .when(F.col("s_stat") < 0, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )

@@ -459,3 +459,79 @@ def sample_negatives(spark, sf_dir):
     ).unionAll(
         neg.select("o_custkey", "p_brand", F.lit(0).cast("long").alias("label"))
     )
+
+
+#: Neyman optimal-allocation total sample size
+_NEYMAN_N = 200
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS HUGEINT) AS n_h,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT)
+                   AS s1,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                        * CAST(round(o_totalprice * 100) AS HUGEINT))
+                    AS HUGEINT) AS s2
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT stratum, n_h,
+               CAST(floor(sqrt(CAST((n_h * s2 - s1 * s1) // n_h // (n_h - 1)
+                                    AS DOUBLE))) AS HUGEINT) AS sd_cents,
+               n_h * CAST(floor(sqrt(CAST((n_h * s2 - s1 * s1) // n_h // (n_h - 1)
+                                          AS DOUBLE))) AS HUGEINT) AS weight
+        FROM strata
+    ), tot AS (
+        SELECT CAST(sum(weight) AS HUGEINT) AS wtot FROM scored
+    )
+    SELECT stratum, CAST(n_h AS BIGINT) AS n_stratum,
+           CAST(sd_cents AS BIGINT) AS sd_cents,
+           CAST({_NEYMAN_N} * weight // wtot AS BIGINT) AS alloc_n,
+           CAST(1000000 * weight // wtot AS BIGINT) AS alloc_share_ppm
+    FROM scored CROSS JOIN tot
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation for stratified sampling: each stratum's
+    share of the n = 200 sample budget is proportional to N_h·σ_h —
+    high-variance strata get oversampled, the design that minimizes the
+    estimator variance at fixed cost (the planning step in front of
+    sample_stratified, which executes given rates). σ_h comes from exact
+    HUGEINT cent moments; the single float touch is one IEEE sqrt, which
+    IS correctly rounded (unlike log/exp — IEEE 754 requires exact
+    rounding for sqrt), so floor(sqrt(x)) of the identical double is
+    deterministic across engines; the integer division before it keeps
+    the radicand identically truncated on both sides. Allocations are
+    truncating integer shares.
+
+    100 TB: one partial-aggregated rollup per stratum (5 rows), then
+    arithmetic on the 5-row frame — the allocation plan costs one scan
+    regardless of volume, and its output feeds the executing sampler."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count("*").cast("decimal(38,0)").alias("n_h"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    sd = F.floor(
+        F.sqrt(
+            F.expr("(n_h * s2 - s1 * s1) div n_h div (n_h - 1)").cast("double")
+        )
+    ).cast("decimal(38,0)")
+    scored = strata.select(
+        "stratum", "n_h", sd.alias("sd_cents"), (F.col("n_h") * sd).alias("weight")
+    )
+    tot = scored.agg(F.sum("weight").alias("wtot"))
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_h").cast("long").alias("n_stratum"),
+        F.col("sd_cents").cast("long").alias("sd_cents"),
+        F.expr(f"CAST({_NEYMAN_N} * weight div wtot AS BIGINT)").alias("alloc_n"),
+        F.expr("CAST(1000000 * weight div wtot AS BIGINT)").alias(
+            "alloc_share_ppm"
+        ),
+    )

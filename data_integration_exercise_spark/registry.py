@@ -416,6 +416,8 @@ _ADDED_R5 = [
     "agg_quantile_treatment_effect",
     "join_mutual_best_match",
     "agg_ipf_raking",
+    "agg_mann_kendall",
+    "sample_neyman_allocation",
 ]
 
 

@@ -485,3 +485,43 @@ def test_ipf_raking_margins_converge(spark):
     assert ((col - target).abs() <= slack).all()
     row = pdf.groupby("c_mktsegment").weighted_micro.sum()
     assert ((row - target).abs() / target <= 0.02).all()  # one sweep behind
+
+
+def test_mann_kendall_recomputes_from_pairs(spark):
+    """S must equal the brute-force pairwise sign sum per priority, var18
+    must match the closed form with tie correction, and |S| must be
+    bounded by the pair count."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    pdf = (
+        aggregates.QUERIES["agg_mann_kendall"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    daily = duckdb.sql(
+        """
+        SELECT o_orderpriority pri, CAST(o_orderdate AS DATE) AS dd,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) cents
+        FROM '/root/testdata/sf0.01/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '2001-06-01' GROUP BY 1, 2
+        """
+    ).df()
+    for pri, grp in daily.groupby("pri"):
+        ys = [int(v) for v in grp.sort_values("dd").cents]
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        row = pdf.loc[pri]
+        assert row.n_days == n and row.s_stat == s
+        assert abs(s) <= n * (n - 1) // 2
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
+        )
+        assert row.var18 == n * (n - 1) * (2 * n + 5) - tie

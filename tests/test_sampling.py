@@ -152,3 +152,20 @@ def test_negative_sampling_exclusion_and_quota(spark):
         .toPandas()
     )
     assert set(map(tuple, pdf2[pdf2.label == 0][["o_custkey", "p_brand"]].values)) == nk
+
+
+def test_neyman_allocation_tracks_variance(spark):
+    """Allocations must sum to ≈ the budget (truncation only), shares to
+    ≈ 1e6 ppm, and the stratum with the largest N_h·sd must get the
+    largest allocation."""
+    from data_integration_exercise_spark.operators import sampling
+
+    pdf = sampling.QUERIES["sample_neyman_allocation"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert len(pdf) == 5
+    assert (pdf.sd_cents > 0).all()
+    assert 200 - 5 <= pdf.alloc_n.sum() <= 200
+    assert 1_000_000 - 5 <= pdf.alloc_share_ppm.sum() <= 1_000_000
+    w = pdf.n_stratum * pdf.sd_cents
+    assert pdf.loc[w.idxmax(), "alloc_n"] == pdf.alloc_n.max()
