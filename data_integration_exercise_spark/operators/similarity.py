@@ -1145,3 +1145,140 @@ def sim_truncated_dims_eval(spark, sf_dir):
         .cast("long")
         .alias("trunc_rank_of_true_nn"),
     )
+
+
+#: NDCG@5 discount weights: w_i = 10^12 div floor(10^6*log2(i+1) + 1e-6),
+#: computed ONCE here and shared verbatim by query and oracle — the same
+#: module-level-constant discipline as QVEC_Q8, so no cross-engine libm
+#: surface exists at all.
+_NDCG_W = {
+    i: 10**12 // math.floor(1e6 * math.log2(i + 1) + 1e-6) for i in range(1, 6)
+}
+_NDCG_IDCG = sum((6 - i) * w for i, w in _NDCG_W.items())
+_NDCG_W_SQL = "CASE rnk " + " ".join(
+    f"WHEN {i} THEN {w}" for i, w in _NDCG_W.items()
+) + " END"
+
+
+@register(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}, probee AS (
+        SELECT vec_id AS probe_id, m,
+               unnest(list_transform(sv, (v, i) -> i)) AS i,
+               unnest(sv) AS x
+        FROM sub WHERE vec_id < 5
+    ), dtab AS (
+        SELECT p.probe_id, p.m, cb.c,
+               CAST(sum((p.x - cb.cent) * (p.x - cb.cent)) AS BIGINT) AS d2
+        FROM probee p JOIN cbe cb ON p.m = cb.m AND p.i = cb.i
+        GROUP BY p.probe_id, p.m, cb.c
+    ), adc AS (
+        SELECT d.probe_id, b.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
+        FROM best b JOIN dtab d ON b.m = d.m AND b.c = d.c
+        WHERE b.vec_id != d.probe_id
+        GROUP BY d.probe_id, b.vec_id
+    ), sys AS (
+        SELECT probe_id, vec_id, rnk FROM (
+            SELECT probe_id, vec_id,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY adc_d2, vec_id) AS rnk
+            FROM adc)
+        WHERE rnk <= 5
+    ), gte AS (
+        SELECT vec_id, unnest(list_transform(qv, (v, i) -> i)) AS i,
+               unnest(qv) AS x
+        FROM q
+    ), gtp AS (
+        SELECT vec_id AS probe_id, i, x FROM gte WHERE vec_id < 5
+    ), gtd AS (
+        SELECT p.probe_id, v.vec_id,
+               CAST(sum((p.x - v.x) * (p.x - v.x)) AS BIGINT) AS d2
+        FROM gtp p JOIN gte v ON p.i = v.i
+        WHERE v.vec_id != p.probe_id
+        GROUP BY 1, 2
+    ), gtr AS (
+        SELECT probe_id, vec_id, CAST(6 - rn AS BIGINT) AS rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY d2, vec_id) AS rn
+            FROM gtd)
+        WHERE rn <= 5
+    )
+    SELECT s.probe_id,
+           CAST(sum(coalesce(g.rel, 0) * ({_NDCG_W_SQL})) AS BIGINT)
+               AS dcg_micro,
+           CAST({_NDCG_IDCG} AS BIGINT) AS idcg_micro,
+           CAST(1000 * sum(coalesce(g.rel, 0) * ({_NDCG_W_SQL}))
+                // {_NDCG_IDCG} AS BIGINT) AS ndcg_permille,
+           CAST(sum(CASE WHEN g.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits
+    FROM sys s LEFT JOIN gtr g
+      ON s.probe_id = g.probe_id AND s.vec_id = g.vec_id
+    GROUP BY s.probe_id
+    """,
+)
+def sim_ndcg_eval(spark, sf_dir):
+    """NDCG@5 ranking-quality eval of the PQ/ADC searcher against the
+    EXACT quantized-distance ranking — the graded companion to
+    sim_recall_eval (recall says whether the right items surfaced; NDCG
+    says whether they surfaced in the right ORDER, discounting misplaced
+    tail hits). Relevance is 6 − exact_rank for the exact top-5, 0
+    otherwise; discount weights 10¹² div ⌊10⁶·log₂(i+1)⌋ are module-level
+    Python constants shared VERBATIM by query and oracle, so there is no
+    cross-engine transcendental surface at all; DCG/IDCG/NDCG are exact
+    integer sums and one truncating division. Composes on the registered
+    sim_adc_search plan (same PQ codes, same tiebreaks).
+
+    100 TB: ground truth is the brute-force exact pass you run on a
+    SAMPLE of probes (5 here) — the standard index-quality audit; the
+    eval joins two top-5 lists per probe, so its cost is the two
+    retrieval passes, nothing more."""
+    adc = sim_adc_search(spark, sf_dir).select(
+        "probe_id", "vec_id", F.col("rnk").cast("long").alias("rnk")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(floor(x * 1024) AS BIGINT))").alias(
+            "qv"
+        ),
+    )
+    probes = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("qp")
+    )
+    from pyspark.sql import Window
+
+    gtd = (
+        q.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qp", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    wg = Window.partitionBy("probe_id").orderBy("d2", "vec_id")
+    gtr = (
+        gtd.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", (F.lit(6) - F.col("rn")).cast("long").alias("rel"))
+    )
+    joined = adc.join(gtr, ["probe_id", "vec_id"], "left").select(
+        "probe_id",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+        F.expr(_NDCG_W_SQL).alias("w"),
+    )
+    return joined.groupBy("probe_id").agg(
+        F.sum(F.col("rel") * F.col("w")).cast("long").alias("dcg_micro"),
+        F.lit(_NDCG_IDCG).cast("long").alias("idcg_micro"),
+        F.expr(f"CAST(1000 * sum(rel * w) div {_NDCG_IDCG} AS BIGINT)").alias(
+            "ndcg_permille"
+        ),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+    )

@@ -73,8 +73,8 @@ _MODULES = [
 #
 # ROUND-6 PLAN: after this window lands green, every registered key has a
 # driver row except the round-5 additions. Rotate _PRIORITY to the FIRST 50
-# _ADDED_R5 keys (111 keys as of round-5 end, none with a driver row — the
-# remaining 61 fill rounds 7 and 8; append any round-6 additions to
+# _ADDED_R5 keys (112 keys as of round-5 end, none with a driver row — the
+# remaining 62 fill rounds 7 and 8; append any round-6 additions to
 # _ADDED_R5's tail so the queue order stays stable) and spend any spare
 # slots on re-verification of anything rewritten after its latest green row
 # (as of round-5 end there are no such keys — text_hashing_vectorizer's
@@ -418,6 +418,7 @@ _ADDED_R5 = [
     "agg_ipf_raking",
     "agg_mann_kendall",
     "sample_neyman_allocation",
+    "sim_ndcg_eval",
 ]
 
 

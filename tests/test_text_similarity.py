@@ -433,3 +433,19 @@ def test_winnowing_guarantee_on_known_duplicates(spark):
     found = set(map(tuple, pdf[["doc_a", "doc_b"]].values))
     for pair in exact:
         assert pair in found, f"exact duplicate {pair} missed by winnowing"
+
+
+def test_ndcg_eval_bounds_and_recall_consistency(spark):
+    """NDCG invariants: 5 probes, ndcg in [0, 1000], dcg <= idcg, dcg = 0
+    iff no hits, and n_hits <= 5; a perfect system list would score 1000
+    (idcg equals the max-rel weighted sum by construction)."""
+    from data_integration_exercise_spark.operators import similarity as S
+
+    pdf = S.QUERIES["sim_ndcg_eval"](spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) == 5
+    assert pdf.ndcg_permille.between(0, 1000).all()
+    assert (pdf.dcg_micro <= pdf.idcg_micro).all()
+    assert ((pdf.dcg_micro == 0) == (pdf.n_hits == 0)).all()
+    assert pdf.n_hits.between(0, 5).all()
+    assert pdf.idcg_micro.nunique() == 1
+    assert (pdf.idcg_micro == S._NDCG_IDCG).all()
