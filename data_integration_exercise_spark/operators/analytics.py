@@ -807,7 +807,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     )
     tot = de.agg(F.sum("v").alias("tot"))
     return (
-        de.crossJoin(tot)
+        de.crossJoin(F.broadcast(tot))
         .filter(F.col("v") > 0.001 * F.col("tot"))
         .select(F.col("l_partkey").alias("partkey"), F.round("v", 4).alias("part_value"))
     )

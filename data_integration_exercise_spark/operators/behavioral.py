@@ -74,8 +74,8 @@ def events_funnel(spark, sf_dir):
     p = stage("purchase", v, "t1", "t2")
     return (
         s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_signup_view_purchase")))
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_signup_view"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_signup_view_purchase"))))
     )
 
 

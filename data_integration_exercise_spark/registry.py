@@ -57,256 +57,26 @@ _MODULES = [
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
 # driver-side oracle row each round. Coverage so far (all rows green, zero
-# failures ever): round 1 = first 50 keys (CORRECTNESS_r01.json); rounds 2+3 =
-# a second disjoint 50-key window (r02 ≡ r03 — the r3 rotation edit was
-# missed); round 4 = a third disjoint 50-key window (all 20 TPC-H composites
-# plus the text/dedup/similarity/sampling/UDF/graph tails). 150/189 keys have
-# a driver row entering round 5.
+# failures ever): round 1 = first 50 keys; rounds 2+3 = a second disjoint
+# 50-key window (r02 ≡ r03); round 4 = a third disjoint window (TPC-H
+# composites + text/dedup/similarity/sampling/UDF/graph tails); round 5 =
+# the 39 never-oracled residue keys + 11 re-verification slots for r4
+# rewrites — CORRECTNESS_r05.json is 50/50 green, so entering round 6 every
+# key EXCEPT the 112 round-5 additions has a driver row (189/301).
 #
-# ROUND-5 WINDOW (below): the 39 keys the driver has never oracled — the 18
-# planned-residue keys (plan/sink/etl/events/multimodal), the 20 round-4
-# capability additions, AND agg_ab_ttest (added by the round-4 snapshot
-# commit; omitted from the old plan comment — ADVICE r4 item 5) — plus 11
-# re-verification slots for operators rewritten in round 4 AFTER their r2
-# driver row was recorded (bitset masks, in-join LSH dedup, delta-frontier
-# CC, blocked cosine): their green rows predate the code that now runs.
+# ROUND-6 WINDOW (below): the FIRST 50 of the 112 `_ADDED_R5` keys, in their
+# stable queue order (VERDICT r5 item 1 / the prior ROUND-6 PLAN). No
+# re-verification slots: as of round-5 end no driver-green key was rewritten
+# after its latest green row.
 #
-# ROUND-6 PLAN: after this window lands green, every registered key has a
-# driver row except the round-5 additions. Rotate _PRIORITY to the FIRST 50
-# _ADDED_R5 keys (112 keys as of round-5 end, none with a driver row — the
-# remaining 62 fill rounds 7 and 8; append any round-6 additions to
-# _ADDED_R5's tail so the queue order stays stable) and spend any spare
-# slots on re-verification of anything rewritten after its latest green row
-# (as of round-5 end there are no such keys — text_hashing_vectorizer's
-# output change landed while it sat in the CURRENT window, so its r5 row
-# already reflects the shipped code); demote this window to _VERIFIED_R5 and
-# update tests/test_registry.py's EXPECTED window constant.
+# ROUND-7 PLAN: after this window lands green, rotate _PRIORITY to the NEXT
+# 50 keys of the queue (`_ADDED_R5` remainder, 62 keys, then `_ADDED_R6` —
+# round-6 additions append ONLY to _ADDED_R6 so the queue order stays
+# stable), demote this window to _VERIFIED_R5A, and update
+# tests/test_registry.py's EXPECTED_R7_WINDOW + disjointness checks. Spend
+# any spare slots on re-verification of keys rewritten after their latest
+# green row (track them in the commit that rewrites them).
 _PRIORITY = [
-    # --- 39 never-oracled keys ---
-    # plan diagnostics & adaptive planning
-    "plan_cbo_stats",
-    "plan_exchange_reuse",
-    "plan_runtime_filter",
-    "plan_adaptive_threshold_join",
-    # sink tail
-    "sink_compacted",
-    "sink_orc",
-    "sink_clustered",
-    # ETL suite
-    "etl_upsert_latest",
-    "etl_scd2_intervals",
-    "etl_data_profile",
-    "etl_calendar_spine",
-    "etl_schema_evolution",
-    "etl_dq_checks",
-    "etl_forward_fill",
-    "etl_pii_mask",
-    "etl_snapshot_diff",
-    # event analytics
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_entropy_mix",
-    "events_markov_transitions",
-    # multimodal plumbing
-    "multimodal_resize",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    # curation / text-quality additions (round 4)
-    "text_gopher_quality",
-    "text_repetition_stats",
-    "text_domain_mix",
-    "text_hashing_vectorizer",
-    "text_bigram_lm_score",
-    "sample_mix_rebalance",
-    # dedup / similarity additions (round 4)
-    "dedup_containment_bigram",
-    "dedup_incremental",
-    "sim_nearest_centroid",
-    "sim_embedding_hygiene",
-    # window / aggregate additions (round 4)
-    "win_zscore_outliers",
-    "win_rolling_corr",
-    "agg_gini_segments",
-    "agg_ab_ttest",
-    # graph addition (round 4)
-    "graph_triangle_count",
-    # --- 11 re-verification slots: r2-green rows predate the r4 rewrites ---
-    "dedup_near_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "sim_topk_cosine",
-    "sim_threshold_join",
-    "sim_knn_query",
-    "text_tfidf",
-    "dedup_exact_text",
-    "stream_stateful_running",
-    "text_lang_id",
-]
-
-# Keys hash/rows-verified green by the driver in round 4 (the former
-# _PRIORITY window) — demoted directly behind the round-5 window.
-_VERIFIED_R4 = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_unshipped",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    "agg_weighted_median",
-    "agg_hll_sketch_merge",
-    "win_gaps_islands",
-    "win_percent_of_total",
-    "win_ntile_distribution",
-    "fn_bitwise",
-    "fn_regexp",
-    "ingest_csv_permissive",
-    "text_token_count",
-    "text_fingerprint",
-    "text_keywords_topk",
-    "text_pmi_cooccurrence",
-    "text_pack_sequences",
-    "text_chunk_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_contamination_ngram",
-    "sim_ann_ivf",
-    "sim_quantized_cosine",
-    "stream_stream_join",
-    "udf_pandas_iterator",
-    "udf_map_in_arrow",
-    "sample_hash_mod",
-    "sample_stratified",
-    "sample_k_per_stratum",
-    "sample_train_valid_test",
-    "diag_skew_keys",
-    "graph_pagerank",
-    "graph_degree_distribution",
-]
-
-# Keys hash/rows-verified green by the driver in rounds 2+3 (the former
-# _PRIORITY window) — demoted behind the round-4 window and the round-5
-# residue, ahead of the round-1 tail.
-_VERIFIED_R2 = [
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_foreachbatch",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_explode",
-    "fn_json",
-    "fn_map_struct",
-    "fn_null_family",
-    "fn_hash",
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "text_lang_stats",
-    "text_sentiment_lexicon",
-    "sim_ann_lsh",
-    "multimodal_join",
-    "skyline_pareto",
-    "udf_python_scalar",
-    "udf_pandas_vectorized",
-    "udaf_grouped_agg",
-    "udtf_python",
-    "win_range_frame",
-    "win_first_last_value",
-    "sort_multikey",
-    "topk_global",
-    "limit_offset",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "dedup_exact_rows",
-    "text_quality_score",
-    "multimodal_decode",
-]
-
-# Keys already hash-verified green by the driver in round 1 — demoted to the
-# end of the iteration order so the window covers unverified keys first.
-_VERIFIED_R1 = [
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "ingest_csv",
-    "ingest_json",
-    "sink_parquet",
-    "sink_jdbc",
-    "sink_partitioned",
-    "sink_bucketed",
-    "scan_dynamic_pruning",
-    "agg_pricing_summary",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "agg_first_last",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_matrix",
-    "proj_select_alias",
-    "filter_compound",
-    "filter_in_between",
-    "filter_like",
-    "filter_null_handling",
-    "proj_case_when",
-    "proj_cast",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_asof",
-    "join_skew_salted",
-    "win_topn_per_group",
-    "win_ranking",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-]
-
-
-# Keys ADDED during round 5 (after the round-5 window was pinned): they have
-# no driver row yet and sit in the iteration order between the window and the
-# verified tails, so they do not disturb the round-5 verification. They are
-# the head of the ROUND-6 window per the rotation plan above. Every new
-# operator lands in this list in the same commit that registers it.
-_ADDED_R5 = [
     "agg_ks_test",
     "agg_chi_square",
     "agg_mann_whitney",
@@ -357,6 +127,12 @@ _ADDED_R5 = [
     "events_rfm_segments",
     "etl_unpivot_melt",
     "agg_count_min_sketch",
+]
+
+# The 62 round-5 additions still awaiting a driver row — the head of the
+# ROUND-7 window queue. Do NOT append new keys here: round-6 additions go in
+# _ADDED_R6 below so this queue's order never changes under the driver.
+_ADDED_R5 = [
     "join_spatial_grid",
     "graph_label_propagation",
     "agg_quantile_sketch",
@@ -421,20 +197,245 @@ _ADDED_R5 = [
     "sim_ndcg_eval",
 ]
 
+# Keys ADDED during round 6 (no driver row yet). They queue BEHIND the
+# remaining _ADDED_R5 keys for future verification windows. Every new
+# operator lands here in the same commit that registers it.
+_ADDED_R6 = [
+    "dedup_minhash_keepers",
+]
+
+# Keys hash/rows-verified green by the driver in round 5 (the former
+# _PRIORITY window; includes the 11 re-verified r4 rewrites) — demoted
+# directly behind the round-6 queue.
+_VERIFIED_R5 = [
+    "plan_cbo_stats",
+    "plan_exchange_reuse",
+    "plan_runtime_filter",
+    "plan_adaptive_threshold_join",
+    "sink_compacted",
+    "sink_orc",
+    "sink_clustered",
+    "etl_upsert_latest",
+    "etl_scd2_intervals",
+    "etl_data_profile",
+    "etl_calendar_spine",
+    "etl_schema_evolution",
+    "etl_dq_checks",
+    "etl_forward_fill",
+    "etl_pii_mask",
+    "etl_snapshot_diff",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_entropy_mix",
+    "events_markov_transitions",
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "text_domain_mix",
+    "text_hashing_vectorizer",
+    "text_bigram_lm_score",
+    "sample_mix_rebalance",
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "sim_nearest_centroid",
+    "sim_embedding_hygiene",
+    "win_zscore_outliers",
+    "win_rolling_corr",
+    "agg_gini_segments",
+    "agg_ab_ttest",
+    "graph_triangle_count",
+    "dedup_near_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "sim_topk_cosine",
+    "sim_threshold_join",
+    "sim_knn_query",
+    "text_tfidf",
+    "dedup_exact_text",
+    "stream_stateful_running",
+    "text_lang_id",
+]
+
+# Keys hash/rows-verified green by the driver in round 4.
+_VERIFIED_R4 = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_unshipped",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    "agg_weighted_median",
+    "agg_hll_sketch_merge",
+    "win_gaps_islands",
+    "win_percent_of_total",
+    "win_ntile_distribution",
+    "fn_bitwise",
+    "fn_regexp",
+    "ingest_csv_permissive",
+    "text_token_count",
+    "text_fingerprint",
+    "text_keywords_topk",
+    "text_pmi_cooccurrence",
+    "text_pack_sequences",
+    "text_chunk_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_contamination_ngram",
+    "sim_ann_ivf",
+    "sim_quantized_cosine",
+    "stream_stream_join",
+    "udf_pandas_iterator",
+    "udf_map_in_arrow",
+    "sample_hash_mod",
+    "sample_stratified",
+    "sample_k_per_stratum",
+    "sample_train_valid_test",
+    "diag_skew_keys",
+    "graph_pagerank",
+    "graph_degree_distribution",
+]
+
+# Keys hash/rows-verified green by the driver in rounds 2+3.
+_VERIFIED_R2 = [
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_foreachbatch",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_explode",
+    "fn_json",
+    "fn_map_struct",
+    "fn_null_family",
+    "fn_hash",
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_lang_stats",
+    "text_sentiment_lexicon",
+    "sim_ann_lsh",
+    "multimodal_join",
+    "skyline_pareto",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_python",
+    "win_range_frame",
+    "win_first_last_value",
+    "sort_multikey",
+    "topk_global",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "dedup_exact_rows",
+    "text_quality_score",
+    "multimodal_decode",
+]
+
+# Keys hash-verified green by the driver in round 1 — the very end of the
+# iteration order.
+_VERIFIED_R1 = [
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "ingest_csv",
+    "ingest_json",
+    "sink_parquet",
+    "sink_jdbc",
+    "sink_partitioned",
+    "sink_bucketed",
+    "scan_dynamic_pruning",
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "agg_first_last",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_matrix",
+    "proj_select_alias",
+    "filter_compound",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_handling",
+    "proj_case_when",
+    "proj_cast",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_skew_salted",
+    "win_topn_per_group",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+]
+
 
 def _reorder(d: dict) -> dict:
-    lists = _PRIORITY + _ADDED_R5 + _VERIFIED_R4 + _VERIFIED_R2 + _VERIFIED_R1
+    lists = (
+        _PRIORITY
+        + _ADDED_R5
+        + _ADDED_R6
+        + _VERIFIED_R5
+        + _VERIFIED_R4
+        + _VERIFIED_R2
+        + _VERIFIED_R1
+    )
     missing = [k for k in lists if k not in d]
     if missing:
         raise ValueError(f"registry priority lists name unknown keys: {missing}")
     dupes = {k for k in lists if lists.count(k) > 1}
     if dupes:
         raise ValueError(f"registry priority lists overlap: {sorted(dupes)}")
-    tail = set(_VERIFIED_R4) | set(_VERIFIED_R2) | set(_VERIFIED_R1)
-    head = {k: d[k] for k in _PRIORITY}
-    mid = {k: v for k, v in d.items() if k not in head and k not in tail}
-    end = {k: d[k] for k in _VERIFIED_R4 + _VERIFIED_R2 + _VERIFIED_R1}
-    return {**head, **mid, **end}
+    unlisted = [k for k in d if k not in set(lists)]
+    if unlisted:
+        raise ValueError(
+            "registered keys missing from the rotation queue (add to _ADDED_R6): "
+            f"{unlisted}"
+        )
+    return {k: d[k] for k in lists}
 
 
 def queries():

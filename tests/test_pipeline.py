@@ -32,6 +32,17 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     assert recall >= 0.7, f"MinHash recall too low: {recall}"
 
 
+def test_minhash_keepers_account_for_every_dup(spark):
+    """Property: the bounded-output summary conserves the dup population —
+    sum(n_dups) equals the number of distinct doc2 in the pair list, and
+    every keeper actually appears as a smaller-side pair member."""
+    pairs = pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    keepers = pipeline.QUERIES["dedup_minhash_keepers"](spark, SF).collect()
+    assert sum(r.n_dups for r in keepers) == len({r.doc2 for r in pairs})
+    doc1s = {r.doc1 for r in pairs}
+    assert {r.keeper for r in keepers} <= doc1s
+
+
 def test_ivf_recall_and_determinism(spark):
     """IVF probe-1 search: deterministic across runs, and its candidates
     overlap the exact kNN top-10 (single-cluster probe bounds recall)."""

@@ -54,101 +54,110 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-5 window so a module reorder or priority-list
+# keys each round. Pin the round-6 window so a module reorder or priority-list
 # edit can't silently re-verify already-green keys and waste a round.
 #
-# Composition: the 39 keys no round has ever oracled (18 planned residue +
-# the 20 round-4 capability additions + agg_ab_ttest) followed by 11
-# deliberate re-verification slots — operators rewritten in round 4 AFTER
-# their round-2 green row was recorded, so their driver rows predate the
-# code that now runs (VERDICT r4 "Next round" item 1).
-EXPECTED_R5_WINDOW = [
-    "plan_cbo_stats",
-    "plan_exchange_reuse",
-    "plan_runtime_filter",
-    "plan_adaptive_threshold_join",
-    "sink_compacted",
-    "sink_orc",
-    "sink_clustered",
-    "etl_upsert_latest",
-    "etl_scd2_intervals",
-    "etl_data_profile",
-    "etl_calendar_spine",
-    "etl_schema_evolution",
-    "etl_dq_checks",
-    "etl_forward_fill",
-    "etl_pii_mask",
-    "etl_snapshot_diff",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_entropy_mix",
-    "events_markov_transitions",
-    "multimodal_resize",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    "text_gopher_quality",
-    "text_repetition_stats",
-    "text_domain_mix",
-    "text_hashing_vectorizer",
-    "text_bigram_lm_score",
-    "sample_mix_rebalance",
-    "dedup_containment_bigram",
-    "dedup_incremental",
-    "sim_nearest_centroid",
-    "sim_embedding_hygiene",
-    "win_zscore_outliers",
-    "win_rolling_corr",
-    "agg_gini_segments",
-    "agg_ab_ttest",
-    "graph_triangle_count",
-    "dedup_near_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "sim_topk_cosine",
-    "sim_threshold_join",
-    "sim_knn_query",
-    "text_tfidf",
-    "dedup_exact_text",
-    "stream_stateful_running",
-    "text_lang_id",
+# Composition: the FIRST 50 of the 112 round-5 additions (`_ADDED_R5` queue
+# order as of the round-5 snapshot) — none has ever had a driver row
+# (VERDICT r5 item 1). No re-verification slots this round: no driver-green
+# key was rewritten after its latest green row.
+EXPECTED_R6_WINDOW = [
+    "agg_ks_test",
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "win_ewma",
+    "graph_link_prediction",
+    "etl_gdpr_cascade",
+    "text_pii_scrub",
+    "multimodal_phash_dedup",
+    "agg_heavy_hitters",
+    "win_cusum_drift",
+    "events_attribution",
+    "events_anomaly_mad",
+    "join_interval_overlap",
+    "sample_priority_topk",
+    "dedup_semdedup",
+    "join_bloom_prefilter",
+    "dedup_soft_weights",
+    "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "sample_balanced_classes",
+    "etl_cdc_deletes",
+    "text_ccnet_buckets",
+    "pipeline_corpus_curate",
+    "stream_cdc_upsert",
+    "sink_zorder",
+    "graph_bfs_distances",
+    "scan_manifest_pruned",
+    "sample_temperature_mix",
+    "agg_benford_deviation",
+    "events_dau_wau",
+    "etl_incremental_agg_refresh",
+    "sink_idempotent_overwrite",
+    "agg_hhi_concentration",
+    "events_churn_hazard",
+    "sql_adhoc_interface",
+    "agg_winsorized_mean",
+    "agg_pareto_crossover",
+    "win_drawdown",
+    "etl_surrogate_keys",
+    "sim_recall_eval",
+    "text_ngram_novelty",
+    "events_bot_detection",
+    "etl_table_fingerprint",
+    "mine_association_rules",
+    "sim_item_neighbors",
+    "agg_linear_trend",
+    "text_bm25_search",
+    "events_rfm_segments",
+    "etl_unpivot_melt",
+    "agg_count_min_sketch",
 ]
 
-# The 11 re-verification keys: driver-green in r2, but rewritten in r4.
-REVERIFY_R5 = set(EXPECTED_R5_WINDOW[39:])
+
+def test_round6_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R6_WINDOW
 
 
-def test_round5_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R5_WINDOW
-
-
-def test_round5_window_covers_all_never_oracled_keys():
-    """The 39 non-re-verify slots must be exactly the keys no prior round
-    oracled — so CORRECTNESS_r05 green ⇒ every registered key has a driver
-    row. The 11 re-verify slots must each already have a green row (they are
-    re-checks of rewritten code, not wasted slots)."""
+def test_round6_window_is_fresh():
+    """Every round-6 window slot must be a key with NO prior driver row —
+    the window only spends slots converting emulation-only keys to driver
+    truth (VERDICT r5 item 1)."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04"):
+    for r in ("01", "02", "03", "04", "05"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return  # correctness files absent (fresh checkout) — nothing to check
-    from data_integration_exercise_spark.registry import _ADDED_R5
+    stale = set(EXPECTED_R6_WINDOW) & verified
+    assert not stale, f"window wastes slots on already-verified keys: {sorted(stale)}"
 
-    never_oracled = set(queries()) - verified - set(_ADDED_R5)
-    window_new = set(EXPECTED_R5_WINDOW) - REVERIFY_R5
-    assert window_new == never_oracled, (
-        f"window misses: {sorted(never_oracled - window_new)}; "
-        f"wastes slots on: {sorted(window_new - never_oracled)}; "
-        "a key added this round must be listed in registry._ADDED_R5"
-    )
-    assert REVERIFY_R5 <= verified, (
-        f"re-verify slots never had a green row: {sorted(REVERIFY_R5 - verified)}"
+
+def test_round6_queue_covers_every_unverified_key():
+    """window ∪ _ADDED_R5 remainder ∪ _ADDED_R6 must be exactly the keys
+    without a driver row, so rounds 6-8 converge to full driver coverage."""
+    import json
+
+    verified = set()
+    for r in ("01", "02", "03", "04", "05"):
+        try:
+            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
+        except FileNotFoundError:
+            pass
+    if not verified:
+        return
+    from data_integration_exercise_spark.registry import _ADDED_R5, _ADDED_R6
+
+    unverified = set(queries()) - verified
+    queue = set(EXPECTED_R6_WINDOW) | set(_ADDED_R5) | set(_ADDED_R6)
+    assert queue == unverified, (
+        f"queue misses: {sorted(unverified - queue)}; "
+        f"wastes slots on: {sorted(queue - unverified)}; "
+        "a key added this round must be listed in registry._ADDED_R6"
     )
 
 
