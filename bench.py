@@ -94,6 +94,14 @@ R5C_TIER = [
     "sample_negatives",
 ]
 
+# Round-6 additions, benched median-of-3 like every other tier.
+# dedup_minhash_keepers is the bounded-output companion to dedup_minhash_lsh
+# (VERDICT r5 item 4): same candidate machinery, result scales with keepers
+# not pairs — tracked here to prove the collapse pays at sf0.1.
+R6_TIER = [
+    "dedup_minhash_keepers",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,7 +117,7 @@ def main() -> None:
     # unattributable from single runs; r5's extension-tier singles drifted
     # +25% under intra-run contention).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER:
+    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER:
         if key not in qs:
             continue
         fn = qs[key]
@@ -149,6 +157,9 @@ def main() -> None:
     r5c_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R5C_TIER), 4
     )
+    r6_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R6_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -166,6 +177,7 @@ def main() -> None:
         "r5_tier_total": r5_tier_total,
         "r5b_tier_total": r5b_tier_total,
         "r5c_tier_total": r5c_tier_total,
+        "r6_tier_total": r6_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

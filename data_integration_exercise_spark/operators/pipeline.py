@@ -143,24 +143,25 @@ def _band_signatures(spark, sf_dir, perms, rows_per_band):
     )
 
 
-def _lsh_scored_pairs(
+def _lsh_candidate_pairs(
     spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2, same_lang=False
 ):
-    """(doc1 < doc2, lang, jaccard) distinct pairs sharing any MinHash band
-    signature with exact token-set Jaccard >= 0.8 — the bucketed candidate
-    generator + re-rank shared by dedup_minhash_lsh and
-    dedup_connected_components. One equi-join on (band, sig) enumerates
-    bucket-mates; never an all-pairs product. The 8-byte token masks ride
-    the band rows into the join, so the exact-Jaccard re-rank (two
-    bit_count ops) filters INSIDE the join stage, before any further
-    shuffle. Multi-band collisions (the common case in this dup-dense
-    corpus: ~20M raw vs 7.9M distinct candidates at sf0.1 for the wide
-    bank) are deduped WITHOUT a distinct shuffle: each side carries its
-    full per-band signature array, and the join keeps a pair only in the
-    FIRST band where the arrays agree (array_position over zip_with
-    equality), so every pair emits exactly once by construction — the old
-    shape (distinct over all candidates, then two mask joins) cost 24.6s
-    candidates + 16.9s re-rank at sf0.1; see BENCH_r04."""
+    """(doc1 < doc2, lang, jac) distinct pairs sharing any MinHash band
+    signature, BEFORE the >=0.8 re-rank filter — the bucketed candidate
+    generator shared by dedup_minhash_lsh, dedup_connected_components and
+    dedup_lsh_pr_eval (which measures how much re-rank work the band config
+    wastes). One equi-join on (band, sig) enumerates bucket-mates; never an
+    all-pairs product. The 8-byte token masks ride the band rows into the
+    join, so the exact Jaccard is computed INSIDE the join stage (two
+    bit_count ops), before any further shuffle. Multi-band collisions (the
+    common case in this dup-dense corpus: ~20M raw vs 7.9M distinct
+    candidates at sf0.1 for the wide bank) are deduped WITHOUT a distinct
+    shuffle: each side carries its full per-band signature array, and the
+    join keeps a pair only in the FIRST band where the arrays agree
+    (array_position over zip_with equality), so every pair emits exactly
+    once by construction — the old shape (distinct over all candidates,
+    then two mask joins) cost 24.6s candidates + 16.9s re-rank at sf0.1;
+    see BENCH_r04."""
     sig = _band_signatures(spark, sf_dir, perms, rows_per_band)
     b1 = sig.select(
         F.col("doc_id").alias("doc1"),
@@ -187,11 +188,19 @@ def _lsh_scored_pairs(
         cond = cond & (b1.lang == b2.lang2)
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
     union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
-    jac = inter / union
-    return (
-        b1.join(b2, cond & first_match)
-        .filter(jac >= 0.8)
-        .select("doc1", "doc2", "lang", F.round(jac, 4).alias("jaccard"))
+    return b1.join(b2, cond & first_match).select(
+        "doc1", "doc2", "lang", (inter / union).alias("jac")
+    )
+
+
+def _lsh_scored_pairs(
+    spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2, same_lang=False
+):
+    """_lsh_candidate_pairs re-ranked at exact Jaccard >= 0.8 — the
+    production near-dup pair stream (candidate generation + verification)."""
+    cand = _lsh_candidate_pairs(spark, sf_dir, perms, rows_per_band, same_lang)
+    return cand.filter(F.col("jac") >= 0.8).select(
+        "doc1", "doc2", "lang", F.round("jac", 4).alias("jaccard")
     )
 
 
@@ -322,14 +331,124 @@ def dedup_minhash_keepers(spark, sf_dir):
     aggregations collapse the multi-million-row pair stream inside the
     executors, so the result (and anything a driver/sink must materialize)
     scales with the number of KEEPERS, not pairs — at sf0.1 that is ~2.9 M
-    pairs in, keeper-count rows out. The pair-list key stays registered for
-    audit; full transitive groups live in dedup_connected_components."""
-    pairs = _lsh_scored_pairs(spark, sf_dir)
+    pairs in, 434 rows out. Because min(doc1) is idempotent under
+    duplicates, the multi-band pair-dedup machinery (_lsh_candidate_pairs'
+    sigs-array carry + zip_with first-match test) is dead weight HERE: the
+    join runs on bare (band, sig, mask) rows and duplicate cross-band
+    collisions collapse for free in the partial aggregate — measured 6.4 s
+    (via the deduped pair stream) → 2.8 s at sf0.1, identical output. The
+    pair-list key stays registered for audit; full transitive groups live
+    in dedup_connected_components."""
+    sig = _band_signatures(spark, sf_dir, MINHASH_PERMS, 2)
+    b1 = sig.select(
+        F.col("doc_id").alias("doc1"), F.col("mask").alias("m1"), "band", "sig"
+    )
+    b2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("mask").alias("m2"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+    )
+    cond = (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2)
+    jac = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast(
+        "double"
+    ) / F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
     return (
-        pairs.groupBy(F.col("doc2").alias("dup_doc"))
+        b1.join(b2, cond)
+        .filter(jac >= 0.8)
+        .groupBy("doc2")
         .agg(F.min("doc1").alias("keeper"))
         .groupBy("keeper")
         .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_LSH_PR_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, list_position({_VOCAB_DUCK}, token) AS idx FROM tok
+    ), perms(p, a, b) AS (VALUES {", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(MINHASH_PERMS))}),
+    mh AS (
+        SELECT doc_id, p, p // 2 AS band,
+               min((a * idx + b) % {{v}}) AS mh
+        FROM idx CROSS JOIN perms
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, band,
+               CAST(sum(mh * (CASE WHEN p % 2 = 0 THEN {{v}} ELSE 1 END)) AS BIGINT) AS sig
+        FROM mh GROUP BY doc_id, band
+    ), docs AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ), cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        FROM bands b1
+        JOIN bands b2 ON b1.band = b2.band AND b1.sig = b2.sig
+                     AND b1.doc_id < b2.doc_id
+        JOIN docs d1 ON d1.doc_id = b1.doc_id
+        JOIN docs d2 ON d2.doc_id = b2.doc_id AND d2.lang = d1.lang
+    ), scored AS (
+        SELECT CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+               / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jac
+        FROM cand
+        JOIN docs s1 ON s1.doc_id = doc1
+        JOIN docs s2 ON s2.doc_id = doc2
+    ), cagg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (WHERE jac >= 0.8) AS BIGINT) AS n_found
+        FROM scored
+    ), eagg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_exact
+        FROM docs d1 JOIN docs d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        WHERE CAST(len(list_intersect(d1.s, d2.s)) AS DOUBLE)
+              / (len(d1.s) + len(d2.s) - len(list_intersect(d1.s, d2.s))) >= 0.8
+    )
+    SELECT n_candidates, n_found, n_exact,
+           (1000 * n_found) // n_exact      AS recall_permille,
+           (1000 * n_found) // n_candidates AS cand_precision_permille
+    FROM cagg, eagg
+""".replace("{v}", str(_V))
+
+
+@register("dedup_lsh_pr_eval", oracle=_LSH_PR_ORACLE)
+def dedup_lsh_pr_eval(spark, sf_dir):
+    """LSH-tuning evaluation AS AN OPERATOR (the sim_recall_eval pattern
+    applied to dedup): for the production 4-band×2-row MinHash config,
+    measure against the exact same-lang Jaccard≥0.8 truth set (a) banding
+    RECALL — what fraction of true near-dup pairs land in some shared
+    bucket (post-re-rank the found set is a subset of truth, so recall is
+    n_found/n_exact), and (b) candidate PRECISION — what fraction of
+    bucket-proposed pairs survive the exact re-rank, i.e. how much
+    verification work the band geometry wastes. Both in integer permille
+    (floor division), so the quality numbers are hash-verified
+    cross-engine rather than asserted in a test. This is the loop a 100 TB
+    dedup run closes on a sample before committing a band config: recall
+    too low → more bands / fewer rows per band; precision too low → the
+    opposite. 100 TB cost: the candidate stage is the production banded
+    equi-join; the truth stage is the O(n²-per-lang) exact join and runs
+    on a SAMPLE there — the structure of the measurement is unchanged."""
+    cand = _lsh_candidate_pairs(spark, sf_dir, same_lang=True)
+    cagg = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("jac") >= 0.8, True)).cast("long").alias("n_found"),
+    )
+    docs = _doc_masks(spark, sf_dir)
+    pairs = salted_lang_pairs(docs)
+    exact_jac = (
+        F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask"))).cast("double")
+        / F.bit_count(F.col("a_mask").bitwiseOR(F.col("b_mask")))
+    )
+    eagg = pairs.filter(exact_jac >= 0.8).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        cagg.crossJoin(F.broadcast(eagg))
+        .withColumn("recall_permille", F.expr("(1000 * n_found) div n_exact"))
+        .withColumn(
+            "cand_precision_permille", F.expr("(1000 * n_found) div n_candidates")
+        )
     )
 
 

@@ -299,6 +299,85 @@ def sample_temperature_mix(spark, sf_dir):
     )
 
 
+_MIX_WEIGHT_SQL = (
+    "CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15 "
+    "WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 10 END"
+)
+_EPOCH_CAP_PERMILLE = 4000  # never repeat a source more than 4 epochs
+
+
+@register(
+    "sample_token_budget_mix",
+    oracle=f"""
+    WITH avail AS (
+        SELECT lang,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens,
+               CAST({_MIX_WEIGHT_SQL} AS BIGINT) AS weight_pct
+        FROM documents GROUP BY lang
+    ), budget AS (
+        SELECT (3 * CAST(sum(avail_tokens) AS BIGINT)) // 2 AS budget_total
+        FROM avail
+    ), plan AS (
+        SELECT lang, avail_tokens, weight_pct,
+               (budget.budget_total * weight_pct) // 100 AS target_tokens
+        FROM avail, budget
+    )
+    SELECT lang, avail_tokens, weight_pct, target_tokens,
+           least({_EPOCH_CAP_PERMILLE},
+                 (1000 * target_tokens) // avail_tokens) AS epochs_permille,
+           ((1000 * target_tokens) // avail_tokens) > {_EPOCH_CAP_PERMILLE}
+               AS capped,
+           avail_tokens
+               * least({_EPOCH_CAP_PERMILLE},
+                       (1000 * target_tokens) // avail_tokens) // 1000
+               AS planned_tokens
+    FROM plan
+    """,
+)
+def sample_token_budget_mix(spark, sf_dir):
+    """Token-budget epoch allocation — the planning step a pretraining mix
+    actually starts from: given a total token budget (here 150% of the
+    corpus, so some languages must repeat) and a target language mix
+    (integer weight table; unknown langs get a floor weight), allocate
+    target tokens per lang and convert to an epoch multiplier, capped at
+    4 epochs (the standard repeated-data guidance) with the cap surfaced
+    as a flag so the shortfall is visible, not silently eaten. Every
+    number is an integer (floor-division permille epochs), so the plan is
+    bit-identical across engines and across partitionings. 100 TB: one
+    scan-speed token-count aggregate to a |langs|-row plan table; the plan
+    then drives sample_temperature_mix-style selection — planning never
+    touches row data."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens"))
+        .withColumn("weight_pct", F.expr(f"CAST({_MIX_WEIGHT_SQL} AS BIGINT)"))
+    )
+    budget = avail.agg(
+        F.expr("(3 * CAST(sum(avail_tokens) AS BIGINT)) div 2").alias("budget_total")
+    )
+    raw_epochs = "(1000 * target_tokens) div avail_tokens"
+    return (
+        avail.crossJoin(F.broadcast(budget))
+        .withColumn(
+            "target_tokens", F.expr("(budget_total * weight_pct) div 100")
+        )
+        .select(
+            "lang",
+            "avail_tokens",
+            "weight_pct",
+            "target_tokens",
+            F.expr(f"least({_EPOCH_CAP_PERMILLE}, {raw_epochs})").alias(
+                "epochs_permille"
+            ),
+            F.expr(f"{raw_epochs} > {_EPOCH_CAP_PERMILLE}").alias("capped"),
+            F.expr(
+                f"avail_tokens * least({_EPOCH_CAP_PERMILLE}, {raw_epochs}) div 1000"
+            ).alias("planned_tokens"),
+        )
+    )
+
+
 @register(
     "sample_importance_estimate",
     oracle=f"""

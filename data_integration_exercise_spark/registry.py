@@ -202,6 +202,9 @@ _ADDED_R5 = [
 # operator lands here in the same commit that registers it.
 _ADDED_R6 = [
     "dedup_minhash_keepers",
+    "dedup_lsh_pr_eval",
+    "sample_token_budget_mix",
+    "sink_jsonl_shards",
 ]
 
 # Keys hash/rows-verified green by the driver in round 5 (the former

@@ -552,6 +552,55 @@ _CLUSTER_STAGED: set[str] = set()
 
 
 @register(
+    "sink_jsonl_shards",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || '|' || text || '|' || source
+           ), 1, 15))::BIGINT) AS content_fp
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def sink_jsonl_shards(spark, sf_dir):
+    """Training-data export: the curated corpus written as size-capped JSONL
+    shards (the de-facto LLM pretraining interchange format), then read
+    BACK and fingerprinted per lang against the source table — any JSON
+    escaping, unicode, or column-loss corruption in the round trip breaks
+    the XOR content fingerprint (etl_table_fingerprint's 60-bit idiom), so
+    the sink is verified by content, not by 'a file appeared'. Shard
+    sizing: repartitionByRange(8, doc_id) gives key-disjoint shards whose
+    manifest order is meaningful, and maxRecordsPerFile caps any one file
+    (the knob that matters at 100 TB, where a fixed shard-count would
+    produce multi-GB files; ceil(rows/cap) files per partition stream out
+    with no extra shuffle). Re-read uses an explicit schema — schema
+    inference over 100 TB of JSON is a full extra scan."""
+    path = _stage_dir(sf_dir, "sink_jsonl_shards")
+    d = load_table(spark, sf_dir, "documents")
+    (
+        d.select("doc_id", "text", "lang", "source", "n_chars")
+        .repartitionByRange(8, "doc_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 4096)
+        .json(path)
+    )
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5("
+            "concat(CAST(doc_id AS STRING), '|', text, '|', source)"
+            "), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("content_fp"),
+    )
+
+
+@register(
     "ingest_csv_permissive",
     oracle="""
     SELECT CAST(count(*) FILTER (WHERE o_orderkey % 37 = 0) AS BIGINT)  AS n_corrupt,

@@ -43,6 +43,18 @@ def test_minhash_keepers_account_for_every_dup(spark):
     assert {r.keeper for r in keepers} <= doc1s
 
 
+def test_lsh_pr_eval_bounds(spark):
+    """Invariants: found ⊆ candidates and found ⊆ exact truth, permilles in
+    range, and the measured banding recall agrees with the level the
+    recall test above asserts (≥0.7)."""
+    row = pipeline.QUERIES["dedup_lsh_pr_eval"](spark, SF).collect()[0]
+    assert 0 < row.n_found <= row.n_candidates
+    assert row.n_found <= row.n_exact
+    assert row.recall_permille == 1000 * row.n_found // row.n_exact
+    assert row.cand_precision_permille == 1000 * row.n_found // row.n_candidates
+    assert row.recall_permille >= 700
+
+
 def test_ivf_recall_and_determinism(spark):
     """IVF probe-1 search: deterministic across runs, and its candidates
     overlap the exact kNN top-10 (single-cluster probe bounds recall)."""

@@ -108,6 +108,21 @@ def test_temperature_mix_upweights_low_resource_langs(spark):
     assert got[big] / total_out < n[big] / n.sum()
 
 
+def test_token_budget_mix_invariants(spark):
+    """The epoch plan never exceeds the 4-epoch cap, caps exactly when the
+    uncapped allocation would, and never plans more than the target."""
+    rows = sampling.QUERIES["sample_token_budget_mix"](spark, SF).collect()
+    assert rows, "plan table empty"
+    for r in rows:
+        assert 0 < r.epochs_permille <= 4000
+        assert r.capped == (1000 * r.target_tokens // r.avail_tokens > 4000)
+        assert r.planned_tokens <= r.target_tokens
+        assert r.planned_tokens == r.avail_tokens * r.epochs_permille // 1000
+    # the budget is 150% of the corpus: at least one lang must repeat (>1
+    # epoch) for the plan to be meaningful
+    assert any(r.epochs_permille > 1000 for r in rows)
+
+
 def test_importance_estimate_within_sampling_error(spark):
     """The HT estimate must land within a plausible band of the truth
     (~10% sample of 15k rows ⇒ relative error well under 10%), and the

@@ -103,6 +103,33 @@ def test_compaction_reduces_file_count(spark):
     assert n_frag >= 32 and n_comp <= 8, (n_frag, n_comp)
 
 
+def test_jsonl_shards_are_capped_and_keyrange_disjoint(spark):
+    """sink_jsonl_shards must honor maxRecordsPerFile (no shard exceeds the
+    4096-record cap) and the range partitioning (shards from different
+    partitions cover disjoint doc_id ranges, so a manifest over them is
+    meaningful)."""
+    import glob
+    import json
+    import os
+
+    connectors.QUERIES["sink_jsonl_shards"](spark, SF).collect()
+    files = sorted(
+        glob.glob(os.path.join(connectors._stage_dir(SF, "sink_jsonl_shards"), "*.json"))
+    )
+    assert files, "no JSONL shards written"
+    part_ranges = {}
+    for f in files:
+        with open(f) as fh:
+            ids = [json.loads(line)["doc_id"] for line in fh if line.strip()]
+        assert len(ids) <= 4096, (f, len(ids))
+        part = os.path.basename(f).split("-")[1]  # part-NNNNN-uuid.json
+        lo, hi = part_ranges.get(part, (min(ids), max(ids)))
+        part_ranges[part] = (min(lo, min(ids)), max(hi, max(ids)))
+    spans = sorted(part_ranges.values())
+    for (_, prev_hi), (next_lo, _) in zip(spans, spans[1:]):
+        assert prev_hi < next_lo, spans
+
+
 def test_clustered_sink_files_prune(spark):
     """sink_clustered must produce files whose shipdate spans are narrow
     enough that the January-1997 predicate touches at most 2 of them —
