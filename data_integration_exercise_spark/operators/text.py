@@ -671,7 +671,11 @@ def text_dedup_paragraph_chunks(spark, sf_dir):
 _BPE_ROUNDS = 8
 
 
-def _bpe_oracle() -> str:
+def _bpe_chain_sql() -> str:
+    """The shared WITH-prologue reproducing the _BPE_ROUNDS merge chain in
+    DuckDB (words -> s0 .. s{N}), with the word carried through every round
+    so both the training oracle (round stats) and the encoding oracle
+    (per-word subword counts) can build on the same chain."""
     parts = [
         """
     WITH words AS (
@@ -679,7 +683,7 @@ def _bpe_oracle() -> str:
             SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token
     ), s0 AS MATERIALIZED (
-        SELECT array_to_string(string_split_regex(w, ''), ' ') || ' </w>' AS seq, f
+        SELECT w, array_to_string(string_split_regex(w, ''), ' ') || ' </w>' AS seq, f
         FROM words
     )"""
     ]
@@ -694,7 +698,7 @@ def _bpe_oracle() -> str:
     ), b{i} AS MATERIALIZED (
         SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
     ), s{i} AS MATERIALIZED (
-        SELECT trim(replace(' ' || seq || ' ',
+        SELECT w, trim(replace(' ' || seq || ' ',
                             ' ' || (SELECT pair FROM b{i}) || ' ',
                             ' ' || replace((SELECT pair FROM b{i}), ' ', '')
                                 || ' ')) AS seq, f
@@ -704,6 +708,10 @@ def _bpe_oracle() -> str:
         FROM s{i}
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({i} AS BIGINT) AS round, (SELECT pair FROM b{i}) AS pair, "
         f"replace((SELECT pair FROM b{i}), ' ', '') AS new_symbol, "
@@ -711,29 +719,35 @@ def _bpe_oracle() -> str:
         f"(SELECT total FROM t{i}) AS corpus_symbols_after"
         for i in range(1, _BPE_ROUNDS + 1)
     )
-    parts.append("\n    " + rows)
-    return "".join(parts)
+    return _bpe_chain_sql() + "\n    " + rows
 
 
-@register("text_bpe_train", oracle=_bpe_oracle())
-def text_bpe_train(spark, sf_dir):
-    """Byte-pair-encoding tokenizer TRAINING as a distributed query — the
-    subword-vocabulary stage of every LLM data pipeline: 8 merge rounds,
-    each picking the corpus-weighted most frequent adjacent symbol pair
-    (ties lexicographic — classic BPE tie-breaks arbitrarily and would be
-    unverifiable) and fusing it everywhere via delimiter-padded string
-    replace, which performs exactly BPE's leftmost non-overlapping merge
-    in both engines. Emitted per round: the merge, its weighted count,
-    and the corpus token count after the merge — the compression curve.
+def _bpe_encode_oracle() -> str:
+    return (
+        _bpe_chain_sql()
+        + f""", enc AS (
+        SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+        FROM s{_BPE_ROUNDS}
+    ), tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(len(w) + 1) AS BIGINT) AS n_symbols_raw,
+           (1000 * CAST(sum(n_sub) AS BIGINT)) // CAST(sum(len(w) + 1) AS BIGINT)
+               AS compression_permille
+    FROM tok JOIN enc USING (w)
+    GROUP BY doc_id, lang
+    """
+    )
 
-    100 TB: THE point of this shape — the only corpus-scale pass is the
-    word-frequency rollup (map-side combined); every merge round then
-    operates on the VOCABULARY table (|vocab| rows, sublinear in corpus),
-    with the winning pair carried as a broadcast 1-row join, never a
-    driver literal. This is how subword training actually scales: word
-    counts once, merge loop on the count table (the HuggingFace
-    tokenizers design, distributed). Rounds localCheckpoint so the loop
-    stays flat (lesson 13: plan-compile cost is real cost)."""
+
+def _bpe_merge_chain(spark, sf_dir):
+    """Run the _BPE_ROUNDS merge loop once; return (final word table
+    (w, seq, f) with seq fully merged, per-round stats frame). Shared by
+    text_bpe_train (emits the rounds) and text_bpe_encode (applies the
+    merged vocabulary) so the two keys cannot drift apart."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -741,6 +755,7 @@ def text_bpe_train(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("f"))
     )
     s = words.select(
+        "w",
         F.concat(
             F.array_join(F.split("w", ""), " "), F.lit(" </w>")
         ).alias("seq"),
@@ -769,6 +784,7 @@ def text_bpe_train(spark, sf_dir):
         s = (
             s.crossJoin(F.broadcast(best))
             .select(
+                "w",
                 F.expr(
                     """trim(replace(concat(' ', seq, ' '),
                                     concat(' ', pair, ' '),
@@ -794,7 +810,67 @@ def text_bpe_train(spark, sf_dir):
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    return s, out
+
+
+@register("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark, sf_dir):
+    """Byte-pair-encoding tokenizer TRAINING as a distributed query — the
+    subword-vocabulary stage of every LLM data pipeline: 8 merge rounds,
+    each picking the corpus-weighted most frequent adjacent symbol pair
+    (ties lexicographic — classic BPE tie-breaks arbitrarily and would be
+    unverifiable) and fusing it everywhere via delimiter-padded string
+    replace, which performs exactly BPE's leftmost non-overlapping merge
+    in both engines. Emitted per round: the merge, its weighted count,
+    and the corpus token count after the merge — the compression curve.
+
+    100 TB: THE point of this shape — the only corpus-scale pass is the
+    word-frequency rollup (map-side combined); every merge round then
+    operates on the VOCABULARY table (|vocab| rows, sublinear in corpus),
+    with the winning pair carried as a broadcast 1-row join, never a
+    driver literal. This is how subword training actually scales: word
+    counts once, merge loop on the count table (the HuggingFace
+    tokenizers design, distributed). Rounds localCheckpoint so the loop
+    stays flat (lesson 13: plan-compile cost is real cost)."""
+    return _bpe_merge_chain(spark, sf_dir)[1]
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark, sf_dir):
+    """Apply the trained BPE vocabulary — the other half of the tokenizer
+    story: exact subword token counts per document under the 8-round merge
+    table, not the whitespace/regex proxies of text_token_count. The
+    corpus is never re-segmented row by row: encoding happens once on the
+    VOCABULARY table (each word's fully-merged seq length is its subword
+    count), and documents just join words to that table — the standard
+    word-level tokenizer cache. Emitted per doc: word count, exact BPE
+    token count, raw symbol count (chars + </w>), and the realized
+    compression in integer permille — hash-verified cross-engine, so the
+    'how many tokens is my corpus' number a training run budgets against
+    is checked, not estimated.
+
+    100 TB: one corpus tokenize pass joined to a |vocab|-row broadcast
+    table (the merge loop itself is sublinear in corpus — see
+    text_bpe_train); the per-doc rollup is one map-side-combined groupBy."""
+    s, _ = _bpe_merge_chain(spark, sf_dir)
+    enc = s.select(
+        "w", F.size(F.split("seq", " ")).cast("long").alias("n_sub")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        tok.join(F.broadcast(enc), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w") + 1).cast("long").alias("n_symbols_raw"),
+        )
+        .withColumn(
+            "compression_permille",
+            F.expr("(1000 * n_bpe_tokens) div n_symbols_raw"),
+        )
+    )
 
 
 #: winnowing parameters (Schleimer/Wilkerson/Aiken, MOSS): k-gram size 4,

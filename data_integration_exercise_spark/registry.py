@@ -205,6 +205,7 @@ _ADDED_R6 = [
     "dedup_lsh_pr_eval",
     "sample_token_budget_mix",
     "sink_jsonl_shards",
+    "text_bpe_encode",
 ]
 
 # Keys hash/rows-verified green by the driver in round 5 (the former

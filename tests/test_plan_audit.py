@@ -1,0 +1,80 @@
+"""Physical-plan audit over the ENTIRE registry — the scale contract as a test.
+
+Two invariants every registered key must hold at any data scale:
+
+1. No ``CartesianProduct`` anywhere. An unconstrained cross join is the one
+   plan shape that cannot survive a 100× scale-up; every intentional
+   scalar-broadcast crossJoin in this repo plans as a
+   BroadcastNestedLoopJoin with a 1-row broadcast side instead.
+2. Python stays out of the hot path. Row-at-a-time Python
+   (``BatchEvalPython``) is allowed ONLY in the two §2.11 contract demos;
+   Arrow-batched Python (pandas UDF / applyInPandas / mapInPandas /
+   mapInArrow) ONLY in the pinned set of operators whose semantics
+   genuinely need it (SURVEY §2.10/§2.11). Everything else must stay
+   whole-stage-codegen JVM.
+
+Plans are built (not executed) at sf0.001 so eager-by-construction keys
+(sinks, checkpointed loops) stay cheap; streaming keys are excluded —
+building their frames runs the availableNow stream, and their micro-batch
+internals are audited by the streaming tests.
+"""
+
+from __future__ import annotations
+
+from data_integration_exercise_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+# Row-at-a-time Python: exactly the §2.11 boundary demos, nothing else.
+ROW_PYTHON_OK = {"udf_python_scalar", "udtf_python"}
+
+# Arrow-batched Python: the pinned set whose semantics need a Python kernel
+# (BLAS block matmul, stateful greedy selection, binary-payload codecs, the
+# UDF contract surface itself). A key appearing here and nowhere else in
+# the registry keeps the "UDFs are the slow path" rule honest.
+ARROW_PYTHON_OK = {
+    "udf_pandas_vectorized",
+    "udf_pandas_iterator",
+    "udf_map_in_arrow",
+    "udf_grouped_train",
+    "udaf_grouped_agg",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_mmr_diversify",
+    "agg_heavy_hitters",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+}
+
+_PYTHON_MARKS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "MapInArrow",
+    "AggregateInPandas",
+    "WindowInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def test_no_cartesian_product_and_python_stays_whitelisted(spark):
+    violations = []
+    for key, fn in queries().items():
+        if key.startswith("stream_"):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            violations.append(f"{key}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan and key not in ROW_PYTHON_OK:
+            violations.append(f"{key}: row-at-a-time Python outside the §2.11 demos")
+        if (
+            any(m in plan for m in _PYTHON_MARKS)
+            and key not in ROW_PYTHON_OK
+            and key not in ARROW_PYTHON_OK
+        ):
+            marks = [m for m in _PYTHON_MARKS if m in plan]
+            violations.append(f"{key}: unexpected Python stage {marks}")
+    assert not violations, "\n".join(violations)

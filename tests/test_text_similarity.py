@@ -358,6 +358,23 @@ def test_paragraph_chunk_dedup_flags_dup_docs(spark):
     assert m.dup_permille.between(0, 1000).all()
 
 
+def test_bpe_encode_consistent_with_training_curve(spark):
+    """Cross-key invariant: the total encoded corpus size (Σ n_bpe_tokens
+    over docs) must equal the training curve's final corpus_symbols_after
+    — encode applies exactly the vocabulary training produced. Per doc,
+    the BPE count is bounded by raw symbols (merges only shrink) and at
+    least n_words (each word is ≥1 token)."""
+    from data_integration_exercise_spark.operators import text
+
+    enc = text.QUERIES["text_bpe_encode"](spark, "/root/testdata/sf0.01").toPandas()
+    train = text.QUERIES["text_bpe_train"](spark, "/root/testdata/sf0.01").toPandas()
+    final_total = int(train.sort_values("round").corpus_symbols_after.iloc[-1])
+    assert int(enc.n_bpe_tokens.sum()) == final_total
+    assert (enc.n_bpe_tokens <= enc.n_symbols_raw).all()
+    assert (enc.n_bpe_tokens >= enc.n_words).all()
+    assert (enc.compression_permille < 1000).any(), "no compression measured"
+
+
 def test_bpe_merges_compress_monotonically(spark):
     """BPE invariants: 8 merge rounds, each new symbol is the pair fused,
     corpus symbol count strictly decreases by exactly pair_count each
