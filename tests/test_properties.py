@@ -21,6 +21,58 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF = "/root/testdata/sf0.01"
 
 
+# A 100 TB cluster never runs with the partition count the tests use, so
+# bit-identical results must survive a partitioning change. This pins the
+# repo-wide discipline (hash-derived randomness, rounded floats computed
+# from exact integers, deterministic tiebreaks) on a cross-family sample of
+# the keys most exposed to combine-order and window-tiebreak drift.
+_PARTITION_INVARIANT_KEYS = [
+    "agg_pricing_summary",
+    "agg_stats",
+    "agg_percentiles",
+    "win_moving_avg",
+    "text_tfidf",
+    "dedup_minhash_keepers",
+    "sim_topk_cosine",
+    "sample_temperature_mix",
+    "agg_bootstrap_ci",
+    "events_sessionize",
+    "graph_pagerank",
+    "agg_weighted_median",
+    "text_bigram_lm_score",
+    "mine_association_rules",
+    "agg_linear_trend",
+    "win_rolling_corr",
+    "sample_train_valid_test",
+    "etl_upsert_latest",
+    "agg_hhi_concentration",
+    "text_bpe_encode",
+]
+
+
+@pytest.mark.parametrize("key", _PARTITION_INVARIANT_KEYS)
+def test_result_invariant_under_shuffle_partitioning(spark, key):
+    """The same query at shuffle.partitions=7 and =32 must produce EXACTLY
+    equal results (not merely equal-within-tolerance): partial-aggregate
+    combine order, salted-self-join bucket counts, and window evaluation
+    order all change with the partition count, and none may leak into
+    values."""
+    import pandas as pd
+
+    from data_integration_exercise_spark.registry import queries
+
+    from .parity import canon
+
+    fn = queries()[key]
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        narrow = canon(fn(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    wide = canon(fn(spark, SF).toPandas())
+    pd.testing.assert_frame_equal(narrow, wide, check_dtype=False, check_exact=True)
+
+
 def test_rollup_grand_total_matches_global(spark):
     """ROLLUP's () row must equal the ungrouped aggregate."""
     rows = aggregates.QUERIES["agg_rollup"](spark, SF).collect()
