@@ -21,6 +21,10 @@ internals are audited by the streaming tests.
 
 from __future__ import annotations
 
+import re
+
+import pytest
+
 from data_integration_exercise_spark.registry import queries
 
 SF = "/root/testdata/sf0.001"
@@ -58,6 +62,41 @@ _PYTHON_MARKS = (
     "WindowInPandas",
     "FlatMapGroupsInPandasWithState",
 )
+
+
+# Exact exchange counts for the headline plans, measured and pinned: a
+# future edit that silently adds a shuffle (losing a broadcast, breaking
+# exchange reuse, un-pushing a partial aggregate) fails here before it
+# costs anything at the bench — shuffle count is THE number that survives
+# a 1000-executor scale-up unchanged when wall-clock comparisons don't.
+EXPECTED_EXCHANGES = {
+    #                       (data shuffles, broadcast exchanges)
+    "agg_pricing_summary": (1, 0),  # one partial->final agg shuffle
+    "join_multiway_star": (1, 5),  # all five dims broadcast; 1 agg shuffle
+    "win_topn_per_group": (1, 0),
+    "agg_count_distinct": (2, 0),  # distinct expand + final agg
+    "sim_topk_cosine": (1, 0),  # one label-block shuffle into the kernel
+    "tpch_q9_product_profit": (1, 4),
+    "events_sessionize": (1, 0),
+    "join_broadcast_dim": (1, 2),
+    "dedup_minhash_lsh": (2, 1),  # mask groupBy reused by both join sides
+    "dedup_minhash_keepers": (4, 1),
+}
+
+_SHUFFLE_RE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)"
+)
+
+
+@pytest.mark.parametrize("key", sorted(EXPECTED_EXCHANGES))
+def test_headline_plan_exchange_counts_are_pinned(spark, key):
+    plan = queries()[key](spark, "/root/testdata/sf0.01")._jdf.queryExecution().executedPlan().toString()
+    got = (len(_SHUFFLE_RE.findall(plan)), plan.count("BroadcastExchange"))
+    assert got == EXPECTED_EXCHANGES[key], (
+        f"{key}: plan has {got[0]} shuffles / {got[1]} broadcasts, "
+        f"expected {EXPECTED_EXCHANGES[key]} — a shuffle was added or a "
+        "broadcast was lost; re-derive the plan before re-pinning"
+    )
 
 
 def test_no_cartesian_product_and_python_stays_whitelisted(spark):
