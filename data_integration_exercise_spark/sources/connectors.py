@@ -15,6 +15,7 @@ oracle comparison proves write→read fidelity, not just the transform.
 from __future__ import annotations
 
 import os
+import re
 from functools import reduce
 
 from pyspark.sql import functions as F
@@ -347,8 +348,13 @@ def plan_cbo_stats(spark, sf_dir):
     intermediate first) is the difference between a workable and an exploded
     shuffle. Tests assert the optimized plan carries rowCount statistics.
     Catalog objects are per-process (PID-suffixed) for the same reason the
-    stage dirs are."""
+    stage dirs are — and per-SF: the cache key must carry everything the
+    staged copy depends on, or a same-process call at another scale factor
+    silently reuses the wrong data (caught by the registry-wide plan-audit
+    sweep, which builds every key at sf0.001 before the sf0.01 parity
+    tests run)."""
     pid = os.getpid()
+    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
     names = {}
     # every column the query touches needs stats, or CBO's cardinality
     # estimate goes undefined at the first operator missing one (filter
@@ -358,7 +364,7 @@ def plan_cbo_stats(spark, sf_dir):
         ("customer", "c_custkey, c_nationkey"),
         ("nation", "n_nationkey, n_name"),
     ]:
-        name = f"die_cbo_{tbl}_{pid}"
+        name = f"die_cbo_{tbl}_{pid}_{sf_tag}"
         names[tbl] = name
         if not spark.catalog.tableExists(name):
             (
