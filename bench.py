@@ -100,6 +100,8 @@ R5C_TIER = [
 # not pairs — tracked here to prove the collapse pays at sf0.1.
 R6_TIER = [
     "dedup_minhash_keepers",
+    "dedup_lsh_pr_eval",
+    "text_bpe_encode",
 ]
 
 
