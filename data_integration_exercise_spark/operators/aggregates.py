@@ -13,6 +13,7 @@ identical aliases.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, register_views
@@ -3275,5 +3276,101 @@ def agg_mann_kendall(spark, sf_dir):
             .when(F.col("s_stat") < 0, "decreasing")
             .otherwise("none")
             .alias("trend"),
+        )
+    )
+
+
+@register(
+    "agg_acf_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM daily
+    ), r AS (
+        SELECT CAST(tot.n * cents - tot.s AS HUGEINT) AS x,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily, tot
+    ), lags(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    num AS (
+        SELECT k,
+               CAST(sum(a.x * b.x) AS HUGEINT) AS num,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM r a JOIN lags ON true JOIN r b ON b.rn = a.rn + k
+        GROUP BY k
+    ), den AS (
+        SELECT CAST(sum(x * x) AS HUGEINT) AS den FROM r
+    )
+    SELECT CAST(k AS BIGINT) AS lag, n_terms,
+           CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                * ((1000000 * abs(num)) // den) AS BIGINT) AS acf_micro
+    FROM num, den
+    """,
+)
+def agg_acf_lags(spark, sf_dir):
+    """Autocorrelation function of the daily order-revenue series at lags
+    1-7 — the diagnostic every forecasting pipeline runs before choosing a
+    model (weekly seasonality shows as a lag-7 spike; compare
+    agg_seasonality_dow, which asserts the pattern this measures). Zero
+    float surface: with x̄ = S/n, each deviation is scaled to the exact
+    integer X_t = n·x_t − S, the lag-k numerator Σ X_t·X_{t+k} and
+    denominator Σ X_t² accumulate in DECIMAL(38)/HUGEINT (26-digit
+    products — past int64, far under 128-bit), and the ratio ships as
+    sign·(10⁶·|num|) ÷ den in integer micro-units. Lag pairing is by ROW
+    (rank order), not calendar date, so gap days do not produce null
+    terms; the rank self-join (b.rn = a.rn + k) sidesteps the
+    one-lead-column-per-lag plan.
+
+    100 TB: the only corpus-scale work is the daily rollup (map-side
+    combined); the ACF itself runs on the ~2.4k-row series × 7 lags."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("d")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+    w = Window.orderBy("d")
+    r = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("n") * F.col("cents") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("x"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .localCheckpoint()
+    )
+    lags = F.broadcast(
+        spark.createDataFrame([(k,) for k in range(1, 8)], "k long")
+    )
+    b = r.select(F.col("x").alias("xb"), F.col("rn").alias("rnb"))
+    num = (
+        r.crossJoin(lags)
+        .join(b, F.col("rnb") == F.col("rn") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("xb")).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    den = r.agg(F.sum(F.col("x") * F.col("x")).alias("den"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").alias("lag"),
+            "n_terms",
+            (
+                F.when(F.col("num") < 0, -1).otherwise(1)
+                * F.expr(
+                    "CAST(1000000 AS DECIMAL(38,0)) * abs(num) div den"
+                )
+            )
+            .cast("long")
+            .alias("acf_micro"),
         )
     )

@@ -978,3 +978,126 @@ def graph_modularity(spark, sf_dir):
             ).alias("contrib_micro"),
         )
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH flows AS (
+        SELECT DISTINCT c.c_nationkey AS u, s.s_nationkey AS v
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), e AS (
+        SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM flows
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    ), tri AS (
+        SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tri_node AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT n1 AS node FROM tri
+            UNION ALL SELECT n2 FROM tri
+            UNION ALL SELECT n3 FROM tri)
+        GROUP BY node
+    ), gstat AS (
+        SELECT CAST(3 * (SELECT count(*) FROM tri) AS BIGINT) AS closed,
+               CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS wedges
+        FROM deg
+    )
+    SELECT deg.node AS nationkey, deg.degree,
+           coalesce(tri_node.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN (2000 * coalesce(tri_node.n_triangles, 0))
+                     // (deg.degree * (deg.degree - 1))
+                ELSE 0 END AS local_cc_permille,
+           (1000 * gstat.closed) // gstat.wedges AS global_transitivity_permille
+    FROM deg LEFT JOIN tri_node ON tri_node.node = deg.node CROSS JOIN gstat
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Clustering coefficients on the projected nation co-trade graph
+    (graph_triangle_count's edge set): per node, local CC =
+    2·tri(v) / (deg(v)·(deg(v)−1)) — how close the neighborhood is to a
+    clique — and the graph-level transitivity 3·|triangles| / |wedges|,
+    both as exact integer permille (floor division), so the structure
+    numbers are hash-verified rather than floats. Triangle credit per
+    node comes from exploding each (n1,n2,n3) motif row to its three
+    corners; degree-0/1 nodes report 0 by the deg ≥ 2 guard.
+
+    100 TB: identical cost profile to graph_triangle_count — the fact-join
+    edge projection dominates and is localCheckpointed once; degrees,
+    motifs, and both coefficient levels run on the tiny projected graph.
+    The global number rides every row via a 1-row broadcast, the same
+    scalar-join idiom as percent-of-total."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("n1"), F.col("v").alias("n2"))
+    e2 = e.select(F.col("u").alias("m1"), F.col("v").alias("n3"))
+    e3 = e.select(F.col("u").alias("k1"), F.col("v").alias("k2"))
+    tri = (
+        e1.join(e2, e1.n2 == e2.m1)
+        .join(e3, (F.col("n1") == e3.k1) & (F.col("n3") == e3.k2))
+        .select("n1", "n2", "n3")
+        .localCheckpoint(eager=True)
+    )
+    tri_node = (
+        tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    glob = deg.agg(
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long").alias("wedges")
+    ).crossJoin(
+        F.broadcast(tri.agg((3 * F.count(F.lit(1))).cast("long").alias("closed")))
+    )
+    return (
+        deg.join(tri_node, "node", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("node").alias("nationkey"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2000 * coalesce(n_triangles, 0)) div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("local_cc_permille"),
+            F.expr("(1000 * closed) div wedges")
+            .cast("long")
+            .alias("global_transitivity_permille"),
+        )
+    )

@@ -206,6 +206,8 @@ _ADDED_R6 = [
     "sample_token_budget_mix",
     "sink_jsonl_shards",
     "text_bpe_encode",
+    "agg_acf_lags",
+    "graph_clustering_coefficient",
 ]
 
 # Keys hash/rows-verified green by the driver in round 5 (the former

@@ -8,6 +8,8 @@ from data_integration_exercise_spark.operators import aggregates
 
 from .parity import assert_parity
 
+SF = "/root/testdata/sf0.01"
+
 ORACLE_KEYS = sorted(aggregates.ORACLES)
 
 
@@ -525,3 +527,37 @@ def test_mann_kendall_recomputes_from_pairs(spark):
             t * (t - 1) * (2 * t + 5) for t in Counter(ys).values() if t > 1
         )
         assert row.var18 == n * (n - 1) * (2 * n + 5) - tie
+
+
+def test_acf_lags_match_numpy_reference(spark):
+    """agg_acf_lags vs a numpy recomputation of the textbook estimator on
+    the same daily series: the integer micro-units must equal
+    floor(10^6·|r_k|) with the matching sign, and n_terms must shrink by
+    exactly one per lag."""
+    import duckdb
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import aggregates
+
+    rows = aggregates.QUERIES["agg_acf_lags"](spark, SF).toPandas()
+    rows = rows.sort_values("lag").reset_index(drop=True)
+    assert list(rows.lag) == list(range(1, 8))
+    cents = duckdb.sql(
+        f"""
+        SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF}/orders.parquet')
+        GROUP BY CAST(o_orderdate AS DATE) ORDER BY CAST(o_orderdate AS DATE)
+        """
+    ).df().iloc[:, 0].to_numpy(dtype=np.float64)
+    n = len(cents)
+    x = cents - cents.mean()
+    den = float((x * x).sum())
+    for _, r in rows.iterrows():
+        k = int(r.lag)
+        assert r.n_terms == n - k
+        ref = float((x[:-k] * x[k:]).sum()) / den
+        approx = int(np.sign(ref) * np.floor(1e6 * abs(ref)))
+        # integer algebra is exact; numpy float64 may differ by 1 micro-unit
+        # at the floor boundary
+        assert abs(int(r.acf_micro) - approx) <= 1, (k, int(r.acf_micro), approx)
+        assert abs(int(r.acf_micro)) <= 1_000_000

@@ -199,3 +199,20 @@ def test_modularity_positive_and_reconciles(spark):
     # the 2-coloring signature: zero intra edges, Q == -0.5 (2 equal halves)
     if len(pdf) == 2 and pdf.intra_edges.sum() == 0:
         assert abs(q + 0.5) < 1e-4
+
+
+def test_clustering_coefficient_consistent_with_triangles(spark):
+    """Cross-key invariant: per-node triangle credits must sum to 3× the
+    motif count from graph_triangle_count, local CC is a valid permille
+    with the deg≥2 guard, and the global transitivity equals
+    (3000·T) // Σ wedges recomputed from the degrees."""
+    from data_integration_exercise_spark.operators import graph
+
+    cc = graph.QUERIES["graph_clustering_coefficient"](spark, SF).toPandas()
+    tri = graph.QUERIES["graph_triangle_count"](spark, SF).toPandas()
+    assert cc.n_triangles.sum() == 3 * len(tri)
+    assert cc.local_cc_permille.between(0, 1000).all()
+    assert (cc.loc[cc.degree < 2, "local_cc_permille"] == 0).all()
+    wedges = int((cc.degree * (cc.degree - 1) // 2).sum())
+    expect = 3000 * len(tri) // wedges
+    assert (cc.global_transitivity_permille == expect).all()
