@@ -102,6 +102,8 @@ R6_TIER = [
     "dedup_minhash_keepers",
     "dedup_lsh_pr_eval",
     "text_bpe_encode",
+    "agg_acf_lags",
+    "graph_clustering_coefficient",
 ]
 
 

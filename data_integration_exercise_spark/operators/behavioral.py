@@ -1609,3 +1609,101 @@ def events_forecast_backtest(spark, sf_dir):
                     div sum(actual_cents) AS BIGINT)"""
         ).alias("bias_permille"),
     )
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase')
+    ), d1 AS (
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'
+    ), d2 AS (
+        SELECT DISTINCT s.user_id
+        FROM ev s JOIN ev v ON v.user_id = s.user_id
+        WHERE s.event_type = 'signup' AND v.event_type = 'view'
+          AND v.t > s.t AND v.t <= s.t + {_WEEK_US}
+    ), d3 AS (
+        SELECT DISTINCT s.user_id
+        FROM ev s
+        JOIN ev v ON v.user_id = s.user_id
+        JOIN ev p ON p.user_id = s.user_id
+        WHERE s.event_type = 'signup' AND v.event_type = 'view'
+          AND p.event_type = 'purchase'
+          AND v.t > s.t AND p.t > v.t AND p.t <= s.t + {_WEEK_US}
+    ), counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS c1,
+               (SELECT CAST(count(*) AS BIGINT) FROM d2) AS c2,
+               (SELECT CAST(count(*) AS BIGINT) FROM d3) AS c3
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST((1000 * reached) // c1 AS BIGINT) AS reach_permille
+    FROM (
+        SELECT 1 AS depth, c1 - c2 AS n_users, c1 AS reached, c1 FROM counts
+        UNION ALL SELECT 2, c2 - c3, c2, c1 FROM counts
+        UNION ALL SELECT 3, c3, c3, c1 FROM counts
+    )
+    """,
+)
+def events_window_funnel(spark, sf_dir):
+    """Time-bounded funnel (the windowFunnel operator of product-analytics
+    engines): a user reaches depth k only if signup < view < purchase all
+    land within 7 days of THAT signup — unlike events_funnel, whose stages
+    are unbounded, this anchors the whole sequence to a single window, the
+    semantics behind 'converted within a week of signing up'. Reached-depth
+    sets come from existential per-user joins (signup×view, then ×purchase,
+    time-windowed in the join condition — never a per-user sequence scan);
+    the output is the exact-depth distribution with reach permille against
+    all signup users. Strictly ordered (>, not >=), window measured from
+    the anchoring signup.
+
+    100 TB: three user-keyed equi-joins whose right sides shrink with each
+    depth; the window predicate rides the join, so candidate pairs are
+    pruned in-join rather than materialized. Multi-signup users are handled
+    by the existential semantics (ANY anchoring signup qualifies) — no
+    per-anchor state."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("t0")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uv"), F.col("ts_us").alias("t1")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("up"), F.col("ts_us").alias("t2")
+    )
+    d1 = s.select("user_id").distinct()
+    sv = s.join(
+        v,
+        (s.user_id == v.uv) & (v.t1 > s.t0) & (v.t1 <= s.t0 + _WEEK_US),
+    )
+    d2 = sv.select("user_id").distinct()
+    d3 = (
+        sv.join(
+            p,
+            (sv.user_id == p.up)
+            & (p.t2 > sv.t1)
+            & (p.t2 <= sv.t0 + _WEEK_US),
+        )
+        .select("user_id")
+        .distinct()
+    )
+    counts = (
+        d1.agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .crossJoin(F.broadcast(d2.agg(F.count(F.lit(1)).cast("long").alias("c2"))))
+        .crossJoin(F.broadcast(d3.agg(F.count(F.lit(1)).cast("long").alias("c3"))))
+    )
+    tiers = counts.selectExpr(
+        "stack(3, 1L, c1 - c2, c1, 2L, c2 - c3, c2, 3L, c3, c3) "
+        "AS (depth, n_users, reached)",
+        "c1",
+    )
+    return tiers.select(
+        "depth",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr("CAST((1000 * reached) div c1 AS BIGINT)").alias("reach_permille"),
+    )

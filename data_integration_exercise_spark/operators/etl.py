@@ -1052,3 +1052,91 @@ def etl_late_dim_unknown(spark, sf_dir):
             .alias("n_late_members"),
         )
     )
+
+
+@register(
+    "etl_partition_backfill_plan",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m
+        FROM bounds
+    ), ing AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        WHERE (year(o_orderdate) * 12 + month(o_orderdate)) % 9 <> 0
+        GROUP BY 1
+    )
+    SELECT CAST(year(s.m) * 100 + month(s.m) AS BIGINT) AS ym,
+           coalesce(ing.n_rows, 0) AS n_rows,
+           CASE WHEN ing.m IS NULL THEN 'missing' ELSE 'ok' END AS status
+    FROM spine s LEFT JOIN ing ON ing.m = s.m
+    """,
+)
+def etl_partition_backfill_plan(spark, sf_dir):
+    """Partition-backfill planning — the daily ops question 'which
+    partitions does the warehouse copy LACK?': a month spine derived from
+    the source's own bounds is anti-compared against the months actually
+    present in the ingested copy (here a partitioned parquet staging of
+    orders with a simulated feed outage: every 9th calendar month dropped),
+    and each spine month ships with its landed row count and a
+    missing/ok status — filter status='missing' and you have the backfill
+    work list. The present-partition set is read from the PARTITIONED copy
+    by selecting only the partition column, which partition discovery
+    answers from directory metadata, not row data — at 100 TB the whole
+    plan costs a directory listing plus a |months|-row join. Spine bounds
+    come from data (min/max), never literals, so the plan tracks the
+    source as it grows."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    base = os.path.join(
+        f"/tmp/die_spark_stage/p{os.getpid()}",
+        os.path.basename(sf_dir.rstrip("/")),
+        "etl_partition_backfill",
+    )
+    if base not in _BACKFILL_STAGED:
+        (
+            o.filter(midx % 9 != 0)
+            .withColumn("ym", ym)
+            .write.mode("overwrite")
+            .partitionBy("ym")
+            .parquet(base)
+        )
+        _BACKFILL_STAGED.add(base)
+    present = (
+        spark.read.parquet(base)
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    bounds = o.agg(
+        (F.year(F.min("o_orderdate")) * 12 + F.month(F.min("o_orderdate")))
+        .cast("int")
+        .alias("lo"),
+        (F.year(F.max("o_orderdate")) * 12 + F.month(F.max("o_orderdate")))
+        .cast("int")
+        .alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("mi")
+    ).select(
+        (
+            F.floor((F.col("mi") - 1) / 12) * 100 + ((F.col("mi") - 1) % 12 + 1)
+        )
+        .cast("long")
+        .alias("ym")
+    )
+    return spine.join(F.broadcast(present), "ym", "left").select(
+        "ym",
+        F.coalesce(F.col("n_rows"), F.lit(0)).cast("long").alias("n_rows"),
+        F.when(F.col("n_rows").isNull(), "missing").otherwise("ok").alias("status"),
+    )
+
+
+_BACKFILL_STAGED: set[str] = set()

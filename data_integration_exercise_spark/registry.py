@@ -208,6 +208,8 @@ _ADDED_R6 = [
     "text_bpe_encode",
     "agg_acf_lags",
     "graph_clustering_coefficient",
+    "events_window_funnel",
+    "etl_partition_backfill_plan",
 ]
 
 # Keys hash/rows-verified green by the driver in round 5 (the former

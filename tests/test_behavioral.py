@@ -463,3 +463,26 @@ def test_forecast_backtest_scores_all_types(spark):
         if d - 7 in g.index
     ]
     assert pdf.loc["purchase", "mape_permille"] == sum(apes) // len(apes)
+
+
+def test_window_funnel_bounded_by_unbounded_funnel(spark):
+    """A 7-day-windowed conversion is a strictly harder condition than the
+    unbounded funnel, stage for stage: reached counts must be <= the
+    unbounded stage counts, the exact-depth distribution must partition
+    the signup population, and reach must be monotone non-increasing."""
+    from data_integration_exercise_spark.operators import behavioral
+
+    wf = (
+        behavioral.QUERIES["events_window_funnel"](spark, SF)
+        .toPandas()
+        .sort_values("depth")
+        .reset_index(drop=True)
+    )
+    uf = behavioral.QUERIES["events_funnel"](spark, SF).collect()[0]
+    reached = [int(r) for r in (wf.n_users[::-1].cumsum()[::-1])]
+    assert reached[0] == uf.n_signup  # depth>=1 is exactly the signup set
+    assert reached[1] <= uf.n_signup_view
+    assert reached[2] <= uf.n_signup_view_purchase
+    assert reached == sorted(reached, reverse=True)
+    assert int(wf.n_users.sum()) == uf.n_signup
+    assert list(wf.reach_permille) == [1000 * r // reached[0] for r in reached]

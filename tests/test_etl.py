@@ -306,3 +306,23 @@ def test_late_dim_unknown_conserves_revenue(spark):
     unk = pdf[pdf.nation == "UNKNOWN"]
     assert len(unk) == 1 and unk.n_late_members.iloc[0] > 0
     assert (pdf[pdf.nation != "UNKNOWN"].n_late_members == 0).all()
+
+
+def test_backfill_plan_flags_exactly_the_outage_months(spark):
+    """The simulated feed outage drops every 9th calendar month; the plan
+    must flag exactly those spine months as missing (n_rows 0) and report
+    positive landed counts everywhere else, over a contiguous spine."""
+    from data_integration_exercise_spark.operators import etl
+
+    pdf = (
+        etl.QUERIES["etl_partition_backfill_plan"](spark, SF)
+        .toPandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    midx = (pdf.ym // 100) * 12 + pdf.ym % 100
+    assert list(midx) == list(range(int(midx.min()), int(midx.max()) + 1))
+    missing = pdf.status == "missing"
+    assert (missing == (midx % 9 == 0)).all()
+    assert (pdf.loc[missing, "n_rows"] == 0).all()
+    assert (pdf.loc[~missing, "n_rows"] > 0).all()
