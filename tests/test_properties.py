@@ -47,6 +47,9 @@ _PARTITION_INVARIANT_KEYS = [
     "etl_upsert_latest",
     "agg_hhi_concentration",
     "text_bpe_encode",
+    "agg_acf_lags",
+    "events_window_funnel",
+    "graph_clustering_coefficient",
 ]
 
 
