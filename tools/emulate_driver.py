@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Neutral-session driver-contract emulation (the /verify recipe).
+
+Replicates the grading driver's correctness pass: load __spark_entry__.py
+from a PLAIN SparkSession (no repo configs — catches missing defensive
+spark.conf.set calls), run every queries() key at sf0.01, and compare each
+against its oracle_sql() through DuckDB with the driver's canonicalization
+(sort columns by name, stringify, sort rows). Rows-only keys (no oracle)
+just need a sane row count.
+
+Usage:
+    python tools/emulate_driver.py            # full registry (~8 min)
+    python tools/emulate_driver.py key1 key2  # spot-check a diff's keys
+
+Run it from a NEUTRAL cwd (e.g. /tmp) so repo-relative assumptions can't
+hide. Exit code 0 iff every key is clean.
+"""
+
+import importlib.util
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.environ.get("EMULATE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master(
+        f"local[{os.environ.get('EMULATE_CPUS', '8')}]"
+    ).getOrCreate()
+    print("entry rows:", len(mod.entry(spark).collect()), flush=True)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    qs, osql = mod.queries(), mod.oracle_sql()
+    keys = sys.argv[1:] or list(qs)
+    bad = []
+    for k in keys:
+        t0 = time.time()
+        try:
+            spdf = qs[k](spark, SF).toPandas()
+        except Exception as e:
+            print(k, "ERROR:", repr(e)[:200], flush=True)
+            bad.append(k)
+            continue
+        if k not in osql:
+            print(k, "rows-only:", len(spdf), f"{time.time() - t0:.1f}s", flush=True)
+            if len(spdf) <= 0:
+                bad.append(k)
+            continue
+        try:
+            ddf = con.execute(osql[k]).df()
+        except Exception as e:
+            print(k, "ORACLE-ERROR:", repr(e)[:200], flush=True)
+            bad.append(k)
+            continue
+        cols = sorted(spdf.columns)
+        try:
+            sa = spdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+            da = ddf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+            ok = sa.shape == da.shape and (
+                sa.astype(str).values == da.astype(str).values
+            ).all()
+        except Exception as e:
+            print(k, "COMPARE-ERROR:", repr(e)[:200], flush=True)
+            bad.append(k)
+            continue
+        print(k, "match:", ok, f"{time.time() - t0:.1f}s", flush=True)
+        if not ok:
+            bad.append(k)
+    print(f"SUMMARY: total={len(keys)} bad={len(bad)} {bad}", flush=True)
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
