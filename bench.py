@@ -94,10 +94,12 @@ R5C_TIER = [
     "sample_negatives",
 ]
 
-# Round-6 additions, benched median-of-3 like every other tier.
-# dedup_minhash_keepers is the bounded-output companion to dedup_minhash_lsh
-# (VERDICT r5 item 4): same candidate machinery, result scales with keepers
-# not pairs — tracked here to prove the collapse pays at sf0.1.
+# Round-6 additions: the 5 most plan-complex of the 9 (the sink, the
+# planning table, and the two funnel/backfill joins are sub-second at sf0.1
+# and tracked by tests instead). dedup_minhash_keepers is the
+# bounded-output companion to dedup_minhash_lsh (VERDICT r5 item 4): same
+# candidate machinery, result scales with keepers not pairs — tracked here
+# to prove the collapse pays at sf0.1.
 R6_TIER = [
     "dedup_minhash_keepers",
     "dedup_lsh_pr_eval",

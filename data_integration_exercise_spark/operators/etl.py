@@ -1085,10 +1085,11 @@ def etl_partition_backfill_plan(spark, sf_dir):
     orders with a simulated feed outage: every 9th calendar month dropped),
     and each spine month ships with its landed row count and a
     missing/ok status — filter status='missing' and you have the backfill
-    work list. The present-partition set is read from the PARTITIONED copy
-    by selecting only the partition column, which partition discovery
-    answers from directory metadata, not row data — at 100 TB the whole
-    plan costs a directory listing plus a |months|-row join. Spine bounds
+    work list. The missing/ok status needs only the partition DIRECTORY
+    listing of the staged copy; the per-month n_rows beside it costs a
+    footer-level count over the partitioned files (partition-pruned,
+    metadata-only for parquet counts) — at 100 TB, drop n_rows and the
+    plan is a directory listing plus a |months|-row join. Spine bounds
     come from data (min/max), never literals, so the plan tracks the
     source as it grows."""
     import os

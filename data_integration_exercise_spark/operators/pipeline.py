@@ -144,30 +144,39 @@ def _band_signatures(spark, sf_dir, perms, rows_per_band):
 
 
 def _lsh_candidate_pairs(
-    spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2, same_lang=False
+    spark, sf_dir, perms=MINHASH_PERMS, rows_per_band=2, same_lang=False,
+    dedup_pairs=True,
 ):
-    """(doc1 < doc2, lang, jac) distinct pairs sharing any MinHash band
-    signature, BEFORE the >=0.8 re-rank filter — the bucketed candidate
-    generator shared by dedup_minhash_lsh, dedup_connected_components and
-    dedup_lsh_pr_eval (which measures how much re-rank work the band config
-    wastes). One equi-join on (band, sig) enumerates bucket-mates; never an
-    all-pairs product. The 8-byte token masks ride the band rows into the
-    join, so the exact Jaccard is computed INSIDE the join stage (two
-    bit_count ops), before any further shuffle. Multi-band collisions (the
-    common case in this dup-dense corpus: ~20M raw vs 7.9M distinct
-    candidates at sf0.1 for the wide bank) are deduped WITHOUT a distinct
-    shuffle: each side carries its full per-band signature array, and the
-    join keeps a pair only in the FIRST band where the arrays agree
-    (array_position over zip_with equality), so every pair emits exactly
-    once by construction — the old shape (distinct over all candidates,
-    then two mask joins) cost 24.6s candidates + 16.9s re-rank at sf0.1;
-    see BENCH_r04."""
+    """(doc1 < doc2, lang, jac) pairs sharing any MinHash band signature,
+    BEFORE the >=0.8 re-rank filter — the ONE bucketed candidate generator
+    behind dedup_minhash_lsh, dedup_minhash_keepers,
+    dedup_connected_components and dedup_lsh_pr_eval. One equi-join on
+    (band, sig) enumerates bucket-mates; never an all-pairs product. The
+    8-byte token masks ride the band rows into the join, so the exact
+    Jaccard is computed INSIDE the join stage (two bit_count ops), before
+    any further shuffle.
+
+    dedup_pairs=True (the default) emits each pair exactly once despite
+    multi-band collisions (the common case in this dup-dense corpus: ~20M
+    raw vs 7.9M distinct candidates at sf0.1 for the wide bank) WITHOUT a
+    distinct shuffle: each side carries its full per-band signature array,
+    and the join keeps a pair only in the FIRST band where the arrays
+    agree (array_position over zip_with equality) — the old shape
+    (distinct over all candidates, then two mask joins) cost 24.6s
+    candidates + 16.9s re-rank at sf0.1; see BENCH_r04.
+
+    dedup_pairs=False skips the sigs-array carry and the first-match test
+    and emits one row per colliding band: correct-and-faster for consumers
+    whose aggregation is idempotent under duplicates (min/max per key —
+    dedup_minhash_keepers measured 6.4s → 2.8s at sf0.1 from this)."""
     sig = _band_signatures(spark, sf_dir, perms, rows_per_band)
+    carry1 = [F.col("sigs").alias("sigs1")] if dedup_pairs else []
+    carry2 = [F.col("sigs").alias("sigs2")] if dedup_pairs else []
     b1 = sig.select(
         F.col("doc_id").alias("doc1"),
         "lang",
         F.col("mask").alias("m1"),
-        F.col("sigs").alias("sigs1"),
+        *carry1,
         "band",
         "sig",
     )
@@ -175,20 +184,23 @@ def _lsh_candidate_pairs(
         F.col("doc_id").alias("doc2"),
         F.col("lang").alias("lang2"),
         F.col("mask").alias("m2"),
-        F.col("sigs").alias("sigs2"),
+        *carry2,
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
-    )
-    first_match = (
-        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
-        == b1.band
     )
     cond = (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2)
     if same_lang:
         cond = cond & (b1.lang == b2.lang2)
+    if dedup_pairs:
+        cond = cond & (
+            F.expr(
+                "array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1"
+            )
+            == b1.band
+        )
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
     union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
-    return b1.join(b2, cond & first_match).select(
+    return b1.join(b2, cond).select(
         "doc1", "doc2", "lang", (inter / union).alias("jac")
     )
 
@@ -332,30 +344,17 @@ def dedup_minhash_keepers(spark, sf_dir):
     executors, so the result (and anything a driver/sink must materialize)
     scales with the number of KEEPERS, not pairs — at sf0.1 that is ~2.9 M
     pairs in, 434 rows out. Because min(doc1) is idempotent under
-    duplicates, the multi-band pair-dedup machinery (_lsh_candidate_pairs'
-    sigs-array carry + zip_with first-match test) is dead weight HERE: the
-    join runs on bare (band, sig, mask) rows and duplicate cross-band
-    collisions collapse for free in the partial aggregate — measured 6.4 s
-    (via the deduped pair stream) → 2.8 s at sf0.1, identical output. The
+    duplicates, the multi-band pair-dedup machinery (the sigs-array carry
+    + zip_with first-match test) is dead weight HERE: the
+    dedup_pairs=False candidate stream runs on bare (band, sig, mask) rows
+    and duplicate cross-band collisions collapse for free in the partial
+    aggregate — measured 6.4 s (deduped stream) → 2.8 s at sf0.1,
+    identical output. The
     pair-list key stays registered for audit; full transitive groups live
     in dedup_connected_components."""
-    sig = _band_signatures(spark, sf_dir, MINHASH_PERMS, 2)
-    b1 = sig.select(
-        F.col("doc_id").alias("doc1"), F.col("mask").alias("m1"), "band", "sig"
-    )
-    b2 = sig.select(
-        F.col("doc_id").alias("doc2"),
-        F.col("mask").alias("m2"),
-        F.col("band").alias("band2"),
-        F.col("sig").alias("sig2"),
-    )
-    cond = (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2)
-    jac = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast(
-        "double"
-    ) / F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
+    cand = _lsh_candidate_pairs(spark, sf_dir, dedup_pairs=False)
     return (
-        b1.join(b2, cond)
-        .filter(jac >= 0.8)
+        cand.filter(F.col("jac") >= 0.8)
         .groupBy("doc2")
         .agg(F.min("doc1").alias("keeper"))
         .groupBy("keeper")

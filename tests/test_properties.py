@@ -67,11 +67,12 @@ def test_result_invariant_under_shuffle_partitioning(spark, key):
     from .parity import canon
 
     fn = queries()[key]
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         narrow = canon(fn(spark, SF).toPandas())
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     wide = canon(fn(spark, SF).toPandas())
     pd.testing.assert_frame_equal(narrow, wide, check_dtype=False, check_exact=True)
 

@@ -52,7 +52,11 @@ def main() -> int:
         )
     qs, osql = mod.queries(), mod.oracle_sql()
     keys = sys.argv[1:] or list(qs)
-    bad = []
+    unknown = [k for k in keys if k not in qs]
+    if unknown:
+        print("UNKNOWN keys (not in queries()):", unknown, flush=True)
+        keys = [k for k in keys if k in qs]
+    bad = list(unknown)
     for k in keys:
         t0 = time.time()
         try:
