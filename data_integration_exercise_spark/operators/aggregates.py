@@ -3307,7 +3307,9 @@ def agg_mann_kendall(spark, sf_dir):
     )
     SELECT CAST(k AS BIGINT) AS lag, n_terms,
            CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-                * ((1000000 * abs(num)) // den) AS BIGINT) AS acf_micro
+                * (1000 * ((1000 * abs(num)) // den)
+                   + (1000 * ((1000 * abs(num)) % den)) // den)
+               AS BIGINT) AS acf_micro
     FROM num, den
     """,
 )
@@ -3319,8 +3321,12 @@ def agg_acf_lags(spark, sf_dir):
     float surface: with x̄ = S/n, each deviation is scaled to the exact
     integer X_t = n·x_t − S, the lag-k numerator Σ X_t·X_{t+k} and
     denominator Σ X_t² accumulate in DECIMAL(38)/HUGEINT (26-digit
-    products — past int64, far under 128-bit), and the ratio ships as
-    sign·(10⁶·|num|) ÷ den in integer micro-units. Lag pairing is by ROW
+    products — past int64, far under 128-bit), and the ratio ships in
+    integer micro-units via the exact two-stage division
+    10⁶·n ÷ d = 10³·(10³n ÷ d) + (10³·(10³n mod d)) ÷ d, which keeps every
+    intermediate within 10³·den instead of 10⁶·den — the difference
+    between overflowing DECIMAL(38) near 1000× this revenue scale and
+    surviving it. Lag pairing is by ROW
     (rank order), not calendar date, so gap days do not produce null
     terms; the rank self-join (b.rn = a.rn + k) sidesteps the
     one-lead-column-per-lag plan.
@@ -3367,7 +3373,10 @@ def agg_acf_lags(spark, sf_dir):
             (
                 F.when(F.col("num") < 0, -1).otherwise(1)
                 * F.expr(
-                    "CAST(1000000 AS DECIMAL(38,0)) * abs(num) div den"
+                    "1000 * (CAST(1000 AS DECIMAL(38,0)) * abs(num) div den)"
+                    " + (CAST(1000 AS DECIMAL(38,0))"
+                    "    * (CAST(1000 AS DECIMAL(38,0)) * abs(num) % den))"
+                    "   div den"
                 )
             )
             .cast("long")
