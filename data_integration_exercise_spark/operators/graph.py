@@ -19,6 +19,7 @@ on the node key once and every iteration reuses that partitioning.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -271,12 +272,13 @@ def graph_triangle_count(spark, sf_dir):
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE c.c_nationkey <> s.s_nationkey
         GROUP BY 1, 2
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS ecnt,
-               CAST(sum(w) AS BIGINT)   AS wtot
-        FROM flows
     ), strong AS (
-        SELECT u, v FROM flows, stats WHERE 4 * w * ecnt >= 5 * wtot
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (ORDER BY w DESC, u, v) AS rk,
+                   count(*) OVER () AS ecnt
+            FROM flows)
+        WHERE 4 * rk <= ecnt
     ), d AS (
         SELECT u AS a, v AS b FROM strong
         UNION ALL
@@ -309,10 +311,13 @@ def graph_link_prediction(spark, sf_dir):
     strong trading partners — the classic who-should-connect-next score
     (Liben-Nowell–Kleinberg), and the graph-side analogue of
     similarity-join candidate generation. The raw co-trade graph is
-    complete, so edges are first thresholded to ≥1.25× the mean pair
-    weight via exact integer cross-multiplication (4·w·|E| ≥ 5·W) — a
-    RELATIVE cut that keeps semantics stable across scale factors where
-    any absolute count threshold would silently change the graph.
+    complete, so edges are first thresholded to the TOP QUARTILE by
+    weight (row_number over (w DESC, u, v) ≤ ⌊|E|/4⌋ — exact integers,
+    deterministic tiebreak). A rank cut keeps the strong-edge FRACTION
+    stable at every scale factor; the previous ≥1.25×-mean relative cut
+    was measured to empty out at sf0.1, where the 300 pair weights
+    concentrate (law of large numbers) until nothing clears 1.25× mean —
+    relative-to-mean is no more scale-stable than an absolute count.
 
     Exactness: weights, degrees, and common-neighbor counts are integers;
     the single float surface is the final Jaccard division, rounded 4dp.
@@ -337,12 +342,14 @@ def graph_link_prediction(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    stats = flows.agg(
-        F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot")
-    )
+    stats = flows.agg(F.count(F.lit(1)).alias("ecnt"))
     strong = (
         flows.crossJoin(F.broadcast(stats))
-        .filter(4 * F.col("w") * F.col("ecnt") >= 5 * F.col("wtot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("w"), "u", "v")),
+        )
+        .filter(4 * F.col("rk") <= F.col("ecnt"))
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
@@ -768,12 +775,13 @@ def graph_assortativity(spark, sf_dir):
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE c.c_nationkey <> s.s_nationkey
         GROUP BY 1, 2
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS ecnt,
-               CAST(sum(w) AS BIGINT)   AS wtot
-        FROM flows
     ), strong AS (
-        SELECT u, v FROM flows, stats WHERE 4 * w * ecnt >= 5 * wtot
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (ORDER BY w DESC, u, v) AS rk,
+                   count(*) OVER () AS ecnt
+            FROM flows)
+        WHERE 4 * rk <= ecnt
     ), d AS (
         SELECT u AS a, v AS b FROM strong
         UNION ALL
@@ -829,10 +837,14 @@ def graph_adamic_adar(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    stats = flows.agg(F.count(F.lit(1)).alias("ecnt"), F.sum("w").alias("wtot"))
+    stats = flows.agg(F.count(F.lit(1)).alias("ecnt"))
     strong = (
         flows.crossJoin(F.broadcast(stats))
-        .filter(4 * F.col("w") * F.col("ecnt") >= 5 * F.col("wtot"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("w"), "u", "v")),
+        )
+        .filter(4 * F.col("rk") <= F.col("ecnt"))
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
