@@ -64,75 +64,21 @@ _MODULES = [
 # rewrites — CORRECTNESS_r05.json is 50/50 green, so entering round 6 every
 # key EXCEPT the 112 round-5 additions has a driver row (189/301).
 #
-# ROUND-6 WINDOW (below): the FIRST 50 of the 112 `_ADDED_R5` keys, in their
-# stable queue order (VERDICT r5 item 1 / the prior ROUND-6 PLAN). No
-# re-verification slots: as of round-5 end no driver-green key was rewritten
-# after its latest green row.
+# ROUND-7 WINDOW (below): the FIRST 50 of the 62 `_ADDED_R5` keys that
+# remained after the round-6 window (VERDICT r6 item 1 / the prior ROUND-7
+# PLAN). No re-verification slots: as of round-6 end no driver-green key was
+# rewritten after its latest green row.
 #
-# ROUND-7 PLAN: after this window lands green, rotate _PRIORITY to the NEXT
-# 50 keys of the queue (`_ADDED_R5` remainder, 62 keys, then `_ADDED_R6` —
-# round-6 additions append ONLY to _ADDED_R6 so the queue order stays
-# stable), demote this window to _VERIFIED_R5A, and update
-# tests/test_registry.py's EXPECTED_R7_WINDOW + disjointness checks. Spend
-# any spare slots on re-verification of keys rewritten after their latest
-# green row (track them in the commit that rewrites them).
+# ROUND-8 PLAN (pre-pinned per VERDICT r6 item 4): after this window lands
+# green, rotate _PRIORITY to the ENTIRE remaining queue — the 12 `_ADDED_R5`
+# stragglers, then the 9 `_ADDED_R6` keys, then any `_ADDED_R7` keys — and
+# demote this window to _VERIFIED_R6A. That exhausts the unverified tail
+# (21 pre-r7 keys + round-7 additions); spend any slots still spare on
+# re-verification of keys rewritten after their latest green row (track
+# those in the commit that rewrites them). tests/test_registry.py already
+# pins EXPECTED_R8_PREFIX (the 21 queue keys, in order) so the final
+# rotation is mechanical.
 _PRIORITY = [
-    "agg_ks_test",
-    "agg_chi_square",
-    "agg_mann_whitney",
-    "win_ewma",
-    "graph_link_prediction",
-    "etl_gdpr_cascade",
-    "text_pii_scrub",
-    "multimodal_phash_dedup",
-    "agg_heavy_hitters",
-    "win_cusum_drift",
-    "events_attribution",
-    "events_anomaly_mad",
-    "join_interval_overlap",
-    "sample_priority_topk",
-    "dedup_semdedup",
-    "join_bloom_prefilter",
-    "dedup_soft_weights",
-    "sim_mmr_diversify",
-    "agg_bootstrap_ci",
-    "sample_balanced_classes",
-    "etl_cdc_deletes",
-    "text_ccnet_buckets",
-    "pipeline_corpus_curate",
-    "stream_cdc_upsert",
-    "sink_zorder",
-    "graph_bfs_distances",
-    "scan_manifest_pruned",
-    "sample_temperature_mix",
-    "agg_benford_deviation",
-    "events_dau_wau",
-    "etl_incremental_agg_refresh",
-    "sink_idempotent_overwrite",
-    "agg_hhi_concentration",
-    "events_churn_hazard",
-    "sql_adhoc_interface",
-    "agg_winsorized_mean",
-    "agg_pareto_crossover",
-    "win_drawdown",
-    "etl_surrogate_keys",
-    "sim_recall_eval",
-    "text_ngram_novelty",
-    "events_bot_detection",
-    "etl_table_fingerprint",
-    "mine_association_rules",
-    "sim_item_neighbors",
-    "agg_linear_trend",
-    "text_bm25_search",
-    "events_rfm_segments",
-    "etl_unpivot_melt",
-    "agg_count_min_sketch",
-]
-
-# The 62 round-5 additions still awaiting a driver row — the head of the
-# ROUND-7 window queue. Do NOT append new keys here: round-6 additions go in
-# _ADDED_R6 below so this queue's order never changes under the driver.
-_ADDED_R5 = [
     "join_spatial_grid",
     "graph_label_propagation",
     "agg_quantile_sketch",
@@ -183,6 +129,12 @@ _ADDED_R5 = [
     "sim_hybrid_rrf",
     "events_forecast_backtest",
     "win_holt_linear",
+]
+
+# The 12 round-5 additions still awaiting a driver row — the head of the
+# ROUND-8 window queue. Do NOT append new keys here: round-7 additions go in
+# _ADDED_R7 below so this queue's order never changes under the driver.
+_ADDED_R5 = [
     "graph_adamic_adar",
     "agg_cuped_adjusted",
     "dedup_winnowing",
@@ -198,8 +150,7 @@ _ADDED_R5 = [
 ]
 
 # Keys ADDED during round 6 (no driver row yet). They queue BEHIND the
-# remaining _ADDED_R5 keys for future verification windows. Every new
-# operator lands here in the same commit that registers it.
+# remaining _ADDED_R5 keys for future verification windows.
 _ADDED_R6 = [
     "dedup_minhash_keepers",
     "dedup_lsh_pr_eval",
@@ -210,6 +161,67 @@ _ADDED_R6 = [
     "graph_clustering_coefficient",
     "events_window_funnel",
     "etl_partition_backfill_plan",
+]
+
+# Keys ADDED during round 7 (no driver row yet). They queue BEHIND the
+# _ADDED_R6 keys. Every new operator lands here in the same commit that
+# registers it.
+_ADDED_R7 = []
+
+# Keys hash/rows-verified green by the driver in round 6 (the former
+# _PRIORITY window; CORRECTNESS_r06.json 50/50) — demoted directly behind
+# the round-7/8 queue.
+_VERIFIED_R6 = [
+    "agg_ks_test",
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "win_ewma",
+    "graph_link_prediction",
+    "etl_gdpr_cascade",
+    "text_pii_scrub",
+    "multimodal_phash_dedup",
+    "agg_heavy_hitters",
+    "win_cusum_drift",
+    "events_attribution",
+    "events_anomaly_mad",
+    "join_interval_overlap",
+    "sample_priority_topk",
+    "dedup_semdedup",
+    "join_bloom_prefilter",
+    "dedup_soft_weights",
+    "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "sample_balanced_classes",
+    "etl_cdc_deletes",
+    "text_ccnet_buckets",
+    "pipeline_corpus_curate",
+    "stream_cdc_upsert",
+    "sink_zorder",
+    "graph_bfs_distances",
+    "scan_manifest_pruned",
+    "sample_temperature_mix",
+    "agg_benford_deviation",
+    "events_dau_wau",
+    "etl_incremental_agg_refresh",
+    "sink_idempotent_overwrite",
+    "agg_hhi_concentration",
+    "events_churn_hazard",
+    "sql_adhoc_interface",
+    "agg_winsorized_mean",
+    "agg_pareto_crossover",
+    "win_drawdown",
+    "etl_surrogate_keys",
+    "sim_recall_eval",
+    "text_ngram_novelty",
+    "events_bot_detection",
+    "etl_table_fingerprint",
+    "mine_association_rules",
+    "sim_item_neighbors",
+    "agg_linear_trend",
+    "text_bm25_search",
+    "events_rfm_segments",
+    "etl_unpivot_melt",
+    "agg_count_min_sketch",
 ]
 
 # Keys hash/rows-verified green by the driver in round 5 (the former
@@ -426,6 +438,8 @@ def _reorder(d: dict) -> dict:
         _PRIORITY
         + _ADDED_R5
         + _ADDED_R6
+        + _ADDED_R7
+        + _VERIFIED_R6
         + _VERIFIED_R5
         + _VERIFIED_R4
         + _VERIFIED_R2
@@ -440,7 +454,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R6): "
+            "registered keys missing from the rotation queue (add to _ADDED_R7): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}
