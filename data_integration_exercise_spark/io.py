@@ -21,6 +21,26 @@ from .schemas import TABLES
 from .session import RUNTIME_CONFS
 
 
+def sf_cache_tag(sf_dir: str) -> str:
+    """Collision-free per-``sf_dir`` tag for staged-copy paths and catalog
+    table names.
+
+    Basename alone is NOT enough: two different paths sharing a basename
+    (e.g. ``/a/sf0.01`` and ``/b/sf0.01``) in one process would silently
+    reuse each other's staged data — the same bug class the per-PID-only
+    plan_cbo_stats cache hit in round 6 (ADVICE r6 item 1). Keep the
+    basename for human-readable paths, disambiguate with a digest of the
+    full absolute path.
+    """
+    import hashlib
+    import os
+    import re
+
+    full = os.path.abspath(sf_dir.rstrip("/") or "/")
+    base = re.sub(r"[^A-Za-z0-9._-]", "_", os.path.basename(full) or "root")
+    return f"{base}_{hashlib.md5(full.encode()).hexdigest()[:8]}"
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs correctness depends on (idempotent)."""
     for k, v in RUNTIME_CONFS.items():

@@ -3370,16 +3370,28 @@ def agg_acf_lags(spark, sf_dir):
         .select(
             F.col("k").alias("lag"),
             "n_terms",
-            (
-                F.when(F.col("num") < 0, -1).otherwise(1)
-                * F.expr(
-                    "1000 * (CAST(1000 AS DECIMAL(38,0)) * abs(num) div den)"
-                    " + (CAST(1000 AS DECIMAL(38,0))"
-                    "    * (CAST(1000 AS DECIMAL(38,0)) * abs(num) % den))"
-                    "   div den"
-                )
-            )
-            .cast("long")
-            .alias("acf_micro"),
+            # coalesce→raise_error: under non-ANSI Spark a DECIMAL(38,0)
+            # overflow of num/den (or a zero-variance den) NULLs silently
+            # and the sign term would propagate it into the output; fail
+            # loudly instead so a future scale-up past the documented
+            # ~1000x headroom is an error, not a NULL row (ADVICE r6).
+            F.coalesce(
+                (
+                    F.when(F.col("num") < 0, -1).otherwise(1)
+                    * F.expr(
+                        "1000 * (CAST(1000 AS DECIMAL(38,0)) * abs(num) div den)"
+                        " + (CAST(1000 AS DECIMAL(38,0))"
+                        "    * (CAST(1000 AS DECIMAL(38,0)) * abs(num) % den))"
+                        "   div den"
+                    )
+                ).cast("long"),
+                F.raise_error(
+                    F.lit(
+                        "agg_acf_lags: acf_micro is NULL — DECIMAL(38,0) "
+                        "overflow of the lag-product sums (or zero-variance "
+                        "series); the ~1000x revenue headroom was exceeded"
+                    )
+                ).cast("long"),
+            ).alias("acf_micro"),
         )
     )

@@ -340,9 +340,11 @@ def etl_schema_evolution(spark, sf_dir):
     on to prove the union semantics."""
     import os
 
+    from ..io import sf_cache_tag
+
     base = os.path.join(
         f"/tmp/die_spark_stage/p{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
+        sf_cache_tag(sf_dir),
         "etl_schema_evolution",
     )
     if base not in _EVOLVE_STAGED:
@@ -1097,9 +1099,13 @@ def etl_partition_backfill_plan(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
     midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    from ..io import sf_cache_tag
+
+    # sf_cache_tag (full-path digest, not basename) so two sf_dirs sharing
+    # a basename can't alias each other's staged copy (ADVICE r6 item 1).
     base = os.path.join(
         f"/tmp/die_spark_stage/p{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
+        sf_cache_tag(sf_dir),
         "etl_partition_backfill",
     )
     if base not in _BACKFILL_STAGED:

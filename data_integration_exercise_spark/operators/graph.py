@@ -278,7 +278,7 @@ def graph_triangle_count(spark, sf_dir):
                    row_number() OVER (ORDER BY w DESC, u, v) AS rk,
                    count(*) OVER () AS ecnt
             FROM flows)
-        WHERE 4 * rk <= ecnt
+        WHERE rk <= greatest(1, ecnt // 4)
     ), d AS (
         SELECT u AS a, v AS b FROM strong
         UNION ALL
@@ -349,7 +349,10 @@ def graph_link_prediction(spark, sf_dir):
             "rk",
             F.row_number().over(Window.orderBy(F.desc("w"), "u", "v")),
         )
-        .filter(4 * F.col("rk") <= F.col("ecnt"))
+        # greatest(1, ·): a projected graph with <4 edges must keep its top
+        # edge, not silently go empty (ADVICE r6 item 3 — degenerate
+        # analogue of the sf0.1 empty-set failure fixed in round 6)
+        .filter(F.col("rk") <= F.greatest(F.lit(1), F.expr("ecnt div 4")))
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
@@ -781,7 +784,7 @@ def graph_assortativity(spark, sf_dir):
                    row_number() OVER (ORDER BY w DESC, u, v) AS rk,
                    count(*) OVER () AS ecnt
             FROM flows)
-        WHERE 4 * rk <= ecnt
+        WHERE rk <= greatest(1, ecnt // 4)
     ), d AS (
         SELECT u AS a, v AS b FROM strong
         UNION ALL
@@ -844,7 +847,10 @@ def graph_adamic_adar(spark, sf_dir):
             "rk",
             F.row_number().over(Window.orderBy(F.desc("w"), "u", "v")),
         )
-        .filter(4 * F.col("rk") <= F.col("ecnt"))
+        # greatest(1, ·): a projected graph with <4 edges must keep its top
+        # edge, not silently go empty (ADVICE r6 item 3 — degenerate
+        # analogue of the sf0.1 empty-set failure fixed in round 6)
+        .filter(F.col("rk") <= F.greatest(F.lit(1), F.expr("ecnt div 4")))
         .select("u", "v")
         .localCheckpoint(eager=True)
     )

@@ -27,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..io import load_table
+from ..io import load_table, sf_cache_tag
 from ..registry_util import new_registry
 from ..schemas import CUSTOMER, TABLES
 
@@ -37,10 +37,12 @@ QUERIES, ORACLES, register = new_registry()
 def _stage_dir(sf_dir: str, key: str) -> str:
     # PID component: a concurrent driver verify and a local pytest run must
     # not overwrite each other's staged copies mid-read (the staged-once
-    # guards are per-process, so the paths must be too).
+    # guards are per-process, so the paths must be too). sf_cache_tag
+    # carries a full-path digest so two sf_dirs sharing a basename can't
+    # alias each other's staged copies (ADVICE r6 item 1).
     return os.path.join(
         f"/tmp/die_spark_stage/p{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")),
+        sf_cache_tag(sf_dir),
         key,
     )
 
@@ -354,7 +356,7 @@ def plan_cbo_stats(spark, sf_dir):
     sweep, which builds every key at sf0.001 before the sf0.01 parity
     tests run)."""
     pid = os.getpid()
-    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    sf_tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_cache_tag(sf_dir))
     names = {}
     # every column the query touches needs stats, or CBO's cardinality
     # estimate goes undefined at the first operator missing one (filter

@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..io import load_table
+from ..io import load_table, sf_cache_tag
 from ..registry_util import new_registry
 from ..schemas import EVENTS
 
@@ -45,7 +45,9 @@ def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
     parquet is driver-generated and immutable, so a copy this process
     already wrote is current — later queries in the same verify/bench run
     skip straight to the readStream."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    # Full-path tag (not basename): two sf_dirs sharing a basename in one
+    # process must not alias each other's staged copy (ADVICE r6 item 1).
+    tag = sf_cache_tag(sf_dir)
     # PID-unique: a concurrent process must not rewrite a stage mid-read.
     path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/events_stream_{n_files}"
     if path not in _STAGED:
@@ -305,7 +307,7 @@ def stream_foreachbatch(spark, sf_dir):
     into a parquet area; the query returns the re-read final state. This is
     the escape hatch for sinks Structured Streaming lacks natively (JDBC
     upserts, MERGE targets)."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = sf_cache_tag(sf_dir)
     out = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/foreachbatch_out"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

@@ -29,6 +29,25 @@ TABLES = [
 ]
 
 
+def _canon(df):
+    """Stringify a frame for comparison, normalizing representation noise
+    between Spark- and DuckDB-produced pandas frames: float columns format
+    via %.12g (so int64 1 vs float64 1.0 agree once either side is float)
+    and all missing values (None / NaN / NaT) collapse to the same token.
+    Mirrors the intent of the driver's canonicalization; ADVICE r6 item 4.
+    """
+    import pandas as pd
+
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.map(lambda v: "<NULL>" if pd.isna(v) else format(v, ".12g"))
+        else:
+            out[c] = s.map(lambda v: "<NULL>" if pd.isna(v) is True else str(v))
+    return pd.DataFrame(out)
+
+
 def main() -> int:
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -81,7 +100,7 @@ def main() -> int:
             sa = spdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
             da = ddf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
             ok = sa.shape == da.shape and (
-                sa.astype(str).values == da.astype(str).values
+                _canon(sa).values == _canon(da).values
             ).all()
         except Exception as e:
             print(k, "COMPARE-ERROR:", repr(e)[:200], flush=True)
@@ -90,7 +109,7 @@ def main() -> int:
         print(k, "match:", ok, f"{time.time() - t0:.1f}s", flush=True)
         if not ok:
             bad.append(k)
-    print(f"SUMMARY: total={len(keys)} bad={len(bad)} {bad}", flush=True)
+    print(f"SUMMARY: total={len(keys) + len(unknown)} bad={len(bad)} {bad}", flush=True)
     spark.stop()
     return 1 if bad else 0
 
