@@ -433,7 +433,11 @@ def dedup_lsh_pr_eval(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.count(F.when(F.col("jac") >= 0.8, True)).cast("long").alias("n_found"),
     )
-    docs = _doc_masks(spark, sf_dir)
+    # localCheckpoint: the truth path references the mask rollup on BOTH
+    # sides of the salted self-join (d1/d2), so without it the token
+    # explode + bit_or subtree executes twice in the same action (SURVEY
+    # §10 lesson 4 — checkpoint re-referenced subtrees; VERDICT r6 item 7).
+    docs = _doc_masks(spark, sf_dir).localCheckpoint(eager=False)
     pairs = salted_lang_pairs(docs)
     exact_jac = (
         F.bit_count(F.col("a_mask").bitwiseAND(F.col("b_mask"))).cast("double")
