@@ -81,6 +81,21 @@ EXPECTED_EXCHANGES = {
     "join_broadcast_dim": (1, 2),
     "dedup_minhash_lsh": (2, 1),  # mask groupBy reused by both join sides
     "dedup_minhash_keepers": (4, 1),
+    # Round-7 extension (VERDICT r6 item 5): the remaining top-20 most
+    # expensive benched keys. Streaming keys are excluded — their returned
+    # frame is a post-run re-read, so its plan says nothing about the
+    # streaming work.
+    "dedup_connected_components": (0, 0),  # loop fully localCheckpoint-backed:
+    #   the returned plan must stay a checkpoint scan, never a live re-derive
+    "graph_modularity": (9, 1),  # LPA loop unrolled + modularity rollup
+    "dedup_lsh_pr_eval": (5, 3),  # banded cand agg + checkpointed truth path
+    "agg_bootstrap_ci": (5, 2),
+    "join_interval_overlap": (3, 0),
+    "tpch_q8_market_share": (1, 7),  # all dims broadcast; 1 agg shuffle
+    "graph_pagerank": (11, 0),  # fixed 10-iteration loop, 1 shuffle + rollup
+    "dedup_soft_weights": (8, 2),  # salted self-join + two degree rollups
+    "dedup_semdedup": (9, 2),  # cluster-blocked pairs, no all-pairs product
+    "agg_heavy_hitters": (3, 2),
 }
 
 _SHUFFLE_RE = re.compile(
