@@ -894,3 +894,105 @@ def win_holt_linear(spark, sf_dir):
         F.col("st.b").alias("trend_cents"),
         (F.col("st.l") + F.col("st.b")).alias("forecast_next_cents"),
     )
+
+
+@register(
+    "win_stl_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), t AS (
+        SELECT pri, day, cents,
+               count(*) OVER w AS n7,
+               sum(cents) OVER w AS s7
+        FROM daily
+        WINDOW w AS (PARTITION BY pri ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), tf AS (
+        SELECT pri, day, cents,
+               CAST((1000000 * s7) // 7 AS BIGINT) AS trend_micro,
+               CAST(1000000 * cents - (1000000 * s7) // 7 AS BIGINT)
+                   AS det_micro,
+               day % 7 AS dow
+        FROM t WHERE n7 = 7
+    ), seas AS (
+        SELECT pri, dow,
+               CAST(sum(det_micro) // count(*) AS BIGINT) AS seasonal_micro
+        FROM tf GROUP BY 1, 2
+    )
+    SELECT tf.pri AS o_orderpriority, tf.day AS day,
+           tf.cents AS revenue_cents, tf.trend_micro,
+           s.seasonal_micro,
+           tf.det_micro - s.seasonal_micro AS residual_micro
+    FROM tf JOIN seas s ON tf.pri = s.pri AND tf.dow = s.dow
+    """,
+)
+def win_stl_decompose(spark, sf_dir):
+    """Classical seasonal-trend decomposition (the moving-average core of
+    STL, without loess) of each priority's daily revenue series:
+    trend = centered 7-day moving average (full windows only), seasonal =
+    per-day-of-week mean of the detrended series, residual = the rest —
+    additive, and exactly reconstructible (value·10⁶ ≡ trend + seasonal +
+    residual by construction). Zero float surface: cents are exact longs,
+    trend is (10⁶·Σ₇) div 7, the seasonal mean is a signed truncating
+    integer division (Spark ``div`` ≡ DuckDB ``//``, both toward zero),
+    and the residual is pure subtraction — so the decomposition is
+    hash-verified cross-engine, unlike the float STL every stats library
+    ships. DOW index is epoch-day mod 7 (day 0 = Thursday); the label is
+    an index, not a name, by design.
+
+    100 TB: one map-side-combined day-grain rollup is the only
+    corpus-scale work; the windows and the seasonal rollup run on 5
+    calendar-bounded series (~2.4k rows each, partitioned by priority —
+    no global window). The decomposition output is the forecasting
+    pre-processing step win_holt_linear and agg_seasonality_dow consume
+    conceptually; gap days are treated as absent (the centered window is
+    by ROW), with etl_calendar_spine as the densifying companion."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("pri").orderBy("day").rowsBetween(-3, 3)
+    t = (
+        daily.select(
+            "pri",
+            "day",
+            "cents",
+            F.count(F.lit(1)).over(w).alias("n7"),
+            F.sum("cents").over(w).alias("s7"),
+        )
+        .filter(F.col("n7") == 7)
+        .select(
+            "pri",
+            "day",
+            "cents",
+            F.expr("(1000000 * s7) div 7").alias("trend_micro"),
+            F.expr("1000000 * cents - (1000000 * s7) div 7").alias("det_micro"),
+            (F.col("day") % 7).alias("dow"),
+        )
+        # referenced by BOTH the seasonal rollup and the final join — without
+        # the checkpoint the corpus-scale daily rollup executes twice in one
+        # action (SURVEY §10 lesson 4)
+        .localCheckpoint(eager=False)
+    )
+    seas = t.groupBy("pri", "dow").agg(
+        F.expr("sum(det_micro) div count(*)").alias("seasonal_micro")
+    )
+    return t.join(F.broadcast(seas), ["pri", "dow"]).select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        F.col("cents").alias("revenue_cents"),
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("det_micro") - F.col("seasonal_micro")).alias("residual_micro"),
+    )

@@ -166,7 +166,9 @@ _ADDED_R6 = [
 # Keys ADDED during round 7 (no driver row yet). They queue BEHIND the
 # _ADDED_R6 keys. Every new operator lands here in the same commit that
 # registers it.
-_ADDED_R7 = []
+_ADDED_R7 = [
+    "win_stl_decompose",
+]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former
 # _PRIORITY window; CORRECTNESS_r06.json 50/50) — demoted directly behind

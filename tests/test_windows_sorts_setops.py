@@ -192,3 +192,33 @@ def test_holt_fold_matches_python_recursion(spark):
         assert row.n_days == len(ys)
         assert row.level_cents == l and row.trend_cents == b
         assert row.forecast_next_cents == l + b
+
+
+def test_stl_decompose_reconstructs_and_matches_pandas_trend(spark):
+    """Additive identity 10⁶·cents == trend + seasonal + residual must hold
+    exactly on every row; the trend must equal the floor of the pandas
+    centered 7-day rolling mean; per-priority row count is n_days − 6
+    (full centered windows only)."""
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_stl_decompose"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["o_orderpriority", "day"])
+        .reset_index(drop=True)
+    )
+    assert (
+        1_000_000 * pdf.revenue_cents
+        == pdf.trend_micro + pdf.seasonal_micro + pdf.residual_micro
+    ).all()
+    for pri, grp in pdf.groupby("o_orderpriority"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        # seasonal is constant per (pri, dow)
+        assert grp.groupby(grp.day % 7).seasonal_micro.nunique().max() == 1
+        # trend == floor(centered 7-day mean · 10⁶) recomputed from the
+        # series itself (interior rows, where the source window is complete)
+        s7 = grp.revenue_cents.rolling(7, center=True).sum()
+        interior = s7.notna()
+        assert (
+            grp.trend_micro[interior] == (1_000_000 * s7[interior]) // 7
+        ).all()
