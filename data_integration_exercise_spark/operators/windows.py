@@ -996,3 +996,92 @@ def win_stl_decompose(spark, sf_dir):
         "seasonal_micro",
         (F.col("det_micro") - F.col("seasonal_micro")).alias("residual_micro"),
     )
+
+
+@register(
+    "win_theil_sen",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS pri,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                   AS mi,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ), nm AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n_months FROM monthly GROUP BY 1
+    ), pairs AS (
+        SELECT a.pri,
+               CAST((1000000 * (b.cents - a.cents)) // (b.mi - a.mi) AS BIGINT)
+                   AS slope_micro
+        FROM monthly a JOIN monthly b ON a.pri = b.pri AND b.mi > a.mi
+    ), ranked AS (
+        SELECT pri, slope_micro,
+               row_number() OVER (PARTITION BY pri ORDER BY slope_micro) AS rn,
+               CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT r.pri AS o_orderpriority, nm.n_months, r.n_pairs,
+           r.slope_micro AS theil_sen_micro
+    FROM ranked r JOIN nm ON r.pri = nm.pri
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def win_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend per priority: the LOWER MEDIAN of all
+    pairwise slopes of the monthly revenue series, in truncating integer
+    microcents/month — the breakdown-point-29% alternative to
+    agg_linear_trend's OLS slope (one wild month moves OLS, not the
+    median of ~3.2k pairwise slopes). Every slope is an exact integer
+    division ((10⁶·Δcents) div Δmonth — Spark ``div`` ≡ DuckDB ``//``,
+    both toward zero, Δmonth > 0), and the median is picked positionally
+    from the sorted slope multiset (rank (n+1) div 2), so the estimator is
+    hash-verified cross-engine with no float quantile interpolation.
+
+    100 TB: the pairwise expansion is on the MONTH-grain series — a
+    calendar-bounded axis (~80 rows/priority → ~3.2k pairs, data-size-
+    independent), so the O(n²) stage never grows with fact volume; the
+    only corpus-scale work is the month rollup (map-side combined). The
+    collect_list median rides the same bounded axis. Slope numerators
+    stay > 25 000× under int64 at this revenue scale (documented, same
+    headroom discipline as win_rolling_slope's decimal note)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    ).localCheckpoint(eager=False)  # referenced 3× (both pair sides + counts)
+    a = monthly.select(
+        "pri", F.col("mi").alias("a_mi"), F.col("cents").alias("a_cents")
+    )
+    b = monthly.select(
+        F.col("pri").alias("prib"),
+        F.col("mi").alias("b_mi"),
+        F.col("cents").alias("b_cents"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("pri") == F.col("prib")) & (F.col("b_mi") > F.col("a_mi")),
+    ).select(
+        "pri",
+        F.expr("(1000000 * (b_cents - a_cents)) div (b_mi - a_mi)").alias(
+            "slope_micro"
+        ),
+    )
+    med = pairs.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "element_at(array_sort(collect_list(slope_micro)),"
+            " CAST((count(1) + 1) div 2 AS INT))"
+        ).alias("theil_sen_micro"),
+    )
+    nm = monthly.groupBy("pri").agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return med.join(F.broadcast(nm), "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_months",
+        "n_pairs",
+        "theil_sen_micro",
+    )

@@ -168,6 +168,7 @@ _ADDED_R6 = [
 # registers it.
 _ADDED_R7 = [
     "win_stl_decompose",
+    "win_theil_sen",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

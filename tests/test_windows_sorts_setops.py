@@ -222,3 +222,44 @@ def test_stl_decompose_reconstructs_and_matches_pandas_trend(spark):
         assert (
             grp.trend_micro[interior] == (1_000_000 * s7[interior]) // 7
         ).all()
+
+
+def test_theil_sen_matches_numpy_pairwise_median(spark):
+    """Recompute the lower-median pairwise slope with numpy for every
+    priority; n_pairs must be n_months·(n_months−1)/2 and the slope must
+    equal the positionally-picked element of the sorted slope multiset."""
+    import numpy as np
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_theil_sen"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert len(pdf) == 5
+    import duckdb
+
+    monthly = duckdb.sql(
+        """
+        SELECT o_orderpriority pri,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) mi,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) cents
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1, 2
+        """
+    ).df()
+    for pri, grp in monthly.groupby("pri"):
+        grp = grp.sort_values("mi")
+        mi = grp.mi.to_numpy(np.int64)
+        c = grp.cents.to_numpy(np.int64)
+        slopes = []
+        for i in range(len(mi)):
+            for j in range(i + 1, len(mi)):
+                num, den = 1_000_000 * int(c[j] - c[i]), int(mi[j] - mi[i])
+                q = abs(num) // den
+                slopes.append(q if num >= 0 else -q)
+        slopes.sort()
+        row = pdf.loc[pri]
+        assert row.n_months == len(mi)
+        assert row.n_pairs == len(mi) * (len(mi) - 1) // 2 == len(slopes)
+        assert row.theil_sen_micro == slopes[(len(slopes) + 1) // 2 - 1]
