@@ -3395,3 +3395,92 @@ def agg_acf_lags(spark, sf_dir):
             ).alias("acf_micro"),
         )
     )
+
+
+@register(
+    "agg_srm_check",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, event_type,
+               CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                          % 10) < 5 THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ), cells AS (
+        SELECT event_type,
+               CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a_obs,
+               CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b_obs,
+               CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a_sim,
+               CAST(count(*) FILTER (arm = 'B' AND user_id % 5 <> 0) AS BIGINT)
+                   AS n_b_sim
+        FROM pairs GROUP BY 1
+    ), scen AS (
+        SELECT event_type, 'observed' AS scenario, n_a_obs AS n_a, n_b_obs AS n_b
+        FROM cells
+        UNION ALL
+        SELECT event_type, 'sim_b_drop', n_a_sim, n_b_sim FROM cells
+    )
+    SELECT event_type, scenario, n_a, n_b,
+           CAST((1000000::HUGEINT * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b)
+                AS BIGINT) AS chi2_micro,
+           CAST(CASE WHEN (1000000::HUGEINT * (n_a - n_b) * (n_a - n_b))
+                          // (n_a + n_b) > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+               AS srm_flag
+    FROM scen
+    """,
+)
+def agg_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the first sanity check every
+    experimentation platform runs before reading a metric: per segment
+    (event_type), the md5-hash 50/50 user assignment's observed arm counts
+    are tested with the one-degree χ² goodness-of-fit statistic, which for
+    an even split reduces to (n_a − n_b)²/n — emitted in integer
+    micro-units, flagged against the 0.05 critical value 3.841459. Two
+    scenarios per segment prove both behaviors of the guardrail on real
+    data: ``observed`` (the clean hash split — expected NOT to flag) and
+    ``sim_b_drop`` (a simulated one-arm ingestion bug dropping the 20% of
+    B-arm users with user_id ≡ 0 mod 5 — expected to flag once segments
+    have a few hundred users). Distinct from agg_chi_square: that tests
+    INDEPENDENCE on a contingency table; this tests goodness-of-fit
+    against a designed ratio.
+
+    100 TB: one distinct (user, segment) rollup — map-side combined — then
+    per-segment cells; both scenario columns come from the SAME pass
+    (conditional counts), so the simulation costs zero extra scans. The
+    (n_a−n_b)² product rides decimal(38,0)/HUGEINT: at 10⁹ users per arm a
+    20% drop makes the squared diff ×10⁶ overflow int64."""
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 < 5,
+        "A",
+    ).otherwise("B")
+    pairs = e.select("user_id", "event_type", arm.alias("arm")).distinct()
+    cells = pairs.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == "A", True)).cast("long").alias("n_a_obs"),
+        F.count(F.when(F.col("arm") == "B", True)).cast("long").alias("n_b_obs"),
+        F.count(F.when(F.col("arm") == "A", True)).cast("long").alias("n_a_sim"),
+        F.count(
+            F.when((F.col("arm") == "B") & (F.col("user_id") % 5 != 0), True)
+        )
+        .cast("long")
+        .alias("n_b_sim"),
+    )
+    scen = cells.select(
+        "event_type",
+        F.expr(
+            "stack(2, 'observed', n_a_obs, n_b_obs,"
+            " 'sim_b_drop', n_a_sim, n_b_sim) AS (scenario, n_a, n_b)"
+        ),
+    )
+    chi2 = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_a - n_b) * (n_a - n_b))"
+        " div (n_a + n_b) AS BIGINT)"
+    )
+    return scen.select(
+        "event_type",
+        "scenario",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_micro"),
+        F.when(chi2 > 3841459, 1).otherwise(0).cast("long").alias("srm_flag"),
+    )

@@ -169,6 +169,7 @@ _ADDED_R6 = [
 _ADDED_R7 = [
     "win_stl_decompose",
     "win_theil_sen",
+    "agg_srm_check",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

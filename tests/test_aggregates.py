@@ -561,3 +561,23 @@ def test_acf_lags_match_numpy_reference(spark):
         # at the floor boundary
         assert abs(int(r.acf_micro) - approx) <= 1, (k, int(r.acf_micro), approx)
         assert abs(int(r.acf_micro)) <= 1_000_000
+
+
+def test_srm_check_scenarios_behave(spark):
+    """The clean hash split must not flag SRM in any segment; the simulated
+    20% B-arm drop must flag once a segment has enough users; chi2 must
+    equal the integer (n_a−n_b)²·10⁶ div n recomputation."""
+    from data_integration_exercise_spark.operators import aggregates as A
+
+    pdf = A.QUERIES["agg_srm_check"](spark, "/root/testdata/sf0.01").toPandas()
+    assert set(pdf.scenario) == {"observed", "sim_b_drop"}
+    for _, r in pdf.iterrows():
+        n = int(r.n_a + r.n_b)
+        diff = int(r.n_a - r.n_b)
+        assert r.chi2_micro == (1_000_000 * diff * diff) // n
+        assert r.srm_flag == (1 if r.chi2_micro > 3_841_459 else 0)
+    obs = pdf[pdf.scenario == "observed"]
+    assert (obs.srm_flag == 0).all(), "clean hash split flagged SRM"
+    sim = pdf[pdf.scenario == "sim_b_drop"]
+    big = sim[(sim.n_a + sim.n_b) >= 500]
+    assert (big.srm_flag == 1).all(), "20% one-arm drop went undetected"
