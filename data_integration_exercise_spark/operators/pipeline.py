@@ -1998,3 +1998,81 @@ def text_langid_confusion(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s
+        FROM documents
+    ), scored AS (
+        SELECT (1000 * len(list_intersect(d1.s, d2.s)))
+               // (len(d1.s) + len(d2.s) - len(list_intersect(d1.s, d2.s)))
+                   AS permille
+        FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+    ), bucketed AS (
+        SELECT (permille // 50) * 50 AS threshold_permille,
+               CAST(count(*) AS BIGINT) AS n_pairs_bucket
+        FROM scored WHERE permille >= 500 GROUP BY 1
+    ), cum AS (
+        SELECT threshold_permille, n_pairs_bucket,
+               CAST(sum(n_pairs_bucket) OVER (
+                   ORDER BY threshold_permille DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_pairs_at_or_above,
+               CAST(sum(n_pairs_bucket) OVER () AS BIGINT) AS total
+        FROM bucketed
+    )
+    SELECT threshold_permille, n_pairs_bucket, n_pairs_at_or_above,
+           (1000 * n_pairs_at_or_above) // total AS share_permille
+    FROM cum
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """The dedup-threshold tuning curve in ONE pass: every same-lang pair's
+    exact Jaccard (integer permille off the 31-bit token masks) is bucketed
+    to 50-permille threshold steps ≥ 500, and a descending cumulative sum
+    turns the histogram into the curve every dedup rollout decision reads —
+     'how many pairs would a ≥ t cut affect, and what share of the ≥ 0.5
+    mass is that'. Sweeping thresholds by re-running the pair stage per
+    candidate t is the naive shape; the histogram+cumsum shape pays the
+    pair scan ONCE for the whole curve. Companion to dedup_lsh_pr_eval
+    (which fixes t = 0.8 and tunes the BAND GEOMETRY; this fixes the
+    candidate stream and tunes t).
+
+    100 TB: pair generation is the salted same-lang self-join on 8-byte
+    masks (exact — the measured-corpus definition; swap in
+    _lsh_scored_pairs for an LSH-bounded stream when the corpus outgrows
+    blocked-exact range, same downstream histogram). Everything after the
+    pair stream is a ≤11-row threshold axis: the cumulative window is
+    bounded by construction."""
+    masks = _doc_masks(spark, sf_dir)
+    pairs = salted_lang_pairs(masks)
+    permille = F.expr(
+        "(1000 * bit_count(a_mask & b_mask))"
+        " div bit_count(a_mask | b_mask)"
+    )
+    bucketed = (
+        pairs.select(permille.alias("permille"))
+        .filter(F.col("permille") >= 500)
+        .groupBy(F.expr("(permille div 50) * 50").alias("threshold_permille"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_bucket"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("threshold_permille").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = bucketed.select(
+        "threshold_permille",
+        "n_pairs_bucket",
+        F.sum("n_pairs_bucket").over(w_cum).cast("long").alias("n_pairs_at_or_above"),
+        F.sum("n_pairs_bucket").over(w_all).cast("long").alias("total"),
+    )
+    return cum.select(
+        "threshold_permille",
+        "n_pairs_bucket",
+        "n_pairs_at_or_above",
+        F.expr("(1000 * n_pairs_at_or_above) div total").alias("share_permille"),
+    )

@@ -170,6 +170,7 @@ _ADDED_R7 = [
     "win_stl_decompose",
     "win_theil_sen",
     "agg_srm_check",
+    "dedup_threshold_sweep",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

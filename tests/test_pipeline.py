@@ -304,3 +304,29 @@ def test_langid_confusion_consistent_with_predictions(spark):
     assert acc > 0.3  # measured 0.364 at sf0.01 — far above the 0.2 chance
     assert (m.share_of_true_permille.between(0, 1000)).all()
     assert (m.share_of_pred_permille.between(0, 1000)).all()
+
+
+def test_threshold_sweep_is_monotone_and_consistent(spark):
+    """The cumulative curve must be non-increasing in threshold, its top
+    bucket must equal its own count, the 800-threshold point must equal the
+    near-dup pair count dedup_near_jaccard reports, and shares must end at
+    1000 for the lowest bucket."""
+    from data_integration_exercise_spark.operators import pipeline as P
+    from data_integration_exercise_spark.operators import text as T
+
+    pdf = (
+        P.QUERIES["dedup_threshold_sweep"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values("threshold_permille", ascending=False)
+        .reset_index(drop=True)
+    )
+    assert pdf.n_pairs_at_or_above.is_monotonic_increasing  # desc threshold order
+    assert pdf.loc[0, "n_pairs_at_or_above"] == pdf.loc[0, "n_pairs_bucket"]
+    assert pdf.n_pairs_bucket.sum() == pdf.n_pairs_at_or_above.iloc[-1]
+    assert pdf.share_permille.iloc[-1] == 1000
+    # cross-key: pairs at >= 800 == the exact near-dup pair list's size
+    n_near = P.QUERIES.get("dedup_near_jaccard") or T.QUERIES["dedup_near_jaccard"]
+    n80 = int(
+        pdf[pdf.threshold_permille == 800].n_pairs_at_or_above.iloc[0]
+    )
+    assert n80 == n_near(spark, "/root/testdata/sf0.01").count()
