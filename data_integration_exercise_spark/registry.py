@@ -171,6 +171,7 @@ _ADDED_R7 = [
     "win_theil_sen",
     "agg_srm_check",
     "dedup_threshold_sweep",
+    "etl_vacuum_retention_plan",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

@@ -1277,3 +1277,148 @@ def scan_partition_evolution(spark, sf_dir):
             ),
         )
     )
+
+
+_VACUUM_STAGED: set[str] = set()  # staged once per process; source immutable
+
+
+@register(
+    "etl_vacuum_retention_plan",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey, o_orderkey % 8 AS bucket FROM orders
+    )
+    SELECT 'expired_reclaimable' AS status, CAST(3 AS BIGINT) AS n_files,
+           CAST((SELECT count(*) FROM b WHERE bucket < 3) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'live', CAST(8 AS BIGINT),
+           CAST((SELECT count(*) FROM b WHERE bucket >= 3)
+                + (SELECT count(*) FROM b
+                   WHERE bucket < 3 AND o_orderkey % 13 <> 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orphan', CAST(1 AS BIGINT),
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey % 17 = 0)
+                AS BIGINT)
+    """,
+)
+def etl_vacuum_retention_plan(spark, sf_dir):
+    """VACUUM planning for a snapshot-versioned table — the lakehouse ops
+    question scan_time_travel's manifest mechanism sets up: under a
+    retention policy of 'keep only the latest version', which physical
+    files are (a) LIVE (referenced by v2), (b) EXPIRED-RECLAIMABLE
+    (referenced only by the expired v1 — safe to delete), (c) ORPHANED
+    (on disk, in NO manifest — a crashed write's leftovers)? The staged
+    table is bucket-partitioned (o_orderkey % 8, one file per bucket);
+    v2 is an INCREMENTAL commit that rewrites only buckets 0-2 (applying
+    ``%13`` deletes) and re-references v1's untouched bucket 3-7 files —
+    so the planner must prove it protects SHARED files (5 of v1's 8 files
+    stay live) instead of naively deleting everything the expired
+    snapshot mentions. Per-file row counts were recorded in the manifest
+    AT COMMIT TIME (as Iceberg/Delta do), so the plan for live/expired
+    files touches ZERO data — manifest joins only; orphans are outside
+    the metadata by definition and are the one category that needs its
+    (bounded, stray-file-count) read. Output: status, n_files, n_rows.
+
+    100 TB: the decision join is manifest-vs-manifest (KB-scale) plus one
+    directory listing; no data-lake scan. The driver-side file-list
+    collect is bounded by the physical file count — metadata plane, same
+    contract as scan_time_travel."""
+    import os
+
+    base = _stage_dir(sf_dir, "etl_vacuum")
+    data, manifest = base + "/data", base + "/manifest"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 8).cast("long").alias("bucket")
+    )
+    if base not in _VACUUM_STAGED:
+        # commit 1: full table, one file per bucket (hash partition on the
+        # bucket value routes each bucket to exactly one task)
+        (
+            o.repartition(8, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(data + "/commit1")
+        )
+        # commit 2: rewrite ONLY buckets 0-2 with %13 deletes applied
+        (
+            o.filter((F.col("bucket") < 3) & (F.col("o_orderkey") % 13 != 0))
+            .repartition(3, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(data + "/commit2")
+        )
+        # orphan: a crashed write that never reached any manifest
+        (
+            o.filter(F.col("o_orderkey") % 17 == 0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(data + "/commit_tmp")
+        )
+        # manifests record (version, file, n_rows, bucket) at commit time
+        c1 = (
+            spark.read.parquet(data + "/commit1")
+            .groupBy(F.input_file_name().alias("file"), "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        c2 = (
+            spark.read.parquet(data + "/commit2")
+            .groupBy(F.input_file_name().alias("file"), "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+        v1 = c1.withColumn("version", F.lit(1).cast("long"))
+        v2 = (
+            c1.filter(F.col("bucket") >= 3)
+            .unionByName(c2)
+            .withColumn("version", F.lit(2).cast("long"))
+        )
+        (
+            v1.unionByName(v2)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )
+        _VACUUM_STAGED.add(base)
+    man = spark.read.parquet(manifest)
+    live = man.filter(F.col("version") == 2).select("file", "n_rows")
+    expired = man.filter(F.col("version") == 1).select("file", "n_rows")
+    reclaim = expired.join(F.broadcast(live.select("file")), "file", "left_anti")
+    # physical listing: every parquet data file under the staged table root
+    on_disk = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    manifest_files = {
+        r.file.removeprefix("file://")
+        for r in man.select("file").distinct().collect()
+    }
+    orphans = [p for p in on_disk if p not in manifest_files]
+    orphan_rows = (
+        spark.read.parquet(*orphans).count() if orphans else 0
+    )
+    plan = [
+        ("live",),
+        ("expired_reclaimable",),
+        ("orphan",),
+    ]
+    counts = {
+        "live": live.agg(
+            F.count(F.lit(1)).cast("long"), F.sum("n_rows").cast("long")
+        ).first(),
+        "expired_reclaimable": reclaim.agg(
+            F.count(F.lit(1)).cast("long"), F.sum("n_rows").cast("long")
+        ).first(),
+    }
+    rows = [
+        ("live", int(counts["live"][0]), int(counts["live"][1])),
+        (
+            "expired_reclaimable",
+            int(counts["expired_reclaimable"][0]),
+            int(counts["expired_reclaimable"][1]),
+        ),
+        ("orphan", len(orphans), int(orphan_rows)),
+    ]
+    return spark.createDataFrame(
+        rows, "status string, n_files long, n_rows long"
+    )

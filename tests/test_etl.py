@@ -326,3 +326,43 @@ def test_backfill_plan_flags_exactly_the_outage_months(spark):
     assert (missing == (midx % 9 == 0)).all()
     assert (pdf.loc[missing, "n_rows"] == 0).all()
     assert (pdf.loc[~missing, "n_rows"] > 0).all()
+
+
+def test_vacuum_plan_protects_shared_files(spark):
+    """v2 re-references 5 of v1's 8 bucket files, so vacuum must reclaim
+    exactly the 3 rewritten-bucket files (their rows = source rows with
+    bucket < 3), keep 8 live files, and find the single orphan; a second
+    call in the same process must return the identical plan (staging is
+    idempotent)."""
+    import duckdb
+
+    from data_integration_exercise_spark.sources import connectors as C
+
+    sf = "/root/testdata/sf0.01"
+    pdf = (
+        C.QUERIES["etl_vacuum_retention_plan"](spark, sf)
+        .toPandas()
+        .set_index("status")
+    )
+    src = duckdb.sql(
+        f"""
+        SELECT count(*) FILTER (o_orderkey % 8 < 3) AS lt3,
+               count(*) FILTER (o_orderkey % 8 >= 3) AS ge3,
+               count(*) FILTER (o_orderkey % 8 < 3 AND o_orderkey % 13 <> 0)
+                   AS lt3_kept,
+               count(*) FILTER (o_orderkey % 17 = 0) AS orphan
+        FROM '{sf}/orders.parquet'
+        """
+    ).df().iloc[0]
+    assert pdf.loc["expired_reclaimable", "n_files"] == 3
+    assert pdf.loc["expired_reclaimable", "n_rows"] == src.lt3
+    assert pdf.loc["live", "n_files"] == 8
+    assert pdf.loc["live", "n_rows"] == src.ge3 + src.lt3_kept
+    assert pdf.loc["orphan", "n_files"] == 1
+    assert pdf.loc["orphan", "n_rows"] == src.orphan
+    again = (
+        C.QUERIES["etl_vacuum_retention_plan"](spark, sf)
+        .toPandas()
+        .set_index("status")
+    )
+    assert (again == pdf).all().all()
