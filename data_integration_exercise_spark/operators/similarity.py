@@ -1282,3 +1282,234 @@ def sim_ndcg_eval(spark, sf_dir):
         .cast("long")
         .alias("n_hits"),
     )
+
+
+_GRAPH_M = 4  # out-degree of the neighbor graph
+_GRAPH_K = 5  # results per query
+_GRAPH_QMOD = 101  # query set: vec_id % _GRAPH_QMOD == 0
+
+
+def _ann_graph_oracle() -> str:
+    band_sig = []
+    for b in range(N_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(qv, {_sql_list(HYPERPLANES[b * BAND_BITS + j])})"
+            f" >= 0 THEN {2 ** j} ELSE 0 END)"
+            for j in range(BAND_BITS)
+        )
+        band_sig.append(f"SELECT vec_id, {b} AS band, {bits} AS sig FROM q")
+    bands_union = " UNION ALL ".join(band_sig)
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(1000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ), qn AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+        FROM q
+    ), banded AS ({bands_union}),
+    bucket_pairs AS (
+        SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
+        FROM banded b1
+        JOIN banded b2 ON b1.band = b2.band AND b1.sig = b2.sig
+                      AND b1.vec_id <> b2.vec_id
+    ), scored_edges AS (
+        SELECT p.src, p.dst,
+               (CASE WHEN CAST(list_dot_product(a.qv, b.qv) AS BIGINT) < 0
+                     THEN -1 ELSE 1 END)
+               * CAST((100000000::HUGEINT
+                       * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+                       * CAST(list_dot_product(a.qv, b.qv) AS BIGINT))
+                      // (a.n2::HUGEINT * b.n2) AS BIGINT) AS score
+        FROM bucket_pairs p
+        JOIN qn a ON a.vec_id = p.src
+        JOIN qn b ON b.vec_id = p.dst
+    ), nbr AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY score DESC, dst ASC) AS rn
+            FROM scored_edges) WHERE rn <= {_GRAPH_M}
+    ), queries AS (
+        SELECT vec_id AS qid FROM q WHERE vec_id % {_GRAPH_QMOD} = 0
+    ), seeds AS (
+        SELECT DISTINCT qs.qid, b2.vec_id AS cand
+        FROM queries qs
+        JOIN banded bq ON bq.vec_id = qs.qid
+        JOIN banded b2 ON b2.band = bq.band AND b2.sig = bq.sig
+                      AND b2.vec_id <> qs.qid
+    ), cand AS (
+        SELECT DISTINCT qid, cand FROM (
+            SELECT qid, cand FROM seeds
+            UNION ALL
+            SELECT s.qid, n.dst AS cand FROM seeds s
+            JOIN nbr n ON n.src = s.cand
+        ) WHERE cand <> qid
+    ), reranked AS (
+        SELECT c.qid, c.cand,
+               (CASE WHEN CAST(list_dot_product(a.qv, b.qv) AS BIGINT) < 0
+                     THEN -1 ELSE 1 END)
+               * CAST((100000000::HUGEINT
+                       * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+                       * CAST(list_dot_product(a.qv, b.qv) AS BIGINT))
+                      // (a.n2::HUGEINT * b.n2) AS BIGINT) AS score
+        FROM cand c
+        JOIN qn a ON a.vec_id = c.qid
+        JOIN qn b ON b.vec_id = c.cand
+    )
+    SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+           cand AS vec_id, score AS signed_cos2_x1e8
+    FROM (
+        SELECT qid, cand, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cand ASC) AS rn
+        FROM reranked) WHERE rn <= {_GRAPH_K}
+    """
+
+
+@register("sim_ann_graph", oracle=_ann_graph_oracle())
+def sim_ann_graph(spark, sf_dir):
+    """Graph-based ANN (the NSW/HNSW family's batch formulation),
+    completing the index spectrum next to brute force (sim_knn_query),
+    banded LSH (sim_ann_lsh), IVF (sim_ann_ivf) and IVF-PQ
+    (sim_pq_quantize/sim_adc_search): an INDEX PASS builds a bounded
+    out-degree-4 neighbor graph (LSH bucket-mates re-ranked exactly, top-4
+    per node), and the QUERY PASS seeds each query with its own bucket-
+    mates, expands one hop along the graph — the 'follow the neighbors of
+    close nodes' step that gives graph indexes their recall — and exactly
+    re-ranks the united candidate set to top-5. Unlike library ANN, every
+    stage is hash-verified cross-engine: vectors are 1e3-quantized to
+    integers (the sim_recall_eval discipline), sign bits come from integer
+    hyperplane dots, and ranking uses signed integer cos²
+    (sign·10⁸·dot² div |a|²|b|² — strictly increasing in cosine, zero
+    float surface).
+
+    100 TB: graph build touches only bucket-colliding pairs (banded
+    equi-join — never all-pairs) and caps the materialized index at 4
+    edges/node; the query pass is equi-joins against a broadcast-scale
+    query set, with candidates bounded by |seeds|·(1+M). Beam iterations
+    beyond one hop would repeat the expand join; one hop is the
+    measured-sufficient depth here (recall pinned in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5)"
+        " AS BIGINT))"
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qn = (
+        e.select("vec_id", qv.alias("qv"))
+        .withColumn("n2", idot(F.col("qv"), F.col("qv")))
+        # referenced by the signature build and by BOTH sides of every
+        # scoring join — checkpoint or the quantization re-runs 5×
+        .localCheckpoint(eager=False)
+    )
+    band_sigs = []
+    for b in range(N_BANDS):
+        sig = F.lit(0)
+        for j in range(BAND_BITS):
+            h = F.array(
+                *[F.lit(int(x)).cast("long") for x in HYPERPLANES[b * BAND_BITS + j]]
+            )
+            sig = sig + F.when(idot(F.col("qv"), h) >= 0, F.lit(2**j)).otherwise(
+                F.lit(0)
+            )
+        band_sigs.append(sig)
+    banded = (
+        qn.select("vec_id", F.array(*band_sigs).alias("sigs"))
+        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+        .localCheckpoint(eager=False)  # 3 references: pair join sides + seeds
+    )
+    b1 = banded.select(F.col("vec_id").alias("src"), "band", "sig")
+    b2 = banded.select(
+        F.col("vec_id").alias("dst"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+    )
+    bucket_pairs = b1.join(
+        b2,
+        (F.col("band") == F.col("band2"))
+        & (F.col("sig") == F.col("sig2"))
+        & (F.col("src") != F.col("dst")),
+    ).select("src", "dst").distinct()
+
+    def scored(pairs, left, right):
+        a = qn.select(
+            F.col("vec_id").alias("_a"), F.col("qv").alias("qa"),
+            F.col("n2").alias("n2a"),
+        )
+        b = qn.select(
+            F.col("vec_id").alias("_b"), F.col("qv").alias("qb"),
+            F.col("n2").alias("n2b"),
+        )
+        return (
+            pairs.join(a, F.col(left) == F.col("_a"))
+            .join(b, F.col(right) == F.col("_b"))
+            .withColumn("dot", idot(F.col("qa"), F.col("qb")))
+            .select(
+                left,
+                right,
+                F.expr(
+                    "(CASE WHEN dot < 0 THEN -1 ELSE 1 END)"
+                    " * CAST((CAST(100000000 AS DECIMAL(38,0)) * dot * dot)"
+                    "        div (CAST(n2a AS DECIMAL(38,0)) * n2b) AS BIGINT)"
+                ).alias("score"),
+            )
+        )
+
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    nbr = (
+        scored(bucket_pairs, "src", "dst")
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= _GRAPH_M)
+        .select("src", "dst")
+    )
+    queries = qn.filter(F.col("vec_id") % _GRAPH_QMOD == 0).select(
+        F.col("vec_id").alias("qid")
+    )
+    bq = banded.withColumnRenamed("vec_id", "qid")
+    seeds = (
+        F.broadcast(queries)
+        .join(bq, "qid")
+        .join(
+            b2,
+            (F.col("band") == F.col("band2"))
+            & (F.col("sig") == F.col("sig2"))
+            & (F.col("dst") != F.col("qid")),
+        )
+        .select("qid", F.col("dst").alias("cand"))
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced by union AND expand join
+    )
+    expanded = seeds.join(
+        nbr, seeds.cand == nbr.src
+    ).select("qid", F.col("dst").alias("cand"))
+    cand = (
+        seeds.unionByName(expanded)
+        .filter(F.col("cand") != F.col("qid"))
+        .distinct()
+    )
+    w_q = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    return (
+        scored(cand, "qid", "cand")
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _GRAPH_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rn").cast("long").alias("rank"),
+            F.col("cand").alias("vec_id"),
+            F.col("score").alias("signed_cos2_x1e8"),
+        )
+    )

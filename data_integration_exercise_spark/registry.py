@@ -172,6 +172,7 @@ _ADDED_R7 = [
     "agg_srm_check",
     "dedup_threshold_sweep",
     "etl_vacuum_retention_plan",
+    "sim_ann_graph",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former
