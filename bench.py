@@ -108,6 +108,15 @@ R6_TIER = [
     "graph_clustering_coefficient",
 ]
 
+# Round-7 additions: the 3 most plan-complex of the 6 (theil-sen and the
+# SRM guardrail are sub-second bounded-axis rollups; the vacuum plan is
+# staging-dominated — all three are tracked by tests instead).
+R7_TIER = [
+    "sim_ann_graph",
+    "dedup_threshold_sweep",
+    "win_stl_decompose",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,7 +132,9 @@ def main() -> None:
     # unattributable from single runs; r5's extension-tier singles drifted
     # +25% under intra-run contention).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for key in HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER:
+    for key in (
+        HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
+    ):
         if key not in qs:
             continue
         fn = qs[key]
@@ -166,6 +177,9 @@ def main() -> None:
     r6_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R6_TIER), 4
     )
+    r7_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R7_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -184,6 +198,7 @@ def main() -> None:
         "r5b_tier_total": r5b_tier_total,
         "r5c_tier_total": r5c_tier_total,
         "r6_tier_total": r6_tier_total,
+        "r7_tier_total": r7_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

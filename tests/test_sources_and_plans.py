@@ -77,7 +77,9 @@ def test_cbo_stats_drive_planning(spark):
     assert spark.conf.get("spark.sql.cbo.enabled") == "true"
     import os
 
-    tbl = f"die_cbo_orders_{os.getpid()}_{os.path.basename(SF)}".replace(".", "_")
+    from data_integration_exercise_spark.io import sf_cache_tag
+
+    tbl = f"die_cbo_orders_{os.getpid()}_{sf_cache_tag(SF)}".replace(".", "_")
     stats = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").toPandas()
     stat_row = stats[stats.col_name == "Statistics"]
     assert not stat_row.empty and "rows" in stat_row.data_type.iloc[0], stats
