@@ -50,6 +50,12 @@ _PARTITION_INVARIANT_KEYS = [
     "agg_acf_lags",
     "events_window_funnel",
     "graph_clustering_coefficient",
+    # round-7 additions most exposed to combine/tiebreak drift: the salted
+    # pair histogram, the graph-ANN bucket joins + two ranked windows, and
+    # the decomposition's windowed sums
+    "dedup_threshold_sweep",
+    "sim_ann_graph",
+    "win_stl_decompose",
 ]
 
 
