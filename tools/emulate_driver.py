@@ -33,18 +33,23 @@ def _canon(df):
     """Stringify a frame for comparison, normalizing representation noise
     between Spark- and DuckDB-produced pandas frames: float columns format
     via %.12g (so int64 1 vs float64 1.0 agree once either side is float)
-    and all missing values (None / NaN / NaT) collapse to the same token.
-    Mirrors the intent of the driver's canonicalization; ADVICE r6 item 4.
+    and missing values (None / NaN / NaT) collapse to one token. Non-float
+    columns keep pandas ``astype(str)`` semantics — per-element ``str()``
+    would lose pandas' smart datetime formatting (a midnight datetime64
+    prints '2024-01-01' under astype(str) but '2024-01-01 00:00:00' under
+    str(), false-mismatching every date column against Spark's
+    datetime.date objects). ADVICE r6 item 4.
     """
     import pandas as pd
 
+    _NULLS = {"None", "NaN", "NaT", "<NA>", "nan"}
     out = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
             out[c] = s.map(lambda v: "<NULL>" if pd.isna(v) else format(v, ".12g"))
         else:
-            out[c] = s.map(lambda v: "<NULL>" if pd.isna(v) is True else str(v))
+            out[c] = s.astype(str).map(lambda v: "<NULL>" if v in _NULLS else v)
     return pd.DataFrame(out)
 
 
