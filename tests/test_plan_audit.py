@@ -96,6 +96,12 @@ EXPECTED_EXCHANGES = {
     "dedup_soft_weights": (8, 2),  # salted self-join + two degree rollups
     "dedup_semdedup": (9, 2),  # cluster-blocked pairs, no all-pairs product
     "agg_heavy_hitters": (3, 2),
+    # Round-7 additions (pinned at birth, same insurance as the top-20):
+    "sim_ann_graph": (7, 5),  # bucket join + 2 ranked windows + expand join
+    "dedup_threshold_sweep": (5, 1),  # salted pairs + bounded-axis cumsum
+    "win_stl_decompose": (1, 1),  # day rollup; seasonal rollup on checkpoint
+    "win_theil_sen": (2, 2),  # month rollup; pairs on checkpointed series
+    "agg_srm_check": (2, 0),  # distinct (user, segment) + cell rollup
 }
 
 _SHUFFLE_RE = re.compile(
