@@ -1410,19 +1410,28 @@ def sim_ann_graph(spark, sf_dir):
         # scoring join — checkpoint or the quantization re-runs 5×
         .localCheckpoint(eager=False)
     )
-    band_sigs = []
-    for b in range(N_BANDS):
-        sig = F.lit(0)
-        for j in range(BAND_BITS):
-            h = F.array(
-                *[F.lit(int(x)).cast("long") for x in HYPERPLANES[b * BAND_BITS + j]]
-            )
-            sig = sig + F.when(idot(F.col("qv"), h) >= 0, F.lit(2**j)).otherwise(
-                F.lit(0)
-            )
-        band_sigs.append(sig)
+    # The signature expression is built as ONE SQL string: composing it
+    # from 768 F.lit() Column objects (12 planes × 64 components) costs
+    # ~2 s of py4j plan-construction chatter PER INVOCATION — driver-side
+    # latency, not execution (profiled; the sig job itself is
+    # milliseconds on 2k rows).
+    def _plane_dot(p: int) -> str:
+        h = "array(" + ", ".join(f"{x}L" for x in HYPERPLANES[p]) + ")"
+        return (
+            f"aggregate(zip_with(qv, {h}, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    band_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN {_plane_dot(b * BAND_BITS + j)} >= 0"
+            f" THEN {2 ** j} ELSE 0 END)"
+            for j in range(BAND_BITS)
+        )
+        for b in range(N_BANDS)
+    )
     banded = (
-        qn.select("vec_id", F.array(*band_sigs).alias("sigs"))
+        qn.select("vec_id", F.expr(f"array({band_exprs})").alias("sigs"))
         .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
         .localCheckpoint(eager=False)  # 3 references: pair join sides + seeds
     )
@@ -1432,11 +1441,15 @@ def sim_ann_graph(spark, sf_dir):
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
+    # src < dst: enumerate each undirected bucket pair ONCE — score is
+    # symmetric, so scoring the half-pair set and mirroring afterwards
+    # halves the distinct shuffle AND the 64-element fold work (measured
+    # 5.7 s → 4.5 s at sf0.1)
     bucket_pairs = b1.join(
         b2,
         (F.col("band") == F.col("band2"))
         & (F.col("sig") == F.col("sig2"))
-        & (F.col("src") != F.col("dst")),
+        & (F.col("src") < F.col("dst")),
     ).select("src", "dst").distinct()
 
     def scored(pairs, left, right):
@@ -1468,9 +1481,19 @@ def sim_ann_graph(spark, sf_dir):
     w_src = Window.partitionBy("src").orderBy(
         F.col("score").desc(), F.col("dst").asc()
     )
+    # mirror inline (explode, one pass) — a self-union would re-execute the
+    # scored subtree and give the halving back
+    edges = scored(bucket_pairs, "src", "dst").select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+        "score",
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "score")
     nbr = (
-        scored(bucket_pairs, "src", "dst")
-        .withColumn("rn", F.row_number().over(w_src))
+        edges.withColumn("rn", F.row_number().over(w_src))
         .filter(F.col("rn") <= _GRAPH_M)
         .select("src", "dst")
     )
