@@ -173,6 +173,7 @@ _ADDED_R7 = [
     "dedup_threshold_sweep",
     "etl_vacuum_retention_plan",
     "sim_ann_graph",
+    "win_holt_winters",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

@@ -263,3 +263,48 @@ def test_theil_sen_matches_numpy_pairwise_median(spark):
         assert row.n_months == len(mi)
         assert row.n_pairs == len(mi) * (len(mi) - 1) // 2 == len(slopes)
         assert row.theil_sen_micro == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_holt_winters_fold_matches_python_replay(spark):
+    """Replay the 9-state integer Holt-Winters recurrence in plain Python
+    over each priority's full daily series: level/trend/seasonal forecasts
+    for h=1..7 must match the aggregate-HOF fold exactly."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_holt_winters"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .sort_values(["o_orderpriority", "h"])
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == 35  # 5 priorities x 7 horizons
+    daily = duckdb.sql(
+        """
+        SELECT o_orderpriority pri, CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) cents
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    for pri, grp in daily.groupby("pri"):
+        ys = [int(v) for v in grp.sort_values("d").cents]
+        n = len(ys)
+        l = tdiv(sum(ys[:7]), 7)
+        b, i = 0, 7
+        s = [y - l for y in ys[:7]]
+        for y in ys[7:]:
+            idx = i % 7
+            lt = tdiv(y - s[idx] + 3 * (l + b), 4)
+            bt = tdiv(lt - l + 3 * b, 4)
+            s[idx] = tdiv((y - lt) + 3 * s[idx], 4)
+            l, b, i = lt, bt, i + 1
+        rows = pdf[pdf.o_orderpriority == pri].set_index("h")
+        assert (rows.n_days == n).all()
+        for h in range(1, 8):
+            assert rows.loc[h, "forecast_cents"] == l + h * b + s[(n + h - 1) % 7]
