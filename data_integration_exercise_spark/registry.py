@@ -174,6 +174,7 @@ _ADDED_R7 = [
     "etl_vacuum_retention_plan",
     "sim_ann_graph",
     "win_holt_winters",
+    "events_user_lifecycle",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

@@ -486,3 +486,34 @@ def test_window_funnel_bounded_by_unbounded_funnel(spark):
     assert reached == sorted(reached, reverse=True)
     assert int(wf.n_users.sum()) == uf.n_signup
     assert list(wf.reach_permille) == [1000 * r // reached[0] for r in reached]
+
+
+def test_user_lifecycle_ledger_reconciles_dau(spark):
+    """Growth-accounting identities: actives(d) = new + retained +
+    resurrected, ΔDAU(d) = net_growth(d), and yesterday's actives =
+    retained(d) + churned(d) — checked against events_dau_wau's
+    independent DAU series."""
+    from data_integration_exercise_spark.operators import behavioral as B
+
+    sf = "/root/testdata/sf0.01"
+    life = (
+        B.QUERIES["events_user_lifecycle"](spark, sf)
+        .toPandas()
+        .sort_values("day")
+        .set_index("day")
+    )
+    dau = (
+        B.QUERIES["events_dau_wau"](spark, sf)
+        .toPandas()
+        .sort_values("day")
+        .set_index("day")
+    )
+    for day, r in life.iterrows():
+        active = int(r.n_new + r.n_retained + r.n_resurrected)
+        d = dau.dau.get(day, 0)
+        assert active == d, (day, active, d)
+        import datetime
+
+        prev = dau.dau.get(day - datetime.timedelta(days=1), 0)
+        assert active - prev == r.net_growth, (day, active, prev, r.net_growth)
+        assert prev == r.n_retained + r.n_churned, day
