@@ -102,6 +102,8 @@ EXPECTED_EXCHANGES = {
     "win_stl_decompose": (1, 1),  # day rollup; seasonal rollup on checkpoint
     "win_theil_sen": (2, 2),  # month rollup; pairs on checkpointed series
     "agg_srm_check": (2, 0),  # distinct (user, segment) + cell rollup
+    "win_holt_winters": (2, 0),  # day rollup + per-priority fold
+    "events_user_lifecycle": (4, 1),  # distinct rollup, self-join, ledger
 }
 
 _SHUFFLE_RE = re.compile(
