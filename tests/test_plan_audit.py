@@ -153,3 +153,65 @@ def test_no_cartesian_product_and_python_stays_whitelisted(spark):
             marks = [m for m in _PYTHON_MARKS if m in plan]
             violations.append(f"{key}: unexpected Python stage {marks}")
     assert not violations, "\n".join(violations)
+
+
+# Keys whose executed plans contain a PARTITION-LESS window — allowed only
+# because each such window provably runs over a BOUNDED intermediate, never
+# raw fact rows (the claim VERDICT r6 accepted from inspection; pinned here
+# so a new global window can't slip in unnoticed). Representative bounds:
+# calendar axes (win_moving_avg/range_frame/rolling_corr, agg_yoy_growth,
+# agg_rollforward_balance, events_cumulative_reach/survival_km), the 31-word
+# vocabulary (text_zipf_slope), the ≤11-step threshold axis
+# (dedup_threshold_sweep), distinct-VALUE rollups orders smaller than users
+# (events_rfm_segments), $1000 price-band bucket totals (agg_ks_test), the
+# |partitions|-row offset table (etl_surrogate_keys), per-query candidate
+# rankings (text_bm25_search, sim_hybrid_rrf — list-capped when index-served
+# at scale, per docstrings), candidate top-k re-ranks (sim_ann_lsh/ivf), and
+# final presentation-order rows (sort_multikey, win_percent_of_total).
+# Windows inside localCheckpoint'd subtrees are invisible to this audit —
+# the checkpoint truncates the visible plan — so this pins the visible set.
+UNPARTITIONED_WINDOW_OK = {
+    "agg_ks_test",
+    "agg_rollforward_balance",
+    "agg_yoy_growth",
+    "dedup_threshold_sweep",
+    "etl_surrogate_keys",
+    "events_cumulative_reach",
+    "events_rfm_segments",
+    "events_survival_km",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_hybrid_rrf",
+    "sort_multikey",
+    "text_bm25_search",
+    "text_zipf_slope",
+    "win_moving_avg",
+    "win_percent_of_total",
+    "win_range_frame",
+    "win_rolling_corr",
+}
+
+_WINDOWSPEC_RE = re.compile(r"windowspecdefinition\(([^)]*)\)")
+# a windowspec with NO partition columns starts with an order spec or goes
+# straight to the frame; a partitioned one leads with bare columns
+_NO_PARTITION_RE = re.compile(r"^(\S+ (ASC|DESC) NULLS|specifiedwindowframe)")
+
+
+def test_unpartitioned_windows_stay_whitelisted(spark):
+    """Every partition-less window in every non-streaming plan must belong
+    to a key whitelisted above with a documented bounded axis — a global
+    window over unbounded rows is a one-executor sort at 100 TB."""
+    violations = []
+    for key, fn in queries().items():
+        if key.startswith("stream_"):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        flagged = any(
+            _NO_PARTITION_RE.match(m.group(1))
+            for m in _WINDOWSPEC_RE.finditer(plan)
+        )
+        if flagged and key not in UNPARTITIONED_WINDOW_OK:
+            violations.append(key)
+        if not flagged and key in UNPARTITIONED_WINDOW_OK:
+            violations.append(f"{key} (stale whitelist entry)")
+    assert not violations, violations
