@@ -330,3 +330,48 @@ def test_threshold_sweep_is_monotone_and_consistent(spark):
         pdf[pdf.threshold_permille == 800].n_pairs_at_or_above.iloc[0]
     )
     assert n80 == n_near(spark, "/root/testdata/sf0.01").count()
+
+
+def test_salted_lang_pairs_enumerates_each_pair_exactly_once(spark):
+    """The salted self-join under every exact-pair dedup key must emit each
+    same-lang (doc1 < doc2) pair EXACTLY once — for any bucket count, for
+    skewed/singleton/one-lang layouts, and with carried columns renamed
+    a_/b_. Checked against itertools.combinations ground truth."""
+    from itertools import combinations
+
+    from data_integration_exercise_spark.operators.pipeline import (
+        salted_lang_pairs,
+    )
+
+    cases = [
+        # (doc_id, lang) layouts: skew, singletons, one-lang, gaps
+        [(1, "en"), (2, "en"), (3, "en"), (4, "en"), (5, "en")],
+        [(10, "en"), (20, "fr"), (30, "de")],
+        [(7, "en"), (8, "en"), (100, "fr"), (101, "fr"), (102, "fr"),
+         (9, "en"), (1000, "de")],
+        [(i, "en") for i in range(0, 40, 3)] + [(j, "fr") for j in (1, 2)],
+    ]
+    for rows in cases:
+        truth = {
+            (a, b, la)
+            for (a, la), (b, lb) in combinations(sorted(rows), 2)
+            if la == lb
+            for a, b in [(min(a, b), max(a, b))]
+        }
+        df = spark.createDataFrame(
+            [(d, l, d * 11) for d, l in rows],
+            "doc_id long, lang string, payload long",
+        )
+        for n_buckets in (1, 3, 8):
+            got = salted_lang_pairs(df, n_buckets=n_buckets).select(
+                "doc1", "doc2", "lang", "a_payload", "b_payload"
+            ).collect()
+            pairs = {(r.doc1, r.doc2, r.lang) for r in got}
+            assert len(got) == len(pairs) == len(truth), (
+                rows, n_buckets, len(got), len(truth)
+            )
+            assert pairs == truth, (rows, n_buckets)
+            assert all(
+                r.a_payload == r.doc1 * 11 and r.b_payload == r.doc2 * 11
+                for r in got
+            )
