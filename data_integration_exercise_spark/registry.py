@@ -175,6 +175,7 @@ _ADDED_R7 = [
     "sim_ann_graph",
     "win_holt_winters",
     "events_user_lifecycle",
+    "etl_wap_rollback",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

@@ -1422,3 +1422,90 @@ def etl_vacuum_retention_plan(spark, sf_dir):
     return spark.createDataFrame(
         rows, "status string, n_files long, n_rows long"
     )
+
+_WAP_RB_GUARD: set[str] = set()
+
+
+@register(
+    "etl_wap_rollback",
+    oracle="""
+    WITH v2 AS (
+        SELECT o_orderkey % 1000 AS pk FROM orders
+    )
+    SELECT 'publish_v1' AS step,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS observed,
+           'published' AS state
+    UNION ALL
+    SELECT 'audit_v2_dup_pk',
+           CAST((SELECT count(*) - count(DISTINCT pk) FROM v2) AS BIGINT),
+           'failed'
+    UNION ALL
+    SELECT 'rollback_quarantined',
+           CAST((SELECT count(*) FROM v2) AS BIGINT), 'quarantined'
+    UNION ALL
+    SELECT 'serving_rows',
+           CAST((SELECT count(*) FROM orders) AS BIGINT), 'published_v1'
+    """,
+)
+def etl_wap_rollback(spark, sf_dir):
+    """The FAILURE path of Write-Audit-Publish — the half
+    sink_wap_publish's green path can't show: v1 publishes cleanly, then
+    a corrupted v2 commit (primary keys collapsed mod 1000 — the classic
+    re-keyed-upstream bug) is staged, FAILS the duplicate-pk audit, and
+    ROLLS BACK: the staging directory moves to a quarantine area (kept
+    for forensics, never deleted) and the published pointer keeps
+    serving v1 untouched. The emitted ledger carries each step's
+    observed count with the state transition, and 'serving_rows' is
+    re-read FROM THE PUBLISHED PATH after the rollback — physical proof
+    consumers never saw v2. The audit-decision scalars cross the driver
+    as control flow (the blessed pattern); quarantine is a same-fs
+    rename, O(1) like the publish itself.
+
+    100 TB: identical cost shape to sink_wap_publish — scan-speed audit
+    aggregate, metadata-only renames; rollback adds zero data movement."""
+    import shutil
+
+    base = _stage_dir(sf_dir, "etl_wap_rollback")
+    staging = base + "/staging"
+    published = base + "/published"
+    quarantine = base + "/quarantine"
+    if base not in _WAP_RB_GUARD:
+        shutil.rmtree(base, ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        # v1: good commit — publish
+        o.select("o_orderkey", "o_totalprice").write.mode("overwrite").parquet(
+            staging
+        )
+        os.rename(staging, published)
+        # v2: corrupted commit — stage, audit, roll back
+        o.select(
+            (F.col("o_orderkey") % 1000).alias("o_orderkey"), "o_totalprice"
+        ).write.mode("overwrite").parquet(staging)
+        _WAP_RB_GUARD.add(base)
+    staged = spark.read.parquet(staging) if os.path.exists(staging) else None
+    if staged is not None:
+        audit = staged.agg(
+            F.count("*").cast("long").alias("n"),
+            (F.count("*") - F.count_distinct("o_orderkey"))
+            .cast("long")
+            .alias("dup_pk"),
+        ).collect()[0]
+        if audit.dup_pk > 0:
+            os.rename(staging, quarantine)  # roll back: quarantine, keep v1
+        else:  # pragma: no cover - the corruption is deterministic
+            raise RuntimeError("corrupted stage unexpectedly passed audit")
+    pub_n = spark.read.parquet(published).count()
+    q = spark.read.parquet(quarantine)
+    q_audit = q.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("long").alias(
+            "dup_pk"
+        ),
+    ).collect()[0]
+    rows = [
+        ("publish_v1", int(pub_n), "published"),
+        ("audit_v2_dup_pk", int(q_audit.dup_pk), "failed"),
+        ("rollback_quarantined", int(q_audit.n), "quarantined"),
+        ("serving_rows", int(pub_n), "published_v1"),
+    ]
+    return spark.createDataFrame(rows, "step string, observed long, state string")

@@ -366,3 +366,34 @@ def test_vacuum_plan_protects_shared_files(spark):
         .set_index("status")
     )
     assert (again == pdf).all().all()
+
+
+def test_wap_rollback_serves_v1_and_quarantines_v2(spark):
+    """After the failed v2 audit the published path must still hold v1
+    EXACTLY (full distinct keys, original row count), the corrupted stage
+    must sit in quarantine with its dup count intact, and a second call in
+    the same process must return the identical ledger."""
+    import duckdb
+
+    from data_integration_exercise_spark.sources import connectors as C
+
+    sf = "/root/testdata/sf0.01"
+    pdf = C.QUERIES["etl_wap_rollback"](spark, sf).toPandas().set_index("step")
+    src = duckdb.sql(
+        f"""
+        SELECT count(*) AS n,
+               count(*) - count(DISTINCT o_orderkey % 1000) AS dups
+        FROM '{sf}/orders.parquet'
+        """
+    ).df().iloc[0]
+    assert pdf.loc["publish_v1", "observed"] == src.n
+    assert pdf.loc["serving_rows", "observed"] == src.n
+    assert pdf.loc["audit_v2_dup_pk", "observed"] == src.dups > 0
+    assert pdf.loc["rollback_quarantined", "observed"] == src.n
+    # the published files themselves still carry v1's full key space
+    from data_integration_exercise_spark.sources.connectors import _stage_dir
+
+    pub = spark.read.parquet(_stage_dir(sf, "etl_wap_rollback") + "/published")
+    assert pub.select("o_orderkey").distinct().count() == src.n
+    again = C.QUERIES["etl_wap_rollback"](spark, sf).toPandas().set_index("step")
+    assert (again == pdf).all().all()
