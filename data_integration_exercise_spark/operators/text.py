@@ -971,3 +971,97 @@ def dedup_winnowing(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= _WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "text_bigram_generate",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ), uni AS (
+        SELECT u.tkn AS token, count(*) AS c
+        FROM (SELECT unnest(ws) AS tkn FROM tok) u GROUP BY 1
+    ), seeds AS (
+        SELECT token FROM (
+            SELECT token, row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+            FROM uni) WHERE rn <= 3
+    ), bg AS (
+        SELECT p.w1, p.w2 FROM (
+            SELECT unnest(list_transform(ws[1:len(ws) - 1],
+                       (w, i) -> {'w1': w, 'w2': ws[i + 1]})) AS p
+            FROM tok) t
+    ), succ AS (
+        SELECT w1, w2 FROM (
+            SELECT w1, w2,
+                   row_number() OVER (PARTITION BY w1
+                                      ORDER BY count(*) DESC, w2 ASC) AS rn
+            FROM bg GROUP BY w1, w2) WHERE rn = 1
+    ), rec AS (
+        SELECT token AS seed, CAST(0 AS BIGINT) AS step, token FROM seeds
+        UNION ALL
+        SELECT r.seed, r.step + 1, s.w2
+        FROM rec r JOIN succ s ON s.w1 = r.token WHERE r.step < 8
+    )
+    SELECT seed, step, token FROM rec
+    """,
+)
+def text_bigram_generate(spark, sf_dir):
+    """Greedy decoding from the corpus-trained bigram LM — the generation
+    half of the text_bigram_lm_score story, wholly in SQL: the successor
+    table argmax(P(w2|w1)) ≡ argmax count(w1,w2) (ties → alphabetical) is
+    a vocab-bounded rollup, the 3 seeds are the most frequent corpus
+    tokens (TakeOrdered, no global window), and 8 greedy steps unroll as
+    8 broadcast joins against the ≤31-row successor table — the lazy
+    loop-unrolled plan shape graph_pagerank established. Greedy argmax
+    chains may (correctly, deterministically) enter cycles; a token with
+    no successor ends its chain early. Output: (seed, step, token) —
+    the decode trace, hash-verified cross-engine against a recursive-CTE
+    replay.
+
+    100 TB: the ONLY corpus-scale work is the bigram count rollup
+    (map-side combined — the same rollup the LM scorer builds); decode
+    itself touches vocab-sized tables regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ws")
+    )
+    toks = d.select(F.explode("ws").alias("token"))
+    seeds = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(3)
+        .select("token")
+    )
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    w_succ = Window.partitionBy("w1").orderBy(
+        F.col("c").desc(), F.col("w2").asc()
+    )
+    succ = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_succ))
+        .filter(F.col("rn") == 1)
+        .select("w1", "w2")
+        .localCheckpoint(eager=False)  # re-referenced by all 8 decode steps
+    )
+    cur = seeds.select(
+        F.col("token").alias("seed"),
+        F.lit(0).cast("long").alias("step"),
+        "token",
+    )
+    out = cur
+    for i in range(1, 9):
+        cur = cur.join(
+            F.broadcast(succ), cur.token == succ.w1
+        ).select(
+            "seed", F.lit(i).cast("long").alias("step"), F.col("w2").alias("token")
+        )
+        out = out.unionByName(cur)
+    return out

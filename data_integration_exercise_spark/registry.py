@@ -176,6 +176,7 @@ _ADDED_R7 = [
     "win_holt_winters",
     "events_user_lifecycle",
     "etl_wap_rollback",
+    "text_bigram_generate",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

@@ -104,6 +104,10 @@ EXPECTED_EXCHANGES = {
     "agg_srm_check": (2, 0),  # distinct (user, segment) + cell rollup
     "win_holt_winters": (2, 0),  # day rollup + per-priority fold
     "events_user_lifecycle": (4, 1),  # distinct rollup, self-join, ledger
+    "etl_wap_rollback": (0, 0),  # ledger of driver-side audit scalars;
+    #   the audit/rename work is eager at construction, like the sinks
+    "text_bigram_generate": (9, 36),  # 8 unrolled decode joins, each
+    #   broadcasting the (checkpoint-shared) vocab-bounded successor table
 }
 
 _SHUFFLE_RE = re.compile(

@@ -514,3 +514,39 @@ def test_ann_graph_recall_and_structure(spark):
     want = set(zip(truth.qid, truth.cand))
     recall = len(got & want) / len(want)
     assert recall >= 0.75, f"recall@5 {recall:.3f} below floor"
+
+
+def test_bigram_generate_traces_are_greedy_chains(spark):
+    """Each seed's trace must start at the seed, every consecutive token
+    pair must be the bigram-argmax successor recomputed independently in
+    pandas, and chains run the full 9 steps (this vocab has a successor
+    for every token)."""
+    from collections import Counter
+
+    from data_integration_exercise_spark.operators import text as T
+
+    sf = "/root/testdata/sf0.01"
+    pdf = (
+        T.QUERIES["text_bigram_generate"](spark, sf)
+        .toPandas()
+        .sort_values(["seed", "step"])
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").toPandas()
+    uni, bi = Counter(), Counter()
+    for t in docs.text:
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    top3 = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert set(pdf.seed) == {w for w, _ in top3}
+    succ = {}
+    for (w1, w2), c in bi.items():
+        best = succ.get(w1)
+        if best is None or (-c, w2) < (-best[1], best[0]):
+            succ[w1] = (w2, c)
+    for seed, grp in pdf.groupby("seed"):
+        grp = grp.sort_values("step")
+        assert list(grp.step) == list(range(9))
+        assert grp.token.iloc[0] == seed
+        for prev, nxt in zip(grp.token, grp.token.iloc[1:]):
+            assert succ[prev][0] == nxt
