@@ -369,12 +369,23 @@ def win_ntile_distribution(spark, sf_dir):
         FROM orders
         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
         GROUP BY o_orderdate
+    ), sums AS (
+        SELECT day, n_orders,
+               sum(CAST(n_orders AS DOUBLE)) OVER w AS sx,
+               sum(value) OVER w AS sy,
+               sum(CAST(n_orders AS DOUBLE) * value) OVER w AS sxy,
+               sum(CAST(n_orders AS DOUBLE) * n_orders) OVER w AS sxx,
+               sum(value * value) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT day, n_orders,
-           round(corr(CAST(n_orders AS DOUBLE), value) OVER (
-               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
-               AS corr7
-    FROM daily
+           CASE WHEN 7 * sxx - sx * sx > 0 AND 7 * syy - sy * sy > 0
+                THEN round((7 * sxy - sx * sy)
+                           / (sqrt(7 * sxx - sx * sx)
+                              * sqrt(7 * syy - sy * sy)), 4)
+                END AS corr7
+    FROM sums
     QUALIFY row_number() OVER (ORDER BY day) >= 7
     """,
 )
@@ -382,13 +393,18 @@ def win_rolling_corr(spark, sf_dir):
     """Rolling 7-day correlation between daily order count and daily value
     — the co-movement diagnostic for a pair of KPI series. Only complete
     7-row windows are emitted (partial windows make corr engine-dependent:
-    a 1-row window is NULL vs NaN territory). A zero-variance window (7
-    days of identical n_orders — plausible at small SFs) yields NaN in
-    Spark but NULL in DuckDB, so the Spark side normalizes NaN → NULL
-    before rounding (ADVICE r4). Bounded global window: the
-    input is one row per 1995 day (≤365 rows after pre-aggregation), the
-    only acceptable unpartitioned-window shape (VERDICT r2 note on
-    sorts.py:43); rounding at 4dp per the float-aggregate discipline.
+    a 1-row window is NULL vs NaN territory). The correlation comes from
+    five explicit windowed moment sums with a zero-variance guard, NOT
+    from ``corr()``: a zero-variance window (7 days of identical
+    n_orders — REAL at small SFs, found by the round-7 sf0.001 emulation
+    sweep) makes ANSI-mode Spark's corr RAISE DivideByZero inside the
+    aggregate, where no outer when()/NaN-normalization can reach; the
+    explicit form guards the denominator before dividing and emits an
+    honest NULL in both engines. The five sums accumulate the identical
+    float sequence in both engines (the win_running_sum precedent), and
+    the single guarded divide + 4dp round is the only further float
+    surface. Bounded global window: one row per 1995 day (≤365 rows
+    after pre-aggregation).
 
     100 TB: the window runs on the pre-aggregated daily frame, not the
     fact table — the groupBy reduces first, so the single-partition sort
@@ -404,17 +420,30 @@ def win_rolling_corr(spark, sf_dir):
     )
     w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
     wn = Window.orderBy("day")
-    c = F.corr(F.col("n_orders").cast("double"), F.col("value")).over(w7)
-    c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
+    x = F.col("n_orders").cast("double")
+    sums = daily.select(
+        "day",
+        "n_orders",
+        F.sum(x).over(w7).alias("sx"),
+        F.sum("value").over(w7).alias("sy"),
+        F.sum(x * F.col("value")).over(w7).alias("sxy"),
+        F.sum(x * F.col("n_orders")).over(w7).alias("sxx"),
+        F.sum(F.col("value") * F.col("value")).over(w7).alias("syy"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    varx = 7 * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = 7 * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(
+            (7 * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(varx) * F.sqrt(vary)),
+            4,
+        ),
+    )
     return (
-        daily.select(
-            "day",
-            "n_orders",
-            F.round(c, 4).alias("corr7"),
-            F.row_number().over(wn).alias("rn"),
-        )
-        .filter(F.col("rn") >= 7)
-        .drop("rn")
+        sums.filter(F.col("rn") >= 7)
+        .select("day", "n_orders", corr.alias("corr7"))
     )
 
 

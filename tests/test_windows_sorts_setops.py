@@ -308,3 +308,19 @@ def test_holt_winters_fold_matches_python_replay(spark):
         assert (rows.n_days == n).all()
         for h in range(1, 8):
             assert rows.loc[h, "forecast_cents"] == l + h * b + s[(n + h - 1) % 7]
+
+
+def test_rolling_corr_survives_zero_variance_windows(spark):
+    """At sf0.001 several 7-day windows have constant n_orders — ANSI-mode
+    corr() raised DivideByZero there (found by the round-7 sf0.001
+    emulation sweep); the guarded moment-sum form must instead run clean
+    and emit honest NULLs for exactly those windows."""
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = W.QUERIES["win_rolling_corr"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(pdf) > 0
+    assert pdf.corr7.isna().any(), "expected zero-variance windows at sf0.001"
+    assert pdf.corr7.notna().any()
+    # and the normal scale still produces a fully-populated series
+    big = W.QUERIES["win_rolling_corr"](spark, "/root/testdata/sf0.01").toPandas()
+    assert big.corr7.notna().all()
