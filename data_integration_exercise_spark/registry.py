@@ -74,8 +74,9 @@ _MODULES = [
 # stragglers, then the 9 `_ADDED_R6` keys, then any `_ADDED_R7` keys — and
 # demote this window to _VERIFIED_R6A. That exhausts the unverified tail
 # (21 pre-r7 keys + round-7 additions); spend any slots still spare on
-# re-verification of keys rewritten after their latest green row (track
-# those in the commit that rewrites them). tests/test_registry.py already
+# re-verification of keys rewritten after their latest green row — as of
+# round-7 end exactly two: graph_link_prediction (greatest(1,·) strong-edge
+# cut) and win_rolling_corr (ANSI-safe guarded moment sums). tests/test_registry.py already
 # pins EXPECTED_R8_PREFIX (the 21 queue keys, in order) so the final
 # rotation is mechanical.
 _PRIORITY = [
