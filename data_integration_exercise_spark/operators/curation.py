@@ -786,7 +786,7 @@ def etl_pii_mask(spark, sf_dir):
         FROM m
     )
     SELECT o_orderkey, o_orderpriority, o_totalprice,
-           round(zv, 4)     AS z,
+           round(zv, 4) + 0.0 AS z,
            (abs(zv) > 1.7)  AS is_outlier
     FROM zc
     """,
@@ -840,7 +840,11 @@ def win_zscore_outliers(spark, sf_dir):
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.round(zv, 4).alias("z"),
+        # + 0.0 normalizes IEEE negative zero: a z of −1e-9 rounds to
+        # −0.0 in DuckDB but 0.0 in Spark (hash mismatch at sf0.1, found
+        # by the round-7 sweep); −0.0 + 0.0 = +0.0, every other finite
+        # value is unchanged
+        (F.round(zv, 4) + F.lit(0.0)).alias("z"),
         (F.abs(zv) > 1.7).alias("is_outlier"),
     )
 

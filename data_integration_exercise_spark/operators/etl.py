@@ -662,7 +662,16 @@ def etl_surrogate_keys(spark, sf_dir):
         "pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("pid").orderBy("c_custkey")
-    local = parts.withColumn("lrank", F.row_number().over(w_local).cast("long"))
+    local = parts.withColumn(
+        "lrank", F.row_number().over(w_local).cast("long")
+    # localCheckpoint is CORRECTNESS here, not just lesson-4 economy: the
+    # offsets rollup and the final join both re-execute this subtree, and
+    # repartitionByRange re-SAMPLES its boundaries per execution — at
+    # sf0.1 the two executions picked different boundaries, so the offset
+    # table disagreed with the ranks (off-by-20 surrogate keys; found by
+    # the round-7 sf0.1 emulation sweep). Pinning one materialization
+    # makes pid/lrank a single consistent fact for both consumers.
+    ).localCheckpoint(eager=False)
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("pid")

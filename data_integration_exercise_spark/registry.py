@@ -75,8 +75,10 @@ _MODULES = [
 # demote this window to _VERIFIED_R6A. That exhausts the unverified tail
 # (21 pre-r7 keys + round-7 additions); spend any slots still spare on
 # re-verification of keys rewritten after their latest green row — as of
-# round-7 end exactly two: graph_link_prediction (greatest(1,·) strong-edge
-# cut) and win_rolling_corr (ANSI-safe guarded moment sums). tests/test_registry.py already
+# round-7 end exactly four: graph_link_prediction (greatest(1,·)
+# strong-edge cut), win_rolling_corr (ANSI-safe guarded moment sums),
+# etl_surrogate_keys (checkpointed range partitioning — the two-execution
+# boundary-resample bug), win_zscore_outliers (IEEE −0.0 normalization). tests/test_registry.py already
 # pins EXPECTED_R8_PREFIX (the 21 queue keys, in order) so the final
 # rotation is mechanical.
 _PRIORITY = [
