@@ -11,9 +11,18 @@ just need a sane row count.
 Usage:
     python tools/emulate_driver.py            # full registry (~8 min)
     python tools/emulate_driver.py key1 key2  # spot-check a diff's keys
+    EMULATE_SF_DIR=/root/testdata/sf0.001 python tools/emulate_driver.py
+    EMULATE_SF_DIR=/root/testdata/sf0.1   python tools/emulate_driver.py
 
 Run it from a NEUTRAL cwd (e.g. /tmp) so repo-relative assumptions can't
 hide. Exit code 0 iff every key is clean.
+
+The multi-scale passes are part of the round ritual since round 7: the
+driver only ever checks sf0.01, and each of the other two scales caught
+real landmines on first run — sf0.001 exposed a zero-variance ANSI
+divide-by-zero inside corr(), sf0.1 exposed per-execution
+repartitionByRange boundary resampling and an IEEE −0.0 hash split.
+(sf0.1 takes ~50 min; the O(n²)-oracle keys dominate.)
 """
 
 import importlib.util
