@@ -1244,3 +1244,133 @@ def win_holt_winters(spark, sf_dir):
             ).alias("forecast_cents"),
         )
     )
+
+
+# Kalman recurrence constants (micro fixed-point): measurement noise R,
+# process noise Q, and the prior variance P0 — all in the same micro scale,
+# so the gain K = 10⁶·P⁻/(P⁻+R) is a pure integer in [0, 10⁶] whose
+# sequence depends only on (P0, Q, R), never on the data. Q/R = 1/4 puts
+# the steady-state gain near 0.39, a visibly-smoothing-but-tracking filter.
+_KALMAN_R = 1_000_000
+_KALMAN_Q = 250_000
+_KALMAN_P0 = 1_000_000
+# The K expression repeated through the fold (Spark) and recursion (DuckDB):
+# predicted variance P⁻ = p + Q, then K = 10⁶·P⁻ div (P⁻ + R).
+_KALMAN_K = (
+    f"(1000000 * (acc.p + {_KALMAN_Q})) div (acc.p + {_KALMAN_Q} + {_KALMAN_R})"
+)
+_KALMAN_K_SQL = (
+    f"(1000000 * (r.p + {_KALMAN_Q})) // (r.p + {_KALMAN_Q} + {_KALMAN_R})"
+)
+
+
+@register(
+    "win_kalman_filter",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 1000 AS y
+        FROM orders GROUP BY 1, 2
+    ), prep AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n, list(y ORDER BY day) AS ys
+        FROM daily GROUP BY pri
+    ), rec AS (
+        -- list peeling (rest[1] consumed per step), the win_holt_winters
+        -- recursion shape: a join against a windowed CTE would re-evaluate
+        -- it once per iteration.
+        SELECT pri, n, CAST(1 AS BIGINT) AS t, ys[1] AS x,
+               CAST({_KALMAN_P0} AS BIGINT) AS p, CAST(0 AS BIGINT) AS ai,
+               CAST(0 AS BIGINT) AS k, ys[2:] AS rest
+        FROM prep
+        UNION ALL
+        SELECT r.pri, r.n, r.t + 1,
+               r.x + (({_KALMAN_K_SQL}) * (r.rest[1] - r.x)) // 1000000 AS x,
+               ((1000000 - ({_KALMAN_K_SQL})) * (r.p + {_KALMAN_Q}))
+                   // 1000000 AS p,
+               r.ai + abs(r.rest[1] - r.x) AS ai,
+               {_KALMAN_K_SQL} AS k,
+               r.rest[2:] AS rest
+        FROM rec r WHERE len(r.rest) > 0
+    )
+    SELECT pri AS o_orderpriority, n AS n_days, x AS x_filtered,
+           p AS p_micro, k AS gain_micro,
+           CASE WHEN n > 1 THEN ai // (n - 1) ELSE NULL END AS mean_abs_innov
+    FROM rec WHERE t = n
+    """,
+)
+def win_kalman_filter(spark, sf_dir):
+    """1-D Kalman filter (random-walk state model) over each priority's
+    daily revenue series, folded as 4 integer states — level x, variance p,
+    cumulative |innovation| ai, last gain k — in one codegen'd ``aggregate``
+    HOF. All arithmetic is micro fixed-point with truncating integer
+    division (Spark ``div`` ≡ DuckDB ``//``, toward zero, signed operands
+    included): P⁻ = p + Q; K = 10⁶·P⁻ div (P⁻ + R); x' = x + K·(y − x) div
+    10⁶; p' = (10⁶ − K)·P⁻ div 10⁶. The gain sequence depends only on
+    (P0, Q, R) = (1e6, 250k, 1e6) micro and converges to the
+    steady-state root of the Riccati recurrence (~387k micro); the
+    data enters only through the level updates. Observations are daily
+    cents div 1000 (tens of dollars), bounding every product: K·innov ≤
+    10⁶·|y| and (10⁶−K)·P⁻ ≤ 10⁶·(P0+Q) ≪ 2⁶³ with ~10⁶× revenue
+    headroom. Gap days are consecutive observations (win_holt_linear's
+    documented caveat; etl_calendar_spine densifies when that matters).
+
+    100 TB: one map-side-combined day-grain rollup, then a linear fold per
+    priority over a CALENDAR-BOUNDED array (~2.4k elements regardless of
+    fact volume) — no driver loop, no UDF, no per-row shuffle. The oracle
+    replays the recursion bit-exactly via the list-peeling recursive CTE
+    (the win_holt_winters pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+        .select("pri", "day", F.expr("cents div 1000").alias("y"))
+    )
+    series = daily.groupBy("pri").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(ys, 2, size(ys) - 1),
+            named_struct('x', element_at(ys, 1),
+                         'p', CAST({_KALMAN_P0} AS BIGINT),
+                         'ai', CAST(0 AS BIGINT),
+                         'k', CAST(0 AS BIGINT)),
+            (acc, y) -> named_struct(
+                'x', acc.x + (({_KALMAN_K}) * (y - acc.x)) div 1000000,
+                'p', ((1000000 - ({_KALMAN_K})) * (acc.p + {_KALMAN_Q}))
+                         div 1000000,
+                'ai', acc.ai + abs(y - acc.x),
+                'k', {_KALMAN_K}
+            )
+        )
+        """
+    )
+    return (
+        series.select(
+            "pri", F.size("ys").cast("long").alias("n_days"), fold.alias("st")
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            "n_days",
+            F.col("st.x").alias("x_filtered"),
+            F.col("st.p").alias("p_micro"),
+            F.col("st.k").alias("gain_micro"),
+            F.expr("IF(n_days > 1, st.ai div (n_days - 1), NULL)").alias(
+                "mean_abs_innov"
+            ),
+        )
+    )

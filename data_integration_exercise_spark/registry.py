@@ -180,6 +180,7 @@ _ADDED_R7 = [
     "events_user_lifecycle",
     "etl_wap_rollback",
     "text_bigram_generate",
+    "win_kalman_filter",
 ]
 
 # Keys hash/rows-verified green by the driver in round 6 (the former

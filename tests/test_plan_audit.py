@@ -108,6 +108,8 @@ EXPECTED_EXCHANGES = {
     #   the audit/rename work is eager at construction, like the sinks
     "text_bigram_generate": (9, 36),  # 8 unrolled decode joins, each
     #   broadcasting the (checkpoint-shared) vocab-bounded successor table
+    # Round-7 continuation additions (pinned at birth):
+    "win_kalman_filter": (2, 0),  # day rollup + per-priority fold
 }
 
 _SHUFFLE_RE = re.compile(

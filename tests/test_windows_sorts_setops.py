@@ -310,6 +310,58 @@ def test_holt_winters_fold_matches_python_replay(spark):
             assert rows.loc[h, "forecast_cents"] == l + h * b + s[(n + h - 1) % 7]
 
 
+def test_kalman_fold_matches_python_replay(spark):
+    """Replay the 4-state integer Kalman recurrence in plain Python over
+    each priority's daily series (tens-of-dollars units): the filtered
+    level, variance, gain, and mean |innovation| must match the
+    aggregate-HOF fold exactly, and the gain must have converged to the
+    steady-state Riccati root (which depends only on P0/Q/R)."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = (
+        W.QUERIES["win_kalman_filter"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert len(pdf) == 5
+    daily = duckdb.sql(
+        """
+        SELECT o_orderpriority pri, CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 1000 AS y
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1, 2
+        """
+    ).df()
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    # steady-state gain of the scalar Riccati recurrence, data-independent
+    p_ss = 1_000_000
+    for _ in range(200):
+        pp = p_ss + 250_000
+        k_ss = (1_000_000 * pp) // (pp + 1_000_000)
+        p_ss = ((1_000_000 - k_ss) * pp) // 1_000_000
+
+    for pri, grp in daily.groupby("pri"):
+        ys = [int(v) for v in grp.sort_values("d").y]
+        x, p, ai, k = ys[0], 1_000_000, 0, 0
+        for y in ys[1:]:
+            pp = p + 250_000
+            k = (1_000_000 * pp) // (pp + 1_000_000)
+            ai += abs(y - x)
+            x = x + tdiv(k * (y - x), 1_000_000)
+            p = ((1_000_000 - k) * pp) // 1_000_000
+        row = pdf.loc[pri]
+        assert row.n_days == len(ys)
+        assert row.x_filtered == x
+        assert row.p_micro == p
+        assert row.gain_micro == k == k_ss  # converged, data-independent
+        assert row.mean_abs_innov == ai // (len(ys) - 1)
+
+
 def test_rolling_corr_survives_zero_variance_windows(spark):
     """At sf0.001 several 7-day windows have constant n_orders — ANSI-mode
     corr() raised DivideByZero there (found by the round-7 sf0.001
