@@ -1310,7 +1310,8 @@ def win_kalman_filter(spark, sf_dir):
     included): P⁻ = p + Q; K = 10⁶·P⁻ div (P⁻ + R); x' = x + K·(y − x) div
     10⁶; p' = (10⁶ − K)·P⁻ div 10⁶. The gain sequence depends only on
     (P0, Q, R) = (1e6, 250k, 1e6) micro and converges to the
-    steady-state root of the Riccati recurrence (~387k micro); the
+    steady-state root of the Riccati recurrence (390,388 micro, pinned by
+    test_kalman_fold_matches_python_replay); the
     data enters only through the level updates. Observations are daily
     cents div 1000 (tens of dollars), bounding every product: K·innov ≤
     10⁶·|y| and (10⁶−K)·P⁻ ≤ 10⁶·(P0+Q) ≪ 2⁶³ with ~10⁶× revenue

@@ -64,24 +64,84 @@ _MODULES = [
 # rewrites — CORRECTNESS_r05.json is 50/50 green, so entering round 6 every
 # key EXCEPT the 112 round-5 additions has a driver row (189/301).
 #
-# ROUND-7 WINDOW (below): the FIRST 50 of the 62 `_ADDED_R5` keys that
-# remained after the round-6 window (VERDICT r6 item 1 / the prior ROUND-7
-# PLAN). No re-verification slots: as of round-6 end no driver-green key was
-# rewritten after its latest green row.
-#
-# ROUND-8 PLAN (pre-pinned per VERDICT r6 item 4): after this window lands
-# green, rotate _PRIORITY to the ENTIRE remaining queue — the 12 `_ADDED_R5`
-# stragglers, then the 9 `_ADDED_R6` keys, then any `_ADDED_R7` keys — and
-# demote this window to _VERIFIED_R6A. That exhausts the unverified tail
-# (21 pre-r7 keys + round-7 additions); spend any slots still spare on
-# re-verification of keys rewritten after their latest green row — as of
-# round-7 end exactly four: graph_link_prediction (greatest(1,·)
-# strong-edge cut), win_rolling_corr (ANSI-safe guarded moment sums),
-# etl_surrogate_keys (checkpointed range partitioning — the two-execution
-# boundary-resample bug), win_zscore_outliers (IEEE −0.0 normalization). tests/test_registry.py already
-# pins EXPECTED_R8_PREFIX (the 21 queue keys, in order) so the final
-# rotation is mechanical.
+# ROUND-8 WINDOW (the endgame rotation, VERDICT r7 item 1): slots 1-32 are
+# ALL remaining never-driver-verified keys — the 12 `_ADDED_R5` stragglers,
+# the 9 `_ADDED_R6` keys, the 11 `_ADDED_R7` keys, in stable queue order.
+# Slots 33-37 are re-verification of keys rewritten after their latest green
+# row: graph_link_prediction (greatest(1,·) strong-edge cut),
+# win_rolling_corr (ANSI-safe guarded moment sums), etl_surrogate_keys
+# (checkpointed range partitioning), win_zscore_outliers (IEEE −0.0
+# normalization), and dedup_minhash_lsh (round-8 output bounding, VERDICT r7
+# item 4 — rewritten THIS round, so its slot re-verifies the new code).
+# Slots 38-50 re-verify the 13 OLDEST r1-green keys (unchecked for 7
+# rounds, per VERDICT r7 item 1's spare-slot guidance). A green
+# CORRECTNESS_r08 makes every registered key driver-verified on current
+# code.
 _PRIORITY = [
+    # --- 32 never-driver-verified (the entire remaining queue) ---
+    "graph_adamic_adar",
+    "agg_cuped_adjusted",
+    "dedup_winnowing",
+    "graph_modularity",
+    "agg_price_volume_mix",
+    "text_kl_source_drift",
+    "agg_quantile_treatment_effect",
+    "join_mutual_best_match",
+    "agg_ipf_raking",
+    "agg_mann_kendall",
+    "sample_neyman_allocation",
+    "sim_ndcg_eval",
+    "dedup_minhash_keepers",
+    "dedup_lsh_pr_eval",
+    "sample_token_budget_mix",
+    "sink_jsonl_shards",
+    "text_bpe_encode",
+    "agg_acf_lags",
+    "graph_clustering_coefficient",
+    "events_window_funnel",
+    "etl_partition_backfill_plan",
+    "win_stl_decompose",
+    "win_theil_sen",
+    "agg_srm_check",
+    "dedup_threshold_sweep",
+    "etl_vacuum_retention_plan",
+    "sim_ann_graph",
+    "win_holt_winters",
+    "events_user_lifecycle",
+    "etl_wap_rollback",
+    "text_bigram_generate",
+    "win_kalman_filter",
+    # --- 5 rewrite-after-green re-verifications ---
+    "graph_link_prediction",
+    "win_rolling_corr",
+    "etl_surrogate_keys",
+    "win_zscore_outliers",
+    "dedup_minhash_lsh",
+    # --- 13 oldest r1-green keys (freshness re-check) ---
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "ingest_csv",
+    "ingest_json",
+    "sink_parquet",
+    "sink_jdbc",
+    "sink_partitioned",
+    "sink_bucketed",
+    "scan_dynamic_pruning",
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+]
+
+# Keys ADDED during round 8 (no driver row yet). Every new operator lands
+# here in the same commit that registers it; they queue directly behind the
+# window for the round-9 rotation.
+_ADDED_R8: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 7 (the former
+# _PRIORITY window; CORRECTNESS_r07.json 50/50) — demoted directly behind
+# the round-8 additions.
+_VERIFIED_R7 = [
     "join_spatial_grid",
     "graph_label_propagation",
     "agg_quantile_sketch",
@@ -134,55 +194,6 @@ _PRIORITY = [
     "win_holt_linear",
 ]
 
-# The 12 round-5 additions still awaiting a driver row — the head of the
-# ROUND-8 window queue. Do NOT append new keys here: round-7 additions go in
-# _ADDED_R7 below so this queue's order never changes under the driver.
-_ADDED_R5 = [
-    "graph_adamic_adar",
-    "agg_cuped_adjusted",
-    "dedup_winnowing",
-    "graph_modularity",
-    "agg_price_volume_mix",
-    "text_kl_source_drift",
-    "agg_quantile_treatment_effect",
-    "join_mutual_best_match",
-    "agg_ipf_raking",
-    "agg_mann_kendall",
-    "sample_neyman_allocation",
-    "sim_ndcg_eval",
-]
-
-# Keys ADDED during round 6 (no driver row yet). They queue BEHIND the
-# remaining _ADDED_R5 keys for future verification windows.
-_ADDED_R6 = [
-    "dedup_minhash_keepers",
-    "dedup_lsh_pr_eval",
-    "sample_token_budget_mix",
-    "sink_jsonl_shards",
-    "text_bpe_encode",
-    "agg_acf_lags",
-    "graph_clustering_coefficient",
-    "events_window_funnel",
-    "etl_partition_backfill_plan",
-]
-
-# Keys ADDED during round 7 (no driver row yet). They queue BEHIND the
-# _ADDED_R6 keys. Every new operator lands here in the same commit that
-# registers it.
-_ADDED_R7 = [
-    "win_stl_decompose",
-    "win_theil_sen",
-    "agg_srm_check",
-    "dedup_threshold_sweep",
-    "etl_vacuum_retention_plan",
-    "sim_ann_graph",
-    "win_holt_winters",
-    "events_user_lifecycle",
-    "etl_wap_rollback",
-    "text_bigram_generate",
-    "win_kalman_filter",
-]
-
 # Keys hash/rows-verified green by the driver in round 6 (the former
 # _PRIORITY window; CORRECTNESS_r06.json 50/50) — demoted directly behind
 # the round-7/8 queue.
@@ -191,7 +202,6 @@ _VERIFIED_R6 = [
     "agg_chi_square",
     "agg_mann_whitney",
     "win_ewma",
-    "graph_link_prediction",
     "etl_gdpr_cascade",
     "text_pii_scrub",
     "multimodal_phash_dedup",
@@ -225,7 +235,6 @@ _VERIFIED_R6 = [
     "agg_winsorized_mean",
     "agg_pareto_crossover",
     "win_drawdown",
-    "etl_surrogate_keys",
     "sim_recall_eval",
     "text_ngram_novelty",
     "events_bot_detection",
@@ -277,13 +286,10 @@ _VERIFIED_R5 = [
     "dedup_incremental",
     "sim_nearest_centroid",
     "sim_embedding_hygiene",
-    "win_zscore_outliers",
-    "win_rolling_corr",
     "agg_gini_segments",
     "agg_ab_ttest",
     "graph_triangle_count",
     "dedup_near_jaccard",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
     "sim_topk_cosine",
@@ -395,19 +401,6 @@ _VERIFIED_R2 = [
 # Keys hash-verified green by the driver in round 1 — the very end of the
 # iteration order.
 _VERIFIED_R1 = [
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "ingest_csv",
-    "ingest_json",
-    "sink_parquet",
-    "sink_jdbc",
-    "sink_partitioned",
-    "sink_bucketed",
-    "scan_dynamic_pruning",
-    "agg_pricing_summary",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
     "agg_having",
     "agg_rollup",
     "agg_cube",
@@ -451,9 +444,8 @@ _VERIFIED_R1 = [
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R5
-        + _ADDED_R6
-        + _ADDED_R7
+        + _ADDED_R8
+        + _VERIFIED_R7
         + _VERIFIED_R6
         + _VERIFIED_R5
         + _VERIFIED_R4
@@ -469,7 +461,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R7): "
+            "registered keys missing from the rotation queue (add to _ADDED_R8): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

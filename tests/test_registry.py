@@ -54,73 +54,16 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-7 window so a module reorder or priority-list
+# keys each round. Pin the round-8 window so a module reorder or priority-list
 # edit can't silently re-verify already-green keys and waste a round.
 #
-# Composition: the FIRST 50 of the 62 round-5 additions that remained after
-# the round-6 window (`_ADDED_R5` queue order as of the round-6 snapshot) —
-# none has ever had a driver row (VERDICT r6 item 1). No re-verification
-# slots this round: no driver-green key was rewritten after its latest
-# green row.
-EXPECTED_R7_WINDOW = [
-    "join_spatial_grid",
-    "graph_label_propagation",
-    "agg_quantile_sketch",
-    "events_path_trigrams",
-    "events_cohort_ltv",
-    "scan_time_travel",
-    "sink_wap_publish",
-    "join_temporal_scd2",
-    "events_funnel_latency",
-    "events_bounce_rate",
-    "text_zipf_slope",
-    "sim_pq_quantize",
-    "graph_k_core",
-    "agg_seasonality_dow",
-    "multimodal_shard_plan",
-    "events_new_vs_returning",
-    "sim_adc_search",
-    "events_feature_pit",
-    "text_dedup_paragraph_chunks",
-    "agg_ratio_delta_method",
-    "etl_data_vault",
-    "text_bpe_train",
-    "sql_parameterized",
-    "scan_partition_evolution",
-    "sim_truncated_dims_eval",
-    "etl_reconcile_buckets",
-    "agg_ab_power_mde",
-    "events_peak_concurrency",
-    "agg_rollforward_balance",
-    "events_cumulative_reach",
-    "agg_yoy_growth",
-    "sample_importance_estimate",
-    "graph_assortativity",
-    "win_hampel_filter",
-    "events_velocity_flags",
-    "text_lm_backoff_score",
-    "agg_kmv_set_ops",
-    "agg_did_uplift",
-    "win_rolling_slope",
-    "events_survival_km",
-    "text_langid_confusion",
-    "sample_negatives",
-    "join_null_safe",
-    "etl_late_dim_unknown",
-    "sim_cluster_purity",
-    "sql_recursive_cte",
-    "udf_grouped_train",
-    "sim_hybrid_rrf",
-    "events_forecast_backtest",
-    "win_holt_linear",
-]
-
-# ROUND-8 endgame, pre-pinned (VERDICT r6 item 4): once the r7 window lands
-# green these 21 keys are the ENTIRE remaining unverified tail — the 12
-# `_ADDED_R5` stragglers then the 9 `_ADDED_R6` keys, in stable queue
-# order. The round-8 rotation promotes them (plus any `_ADDED_R7` keys) to
-# the window head; spare slots go to re-verification of post-green rewrites.
-EXPECTED_R8_PREFIX = [
+# Composition (the endgame rotation, VERDICT r7 item 1): slots 1-32 are ALL
+# remaining never-driver-verified keys (12 `_ADDED_R5` stragglers + 9
+# `_ADDED_R6` + 11 `_ADDED_R7`, stable queue order); slots 33-37 re-verify
+# the five keys rewritten after their latest green row (four round-7
+# rewrites + the round-8 `dedup_minhash_lsh` output bounding); slots 38-50
+# re-verify the 13 oldest r1-green keys.
+EXPECTED_R8_WINDOW = [
     "graph_adamic_adar",
     "agg_cuped_adjusted",
     "dedup_winnowing",
@@ -142,58 +85,86 @@ EXPECTED_R8_PREFIX = [
     "graph_clustering_coefficient",
     "events_window_funnel",
     "etl_partition_backfill_plan",
+    "win_stl_decompose",
+    "win_theil_sen",
+    "agg_srm_check",
+    "dedup_threshold_sweep",
+    "etl_vacuum_retention_plan",
+    "sim_ann_graph",
+    "win_holt_winters",
+    "events_user_lifecycle",
+    "etl_wap_rollback",
+    "text_bigram_generate",
+    "win_kalman_filter",
+    "graph_link_prediction",
+    "win_rolling_corr",
+    "etl_surrogate_keys",
+    "win_zscore_outliers",
+    "dedup_minhash_lsh",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "ingest_csv",
+    "ingest_json",
+    "sink_parquet",
+    "sink_jdbc",
+    "sink_partitioned",
+    "sink_bucketed",
+    "scan_dynamic_pruning",
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
 ]
 
-
-def test_round7_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R7_WINDOW
-
-
-def test_round8_prefix_queues_directly_behind_window():
-    """The 21-key round-8 tail sits immediately after the window (before any
-    _ADDED_R7 keys), so the final rotation is a mechanical promotion."""
-    assert list(queries())[50:71] == EXPECTED_R8_PREFIX
+# The deliberate re-verification tail of the window (slots 33-50): keys that
+# ALREADY have a green driver row but either were rewritten afterwards
+# (33-37) or have gone unchecked since round 1 (38-50).
+_R8_REVERIFY = set(EXPECTED_R8_WINDOW[32:])
 
 
-def test_round7_window_is_fresh():
-    """Every round-7 window slot must be a key with NO prior driver row —
-    the window only spends slots converting emulation-only keys to driver
-    truth (VERDICT r6 item 1)."""
+def test_round8_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R8_WINDOW
+
+
+def test_round8_window_head_is_fresh():
+    """Window slots 1-32 must be keys with NO prior driver row — those slots
+    only convert emulation-only keys to driver truth; the re-verification
+    tail (slots 33-50) is the only place already-green keys may appear."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return  # correctness files absent (fresh checkout) — nothing to check
-    stale = (set(EXPECTED_R7_WINDOW) | set(EXPECTED_R8_PREFIX)) & verified
-    assert not stale, f"window wastes slots on already-verified keys: {sorted(stale)}"
+    stale = set(EXPECTED_R8_WINDOW[:32]) & verified
+    assert not stale, f"window head wastes slots on already-verified keys: {sorted(stale)}"
 
 
-def test_round7_queue_covers_every_unverified_key():
-    """window ∪ round-8 prefix ∪ _ADDED_R7 must be exactly the keys without
-    a driver row, so rounds 7-8 converge to full driver coverage."""
+def test_round8_window_covers_every_unverified_key():
+    """window head ∪ _ADDED_R8 must be exactly the keys without a driver
+    row, so round 8 converges to full driver coverage."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R7
+    from data_integration_exercise_spark.registry import _ADDED_R8
 
     unverified = set(queries()) - verified
-    queue = set(EXPECTED_R7_WINDOW) | set(EXPECTED_R8_PREFIX) | set(_ADDED_R7)
+    queue = set(EXPECTED_R8_WINDOW[:32]) | set(_ADDED_R8)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R7"
+        "a key added this round must be listed in registry._ADDED_R8"
     )
 
 
@@ -203,3 +174,17 @@ def test_queries_count_matches_survey_addendum():
     m = re.search(r"Registry totals: \*\*(\d+) queries, (\d+) hash-oracled\*\*", survey)
     assert m, "SURVEY §8 registry-totals line missing"
     assert (int(m.group(1)), int(m.group(2))) == (len(queries()), len(oracle_sql()))
+
+
+def test_every_registered_key_documented_in_survey():
+    """Every registered key must have its own backticked mention in
+    SURVEY.md (§2 inventory or a §8+ addendum row) — the totals-only check
+    above let `win_kalman_filter` land undocumented in the round-7 snapshot
+    commit (VERDICT r7 "What's wrong" #1). A bare matching total is not
+    documentation; this fails on the first undocumented key."""
+    survey = open("/root/repo/SURVEY.md").read()
+    undocumented = [k for k in queries() if f"`{k}`" not in survey]
+    assert not undocumented, (
+        "registered keys missing a SURVEY.md row/mention (add a §8-style "
+        f"table row in the same commit that registers them): {undocumented}"
+    )
