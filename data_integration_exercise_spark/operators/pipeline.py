@@ -310,7 +310,21 @@ def salted_lang_pairs(docs, n_buckets: int = 8):
     )
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+_MINHASH_BOUNDED_ORACLE = f"""
+    WITH pairs AS ({_MINHASH_ORACLE}), ranked AS (
+        SELECT doc1, doc2, jaccard,
+               CAST(row_number() OVER (PARTITION BY doc1
+                                       ORDER BY jaccard DESC, doc2)
+                    AS BIGINT) AS pair_rank,
+               CAST(count(*) OVER (PARTITION BY doc1) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT doc1, doc2, jaccard, pair_rank, n_pairs
+    FROM ranked WHERE pair_rank <= 3
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_BOUNDED_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup detection — the 100 TB path that
     dedup_near_jaccard's exact self-join points to. 8 permutations over
@@ -319,8 +333,28 @@ def dedup_minhash_lsh(spark, sf_dir):
     candidates only. All-integer signatures ⇒ hash-verifiable, unlike
     library MinHash implementations. The re-rank compares 31-bit token-set
     masks carried through the bucket join (_lsh_scored_pairs) — two
-    bit_count ops per candidate, filtered before the pair-dedup shuffle."""
-    return _lsh_scored_pairs(spark, sf_dir).select("doc1", "doc2", "jaccard")
+    bit_count ops per candidate, filtered before the pair-dedup shuffle.
+
+    The DECLARED product is bounded (VERDICT r7 item 4): per doc1, the
+    top-3 highest-Jaccard pairs (doc2-ascending tiebreak on the 4dp-rounded
+    score, identical in both engines since the ratios of ≤31-bit-count
+    integers are IEEE-exact) plus n_pairs, the doc's UNCAPPED ≥0.8 pair
+    count — so output is O(3·docs-with-dups) ≈ 1.3k rows at sf0.1 instead
+    of the O(pairs) ≈ 2.9M row list that was quadratic in the dup-dense
+    region (the old shape's 17 s bench median was ~11 s of pure result
+    materialization). The raw pair stream stays internal
+    (_lsh_scored_pairs) for dedup_connected_components /
+    dedup_minhash_keepers / dedup_lsh_pr_eval; the cap costs one extra
+    doc1-keyed shuffle of the pair stream into the ranking window."""
+    pairs = _lsh_scored_pairs(spark, sf_dir)
+    part = Window.partitionBy("doc1")
+    ranked = part.orderBy(F.desc("jaccard"), F.asc("doc2"))
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(ranked).cast("long"))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(part).cast("long"))
+        .filter(F.col("pair_rank") <= 3)
+        .select("doc1", "doc2", "jaccard", "pair_rank", "n_pairs")
+    )
 
 
 _MINHASH_KEEPERS_ORACLE = f"""

@@ -25,7 +25,7 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     }
     approx = {
         (r.doc1, r.doc2)
-        for r in pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+        for r in pipeline._lsh_scored_pairs(spark, SF).collect()
     }
     # exact set is lang-blocked; minhash is not, so compare on the blocked set
     recall = len(exact & approx) / max(len(exact), 1)
@@ -34,13 +34,38 @@ def test_minhash_recall_vs_exact_jaccard(spark):
 
 def test_minhash_keepers_account_for_every_dup(spark):
     """Property: the bounded-output summary conserves the dup population —
-    sum(n_dups) equals the number of distinct doc2 in the pair list, and
-    every keeper actually appears as a smaller-side pair member."""
-    pairs = pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    sum(n_dups) equals the number of distinct doc2 in the full internal
+    pair stream, and every keeper actually appears as a smaller-side pair
+    member."""
+    pairs = pipeline._lsh_scored_pairs(spark, SF).collect()
     keepers = pipeline.QUERIES["dedup_minhash_keepers"](spark, SF).collect()
     assert sum(r.n_dups for r in keepers) == len({r.doc2 for r in pairs})
     doc1s = {r.doc1 for r in pairs}
     assert {r.keeper for r in keepers} <= doc1s
+
+
+def test_minhash_lsh_capped_product_semantics(spark):
+    """The registered key's bounded product (VERDICT r7 item 4) must agree
+    with the full internal pair stream: per doc1 it emits the top-3 pairs
+    by (jaccard desc, doc2 asc), pair_rank is 1..min(3, n), and n_pairs is
+    the doc's UNCAPPED pair count."""
+    full = pipeline._lsh_scored_pairs(spark, SF).collect()
+    by_doc1: dict[int, list] = {}
+    for r in full:
+        by_doc1.setdefault(r.doc1, []).append((-r.jaccard, r.doc2))
+    capped = pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    assert capped
+    got: dict[int, list] = {}
+    for r in capped:
+        assert r.n_pairs == len(by_doc1[r.doc1])
+        got.setdefault(r.doc1, []).append((r.pair_rank, -r.jaccard, r.doc2))
+    assert set(got) == set(by_doc1)
+    for d1, rows in got.items():
+        rows.sort()
+        assert [rk for rk, *_ in rows] == list(range(1, len(rows) + 1))
+        expect = sorted(by_doc1[d1])[: len(rows)]
+        assert [(j, d2) for _, j, d2 in rows] == expect
+        assert len(rows) == min(3, len(by_doc1[d1]))
 
 
 def test_lsh_pr_eval_bounds(spark):

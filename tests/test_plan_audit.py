@@ -79,7 +79,9 @@ EXPECTED_EXCHANGES = {
     "tpch_q9_product_profit": (1, 4),
     "events_sessionize": (1, 0),
     "join_broadcast_dim": (1, 2),
-    "dedup_minhash_lsh": (2, 1),  # mask groupBy reused by both join sides
+    "dedup_minhash_lsh": (3, 1),  # mask groupBy reused by both join sides
+    #   + the doc1-keyed shuffle into the top-3 ranking window (the r8
+    #   output bounding, VERDICT r7 item 4)
     "dedup_minhash_keepers": (4, 1),
     # Round-7 extension (VERDICT r6 item 5): the remaining top-20 most
     # expensive benched keys. Streaming keys are excluded — their returned

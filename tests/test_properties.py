@@ -56,6 +56,9 @@ _PARTITION_INVARIANT_KEYS = [
     "dedup_threshold_sweep",
     "sim_ann_graph",
     "win_stl_decompose",
+    # round-8 rewrite: the bounded top-3 product must pick identical pairs
+    # under any partitioning (window tiebreak on (jaccard desc, doc2 asc))
+    "dedup_minhash_lsh",
 ]
 
 
@@ -153,12 +156,14 @@ def test_running_sum_final_equals_group_total(spark):
 
 
 def test_minhash_pairs_all_clear_threshold(spark):
-    """Every MinHash-reported pair truly has token-set Jaccard >= 0.8."""
+    """Every MinHash-reported pair truly has token-set Jaccard >= 0.8 —
+    checked on the full internal pair stream (_lsh_scored_pairs), of which
+    the registered key's capped product is a subset."""
     docs = {
         r.doc_id: set(r.text.split(" "))
         for r in load_table(spark, SF, "documents").collect()
     }
-    pairs = pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    pairs = pipeline._lsh_scored_pairs(spark, SF).collect()
     assert pairs
     for r in pairs:
         s1, s2 = docs[r.doc1], docs[r.doc2]
@@ -168,14 +173,15 @@ def test_minhash_pairs_all_clear_threshold(spark):
 
 def test_near_jaccard_subset_of_minhash_or_banding_miss(spark):
     """Exact same-lang Jaccard pairs missed by MinHash must be banding
-    misses, not systematic: miss rate < 5%."""
+    misses, not systematic: miss rate < 5% (on the full internal pair
+    stream — the registered key caps its declared output per doc1)."""
     exact = {
         (r.doc1, r.doc2)
         for r in text.QUERIES["dedup_near_jaccard"](spark, SF).collect()
     }
     mh = {
         (r.doc1, r.doc2)
-        for r in pipeline.QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+        for r in pipeline._lsh_scored_pairs(spark, SF).collect()
     }
     assert len(exact - mh) / len(exact) < 0.05
 
