@@ -117,6 +117,15 @@ R7_TIER = [
     "win_stl_decompose",
 ]
 
+# Round-8 additions: the 3 most plan-complex of the 8 (the Pettitt/SAX/
+# readability/cramers/capture keys are sub-second bounded-axis rollups at
+# sf0.1 and tracked by tests instead).
+R8_TIER = [
+    "sim_centroid_classify",
+    "mine_frequent_triples",
+    "events_interarrival_stats",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +143,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
+        + R8_TIER
     ):
         if key not in qs:
             continue
@@ -180,6 +190,9 @@ def main() -> None:
     r7_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R7_TIER), 4
     )
+    r8_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R8_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -199,6 +212,7 @@ def main() -> None:
         "r5c_tier_total": r5c_tier_total,
         "r6_tier_total": r6_tier_total,
         "r7_tier_total": r7_tier_total,
+        "r8_tier_total": r8_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,

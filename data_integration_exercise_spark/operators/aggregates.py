@@ -3484,3 +3484,113 @@ def agg_srm_check(spark, sf_dir):
         chi2.alias("chi2_micro"),
         F.when(chi2 > 3841459, 1).otherwise(0).cast("long").alias("srm_flag"),
     )
+
+
+def _cramers_pair(df, a_col, b_col, pair_name):
+    """One Cramér's-V association row from a cell-count cross-tab.
+
+    Everything downstream of the single groupBy is derived from the tiny
+    cell table (≤ |a|·|b| rows): row totals, column totals, and n re-roll
+    from cells, never from the fact scan, and join back via broadcast. The
+    cell table is localCheckpoint'd because four consumers would otherwise
+    re-run the scan (SURVEY §9 lesson 4)."""
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("a").agg(F.sum("obs").cast("long").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("r"),
+        F.count_distinct("b").cast("long").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = (F.col("obs") - e) * (F.col("obs") - e) / e
+    agg = j.groupBy("n", "r", "c").agg(F.round(F.sum(term), 4).alias("chi2"))
+    mindim = F.least(F.col("r"), F.col("c")) - 1
+    return agg.select(
+        F.lit(pair_name).alias("pair"),
+        F.col("n"),
+        F.col("r").alias("card_a"),
+        F.col("c").alias("card_b"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.col("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("n") * mindim)), 4).alias("cramers_v"),
+    )
+
+
+_CRAMERS_ORACLE_PAIR = """
+    SELECT '{name}' AS pair, n, r AS card_a, c AS card_b,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2,
+           round(sqrt(chi2 / (n * (least(r, c) - 1))), 4) AS cramers_v
+    FROM (
+        SELECT any_value(t.n) AS n, any_value(t.r) AS r, any_value(t.c) AS c,
+               round(sum((cells.obs - CAST(rt.rt AS DOUBLE) * ct.ct / t.n)
+                         * (cells.obs - CAST(rt.rt AS DOUBLE) * ct.ct / t.n)
+                         / (CAST(rt.rt AS DOUBLE) * ct.ct / t.n)), 4) AS chi2
+        FROM (
+            SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2
+        ) cells
+        JOIN (
+            SELECT {a} AS a, CAST(count(*) AS BIGINT) AS rt
+            FROM orders GROUP BY 1
+        ) rt ON cells.a = rt.a
+        JOIN (
+            SELECT {b} AS b, CAST(count(*) AS BIGINT) AS ct
+            FROM orders GROUP BY 1
+        ) ct ON cells.b = ct.b
+        CROSS JOIN (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT {a}) AS BIGINT) AS r,
+                   CAST(count(DISTINCT {b}) AS BIGINT) AS c
+            FROM orders
+        ) t
+    )
+"""
+
+
+@register(
+    "agg_cramers_v",
+    oracle=" UNION ALL ".join(
+        _CRAMERS_ORACLE_PAIR.format(name=name, a=a, b=b)
+        for name, a, b in [
+            ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+            ("priority_x_month", "o_orderpriority", "month(o_orderdate)"),
+            ("status_x_year", "o_orderstatus", "year(o_orderdate)"),
+        ]
+    ),
+)
+def agg_cramers_v(spark, sf_dir):
+    """Cramér's V categorical-association screen: chi-square and the
+    normalized V = sqrt(chi2 / (n·(min(r,c)−1))) for three column pairs of
+    the orders table — the one-number "are these dimensions independent?"
+    diagnostic a feature-selection or data-profiling pass runs over every
+    categorical pair. Cell/row/column counts are exact integers; chi-square
+    is the lone float sum and is rounded at 4dp BEFORE feeding V (both
+    engines take sqrt of the same rounded double, so the 15-60 term
+    summation-order noise at 1e-13 can never reach the hash).
+
+    100 TB: one groupBy per pair over the fact scan (map-side combined,
+    |cells| ≤ r·c rows out), then every total re-derives from the tiny cell
+    table — broadcast joins only, no second fact pass. The three pair
+    scans stay independent (Catalyst shares the scan via exchange reuse
+    where profitable); output is 3 rows at any scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.month("o_orderdate").alias("o_month"),
+        F.year("o_orderdate").alias("o_year"),
+    ).localCheckpoint(eager=False)
+    return (
+        _cramers_pair(o, "o_orderpriority", "o_orderstatus", "priority_x_status")
+        .unionAll(_cramers_pair(o, "o_orderpriority", "o_month", "priority_x_month"))
+        .unionAll(_cramers_pair(o, "o_orderstatus", "o_year", "status_x_year"))
+    )

@@ -1786,3 +1786,161 @@ def events_user_lifecycle(spark, sf_dir):
         churn.cast("long").alias("n_churned"),
         (new + res - churn).cast("long").alias("net_growth"),
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_ns(ts) // 1000
+                 - lag(epoch_ns(ts) // 1000) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ns(ts) // 1000, event_id) AS gap_us
+        FROM events
+    ), gg AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us ASC) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           any_value(n) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                + max(CASE WHEN rn = n // 2 + 1 THEN gap_us END)
+                AS DOUBLE) / 2000000.0 AS median_gap_s,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                AS DOUBLE) / 1000000.0 AS p90_gap_s,
+           round(CAST(sum(gap_us) AS DOUBLE) / any_value(n) / 1000000.0, 4)
+               AS mean_gap_s
+    FROM gg
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Per-type interarrival distribution: for each event type, the exact
+    min / median / p90 / max / mean of the per-user consecutive-event gaps
+    — the burstiness profile that separates heartbeat traffic (tight
+    unimodal gaps) from human sessions (heavy right tail). Medians and p90
+    are EXPLICIT order statistics (row_number positions computed in integer
+    arithmetic, the even-n median as ``(lo + hi) / 2e6`` on exact BIGINT
+    µs) rather than engine quantile functions, so Spark and DuckDB cannot
+    disagree on interpolation rules; the mean is the one float aggregate
+    and follows the round-4dp discipline on an exact integer sum.
+
+    100 TB: the gap pass is one (user, type)-keyed window — the same
+    shuffle shape as sessionization. The order-statistic pass partitions
+    by event_type only (|types| partitions): exact per-type medians
+    fundamentally need a per-type total order, so at real scale this is
+    the query you run AFTER a type filter, or you switch to the sketch
+    twin (`agg_quantile_sketch`) — that trade is the point of shipping
+    both. Gap rows are 2 columns (16 bytes) so a 10^9-gap type still
+    sorts in one executor's spill budget."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_us", "event_id")
+    wu = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    g = (
+        e.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(wu))
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", "gap_us")
+    )
+    wt = Window.partitionBy("event_type").orderBy(F.col("gap_us").asc())
+    wn = Window.partitionBy("event_type")
+    gg = g.withColumn("rn", F.row_number().over(wt)).withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    n = F.col("n")
+    med_lo = F.max(F.when(F.col("rn") == F.floor((n + 1) / 2), F.col("gap_us")))
+    med_hi = F.max(F.when(F.col("rn") == F.floor(n / 2) + 1, F.col("gap_us")))
+    p90_pos = F.floor((9 * n + 9) / 10)  # ceil(0.9n) without float literals
+    return gg.groupBy("event_type").agg(
+        F.any_value("n").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        ((med_lo + med_hi).cast("double") / F.lit(2000000.0)).alias("median_gap_s"),
+        (
+            F.max(F.when(F.col("rn") == p90_pos, F.col("gap_us"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("p90_gap_s"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.any_value("n") / F.lit(1000000.0), 4
+        ).alias("mean_gap_s"),
+    )
+
+
+# Split boundary for the two capture occasions: the first 15 days of the
+# operative events month vs the rest (FIXTURES.md: events span 2024-01).
+_CAPTURE_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC, epoch-µs
+
+
+@register(
+    "events_capture_recapture",
+    oracle="""
+    WITH f AS (
+        SELECT event_type, user_id,
+               max(CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                        THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN epoch_ns(ts) // 1000 >= 1705363200000000
+                        THEN 1 ELSE 0 END) AS in_b
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(in_a) AS BIGINT) AS n_capture,
+           CAST(sum(in_b) AS BIGINT) AS n_recapture,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_observed,
+           round(CAST((sum(in_a) + 1) * (sum(in_b) + 1) AS DOUBLE)
+                 / (sum(in_a * in_b) + 1) - 1, 4) AS n_hat_chapman,
+           CAST(1000 * count(*)
+                // ((CAST(sum(in_a) + 1 AS BIGINT) * (sum(in_b) + 1))
+                    // (sum(in_a * in_b) + 1) - 1)
+                AS BIGINT) AS coverage_permille
+    FROM f
+    GROUP BY event_type
+    """,
+)
+def events_capture_recapture(spark, sf_dir):
+    """Capture-recapture population estimate per event type: treat the
+    first 15 days of the events month and the remainder as two capture
+    occasions and apply the Chapman estimator
+    N̂ = (n_A+1)(n_B+1)/(m+1) − 1 to the per-type distinct-user counts —
+    the mark-recapture trick ecology uses for animal populations and
+    growth teams use to estimate the true audience a sparse event log only
+    partially observes. All inputs are exact integer distinct counts, the
+    estimator is one division of exact integers (round-4dp discipline),
+    and coverage (observed / N̂) is integer permille via truncating
+    division on the floor-valued estimate.
+
+    100 TB: ONE shuffle on (event_type, user_id) with map-side combine
+    into per-user occasion flags — the same distinct-rollup shape as
+    events_user_lifecycle — then a |types|-row rollup. No second distinct
+    pass per occasion: both flags come from the same grouped scan."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts_us")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.max(
+            F.when(F.col("ts_us") < _CAPTURE_SPLIT_US, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("ts_us") >= _CAPTURE_SPLIT_US, 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    na = F.sum("in_a")
+    nb = F.sum("in_b")
+    m = F.sum(F.col("in_a") * F.col("in_b"))
+    return f.groupBy("event_type").agg(
+        na.cast("long").alias("n_capture"),
+        nb.cast("long").alias("n_recapture"),
+        m.cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        F.round(
+            ((na + 1) * (nb + 1)).cast("double") / (m + 1) - 1, 4
+        ).alias("n_hat_chapman"),
+        # Spark DIV ≡ DuckDB // on BIGINT (both truncate toward zero, the
+        # mining.py precedent) — the floor-valued N̂ keeps permille exact.
+        F.expr(
+            "CAST(1000 * count(1) DIV ((CAST(sum(in_a) + 1 AS BIGINT)"
+            " * (sum(in_b) + 1)) DIV (sum(in_a * in_b) + 1) - 1) AS BIGINT)"
+        ).alias("coverage_permille"),
+    )

@@ -682,3 +682,122 @@ def _hybrid_rrf_oracle() -> str:
 
 
 ORACLES["sim_hybrid_rrf"] = _hybrid_rrf_oracle()
+
+
+@register(
+    "mine_frequent_triples",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ), pairs AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb,
+               CAST(count(*) AS BIGINT) AS s
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    ), triples AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, c.p_brand AS brand_c,
+               CAST(count(*) AS BIGINT) AS support_abc
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        JOIN items c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+        GROUP BY 1, 2, 3
+    )
+    SELECT t.brand_a, t.brand_b, t.brand_c, t.support_abc,
+           ab.s AS support_ab, ac.s AS support_ac, bc.s AS support_bc,
+           CAST(1000 * t.support_abc
+                // least(ab.s, ac.s, bc.s) AS BIGINT) AS conf_min_permille
+    FROM triples t
+    JOIN pairs ab ON t.brand_a = ab.ba AND t.brand_b = ab.bb
+    JOIN pairs ac ON t.brand_a = ac.ba AND t.brand_c = ac.bb
+    JOIN pairs bc ON t.brand_b = bc.ba AND t.brand_c = bc.bb
+    ORDER BY t.support_abc DESC, t.brand_a, t.brand_b, t.brand_c
+    LIMIT 50
+    """,
+)
+def mine_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemset mining over brand baskets, the A-priori step
+    beyond mine_association_rules' pairs: the top-50 brand triples by
+    co-purchase support (canonical brand tiebreaks — a top-N product,
+    not a relative threshold, because triple supports concentrate toward
+    their true tiny rates as N grows and any fixed percentage eventually
+    selects nothing), annotated with the three pairwise supports and the
+    completion confidence support_abc / min(pair supports) in integer
+    permille. All counts are exact; the one division is truncating.
+
+    100 TB: the C(k,3) per-basket expansion is pure codegen
+    (flatten(transform × slice × slice)) — no corpus self-join; the
+    candidate space is capped at C(25,3) = 2300 rows at ANY scale, so
+    pair-support joins broadcast and the top-50 is a
+    TakeOrderedAndProject over those 2300, never a global sort. The
+    basket table localCheckpoints once for its two consumers (triples,
+    pairs)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .localCheckpoint()
+    )
+    triples = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(brands, (x, i) ->
+                        flatten(transform(slice(brands, i + 2, size(brands)), (y, j) ->
+                            transform(slice(brands, i + j + 3, size(brands)), z ->
+                                struct(x AS brand_a, y AS brand_b, z AS brand_c))))))
+                    """
+                )
+            ).alias("tr")
+        )
+        .select("tr.brand_a", "tr.brand_b", "tr.brand_c")
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count("*").cast("long").alias("support_abc"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(brands, (x, i) ->
+                        transform(slice(brands, i + 2, size(brands)), y ->
+                            struct(x AS ba, y AS bb))))
+                    """
+                )
+            ).alias("pr")
+        )
+        .select("pr.ba", "pr.bb")
+        .groupBy("ba", "bb")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    ab = pairs.withColumnsRenamed({"ba": "brand_a", "bb": "brand_b", "s": "support_ab"})
+    ac = pairs.withColumnsRenamed({"ba": "brand_a", "bb": "brand_c", "s": "support_ac"})
+    bc = pairs.withColumnsRenamed({"ba": "brand_b", "bb": "brand_c", "s": "support_bc"})
+    return (
+        triples.join(F.broadcast(ab), ["brand_a", "brand_b"])
+        .join(F.broadcast(ac), ["brand_a", "brand_c"])
+        .join(F.broadcast(bc), ["brand_b", "brand_c"])
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "support_abc",
+            "support_ab",
+            "support_ac",
+            "support_bc",
+            F.expr(
+                "CAST(1000 * support_abc DIV least(support_ab, support_ac, support_bc)"
+                " AS BIGINT)"
+            ).alias("conf_min_permille"),
+        )
+        .orderBy(
+            F.col("support_abc").desc(), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(50)
+    )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -1535,4 +1536,145 @@ def sim_ann_graph(spark, sf_dir):
             F.col("cand").alias("vec_id"),
             F.col("score").alias("signed_cos2_x1e8"),
         )
+    )
+
+
+@register(
+    "sim_centroid_classify",
+    oracle="""
+    WITH e0 AS (
+        SELECT vec_id, label,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 5)
+                   AS b,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, label, b,
+               unnest(list_transform(generate_series(1, len(qa)), i ->
+                   struct_pack(pos := i, qv := qa[i]))) AS u
+        FROM e0
+    ), comps AS (
+        SELECT vec_id, label, b, u.pos AS pos, u.qv AS qv FROM q
+    ), cent AS (
+        SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+        FROM comps WHERE b <> 0 GROUP BY 1, 2
+    ), nc AS (
+        SELECT label, CAST(sum(s * s) AS BIGINT) AS nc FROM cent GROUP BY 1
+    ), na AS (
+        SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS na
+        FROM comps WHERE b = 0 GROUP BY 1
+    ), dots AS (
+        SELECT t.vec_id, c.label AS label_pred,
+               CAST(sum(t.qv * c.s) AS BIGINT) AS dot
+        FROM comps t JOIN cent c ON t.pos = c.pos
+        WHERE t.b = 0
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.vec_id, d.label_pred,
+               (CASE WHEN d.dot < 0 THEN -1 ELSE 1 END)
+                 * ((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+                    // (CAST(na.na AS HUGEINT) * nc.nc)) AS sc
+        FROM dots d
+        JOIN na ON d.vec_id = na.vec_id AND na.na > 0
+        JOIN nc ON d.label_pred = nc.label
+    ), pick AS (
+        SELECT vec_id, label_pred,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sc DESC, label_pred ASC) AS rn
+        FROM scored
+    )
+    SELECT e0.label AS label_true, p.label_pred,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pick p JOIN e0 ON p.vec_id = e0.vec_id
+    WHERE p.rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def sim_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification over the embeddings table with a
+    deterministic 80/20 content-hash split: per-label centroids from the
+    train buckets, every test vector assigned to its most-cosine-similar
+    centroid, output as the exact confusion matrix — the cheap "are these
+    embeddings linearly separable by label?" eval a curation pipeline runs
+    before spending on a real probe. Everything is integer-exact: vectors
+    quantize to milli-units via floor() (floor, never round — Spark
+    rounds half-up, DuckDB half-even, floor agrees everywhere), the
+    centroid is used UN-normalized (cosine is scale-invariant, so the
+    integer component-sum vector ranks identically to the mean), and
+    ranking uses the signed squared-cosine in integer micro-units —
+    sign(dot)·dot²·10⁶ // (‖a‖²·‖c‖²) — computed in DECIMAL(38,0)/HUGEINT
+    (dot² alone can reach ~7e20), with a label tiebreak. No float enters
+    the comparison, so the argmax is bit-stable across engines and
+    partitionings.
+
+    100 TB: the centroid table is |labels|·dim rows — broadcast; test
+    vectors never pairwise-join anything (this is the O(n·k) counterpoint
+    to sim_topk_cosine's O(n²/B)), and the three aggregations are
+    map-side-combined shuffles on (label,pos) / vec_id-shaped keys. The
+    int64 component-sum headroom (±1000-unit comps) is ~9e12 train rows
+    per label; past that the centroid sum itself moves to DECIMAL(38,0).
+
+    Cites SURVEY §2.10 (similarity-search family) and the sampling.py
+    md5-bucket split convention."""
+    e0 = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+                ).cast("long")
+                % 5
+            ).alias("b"),
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            ).alias("qa"),
+        )
+        .localCheckpoint(eager=False)  # consumers: comps + the truth join
+    )
+    comps = e0.select(
+        "vec_id", "label", "b", F.posexplode("qa").alias("pos", "qv")
+    )
+    cent = (
+        comps.filter(F.col("b") != 0)
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").cast("long").alias("s"))
+        .localCheckpoint(eager=False)  # consumers: dots + nc
+    )
+    nc = cent.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("nc"))
+    na = (
+        comps.filter(F.col("b") == 0)
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qv") * F.col("qv")).cast("long").alias("na"))
+        .filter(F.col("na") > 0)
+    )
+    dots = (
+        comps.filter(F.col("b") == 0)
+        .join(F.broadcast(cent.withColumnRenamed("label", "label_pred")), "pos")
+        .groupBy("vec_id", "label_pred")
+        .agg(F.sum(F.col("qv") * F.col("s")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(na, "vec_id")
+        .join(F.broadcast(nc.withColumnRenamed("label", "label_pred")), "label_pred")
+        .withColumn(
+            "sc",
+            F.expr(
+                "(CASE WHEN dot < 0 THEN -1 ELSE 1 END)"
+                " * ((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)"
+                "    DIV (CAST(na AS DECIMAL(38,0)) * nc))"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sc").desc(), F.col("label_pred").asc()
+    )
+    pick = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pick.join(e0.select("vec_id", F.col("label").alias("label_true")), "vec_id")
+        .groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )

@@ -1065,3 +1065,81 @@ def text_bigram_generate(spark, sf_dir):
         )
         out = out.unionByName(cur)
     return out
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_words,
+               CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+                   AS n_syll,
+               CAST(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+                   AS BIGINT) AS n_long
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_syll) AS BIGINT) AS n_syllables,
+           CAST(1000 * sum(n_long) // sum(n_words) AS BIGINT)
+               AS long_word_permille,
+           round(CAST(sum(n_words) AS DOUBLE) / count(*), 4) AS words_per_doc,
+           round(206.835
+                 - 1.015 * (CAST(sum(n_words) AS DOUBLE) / count(*))
+                 - 84.6 * (CAST(sum(n_syll) AS DOUBLE) / sum(n_words)), 4)
+               AS flesch_proxy
+    FROM d
+    GROUP BY lang
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Corpus readability profile per language: word counts, a
+    vowel-group syllable proxy, the share of 3+-syllable "long" words in
+    integer permille, and a Flesch-reading-ease proxy
+    206.835 − 1.015·(words/doc) − 84.6·(syllables/word) — the
+    quality-scoring pass a pretraining pipeline runs to bucket documents
+    by linguistic complexity. The synthetic corpus has no sentence
+    punctuation (FIXTURES.md), so the document stands in for the sentence
+    unit; syllables = maximal [aeiouy]+ runs, the standard cheap proxy.
+    Every count is an exact integer computed by identical regexes in both
+    engines; the two Flesch ratios divide exact integers (identical
+    doubles) and round at 4dp.
+
+    100 TB: a single stateless projection + one map-side-combined groupBy
+    on lang — the regex work stays in whole-stage codegen (no Python), and
+    the per-doc word array is never materialized past its task. Output is
+    |langs| rows at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("n_syll"),
+        F.expr(
+            "CAST(size(filter(split(trim(text), '\\\\s+'),"
+            " w -> size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 3)) AS BIGINT)"
+        ).alias("n_long"),
+    )
+    words = F.sum("n_words")
+    syll = F.sum("n_syll")
+    docs = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        docs.cast("long").alias("n_docs"),
+        words.cast("long").alias("n_words"),
+        syll.cast("long").alias("n_syllables"),
+        F.expr("CAST(1000 * sum(n_long) DIV sum(n_words) AS BIGINT)").alias(
+            "long_word_permille"
+        ),
+        F.round(words.cast("double") / docs, 4).alias("words_per_doc"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (words.cast("double") / docs)
+            - 84.6 * (syll.cast("double") / words),
+            4,
+        ).alias("flesch_proxy"),
+    )

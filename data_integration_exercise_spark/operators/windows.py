@@ -1375,3 +1375,202 @@ def win_kalman_filter(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "win_pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, day, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               rank() OVER (PARTITION BY event_type ORDER BY cnt ASC)
+                 + CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) + 1
+                 - rank() OVER (PARTITION BY event_type ORDER BY cnt DESC)
+                 AS r2
+        FROM daily
+    ), u AS (
+        SELECT event_type, day, t, n,
+               sum(r2) OVER (PARTITION BY event_type ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) - t * (n + 1) AS ut
+        FROM ranked
+    ), best AS (
+        SELECT event_type, day, n, ut, abs(ut) AS k,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(ut) DESC, day ASC) AS rn
+        FROM u WHERE t < n
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           day AS cp_day,
+           CAST(k AS BIGINT) AS k_stat,
+           CASE WHEN ut > 0 THEN 'down' WHEN ut < 0 THEN 'up'
+                ELSE 'none' END AS shift_dir,
+           round(least(1.0, 2 * exp(-6.0 * k * k
+                 / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 4)
+               AS p_approx
+    FROM best WHERE rn = 1
+    """,
+)
+def win_pettitt_changepoint(spark, sf_dir):
+    """Pettitt changepoint test per event type's daily-count series: the
+    rank-based Mann-Whitney statistic U_t = 2·Σ_{i≤t} r_i − t(n+1)
+    computed for every split point, the maximizing day as the detected
+    changepoint, and the classic 2·exp(−6K²/(n³+n²)) significance
+    approximation. The midrank trick keeps it integer-exact: with
+    rank_asc + (n+1) − rank_desc = 2·midrank, the doubled ranks are
+    BIGINTs, so every U_t is an exact integer in both engines — the only
+    float is the final exp(), rounded at 4dp on identical inputs. U_t > 0
+    at the argmax means early observations rank high (a downward shift).
+
+    100 TB: the daily rollup is the only pass over raw events (map-side
+    combined, |types|·|days| rows out); the rank/cumsum windows ride
+    |types| partitions of a bounded calendar axis — the documented
+    bounded-axis whitelist shape (≤ a few thousand days per type), the
+    same contract as win_stl_decompose. K ≤ n²/2 keeps K² inside int64
+    for any series up to ~55k points; longer series should pre-aggregate
+    to weeks (the test is rank-based, so coarsening is the standard
+    remedy)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wt = Window.partitionBy("event_type")
+    ranked = (
+        daily.withColumn("t", F.row_number().over(wt.orderBy("day")))
+        .withColumn("n", F.count(F.lit(1)).over(wt).cast("long"))
+        .withColumn(
+            "r2",
+            F.rank().over(wt.orderBy(F.col("cnt").asc()))
+            + F.col("n")
+            + 1
+            - F.rank().over(wt.orderBy(F.col("cnt").desc())),
+        )
+    )
+    u = ranked.withColumn(
+        "ut",
+        F.sum("r2").over(wt.orderBy("t").rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("t") * (F.col("n") + 1),
+    ).filter(F.col("t") < F.col("n"))
+    best = u.withColumn("k", F.abs("ut")).withColumn(
+        "rn",
+        F.row_number().over(wt.orderBy(F.col("k").desc(), F.col("day").asc())),
+    ).filter(F.col("rn") == 1)
+    n_d = F.col("n").cast("double")
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("cp_day"),
+        F.col("k").cast("long").alias("k_stat"),
+        F.when(F.col("ut") > 0, "down")
+        .when(F.col("ut") < 0, "up")
+        .otherwise("none")
+        .alias("shift_dir"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2 * F.exp(-6.0 * F.col("k") * F.col("k") / (n_d * F.col("n") * F.col("n") + n_d * F.col("n"))),
+            ),
+            4,
+        ).alias("p_approx"),
+    )
+
+
+@register(
+    "win_sax_paa",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), idx AS (
+        SELECT pri, day, cnt,
+               row_number() OVER (PARTITION BY pri ORDER BY day) AS t,
+               CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+        FROM daily
+    ), seg AS (
+        SELECT pri, CAST((t - 1) * 8 // n AS INT) AS seg,
+               any_value(n) AS n,
+               CAST(sum(cnt) AS BIGINT) AS seg_sum,
+               CAST(count(*) AS BIGINT) AS seg_days
+        FROM idx GROUP BY 1, 2
+    ), sym AS (
+        SELECT pri, seg, n,
+               CAST(seg_sum AS DOUBLE) / seg_days AS paa,
+               ntile(4) OVER (PARTITION BY pri
+                              ORDER BY CAST(seg_sum AS DOUBLE) / seg_days ASC,
+                                       seg ASC) AS q
+        FROM seg
+    )
+    SELECT pri AS o_orderpriority,
+           any_value(n) AS n_days,
+           string_agg(CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                             WHEN 3 THEN 'c' ELSE 'd' END,
+                      '' ORDER BY seg) AS sax_word,
+           round(min(paa), 4) AS min_paa,
+           round(max(paa), 4) AS max_paa
+    FROM sym
+    GROUP BY pri
+    """,
+)
+def win_sax_paa(spark, sf_dir):
+    """Quantile-SAX symbolic series compression: each order priority's
+    daily-count series is Piecewise-Aggregate-Approximated into 8 equal
+    segments and each segment's mean is mapped to a quartile symbol a-d
+    via ntile — the shape fingerprint ("abdcadbb") that lets downstream
+    similarity/motif queries compare million-point series as 8-char
+    strings. Classic SAX places breakpoints on a Gaussian assumption;
+    the quantile variant used here is rank-based, which keeps it
+    integer-exact: segment means are single divisions of exact integer
+    sums (bit-identical across engines), and ntile's ordering carries a
+    seg-index tiebreak so tied means cannot split differently.
+
+    100 TB: one map-side-combined daily rollup over the fact scan, then
+    all windows ride |priorities| partitions of the bounded calendar axis
+    (the win_stl_decompose whitelist shape); the 8-segment rollup and the
+    word assembly are |priorities|·8 rows — output is 5 rows at any
+    scale factor."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wp = Window.partitionBy("pri")
+    idx = daily.withColumn("t", F.row_number().over(wp.orderBy("day"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp).cast("long")
+    )
+    seg = idx.groupBy(
+        "pri", F.expr("CAST((t - 1) * 8 DIV n AS INT)").alias("seg")
+    ).agg(
+        F.any_value("n").alias("n"),
+        F.sum("cnt").cast("long").alias("seg_sum"),
+        F.count(F.lit(1)).cast("long").alias("seg_days"),
+    )
+    paa = F.col("seg_sum").cast("double") / F.col("seg_days")
+    sym = seg.withColumn("paa", paa).withColumn(
+        "q", F.ntile(4).over(wp.orderBy(paa.asc(), F.col("seg").asc()))
+    )
+    letter = (
+        F.when(F.col("q") == 1, "a")
+        .when(F.col("q") == 2, "b")
+        .when(F.col("q") == 3, "c")
+        .otherwise("d")
+    )
+    return (
+        sym.withColumn("sym", letter)
+        .groupBy("pri")
+        .agg(
+            F.any_value("n").alias("n_days"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(seg, sym))),"
+                " s -> s.sym), '')"
+            ).alias("sax_word"),
+            F.round(F.min("paa"), 4).alias("min_paa"),
+            F.round(F.max("paa"), 4).alias("max_paa"),
+        )
+        .withColumnRenamed("pri", "o_orderpriority")
+    )

@@ -136,7 +136,16 @@ _PRIORITY = [
 # Keys ADDED during round 8 (no driver row yet). Every new operator lands
 # here in the same commit that registers it; they queue directly behind the
 # window for the round-9 rotation.
-_ADDED_R8: list[str] = []
+_ADDED_R8: list[str] = [
+    "events_interarrival_stats",
+    "events_capture_recapture",
+    "agg_cramers_v",
+    "win_pettitt_changepoint",
+    "win_sax_paa",
+    "text_readability",
+    "mine_frequent_triples",
+    "sim_centroid_classify",
+]
 
 # Keys hash/rows-verified green by the driver in round 7 (the former
 # _PRIORITY window; CORRECTNESS_r07.json 50/50) — demoted directly behind

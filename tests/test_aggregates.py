@@ -581,3 +581,43 @@ def test_srm_check_scenarios_behave(spark):
     sim = pdf[pdf.scenario == "sim_b_drop"]
     big = sim[(sim.n_a + sim.n_b) >= 500]
     assert (big.srm_flag == 1).all(), "20% one-arm drop went undetected"
+
+
+def test_cramers_v_matches_numpy_crosstab(spark):
+    """Recompute chi-square and V from a pandas crosstab for every pair;
+    the unrounded replay must land within float noise of the emitted 4dp
+    values, and V must respect its [0, 1] normalization bounds."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_cramers_v"](spark, SF)
+        .toPandas()
+        .set_index("pair")
+    )
+    con = duckdb.connect()
+    o = con.execute(
+        f"""
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               month(o_orderdate) AS mo, year(o_orderdate) AS yr
+        FROM '{SF}/orders.parquet'
+        """
+    ).df()
+    for name, a, b in [
+        ("priority_x_status", "pri", "st"),
+        ("priority_x_month", "pri", "mo"),
+        ("status_x_year", "st", "yr"),
+    ]:
+        ct = np.asarray(
+            o.groupby([a, b]).size().unstack(fill_value=0), dtype=float
+        )
+        n = ct.sum()
+        exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+        chi2 = ((ct - exp) ** 2 / exp).sum()
+        row = pdf.loc[name]
+        assert abs(row.chi2 - chi2) < 5.1e-5  # emitted value is rounded 4dp
+        assert row.card_a == ct.shape[0] and row.card_b == ct.shape[1]
+        assert row.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        v = np.sqrt(row.chi2 / (n * (min(ct.shape) - 1)))
+        assert row.cramers_v == round(v, 4)
+        assert 0.0 <= row.cramers_v <= 1.0

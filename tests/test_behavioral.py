@@ -517,3 +517,76 @@ def test_user_lifecycle_ledger_reconciles_dau(spark):
         prev = dau.dau.get(day - datetime.timedelta(days=1), 0)
         assert active - prev == r.net_growth, (day, active, prev, r.net_growth)
         assert prev == r.n_retained + r.n_churned, day
+
+
+def test_interarrival_order_stats_match_numpy(spark):
+    """Replay one event type's gap distribution independently (DuckDB gap
+    builder + numpy order statistics) and check every emitted stat."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        behavioral.QUERIES["events_interarrival_stats"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    gaps = np.sort(
+        con.execute(
+            f"""
+            SELECT gap FROM (
+                SELECT event_type,
+                       epoch_ns(ts) // 1000
+                         - lag(epoch_ns(ts) // 1000) OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY epoch_ns(ts) // 1000, event_id) AS gap
+                FROM '{SF}/events.parquet')
+            WHERE gap IS NOT NULL AND event_type = 'click'
+            """
+        ).fetchnumpy()["gap"]
+    )
+    n = len(gaps)
+    row = pdf.loc["click"]
+    assert row.n_gaps == n
+    assert row.min_gap_us == gaps[0] and row.max_gap_us == gaps[-1]
+    med = (int(gaps[(n + 1) // 2 - 1]) + int(gaps[n // 2])) / 2e6
+    assert row.median_gap_s == med
+    p90 = int(gaps[(9 * n + 9) // 10 - 1]) / 1e6
+    assert row.p90_gap_s == p90
+    assert row.mean_gap_s == round(int(gaps.sum()) / n / 1e6, 4)
+
+
+def test_capture_recapture_chapman_algebra(spark):
+    """Recompute the Chapman estimator from independently-built occasion
+    sets; every count and the estimate must match exactly."""
+    import duckdb
+
+    pdf = (
+        behavioral.QUERIES["events_capture_recapture"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    for et in pdf.index:
+        a, b = [
+            {
+                u
+                for (u,) in con.execute(
+                    f"""
+                    SELECT DISTINCT user_id FROM '{SF}/events.parquet'
+                    WHERE event_type = '{et}' AND
+                          (epoch_ns(ts) // 1000 < 1705363200000000) = {half}
+                    """
+                ).fetchall()
+            }
+            for half in ("true", "false")
+        ]
+        row = pdf.loc[et]
+        na, nb, m = len(a), len(b), len(a & b)
+        assert (row.n_capture, row.n_recapture, row.n_both) == (na, nb, m)
+        assert row.n_observed == len(a | b)
+        assert row.n_hat_chapman == round((na + 1) * (nb + 1) / (m + 1) - 1, 4)
+        n_hat_floor = (na + 1) * (nb + 1) // (m + 1) - 1
+        assert row.coverage_permille == 1000 * len(a | b) // n_hat_floor
+        # the estimate can never fall below what was directly observed
+        assert row.n_hat_chapman >= max(na, nb)

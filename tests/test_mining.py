@@ -181,3 +181,19 @@ def test_hybrid_rrf_fuses_both_legs(spark):
             expect += 1_000_000_000 // (60 + int(r.text_rank))
         expect += 1_000_000_000 // (60 + int(r.vec_rank))
         assert r.rrf_score_nano == expect
+
+
+def test_frequent_triples_apriori_property(spark):
+    """A-priori downward closure: a triple's support can never exceed any
+    of its pair supports; output is canonically ordered, capped at 50, and
+    the confidence permille is valid."""
+    pdf = mining.QUERIES["mine_frequent_triples"](spark, SF_DIR).toPandas()
+    assert 0 < len(pdf) <= 50
+    assert (pdf.brand_a < pdf.brand_b).all() and (pdf.brand_b < pdf.brand_c).all()
+    pair_min = pdf[["support_ab", "support_ac", "support_bc"]].min(axis=1)
+    assert (pdf.support_abc <= pair_min).all()
+    assert (pdf.conf_min_permille == 1000 * pdf.support_abc // pair_min).all()
+    assert not pdf.duplicated(["brand_a", "brand_b", "brand_c"]).any()
+    # top-N product: sorted by support desc with canonical brand tiebreaks
+    key = list(zip(-pdf.support_abc, pdf.brand_a, pdf.brand_b, pdf.brand_c))
+    assert key == sorted(key)

@@ -59,6 +59,17 @@ _PARTITION_INVARIANT_KEYS = [
     # round-8 rewrite: the bounded top-3 product must pick identical pairs
     # under any partitioning (window tiebreak on (jaccard desc, doc2 asc))
     "dedup_minhash_lsh",
+    # round-8 additions: order-statistic windows, rank/ntile symbolization,
+    # a float chi-square partial-agg, top-50 tiebreaks, and the integer
+    # centroid argmax — every combine/tiebreak surface the batch exposes
+    "events_interarrival_stats",
+    "events_capture_recapture",
+    "agg_cramers_v",
+    "win_pettitt_changepoint",
+    "win_sax_paa",
+    "text_readability",
+    "mine_frequent_triples",
+    "sim_centroid_classify",
 ]
 
 

@@ -550,3 +550,92 @@ def test_bigram_generate_traces_are_greedy_chains(spark):
         assert grp.token.iloc[0] == seed
         for prev, nxt in zip(grp.token, grp.token.iloc[1:]):
             assert succ[prev][0] == nxt
+
+
+def test_readability_counts_match_python_re(spark):
+    """Exact python-re replay of every count for one language: words,
+    vowel-group syllables, 3+-group long words, and the derived ratios."""
+    import re as _re
+
+    import duckdb
+
+    pdf = (
+        text.QUERIES["text_readability"](spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    con = duckdb.connect()
+    docs = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{SF}/documents.parquet' WHERE lang = 'de'"
+        ).fetchall()
+    ]
+    syl = _re.compile(r"[aeiouy]+")
+    words = sum(len(d.strip().split()) for d in docs)
+    sylls = sum(len(syl.findall(d)) for d in docs)
+    longw = sum(
+        1 for d in docs for w in d.strip().split() if len(syl.findall(w)) >= 3
+    )
+    row = pdf.loc["de"]
+    assert row.n_docs == len(docs)
+    assert row.n_words == words
+    assert row.n_syllables == sylls
+    assert row.long_word_permille == 1000 * longw // words
+    assert row.words_per_doc == round(words / len(docs), 4)
+    assert row.flesch_proxy == round(
+        206.835 - 1.015 * (words / len(docs)) - 84.6 * (sylls / words), 4
+    )
+
+
+def test_centroid_classify_matches_integer_replay(spark):
+    """Full python-int replay of the nearest-centroid pipeline — md5
+    bucket split, floor-quantization, integer centroid sums, and the
+    signed squared-cosine micro-unit ranking — must reproduce the exact
+    confusion matrix (python ints are arbitrary-precision, so this also
+    re-proves the DECIMAL(38,0) path never overflows)."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    pdf = (
+        similarity.QUERIES["sim_centroid_classify"](spark, SF)
+        .toPandas()
+        .sort_values(["label_true", "label_pred"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    cent: dict[int, list[int]] = {}
+    tests = []
+    for vid, label, emb in rows:
+        q = [math.floor(float(x) * 1000) for x in emb]
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:4], 16) % 5
+        if b == 0:
+            tests.append((vid, label, q))
+        else:
+            cent.setdefault(label, [0] * len(q))
+            cent[label] = [a + v for a, v in zip(cent[label], q)]
+    nc = {lb: sum(v * v for v in s) for lb, s in cent.items()}
+    conf: dict[tuple[int, int], int] = {}
+    n_test = 0
+    for vid, label, q in tests:
+        na = sum(v * v for v in q)
+        if na == 0:
+            continue
+        n_test += 1
+        best = None
+        for lb in sorted(cent):
+            dot = sum(a * b_ for a, b_ in zip(q, cent[lb]))
+            sc = (1 if dot >= 0 else -1) * (dot * dot * 1000000 // (na * nc[lb]))
+            if best is None or sc > best[0]:
+                best = (sc, lb)
+        conf[(label, best[1])] = conf.get((label, best[1]), 0) + 1
+    assert pdf.n_vecs.sum() == n_test
+    got = {
+        (r.label_true, r.label_pred): r.n_vecs for r in pdf.itertuples()
+    }
+    assert got == conf

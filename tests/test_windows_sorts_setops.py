@@ -376,3 +376,91 @@ def test_rolling_corr_survives_zero_variance_windows(spark):
     # and the normal scale still produces a fully-populated series
     big = W.QUERIES["win_rolling_corr"](spark, "/root/testdata/sf0.01").toPandas()
     assert big.corr7.notna().all()
+
+
+def test_pettitt_matches_numpy_replay(spark):
+    """Independent numpy replay of the Pettitt statistic (midranks via
+    argsort, U_t cumulative form) for every event type — changepoint day,
+    K, direction, and the exp approximation must all agree."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        windows.QUERIES["win_pettitt_changepoint"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    daily = con.execute(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM '/root/testdata/sf0.01/events.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for et, g in daily.groupby("event_type"):
+        x = g.cnt.to_numpy(dtype=float)
+        n = len(x)
+        # midranks: average of the 1-based positions each tied value spans
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(n)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and x[order[j + 1]] == x[order[i]]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        u = 2 * np.cumsum(ranks) - (np.arange(1, n + 1)) * (n + 1)
+        k_all = np.abs(u[:-1])
+        t_star = int(np.argmax(k_all))  # argmax returns the FIRST max = earliest day
+        row = pdf.loc[et]
+        assert row.n_days == n
+        assert row.k_stat == k_all[t_star]
+        assert row.cp_day == g.day.iloc[t_star].date()
+        assert row.shift_dir == ("down" if u[t_star] > 0 else "up" if u[t_star] < 0 else "none")
+        p = min(1.0, 2 * math.exp(-6 * k_all[t_star] ** 2 / (n**3 + n**2)))
+        assert row.p_approx == round(p, 4)
+
+
+def test_sax_paa_word_structure(spark):
+    """Quantile-SAX structural invariants: 8 segments → an 8-char word over
+    a–d with exactly two of each symbol (ntile(4) over 8 rows), and the
+    segment means replayed from a DuckDB daily rollup reproduce the word
+    for every priority."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        windows.QUERIES["win_sax_paa"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    assert len(pdf) == 5
+    con = duckdb.connect()
+    daily = con.execute(
+        """
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               count(*) AS cnt
+        FROM '/root/testdata/sf0.01/orders.parquet'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    for pri, g in daily.groupby("pri"):
+        cnt = g.cnt.to_numpy()
+        n = len(cnt)
+        seg_of = (np.arange(n) * 8) // n
+        paa = np.array([cnt[seg_of == s].mean() for s in range(8)])
+        # quartile symbols: rank segments by (paa, seg), 2 per letter
+        order = np.lexsort((np.arange(8), paa))
+        sym = [""] * 8
+        for q, si in enumerate(order):
+            sym[si] = "abcd"[q // 2]
+        row = pdf.loc[pri]
+        assert row.sax_word == "".join(sym)
+        assert sorted(row.sax_word) == list("aabbccdd")
+        assert row.n_days == n
+        assert row.min_paa == round(paa.min(), 4)
+        assert row.max_paa == round(paa.max(), 4)
