@@ -3594,3 +3594,675 @@ def agg_cramers_v(spark, sf_dir):
         .unionAll(_cramers_pair(o, "o_orderpriority", "o_month", "priority_x_month"))
         .unionAll(_cramers_pair(o, "o_orderstatus", "o_year", "status_x_year"))
     )
+
+
+def _mi_pair(df, a_col, b_col, pair_name):
+    """One mutual-information row from the cell-count cross-tab. Same
+    derive-everything-from-the-tiny-cell-table shape as _cramers_pair;
+    each probability is a ratio of exact integer counts so log2 sees
+    identical doubles in both engines (events_entropy_mix precedent)."""
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("a").agg(F.sum("obs").cast("long").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("obs").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("obs").cast("long").alias("n"))
+    ratio = (F.col("obs").cast("double") * F.col("n")) / (
+        F.col("rt").cast("double") * F.col("ct")
+    )
+    mi = (
+        cells.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.sum((F.col("obs").cast("double") / F.col("n")) * F.log2(ratio)), 4
+            ).alias("mi_bits")
+        )
+    )
+    pa = F.col("rt").cast("double") / F.col("n")
+    ha = (
+        rt.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(pa * F.log2(pa)), 4).alias("h_a_bits"))
+    )
+    pb = F.col("ct").cast("double") / F.col("n")
+    hb = (
+        ct.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(pb * F.log2(pb)), 4).alias("h_b_bits"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.lit(pair_name).alias("pair"),
+            F.col("n"),
+            F.col("mi_bits"),
+            F.col("h_a_bits"),
+            F.col("h_b_bits"),
+            F.round(F.col("mi_bits") / F.col("h_a_bits"), 4).alias("u_a_given_b"),
+            F.round(F.col("mi_bits") / F.col("h_b_bits"), 4).alias("u_b_given_a"),
+        )
+    )
+
+
+_MI_ORACLE_PAIR = """
+    SELECT '{name}' AS pair, n, mi_bits, h_a_bits, h_b_bits,
+           round(mi_bits / h_a_bits, 4) AS u_a_given_b,
+           round(mi_bits / h_b_bits, 4) AS u_b_given_a
+    FROM (
+        SELECT any_value(t.n) AS n,
+               round(sum((CAST(cells.obs AS DOUBLE) / t.n)
+                         * log2((CAST(cells.obs AS DOUBLE) * t.n)
+                                / (CAST(rt.rt AS DOUBLE) * ct.ct))), 4) AS mi_bits
+        FROM (
+            SELECT {a} AS a, {b} AS b, CAST(count(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2
+        ) cells
+        JOIN (SELECT {a} AS a, CAST(count(*) AS BIGINT) AS rt
+              FROM orders GROUP BY 1) rt ON cells.a = rt.a
+        JOIN (SELECT {b} AS b, CAST(count(*) AS BIGINT) AS ct
+              FROM orders GROUP BY 1) ct ON cells.b = ct.b
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) t
+    )
+    CROSS JOIN (
+        SELECT round(-sum((CAST(rt AS DOUBLE) / n) * log2(CAST(rt AS DOUBLE) / n)),
+                     4) AS h_a_bits
+        FROM (SELECT {a} AS a, CAST(count(*) AS BIGINT) AS rt
+              FROM orders GROUP BY 1) rt
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) t
+    )
+    CROSS JOIN (
+        SELECT round(-sum((CAST(ct AS DOUBLE) / n) * log2(CAST(ct AS DOUBLE) / n)),
+                     4) AS h_b_bits
+        FROM (SELECT {b} AS b, CAST(count(*) AS BIGINT) AS ct
+              FROM orders GROUP BY 1) ct
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) t
+    )
+"""
+
+
+@register(
+    "agg_mutual_information",
+    oracle=" UNION ALL ".join(
+        _MI_ORACLE_PAIR.format(name=name, a=a, b=b)
+        for name, a, b in [
+            ("priority_x_status", "o_orderpriority", "o_orderstatus"),
+            ("priority_x_month", "o_orderpriority", "month(o_orderdate)"),
+            ("status_x_year", "o_orderstatus", "year(o_orderdate)"),
+        ]
+    ),
+)
+def agg_mutual_information(spark, sf_dir):
+    """Mutual information and uncertainty coefficients for the same three
+    orders column pairs as agg_cramers_v — the information-theoretic
+    association screen (MI in bits, Theil's U = MI / H(target) in both
+    directions) that, unlike V, reads directly as "knowing B removes this
+    fraction of A's entropy". Every probability is a ratio of exact
+    integer counts; the three entropy/MI sums each round at 4dp, and the
+    U ratios divide the ROUNDED values (deterministic given the rounded
+    inputs hash-match).
+
+    100 TB: identical shape to agg_cramers_v — one map-side-combined
+    groupBy per pair, marginals re-derived from the ≤ r·c cell table,
+    broadcast-only joins, 3 output rows at any scale. The obs·n double
+    product is the documented large-scale rounding surface: exact below
+    2^53, identically-rounded IEEE above."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.month("o_orderdate").alias("o_month"),
+        F.year("o_orderdate").alias("o_year"),
+    ).localCheckpoint(eager=False)
+    return (
+        _mi_pair(o, "o_orderpriority", "o_orderstatus", "priority_x_status")
+        .unionAll(_mi_pair(o, "o_orderpriority", "o_month", "priority_x_month"))
+        .unionAll(_mi_pair(o, "o_orderstatus", "o_year", "status_x_year"))
+    )
+
+
+# Month-half split boundary for the KS drift test (events span 2024-01,
+# FIXTURES.md): first 15 days vs the rest — the same two occasions as
+# events_capture_recapture.
+_DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC, epoch-µs
+
+
+@register(
+    "agg_ks_drift_bh",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000) AS BIGINT) AS vu,
+               CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), cells AS (
+        SELECT event_type, vu,
+               CAST(sum(in_a) AS BIGINT) AS c1,
+               CAST(sum(1 - in_a) AS BIGINT) AS c2
+        FROM v GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY vu
+                             ROWS UNBOUNDED PRECEDING) AS f1,
+               sum(c2) OVER (PARTITION BY event_type ORDER BY vu
+                             ROWS UNBOUNDED PRECEDING) AS f2,
+               CAST(sum(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+               CAST(sum(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+        FROM cells
+    ), stat AS (
+        SELECT event_type, any_value(n1) AS n1, any_value(n2) AS n2,
+               CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+        FROM cum GROUP BY event_type
+    ), p AS (
+        SELECT event_type, n1, n2,
+               CAST(1000000 * d_num // (n1 * n2) AS BIGINT) AS d_micro,
+               round(least(1.0,
+                   2 * exp(-(2 * CAST(d_num AS DOUBLE) * d_num)
+                           / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2)))), 4)
+                   AS p_approx
+        FROM stat
+    ), ranked AS (
+        SELECT p.*,
+               row_number() OVER (ORDER BY p_approx ASC, event_type ASC)
+                   AS bh_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM p
+    ), kstar AS (
+        SELECT coalesce(max(CASE WHEN p_approx * m <= bh_rank * 0.05
+                                 THEN bh_rank END), 0) AS k
+        FROM ranked
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_first, CAST(n2 AS BIGINT) AS n_second,
+           d_micro, p_approx,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           CAST(CASE WHEN bh_rank <= kstar.k THEN 1 ELSE 0 END AS BIGINT)
+               AS bh_flag
+    FROM ranked CROSS JOIN kstar
+    """,
+)
+def agg_ks_drift_bh(spark, sf_dir):
+    """Distribution-drift monitor with multiple-testing control: per event
+    type, the two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of the two month-halves, then Benjamini-Hochberg across
+    the type family at q = 0.05 — the monitoring pattern where m metrics
+    are tested every run and raw 0.05 thresholds would false-alarm
+    ~m·0.05 of the time. D's sup is exact integer arithmetic
+    (max |F1·n2 − F2·n1| over floor-microunit values, the agg_ks_test
+    precedent; products pass int64 near 1e10 rows per type — the
+    decimal escape documented there applies), the p-value is the
+    standard 2·exp(−2·D²·n1n2/(n1+n2)) approximation on identical
+    doubles, and the BH rank/threshold comparison runs on the 4dp-ROUNDED
+    p so both engines rank the same values. BH's step-up rule:
+    k* = max{k : p(k) ≤ k·q/m}, flag ranks ≤ k* (flags every hypothesis
+    below the largest passing rank, including non-passing ones — that is
+    the rule, not a bug).
+
+    100 TB: the CDF cumsum partitions by event_type over the value-unit
+    axis (the banded two-pass decomposition in agg_ks_test is the scale
+    path for a single huge type; this oracle-matching form keeps one
+    window per type). The BH stage runs on an m-row frame (m = |types|)
+    — its global rank window is a bounded axis by construction; the frame
+    localCheckpoints for its two consumers, so the audited plan shows
+    checkpoint scans (the dedup_connected_components pattern) rather than
+    the window itself."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("vu"),
+        F.when(F.col("ts_us") < _DRIFT_SPLIT_US, 1).otherwise(0).alias("in_a"),
+    )
+    cells = e.groupBy("event_type", "vu").agg(
+        F.sum("in_a").cast("long").alias("c1"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("c2"),
+    )
+    wt = Window.partitionBy("event_type")
+    cum = (
+        cells.withColumn(
+            "f1",
+            F.sum("c1").over(wt.orderBy("vu").rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "f2",
+            F.sum("c2").over(wt.orderBy("vu").rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("n1", F.sum("c1").over(wt).cast("long"))
+        .withColumn("n2", F.sum("c2").over(wt).cast("long"))
+    )
+    stat = (
+        cum.withColumn(
+            "d_term", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+            F.max("d_term").cast("long").alias("d_num"),
+        )
+    )
+    p_tbl = stat.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_first"),
+        F.col("n2").cast("long").alias("n_second"),
+        F.expr("CAST(1000000 * d_num DIV (n1 * n2) AS BIGINT)").alias("d_micro"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -(2 * F.col("d_num").cast("double") * F.col("d_num"))
+                    / (F.col("n1").cast("double") * F.col("n2") * (F.col("n1") + F.col("n2")))
+                ),
+            ),
+            4,
+        ).alias("p_approx"),
+    ).localCheckpoint(eager=False)  # consumers: ranked frame + m count
+    m = p_tbl.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wb = Window.orderBy(F.col("p_approx").asc(), F.col("event_type").asc())
+    ranked = (
+        p_tbl.crossJoin(F.broadcast(m))
+        .withColumn("bh_rank", F.row_number().over(wb).cast("long"))
+        .localCheckpoint(eager=False)  # consumers: k* + final flag
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_approx") * F.col("m") <= F.col("bh_rank") * 0.05,
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "n_first",
+        "n_second",
+        "d_micro",
+        "p_approx",
+        "bh_rank",
+        F.when(F.col("bh_rank") <= F.col("k"), 1).otherwise(0).cast("long").alias("bh_flag"),
+    )
+
+
+@register(
+    "agg_tukey_fences",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), r AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+               CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+        FROM c
+    ), q AS (
+        SELECT pri, any_value(n) AS n,
+               max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+               max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+        FROM r GROUP BY pri
+    )
+    SELECT c.pri AS o_orderpriority,
+           q.n AS n_orders,
+           q.q1 AS q1_cents, q.q3 AS q3_cents,
+           CAST(q.q3 - q.q1 AS BIGINT) AS iqr_cents,
+           CAST(count(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_low_outliers,
+           CAST(count(CASE WHEN 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_high_outliers
+    FROM c JOIN q ON c.pri = q.pri
+    GROUP BY c.pri, q.n, q.q1, q.q3
+    """,
+)
+def agg_tukey_fences(spark, sf_dir):
+    """Tukey-fence outlier audit per order priority: Q1/Q3 as EXPLICIT
+    type-1 order statistics (positions ceil(n/4), ceil(3n/4) — no engine
+    quantile interpolation), the IQR, and the count of rows beyond the
+    1.5·IQR fences. The fence comparison is doubled on both sides
+    (2·x < 2·Q1 − 3·IQR) so the half-unit 1.5 multiplier never leaves
+    integer arithmetic — every output digit is exact. The classic
+    profiling op an ETL runs per segment before trusting a numeric feed.
+
+    100 TB: the rank window partitions by priority over integer cents
+    (for one huge group the banded two-pass rank decomposition in
+    agg_ks_test is the scale path); the fence-count pass re-joins the
+    tiny quartile table broadcast-side, so the fact table is scanned
+    twice and shuffled once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)  # consumers: rank pass + fence count
+    wp = Window.partitionBy("pri")
+    r = o.withColumn("rn", F.row_number().over(wp.orderBy("cents"))).withColumn(
+        "n", F.count(F.lit(1)).over(wp).cast("long")
+    )
+    n = F.col("n")
+    q = r.groupBy("pri").agg(
+        F.any_value("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.floor((n + 3) / 4), F.col("cents"))).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.floor((3 * n + 3) / 4), F.col("cents"))
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        o.join(F.broadcast(q), "pri")
+        .groupBy("pri", "n", "q1", "q3")
+        .agg(
+            F.count(
+                F.when(2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr, 1)
+            ).cast("long").alias("n_low_outliers"),
+            F.count(
+                F.when(2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr, 1)
+            ).cast("long").alias("n_high_outliers"),
+        )
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("n").alias("n_orders"),
+            F.col("q1").alias("q1_cents"),
+            F.col("q3").alias("q3_cents"),
+            iqr.cast("long").alias("iqr_cents"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+    )
+
+
+@register(
+    "agg_calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT least(9, CAST(floor(value / 50) AS INT)) AS bin,
+               CAST(floor(2000 * value) AS BIGINT) AS p_micro,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_micro) AS BIGINT) // count(*) AS conf_micro,
+               1000000 * CAST(sum(y) AS BIGINT) // count(*) AS acc_micro
+        FROM scored GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(n * abs(acc_micro - conf_micro)) AS BIGINT)
+                 // sum(n) AS ece_micro
+        FROM bins
+    )
+    SELECT b.bin, b.n, b.conf_micro, b.acc_micro,
+           CAST(abs(b.acc_micro - b.conf_micro) AS BIGINT) AS gap_micro,
+           t.ece_micro
+    FROM bins b CROSS JOIN tot t
+    """,
+)
+def agg_calibration_ece(spark, sf_dir):
+    """Expected Calibration Error of a deterministic toy scorer: treat
+    value/500 as a model's predicted purchase probability, the actual
+    event type as the outcome, bucket into 10 equal-width confidence
+    bins, and report per-bin confidence vs accuracy plus the
+    bin-weighted ECE — the standard "is this model's probability a
+    probability?" eval, demonstrated on a feed where score and outcome
+    are independent so the readout is an honestly miscalibrated model
+    (high-confidence bins still hit the ~20% base rate). Everything is
+    integer micro-units: p̂ quantizes via floor(2000·value), per-bin
+    confidence/accuracy are truncating divisions, ECE is
+    Σ n_b·|acc−conf| // N — no float ever aggregates.
+
+    100 TB: one stateless projection + one map-side-combined 10-group
+    rollup; the ECE total rides a 1-row broadcast BNLJ back onto the bin
+    table. Output is ≤ 10 rows at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias("bin"),
+        F.expr("CAST(floor(2000 * value) AS BIGINT)").alias("p_micro"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(p_micro) AS BIGINT) DIV count(1)").alias("conf_micro"),
+        F.expr("1000000 * CAST(sum(y) AS BIGINT) DIV count(1)").alias("acc_micro"),
+    ).localCheckpoint(eager=False)  # consumers: ECE total + final select
+    tot = bins.agg(
+        F.expr(
+            "CAST(sum(n * abs(acc_micro - conf_micro)) AS BIGINT) DIV sum(n)"
+        ).alias("ece_micro")
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "conf_micro",
+        "acc_micro",
+        F.abs(F.col("acc_micro") - F.col("conf_micro")).cast("long").alias("gap_micro"),
+        "ece_micro",
+    )
+
+
+_GINI_BASE_SQL = """
+        SELECT o.o_orderstatus AS y,
+               o.o_orderpriority AS f_priority,
+               month(o.o_orderdate) AS f_month,
+               year(o.o_orderdate) AS f_year,
+               c.c_mktsegment AS f_segment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+_GINI_FEATURE_SQL = """
+    SELECT '{name}' AS feature,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(1 - sum(s2n) / any_value(t.big_n), 4) AS gini_split,
+           round(t.gini_root, 4) AS gini_root,
+           round(t.gini_root - (1 - sum(s2n) / any_value(t.big_n)), 4)
+               AS gini_gain
+    FROM (
+        SELECT fv, CAST(sum(cnt * cnt) AS DOUBLE) / sum(cnt) AS s2n
+        FROM (
+            SELECT {col} AS fv, y, CAST(count(*) AS BIGINT) AS cnt
+            FROM ({base}) GROUP BY 1, 2
+        ) GROUP BY fv
+    )
+    CROSS JOIN (
+        SELECT any_value(nn.big_n) AS big_n,
+               1 - sum((CAST(m.cnt AS DOUBLE) / nn.big_n)
+                       * (CAST(m.cnt AS DOUBLE) / nn.big_n)) AS gini_root
+        FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt
+              FROM ({base}) GROUP BY y) m
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS big_n
+                    FROM ({base})) nn
+    ) t
+    GROUP BY t.big_n, t.gini_root
+"""
+
+
+@register(
+    "agg_gini_split_screen",
+    oracle=" UNION ALL ".join(
+        _GINI_FEATURE_SQL.format(name=n, col=c, base=_GINI_BASE_SQL)
+        for n, c in [
+            ("priority", "f_priority"),
+            ("month", "f_month"),
+            ("year", "f_year"),
+            ("segment", "f_segment"),
+        ]
+    ),
+)
+def agg_gini_split_screen(spark, sf_dir):
+    """Decision-stump feature screen: for each candidate feature of the
+    order+customer join, the weighted Gini impurity of the order-status
+    target after splitting on that feature, the root impurity, and the
+    Gini gain — the one-pass "which column predicts the label at all?"
+    ranking that tree ensembles and feature-selection pipelines start
+    from. Every count is exact; the impurity terms Σ n_vc²/n_v are
+    double divisions of exact integers summed over ≤ |feature| values
+    and rounded 4dp (the chi-square/Cramér discipline — 1e-16
+    combine-order noise cannot reach the 4th decimal at these term
+    counts). Expected reading on THIS feed: gains ≈ 0 for every feature —
+    the synthetic generator assigns status independently (real TPC-H
+    would put the signal in the date), and an honest screen reports the
+    absence of signal rather than inventing one.
+
+    100 TB: one orders⋈customer join, then one map-side-combined
+    (feature, target) groupBy per feature — |cells| ≤ r·c rows out; the
+    root-impurity scalar broadcasts via 1-row BNLJ. Four 1-row outputs
+    union at the driver-plan level, zero extra fact passes beyond the
+    per-feature rollups (Catalyst shares the joined scan via exchange
+    reuse where profitable)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_orderstatus").alias("y"),
+            F.col("o_orderpriority").alias("f_priority"),
+            F.month("o_orderdate").alias("f_month"),
+            F.year("o_orderdate").alias("f_year"),
+            F.col("c_mktsegment").alias("f_segment"),
+        )
+        .localCheckpoint(eager=False)  # consumers: 4 feature screens + root
+    )
+    marg = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    tot = (
+        marg.crossJoin(F.broadcast(n_row))  # 1-row BNLJ, never a global window
+        .agg(
+            F.any_value("big_n").alias("big_n"),
+            (
+                1
+                - F.sum(
+                    (F.col("cnt").cast("double") / F.col("big_n"))
+                    * (F.col("cnt").cast("double") / F.col("big_n"))
+                )
+            ).alias("gini_root"),
+        )
+    )
+
+    def screen(col, name):
+        cells = base.groupBy(F.col(col).alias("fv"), "y").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        per_v = cells.groupBy("fv").agg(
+            (F.sum(F.col("cnt") * F.col("cnt")).cast("double") / F.sum("cnt")).alias(
+                "s2n"
+            )
+        )
+        split = 1 - F.sum("s2n") / F.any_value("big_n")
+        return (
+            per_v.crossJoin(F.broadcast(tot))
+            .groupBy("big_n", "gini_root")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_values"),
+                F.round(split, 4).alias("gini_split"),
+                F.round(F.any_value("gini_root"), 4).alias("gini_root_r"),
+                F.round(F.any_value("gini_root") - split, 4).alias("gini_gain"),
+            )
+            .select(
+                F.lit(name).alias("feature"),
+                "n_values",
+                "gini_split",
+                F.col("gini_root_r").alias("gini_root"),
+                "gini_gain",
+            )
+        )
+
+    return (
+        screen("f_priority", "priority")
+        .unionAll(screen("f_month", "month"))
+        .unionAll(screen("f_year", "year"))
+        .unionAll(screen("f_segment", "segment"))
+    )
+
+
+@register(
+    "agg_js_drift",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               least(9, CAST(floor(value / 50) AS INT)) AS bin,
+               CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ), cells AS (
+        SELECT event_type, bin,
+               CAST(sum(in_a) AS BIGINT) AS a,
+               CAST(sum(1 - in_a) AS BIGINT) AS b
+        FROM v GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(sum(a) AS BIGINT) AS big_a,
+               CAST(sum(b) AS BIGINT) AS big_b
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           any_value(t.big_a) AS n_first,
+           any_value(t.big_b) AS n_second,
+           round(0.5 * (
+               sum(CASE WHEN c.a > 0 THEN
+                   (CAST(c.a AS DOUBLE) / t.big_a)
+                   * log2(CAST(2 * c.a AS DOUBLE) * t.big_b
+                          / (CAST(c.a AS DOUBLE) * t.big_b
+                             + CAST(c.b AS DOUBLE) * t.big_a))
+                   ELSE 0 END)
+             + sum(CASE WHEN c.b > 0 THEN
+                   (CAST(c.b AS DOUBLE) / t.big_b)
+                   * log2(CAST(2 * c.b AS DOUBLE) * t.big_a
+                          / (CAST(c.a AS DOUBLE) * t.big_b
+                             + CAST(c.b AS DOUBLE) * t.big_a))
+                   ELSE 0 END)), 4) AS js_bits,
+           CAST(1000000 * sum(abs(c.a * t.big_b - c.b * t.big_a))
+                // (2 * any_value(t.big_a) * any_value(t.big_b))
+                AS BIGINT) AS tv_micro
+    FROM cells c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type
+    """,
+)
+def agg_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence (bits) + total-variation distance between
+    the two month-halves' value histograms per event type — the BINNED
+    drift companion to agg_ks_drift_bh (KS sees the worst single point;
+    JS/TV weigh the whole shape, and JS is the symmetric, always-finite
+    divergence monitoring dashboards actually plot). Every probability
+    ratio entering log2 is a ratio of exact integers
+    (2aB / (aB + bA) — the mixture denominator cleared), zero-count bins
+    contribute exactly 0, the ≤ 10-term sums round at 4dp, and TV is
+    pure integer micro-units via Σ|a·B − b·A| // 2AB.
+
+    100 TB: one stateless projection, one map-side-combined
+    (type, bin) rollup, one |types|-row total join — the bin table is
+    ≤ 10·|types| rows at any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("int")).alias("bin"),
+        F.when(F.col("ts_us") < _DRIFT_SPLIT_US, 1).otherwise(0).alias("in_a"),
+    )
+    cells = e.groupBy("event_type", "bin").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    ).localCheckpoint(eager=False)  # consumers: totals + the scored join
+    tot = cells.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("big_a"),
+        F.sum("b").cast("long").alias("big_b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    ba, bb = F.col("big_a"), F.col("big_b")
+    mix_den = a.cast("double") * bb + b.cast("double") * ba
+    term_a = F.when(
+        a > 0,
+        (a.cast("double") / ba) * F.log2((2 * a).cast("double") * bb / mix_den),
+    ).otherwise(0.0)
+    term_b = F.when(
+        b > 0,
+        (b.cast("double") / bb) * F.log2((2 * b).cast("double") * ba / mix_den),
+    ).otherwise(0.0)
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("big_a").alias("n_first"),
+            F.any_value("big_b").alias("n_second"),
+            F.round(0.5 * (F.sum(term_a) + F.sum(term_b)), 4).alias("js_bits"),
+            F.expr(
+                "CAST(1000000 * sum(abs(a * big_b - b * big_a))"
+                " DIV (2 * any_value(big_a) * any_value(big_b)) AS BIGINT)"
+            ).alias("tv_micro"),
+        )
+    )

@@ -1944,3 +1944,353 @@ def events_capture_recapture(spark, sf_dir):
             " * (sum(in_b) + 1)) DIV (sum(in_a * in_b) + 1) - 1) AS BIGINT)"
         ).alias("coverage_permille"),
     )
+
+
+@register(
+    "events_markov_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
+        FROM events
+    ), trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total,
+               CAST(sum(sum(n)) OVER () AS BIGINT) AS grand_total
+        FROM trans GROUP BY prev_type
+    ), top AS (
+        SELECT prev_type, next_type AS top_next,
+               row_number() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type ASC) AS rn,
+               n AS top_n
+        FROM trans
+    )
+    SELECT t.prev_type,
+           tot.row_total AS n_transitions,
+           round(-sum((CAST(t.n AS DOUBLE) / tot.row_total)
+                      * log2(CAST(t.n AS DOUBLE) / tot.row_total)), 4)
+               AS h_next_bits,
+           round(-sum((CAST(t.n AS DOUBLE) / tot.grand_total)
+                      * log2(CAST(t.n AS DOUBLE) / tot.row_total)), 4)
+               AS h_contrib_bits,
+           any_value(tp.top_next) AS top_next,
+           CAST(1000 * any_value(tp.top_n) // tot.row_total AS BIGINT)
+               AS top_next_permille
+    FROM trans t
+    JOIN tot ON t.prev_type = tot.prev_type
+    JOIN top tp ON t.prev_type = tp.prev_type AND tp.rn = 1
+    GROUP BY t.prev_type, tot.row_total
+    """,
+)
+def events_markov_entropy(spark, sf_dir):
+    """Predictability profile of the behavior chain: for each previous
+    event type, the Shannon entropy H(next | prev) of its outgoing
+    transition distribution, its weighted contribution
+    p(prev)·H(next|prev) to the overall conditional entropy of the chain
+    (sum the column for the chain-level number), and the modal next step
+    with its permille share — the "how predictable is the next action"
+    readout that separates deterministic flows (H→0) from uniform noise
+    (H→log2 |types|). Probabilities are ratios of exact integer counts
+    (the events_entropy_mix precedent), so log2 sees identical doubles in
+    both engines; sums round at 4dp.
+
+    100 TB: identical shuffle shape to events_markov_transitions — one
+    user-partitioned window, then |types|²-bounded aggregates; the grand
+    total broadcasts as a 1-row BNLJ onto the |types|-row rollup (never a
+    global window)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # consumers: entropy rollup + top pick
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    grand = trans.agg(F.sum("n").cast("long").alias("grand_total"))
+    tot = tot.crossJoin(F.broadcast(grand))  # 1-row BNLJ, never a global window
+    wtop = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    top = (
+        trans.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("top_next"), F.col("n").alias("top_n"))
+    )
+    p_row = F.col("n").cast("double") / F.col("row_total")
+    p_all = F.col("n").cast("double") / F.col("grand_total")
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .groupBy("prev_type", "row_total")
+        .agg(
+            F.round(-F.sum(p_row * F.log2(p_row)), 4).alias("h_next_bits"),
+            F.round(-F.sum(p_all * F.log2(p_row)), 4).alias("h_contrib_bits"),
+        )
+        .join(F.broadcast(top), "prev_type")
+        .select(
+            "prev_type",
+            F.col("row_total").alias("n_transitions"),
+            "h_next_bits",
+            "h_contrib_bits",
+            "top_next",
+            F.expr("CAST(1000 * top_n DIV row_total AS BIGINT)").alias(
+                "top_next_permille"
+            ),
+        )
+    )
+
+
+# ln(1.2) in micro-nats, floor — the per-event log-rate handicap of the
+# s = 1.2 burst state in the Kleinberg cost model below.
+_LNS_MICRO = 182_321
+
+
+@register(
+    "events_burst_kleinberg",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), prep AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               list(cnt ORDER BY day) AS cs,
+               list(day ORDER BY day) AS days
+        FROM daily GROUP BY event_type
+    ), init AS (
+        SELECT event_type, n, days,
+               1000000 * total // n AS r0,
+               cs
+        FROM prep
+    ), rec AS (
+        SELECT event_type, n, days, r0,
+               CAST(0 AS BIGINT) AS d0, r0 // 100 AS d1,
+               CAST(0 AS BIGINT) AS m0, CAST(0 AS BIGINT) AS m1,
+               CAST(0 AS BIGINT) AS t, cs AS rest
+        FROM init
+        UNION ALL
+        SELECT r.event_type, r.n, r.days, r.r0,
+               least(r.d0, r.d1 + r.r0 // 100) AS d0,
+               least(r.d1, r.d0 + r.r0 // 100)
+                 + (r.r0 // 5 - r.rest[1] * 182321) AS d1,
+               CASE WHEN r.d0 <= r.d1 + r.r0 // 100 THEN r.m0 ELSE r.m1 END AS m0,
+               (CASE WHEN r.d1 <= r.d0 + r.r0 // 100 THEN r.m1 ELSE r.m0 END)
+                 + (CAST(1 AS BIGINT) << CAST(r.t AS INT)) AS m1,
+               r.t + 1 AS t, r.rest[2:] AS rest
+        FROM rec r WHERE len(r.rest) > 0
+    ), fin AS (
+        SELECT event_type, n, days, r0, t,
+               CASE WHEN d0 <= d1 THEN d0 ELSE d1 END AS cost,
+               CASE WHEN d0 <= d1 THEN m0 ELSE m1 END AS mask
+        FROM rec WHERE t = n
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(r0 AS BIGINT) AS r0_micro,
+           CAST(mask AS BIGINT) AS burst_mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_burst_days,
+           CAST(cost AS BIGINT) AS viterbi_cost_micro,
+           CASE WHEN mask = 0 THEN NULL
+                ELSE days[CAST(list_filter(range(0, CAST(n AS INT)),
+                                           i -> ((mask >> i) & 1) = 1)[1]
+                          AS INT) + 1] END AS first_burst_day
+    FROM fin
+    """,
+)
+def events_burst_kleinberg(spark, sf_dir):
+    """Kleinberg-style 2-state burst detection per event type's daily
+    series: a Viterbi fold over states {base rate r0, burst rate s·r0}
+    with s = 1.2 — a burst day's extra cost is (s−1)·r0 − n_t·ln(s) (the
+    exact Poisson log-likelihood difference; the n_t! and shared terms
+    cancel) and a state switch costs γ = 0.01·r0, the hysteresis that
+    separates true bursts from single spiky days (γ is the run-length
+    knob: at γ = (s−1)·r0 a lone day must beat its own entry AND exit
+    toll and nothing fires on a near-uniform feed; 0.01·r0 asks a day or
+    short run to clearly beat the threshold). s is the model's
+    sensitivity knob: Kleinberg's classic s = 2 only fires on ~1.44×
+    surges, which a near-uniform feed never produces — 1.2 makes the
+    detector answer "which ~10%-elevated runs are coherent bursts".
+    EVERYTHING is integer micro-nats: r0 in micro-events/day via
+    truncating division, ln(1.2) as the constant 182321, and the optimal
+    state path rides the accumulator as a PACKED
+    BITMASK (day t sets bit t) — so path reconstruction needs no backward
+    pass and the result is bit-stable across engines and partitionings.
+    Tie-break: equal costs prefer staying in the current state (≤).
+
+    100 TB: one map-side-combined day-grain rollup, then a linear
+    codegen'd ``aggregate`` HOF fold per type over the calendar-bounded
+    series (the win_kalman_filter shape; the oracle replays it with the
+    list-peeling recursive CTE). The bitmask caps the foldable series at
+    63 days — the operative events feed is a calendar month; longer
+    horizons chunk by month and stitch, or widen the mask to an array of
+    words. d-values stay ≪ 2⁶³: |cost| ≤ n·(r0 + max_cnt·182321) with
+    ~10⁶× headroom at any per-day volume int64 can count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    prep = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))), s -> s.cnt)"
+        ).alias("cs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cnt))), s -> s.day)"
+        ).alias("days"),
+    )
+    init = prep.select(
+        "event_type",
+        "n",
+        "days",
+        F.expr("1000000 * total DIV n").alias("r0"),
+        "cs",
+    )
+    fold = F.expr(
+        """
+        aggregate(
+            cs,
+            named_struct('d0', CAST(0 AS BIGINT), 'd1', r0 DIV 100,
+                         'm0', CAST(0 AS BIGINT), 'm1', CAST(0 AS BIGINT),
+                         't', CAST(0 AS BIGINT)),
+            (a, c) -> named_struct(
+                'd0', least(a.d0, a.d1 + r0 DIV 100),
+                'd1', least(a.d1, a.d0 + r0 DIV 100) + (r0 DIV 5 - c * 182321),
+                'm0', IF(a.d0 <= a.d1 + r0 DIV 100, a.m0, a.m1),
+                'm1', IF(a.d1 <= a.d0 + r0 DIV 100, a.m1, a.m0)
+                      + shiftleft(CAST(1 AS BIGINT), CAST(a.t AS INT)),
+                't', a.t + 1)
+        )
+        """
+    )
+    fin = init.withColumn("acc", fold).select(
+        "event_type",
+        "n",
+        "days",
+        "r0",
+        F.expr("IF(acc.d0 <= acc.d1, acc.d0, acc.d1)").alias("cost"),
+        F.expr("IF(acc.d0 <= acc.d1, acc.m0, acc.m1)").alias("mask"),
+    )
+    return fin.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("r0").cast("long").alias("r0_micro"),
+        F.col("mask").cast("long").alias("burst_mask"),
+        F.expr("CAST(bit_count(mask) AS BIGINT)").alias("n_burst_days"),
+        F.col("cost").cast("long").alias("viterbi_cost_micro"),
+        F.expr(
+            """
+            CASE WHEN mask = 0 THEN NULL
+                 ELSE element_at(days,
+                      CAST(element_at(filter(sequence(0, CAST(n AS INT) - 1),
+                                             i -> ((mask >> i) & 1) = 1), 1)
+                           AS INT) + 1) END
+            """
+        ).alias("first_burst_day"),
+    )
+
+
+@register(
+    "events_tier_migration",
+    oracle="""
+    WITH uh AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN epoch_ns(ts) // 1000 >= 1705363200000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events GROUP BY user_id
+    ), d1 AS (
+        SELECT c1 AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY c1) AS le,
+               sum(count(*)) OVER () AS n
+        FROM uh WHERE c1 > 0 GROUP BY c1
+    ), d2 AS (
+        SELECT c2 AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY c2) AS le,
+               sum(count(*)) OVER () AS n
+        FROM uh WHERE c2 > 0 GROUP BY c2
+    ), tiers AS (
+        SELECT uh.user_id,
+               CASE WHEN uh.c1 = 0 THEN 0
+                    ELSE 1 + 4 * (d1.le - d1.c) // d1.n END AS tier_first,
+               CASE WHEN uh.c2 = 0 THEN 0
+                    ELSE 1 + 4 * (d2.le - d2.c) // d2.n END AS tier_second
+        FROM uh
+        LEFT JOIN d1 ON uh.c1 = d1.v
+        LEFT JOIN d2 ON uh.c2 = d2.v
+    )
+    SELECT CAST(tier_first AS BIGINT) AS tier_first,
+           CAST(tier_second AS BIGINT) AS tier_second,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM tiers GROUP BY 1, 2
+    """,
+)
+def events_tier_migration(spark, sf_dir):
+    """Engagement-tier migration matrix between the two month-halves:
+    every user is bucketed into activity quartiles (1-4, by event count,
+    via the exact distribution-quantile trick events_rfm_segments uses —
+    1 + 4·(users_below)/n, all integer) separately per half, with tier 0
+    for absent, and the output is the (tier_first, tier_second) user-count
+    matrix — the retention-quality readout ("are heavy users staying
+    heavy?") that product reviews actually look at, and the same
+    machinery a curation pipeline uses to audit contributor churn.
+
+    100 TB: one (user)-keyed rollup with both half-counts from the same
+    scan, two value-distribution rollups (|distinct counts| rows — the
+    count domain, not the user count) whose cumulative windows ride that
+    bounded axis (UNPARTITIONED_WINDOW_OK, the rfm precedent), broadcast
+    joins back, and a ≤ 25-cell matrix out."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts_us")
+    uh = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts_us") < _CAPTURE_SPLIT_US, 1).otherwise(0)
+        ).cast("long").alias("c1"),
+        F.sum(
+            F.when(F.col("ts_us") >= _CAPTURE_SPLIT_US, 1).otherwise(0)
+        ).cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)  # consumers: both distributions + tiers
+
+    def dist(col):
+        w = Window.orderBy("v")
+        return (
+            uh.filter(F.col(col) > 0)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("le", F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("n", F.sum("c").over(Window.partitionBy()))
+        )
+
+    d1 = dist("c1").withColumnsRenamed({"v": "v1", "c": "c1c", "le": "le1", "n": "n1"})
+    d2 = dist("c2").withColumnsRenamed({"v": "v2", "c": "c2c", "le": "le2", "n": "n2"})
+    tiers = (
+        uh.join(F.broadcast(d1), uh.c1 == d1.v1, "left")
+        .join(F.broadcast(d2), uh.c2 == d2.v2, "left")
+        .select(
+            F.when(F.col("c1") == 0, 0)
+            .otherwise(1 + F.expr("4 * (le1 - c1c) DIV n1"))
+            .cast("long")
+            .alias("tier_first"),
+            F.when(F.col("c2") == 0, 0)
+            .otherwise(1 + F.expr("4 * (le2 - c2c) DIV n2"))
+            .cast("long")
+            .alias("tier_second"),
+        )
+    )
+    return tiers.groupBy("tier_first", "tier_second").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

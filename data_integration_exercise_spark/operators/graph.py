@@ -1119,3 +1119,97 @@ def graph_clustering_coefficient(spark, sf_dir):
             .alias("global_transitivity_permille"),
         )
     )
+
+
+# graph_neighborhood_function composes the BFS product: ring sizes ->
+# neighborhood function -> effective diameter, so its oracle wraps the
+# bfs oracle as a subquery (DuckDB allows a WITH inside FROM (...)).
+_NEIGHBORHOOD_ORACLE = """
+    SELECT r.dist,
+           r.n_nodes,
+           CAST(sum(r2.n_nodes) AS BIGINT) AS cum_nodes,
+           1000 * CAST(sum(r2.n_nodes) AS BIGINT) // t.total
+               AS coverage_permille,
+           t.d90 AS eff_diameter_d90
+    FROM (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM ({bfs}) b GROUP BY dist
+    ) r
+    JOIN (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM ({bfs}) b GROUP BY dist
+    ) r2 ON r2.dist <= r.dist
+    CROSS JOIN (
+        SELECT CAST(sum(n) AS BIGINT) AS total,
+               CAST(min(CASE WHEN cum * 10 >= 9 * total THEN dist END)
+                   AS BIGINT) AS d90
+        FROM (
+            SELECT dist,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(count(*)) OVER (ORDER BY dist
+                                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(count(*)) OVER () AS total
+            FROM ({bfs}) b GROUP BY dist
+        )
+    ) t
+    GROUP BY r.dist, r.n_nodes, t.total, t.d90
+"""
+
+
+@register(
+    "graph_neighborhood_function",
+    oracle=_NEIGHBORHOOD_ORACLE.format(bfs=ORACLES["graph_bfs_distances"]),
+)
+def graph_neighborhood_function(spark, sf_dir):
+    """Neighborhood function of the contact graph from the BFS seeds: how
+    many nodes sit at each hop distance, the cumulative reach and its
+    permille coverage, and the effective diameter d90 (first hop count
+    covering >= 90% of everything reachable) -- the ANF/HyperANF readout
+    that answers "how many hops until a message from the hubs reaches
+    almost everyone". Composes graph_bfs_distances (the loop runs once;
+    its per-round frontiers are already localCheckpoint-backed) and adds
+    only integer ring rollups: the cumulative sum is a broadcast
+    theta-self-join over the <= max-depth-row ring table, never a global
+    window, and coverage is truncating permille.
+
+    100 TB: all post-BFS work is on a |depth|-row table (bounded by the
+    oracle's unrolled 8 levels); the BFS itself is the documented
+    bounded-shuffle frontier loop."""
+    from pyspark.sql import Window as _W  # noqa: F401  (parity with module style)
+
+    dist = QUERIES["graph_bfs_distances"](spark, sf_dir)
+    rings = (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .localCheckpoint(eager=False)  # consumers: cum join (x2) + totals
+    )
+    r2 = rings.select(
+        F.col("dist").alias("dist2"), F.col("n_nodes").alias("n2")
+    )
+    cum = (
+        rings.join(F.broadcast(r2), F.col("dist2") <= F.col("dist"))
+        .groupBy("dist", "n_nodes")
+        .agg(F.sum("n2").cast("long").alias("cum_nodes"))
+    )
+    tot = rings.agg(F.sum("n_nodes").cast("long").alias("total"))
+    d90 = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_nodes") * 10 >= 9 * F.col("total"), F.col("dist")
+                )
+            ).cast("long").alias("d90")
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(d90))
+        .select(
+            "dist",
+            "n_nodes",
+            "cum_nodes",
+            F.expr("1000 * cum_nodes DIV total").alias("coverage_permille"),
+            F.col("d90").alias("eff_diameter_d90"),
+        )
+    )

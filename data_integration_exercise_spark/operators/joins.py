@@ -822,3 +822,109 @@ def join_mutual_best_match(spark, sf_dir):
         .join(cand, ["c_custkey", "s_suppkey"])
         .select("c_custkey", "s_suppkey", "nationkey", "dist_cents")
     )
+
+
+# Nearest-asof tolerance: 1 hour in epoch-µs.
+_ASOF_TOL_US = 3_600_000_000
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_ns(ts) // 1000 AS ts_us,
+               event_id,
+               CASE WHEN event_type = 'click' THEN 'c' ELSE 'p' END AS kind,
+               CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+               CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END AS c_ts
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+        SELECT user_id, ts_us, event_id, kind,
+               last_value(c_id IGNORE NULLS) OVER wb AS b_id,
+               last_value(c_ts IGNORE NULLS) OVER wb AS b_ts,
+               first_value(c_id IGNORE NULLS) OVER wf AS f_id,
+               first_value(c_ts IGNORE NULLS) OVER wf AS f_ts
+        FROM ev
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), chosen AS (
+        SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us,
+               b_ts IS NOT NULL AND ts_us - b_ts <= 3600000000 AS bok,
+               f_ts IS NOT NULL AND f_ts - ts_us <= 3600000000 AS fok,
+               b_id, b_ts, f_id, f_ts
+        FROM carried WHERE kind = 'p'
+    )
+    SELECT user_id, purchase_id, purchase_ts_us,
+           CASE WHEN bok AND (NOT fok OR purchase_ts_us - b_ts <= f_ts - purchase_ts_us)
+                THEN b_id WHEN fok THEN f_id END AS click_id,
+           CASE WHEN bok AND (NOT fok OR purchase_ts_us - b_ts <= f_ts - purchase_ts_us)
+                THEN b_ts - purchase_ts_us WHEN fok THEN f_ts - purchase_ts_us
+           END AS gap_us,
+           CASE WHEN bok AND (NOT fok OR purchase_ts_us - b_ts <= f_ts - purchase_ts_us)
+                THEN 'backward' WHEN fok THEN 'forward' END AS direction
+    FROM chosen
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-asof join with tolerance: each purchase matched to its
+    temporally CLOSEST click (before or after, per user) within 1 hour —
+    the sensor-fusion / attribution variant where the backward-only
+    convention of join_asof is wrong. Same scalable idiom, doubled: one
+    union-sort per user carries the last click backward (ignore-nulls
+    last_value) AND the next click forward (ignore-nulls first_value over
+    the following frame) in a single window pass; the nearer in-tolerance
+    candidate wins, ties prefer the backward click (signed gap_us ≤ 0
+    means the click preceded). No candidate explosion, one shuffle.
+    Equal-timestamp clicks sort before purchases, so they are backward
+    candidates with gap 0, never forward ones.
+
+    100 TB: identical shape to join_asof — one user-keyed shuffle, both
+    carries in one WindowExec; the naive |Δt| ≤ tol band join would
+    explode with history density."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ev = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "click", "c").otherwise("p").alias("kind"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts_us")).alias("c_ts"),
+    )
+    ord_ = [F.col("ts_us"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*ord_)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        ev.withColumn("b_id", F.last("c_id", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last("c_ts", ignorenulls=True).over(wb))
+        .withColumn("f_id", F.first("c_id", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.first("c_ts", ignorenulls=True).over(wf))
+        .filter(F.col("kind") == "p")
+    )
+    ts = F.col("ts_us")
+    bok = F.col("b_ts").isNotNull() & (ts - F.col("b_ts") <= _ASOF_TOL_US)
+    fok = F.col("f_ts").isNotNull() & (F.col("f_ts") - ts <= _ASOF_TOL_US)
+    back_wins = bok & (~fok | (ts - F.col("b_ts") <= F.col("f_ts") - ts))
+    return carried.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts.alias("purchase_ts_us"),
+        F.when(back_wins, F.col("b_id")).when(fok, F.col("f_id")).alias("click_id"),
+        F.when(back_wins, F.col("b_ts") - ts)
+        .when(fok, F.col("f_ts") - ts)
+        .alias("gap_us"),
+        F.when(back_wins, "backward").when(fok, "forward").alias("direction"),
+    )

@@ -614,3 +614,64 @@ def sample_neyman_allocation(spark, sf_dir):
             "alloc_share_ppm"
         ),
     )
+
+
+@register(
+    "sample_kfold_assignments",
+    oracle=f"""
+    WITH f AS (
+        SELECT {_bucket_duck('o_orderkey', 5)} AS fold, o_orderstatus
+        FROM orders
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS big_n FROM f
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(1000 * count(*) // any_value(t.big_n) AS BIGINT)
+               AS share_permille,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS n_status_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS n_status_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS n_status_p
+    FROM f CROSS JOIN t
+    GROUP BY fold
+    """,
+)
+def sample_kfold_assignments(spark, sf_dir):
+    """5-fold cross-validation assignment audit: every order lands in
+    exactly one md5-content-hash fold (deterministic and
+    partitioning/engine-independent — the same property every sampler in
+    this module leans on), with fold sizes, permille shares, and the
+    per-class counts a CV harness checks before trusting the split
+    (near-equal folds, class balance preserved). Being hash-derived, the
+    same row keeps its fold when data is appended — no leakage between
+    re-runs of an experiment.
+
+    100 TB: a single stateless projection + one 5-group map-side-combined
+    rollup; the grand total broadcasts as a 1-row BNLJ."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.select(
+        _bucket_spark("o_orderkey", 5).alias("fold"), "o_orderstatus"
+    )
+    t = f.agg(F.count(F.lit(1)).cast("long").alias("big_n"))
+    return (
+        f.crossJoin(F.broadcast(t))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("CAST(1000 * count(1) DIV any_value(big_n) AS BIGINT)").alias(
+                "share_permille"
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("long").alias(
+                "n_status_f"
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("long").alias(
+                "n_status_o"
+            ),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).cast("long").alias(
+                "n_status_p"
+            ),
+        )
+    )

@@ -1678,3 +1678,120 @@ def sim_centroid_classify(spark, sf_dir):
         .groupBy("label_true", "label_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )
+
+
+@register(
+    "sim_silhouette_eval",
+    oracle="""
+    WITH e0 AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa
+        FROM embeddings
+    ), comps AS (
+        SELECT vec_id, label, u.pos AS pos, u.qv AS qv
+        FROM (
+            SELECT vec_id, label,
+                   unnest(list_transform(generate_series(1, len(qa)), i ->
+                       struct_pack(pos := i, qv := qa[i]))) AS u
+            FROM e0
+        )
+    ), cent AS (
+        SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM comps GROUP BY 1, 2
+    ), dnum AS (
+        SELECT t.vec_id, t.label AS own_label, c.label AS cand_label,
+               any_value(c.cnt) AS cnt,
+               CAST(sum((t.qv * c.cnt - c.s) * (t.qv * c.cnt - c.s))
+                   AS BIGINT) AS d2
+        FROM comps t JOIN cent c ON t.pos = c.pos
+        GROUP BY 1, 2, 3
+    ), dists AS (
+        SELECT vec_id, own_label, cand_label,
+               sqrt(CAST(d2 AS DOUBLE)) / cnt AS dist
+        FROM dnum
+    ), ab AS (
+        SELECT vec_id, own_label,
+               max(CASE WHEN cand_label = own_label THEN dist END) AS a,
+               min(CASE WHEN cand_label <> own_label THEN dist END) AS b
+        FROM dists GROUP BY 1, 2
+    )
+    SELECT own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg((b - a) / greatest(a, b)), 4) AS mean_silhouette,
+           CAST(count(CASE WHEN b < a THEN 1 END) AS BIGINT) AS n_negative,
+           round(avg(a), 4) AS mean_a,
+           round(avg(b), 4) AS mean_b
+    FROM ab
+    GROUP BY own_label
+    """,
+)
+def sim_silhouette_eval(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label over the
+    embeddings: a(i) = distance to the own-label centroid, b(i) = nearest
+    other centroid, s(i) = (b-a)/max(a,b) -- the cluster-quality eval that
+    says whether labels form tight, separated clusters (s->1) or overlap
+    (s<=0), at O(n*k) instead of exact silhouette's O(n^2). The distance
+    core is integer-exact: ||v - S/c||^2 = sum((v_i*c - S_i)^2)/c^2 keeps
+    the numerator an exact BIGINT (centroids never materialize as floats;
+    the per-row sqrt/division is a single deterministic IEEE op, not a
+    float aggregate), so a/b comparisons are bit-stable. Only the three
+    per-label means are float sums -- each rounds at 4dp. Own centroid
+    includes the point itself (the standard simplified-silhouette
+    convention). Expected reading on this corpus: ~0 everywhere -- the
+    synthetic embeddings have no label geometry (the sim_centroid_classify
+    finding, confirmed here by an independent metric).
+
+    100 TB: the |labels|*dim centroid table broadcasts; each vector joins
+    only its components against k centroids (O(n*k) work, map-side rollup
+    on vec_id); no pairwise pass exists. The (v_i*c - S_i)^2 numerator
+    passes int64 when cnt*|comp| nears 2^31 -- pin the decimal escalation
+    there."""
+    e0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        ).alias("qa"),
+    )
+    comps = e0.select(
+        "vec_id", "label", F.posexplode("qa").alias("pos", "qv")
+    ).localCheckpoint(eager=False)  # consumers: centroid build + distance join
+    cent = comps.groupBy(F.col("label").alias("cand_label"), "pos").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    diff = F.col("qv") * F.col("cnt") - F.col("s")
+    dnum = (
+        comps.withColumnRenamed("label", "own_label")
+        .join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "own_label", "cand_label")
+        .agg(
+            F.any_value("cnt").alias("cnt"),
+            F.sum(diff * diff).cast("long").alias("d2"),
+        )
+    )
+    dists = dnum.select(
+        "vec_id",
+        "own_label",
+        "cand_label",
+        (F.sqrt(F.col("d2").cast("double")) / F.col("cnt")).alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.when(F.col("cand_label") == F.col("own_label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("cand_label") != F.col("own_label"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.avg(s), 4).alias("mean_silhouette"),
+        F.count(F.when(F.col("b") < F.col("a"), 1)).cast("long").alias("n_negative"),
+        F.round(F.avg("a"), 4).alias("mean_a"),
+        F.round(F.avg("b"), 4).alias("mean_b"),
+    )

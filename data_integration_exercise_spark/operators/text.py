@@ -1143,3 +1143,292 @@ def text_readability(spark, sf_dir):
             4,
         ).alias("flesch_proxy"),
     )
+
+
+# RAKE stopword set for the synthetic corpus: its vocabulary's only
+# function words (FIXTURES.md "documents").
+_RAKE_STOPS = ("a", "the")
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS w,
+               CASE WHEN u.w IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+                       i -> struct_pack(
+                           pos := i,
+                           w := regexp_split_to_array(trim(text), '\\s+')[i]))) AS u
+            FROM documents
+        )
+    ), islands0 AS (
+        SELECT doc_id, pos, w, stop,
+               sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS phrase_id
+        FROM words
+    ), islands AS (
+        SELECT doc_id, pos, w, phrase_id FROM islands0 WHERE stop = 0
+    ), phrases AS (
+        SELECT doc_id, phrase_id,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM islands GROUP BY 1, 2
+    ), wstats AS (
+        SELECT i.w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(p.plen) AS BIGINT) AS degree
+        FROM islands i
+        JOIN phrases p ON i.doc_id = p.doc_id AND i.phrase_id = p.phrase_id
+        GROUP BY i.w
+    ), scored AS (
+        SELECT p.doc_id, p.phrase_id, p.phrase, p.plen,
+               CAST(sum(1000000 * ws.degree // ws.freq) AS BIGINT) AS score_micro
+        FROM islands i
+        JOIN phrases p ON i.doc_id = p.doc_id AND i.phrase_id = p.phrase_id
+        JOIN wstats ws ON i.w = ws.w
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT phrase,
+           any_value(plen) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           any_value(score_micro) AS score_micro
+    FROM scored
+    GROUP BY phrase
+    ORDER BY any_value(score_micro) DESC, phrase ASC
+    LIMIT 20
+    """,
+)
+def text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction over the corpus: candidate phrases are
+    maximal stopword-free word runs (gaps-and-islands on the only two
+    function words in the synthetic vocabulary), each word scores
+    degree/frequency over phrase co-occurrence, and a phrase scores the
+    sum of its members — the classic unsupervised keyword extractor a
+    curation pipeline runs to label document clusters. Scores are integer
+    micro-units via per-word truncating division BEFORE the sum, so the
+    top-20 ranking never compares floats (identical phrase text ⇒
+    identical member stats ⇒ identical score in both engines; ties break
+    on phrase text).
+
+    100 TB: one explode of the tokenized corpus, a per-doc cumsum window
+    (docs are the partition axis — bounded per-task by document length),
+    then word- and phrase-keyed map-side-combined rollups; the word-stats
+    table is vocabulary-bounded and broadcasts. Top-20 is a
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.expr("split(trim(text), '\\\\s+')")).alias("pos", "w")
+    )
+    words = d.withColumn(
+        "stop", F.when(F.col("w").isin(*_RAKE_STOPS), 1).otherwise(0)
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        words.withColumn(
+            "phrase_id",
+            F.sum("stop").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("stop") == 0)
+        .select("doc_id", "pos", "w", "phrase_id")
+        .localCheckpoint(eager=False)  # consumers: phrases, wstats, scored
+    )
+    phrases = islands.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, w))),"
+            " s -> s.w), ' ')"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    ).localCheckpoint(eager=False)  # consumers: wstats join + scored join
+    wstats = (
+        islands.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    scored = (
+        islands.join(phrases, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "phrase_id", "phrase", "plen")
+        .agg(
+            F.sum(F.expr("1000000 * degree DIV freq")).cast("long").alias("score_micro")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.any_value("plen").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.any_value("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("phrase").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_spearman_length_vocab",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS x,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   AS BIGINT) AS y
+        FROM documents
+    ), r AS (
+        SELECT lang, x, y,
+               rank() OVER (PARTITION BY lang ORDER BY x ASC)
+                 + CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) + 1
+                 - rank() OVER (PARTITION BY lang ORDER BY x DESC) AS rx2,
+               rank() OVER (PARTITION BY lang ORDER BY y ASC)
+                 + CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) + 1
+                 - rank() OVER (PARTITION BY lang ORDER BY y DESC) AS ry2,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM d
+    )
+    SELECT lang,
+           any_value(n) AS n_docs,
+           CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sum_d2_x4,
+           round(1 - 1.5 * CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS DOUBLE)
+                     / (any_value(n) * (CAST(any_value(n) AS DOUBLE)
+                                        * any_value(n) - 1)), 4) AS rho_approx
+    FROM r WHERE n > 1
+    GROUP BY lang
+    """,
+)
+def text_spearman_length_vocab(spark, sf_dir):
+    """Spearman rank correlation per language between document length
+    (words) and vocabulary size (distinct words) — the monotone-relation
+    eval ("does length keep buying vocabulary, or saturate?") that rank
+    correlation answers robustly where Pearson would chase outliers. The
+    midrank trick (rank_asc + (n+1) − rank_desc = 2·midrank, the Pettitt
+    precedent) keeps doubled ranks integral, so Σd² is an exact BIGINT in
+    ×4 units and ρ = 1 − 1.5·Σd²ₓ₄ / (n(n²−1)) is a single division of
+    exact integers rounded 4dp. Classic caveat documented: the closed
+    form omits the tie correction, so it equals the exact (Pearson-of-
+    ranks) Spearman only when ties are absent; with midranks it is the
+    standard uncorrected approximation.
+
+    100 TB: the regex projections stay in codegen; the rank windows
+    partition by lang (the bounded |langs| axis of this corpus — for a
+    single giant group the two-pass banded rank decomposition in
+    agg_ks_test is the scale path); output is |langs| rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS BIGINT)"
+        ).alias("y"),
+    )
+    wl = Window.partitionBy("lang")
+    n = F.count(F.lit(1)).over(wl).cast("long")
+    r = d.select(
+        "lang",
+        (
+            F.rank().over(wl.orderBy(F.col("x").asc()))
+            + n + 1
+            - F.rank().over(wl.orderBy(F.col("x").desc()))
+        ).alias("rx2"),
+        (
+            F.rank().over(wl.orderBy(F.col("y").asc()))
+            + n + 1
+            - F.rank().over(wl.orderBy(F.col("y").desc()))
+        ).alias("ry2"),
+        n.alias("n"),
+    ).filter(F.col("n") > 1)
+    d2 = (F.col("rx2") - F.col("ry2")) * (F.col("rx2") - F.col("ry2"))
+    nn = F.any_value("n")
+    return r.groupBy("lang").agg(
+        nn.alias("n_docs"),
+        F.sum(d2).cast("long").alias("sum_d2_x4"),
+        F.round(
+            1
+            - 1.5
+            * F.sum(d2).cast("double")
+            / (nn * (nn.cast("double") * nn - 1)),
+            4,
+        ).alias("rho_approx"),
+    )
+
+
+@register(
+    "text_lexical_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang, w
+        FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY lang
+    ), inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM vocab a JOIN vocab b ON a.w = b.w AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT i.lang_a, i.lang_b,
+           sa.n AS vocab_a, sb.n AS vocab_b, i.n_common,
+           CAST(1000000 * i.n_common // (sa.n + sb.n - i.n_common) AS BIGINT)
+               AS jaccard_micro,
+           CAST(1000 * i.n_common // least(sa.n, sb.n) AS BIGINT)
+               AS containment_permille
+    FROM inter i
+    JOIN sizes sa ON i.lang_a = sa.lang
+    JOIN sizes sb ON i.lang_b = sb.lang
+    """,
+)
+def text_lexical_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between language sub-corpora:
+    distinct-token Jaccard (micro) and min-containment (permille) for
+    every lang pair — the corpus-comparison audit that detects shared
+    boilerplate, mislabeled languages, or contamination between supposed
+    corpora (this synthetic feed shares one vocabulary, so the pinned
+    reading is near-total overlap — the audit must SAY so). All counts
+    distinct-exact, divisions truncating.
+
+    100 TB: vocab is one distinct (lang, token) rollup (map-side
+    combined, vocabulary-bounded output); the pair join runs on the
+    vocabulary table, never the corpus, and sizes broadcast. Output is
+    C(|langs|, 2) rows."""
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.expr("split(trim(text), '\\\\s+')")).alias("w"))
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: sizes + both join sides
+    )
+    sizes = v.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("lang").alias("lang_a"), "w")
+    b = v.select(F.col("lang").alias("lang_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({"lang": "lang_a", "n": "vocab_a"})
+    sb = sizes.withColumnsRenamed({"lang": "lang_b", "n": "vocab_b"})
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.expr(
+                "CAST(1000000 * n_common DIV (vocab_a + vocab_b - n_common)"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+            F.expr(
+                "CAST(1000 * n_common DIV least(vocab_a, vocab_b) AS BIGINT)"
+            ).alias("containment_permille"),
+        )
+    )

@@ -1574,3 +1574,89 @@ def win_sax_paa(spark, sf_dir):
         )
         .withColumnRenamed("pri", "o_orderpriority")
     )
+
+
+@register(
+    "win_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 100 AS y
+        FROM orders GROUP BY 1, 2
+    ), w AS (
+        SELECT pri, day, y,
+               CAST(count(*) OVER win AS BIGINT) AS k,
+               CAST(sum(y) OVER win AS BIGINT) AS s,
+               CAST(sum(y * y) OVER win AS BIGINT) AS s2
+        FROM daily
+        WINDOW win AS (PARTITION BY pri ORDER BY day
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT pri AS o_orderpriority, day, y,
+           round(CAST(s AS DOUBLE) / k, 4) AS mean_dollars,
+           round(sqrt(CAST(k * s2 - s * s AS DOUBLE) / (k * (k - 1))), 4)
+               AS std_dollars,
+           CAST(CASE WHEN k * y - s > 0
+                     AND (k - 1) * (k * y - s) * (k * y - s)
+                         > 4 * k * (k * s2 - s * s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_up,
+           CAST(CASE WHEN k * y - s < 0
+                     AND (k - 1) * (k * y - s) * (k * y - s)
+                         > 4 * k * (k * s2 - s * s)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breakout_down
+    FROM w WHERE k = 20
+    """,
+)
+def win_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over each priority's daily revenue: 20-day rolling
+    mean ± 2σ with breakout flags — the volatility envelope that turns a
+    revenue series into "is today abnormal given the recent regime?".
+    The flags never touch a float: y vs mean ± 2σ cross-multiplies to
+    (k−1)·(k·y − S)² > 4k·(k·S2 − S²) with a sign guard — exact BIGINT
+    in whole dollars (cents DIV 100; the dollar truncation keeps the
+    squared terms ~1e15, inside int64 with ~10³× revenue headroom —
+    beyond that the comparison moves to DECIMAL(38,0), the
+    win_rolling_corr guarded-moment precedent). The emitted mean/σ are
+    single divisions/sqrts of exact integer window sums, rounded 4dp.
+    Rows with an incomplete 20-day warm-up window are excluded (classic
+    Bollinger semantics).
+
+    100 TB: one map-side-combined day-grain rollup, then one
+    priority-partitioned window over the bounded calendar axis (the
+    win_moving_avg shape) — no global sort, no second fact pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) DIV 100"
+        ).alias("y")
+    )
+    win = (
+        Window.partitionBy("pri").orderBy("day").rowsBetween(-19, 0)
+    )
+    w = (
+        daily.withColumn("k", F.count(F.lit(1)).over(win).cast("long"))
+        .withColumn("s", F.sum("y").over(win).cast("long"))
+        .withColumn("s2", F.sum(F.col("y") * F.col("y")).over(win).cast("long"))
+        .filter(F.col("k") == 20)
+    )
+    k, s, s2, y = F.col("k"), F.col("s"), F.col("s2"), F.col("y")
+    dev = k * y - s
+    var_num = k * s2 - s * s
+    exceed = (k - 1) * dev * dev > 4 * k * var_num
+    return w.select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        "y",
+        F.round(s.cast("double") / k, 4).alias("mean_dollars"),
+        F.round(F.sqrt(var_num.cast("double") / (k * (k - 1))), 4).alias(
+            "std_dollars"
+        ),
+        F.when((dev > 0) & exceed, 1).otherwise(0).cast("long").alias("breakout_up"),
+        F.when((dev < 0) & exceed, 1).otherwise(0).cast("long").alias("breakout_down"),
+    )

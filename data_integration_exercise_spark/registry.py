@@ -136,6 +136,18 @@ _PRIORITY = [
 # Keys ADDED during round 8 (no driver row yet). Every new operator lands
 # here in the same commit that registers it; they queue directly behind the
 # window for the round-9 rotation.
+#
+# ROUND-9 PLAN (pre-pinned, the r7→r8 pattern — execute at round-9 open
+# AFTER confirming CORRECTNESS_r08 is green): slots 1-26 = the 26
+# `_ADDED_R8` keys below in list order (every one already 3-scale
+# emulator-green and 7-vs-32 partition-invariant, so the window is
+# conversion-to-driver-truth, not discovery). No rewrite-after-green
+# re-verification slots accrue from this round: every round-8 change to a
+# previously-green key (dedup_minhash_lsh's output bounding) was already
+# scheduled INSIDE the round-8 window. Slots 27-50 = freshness re-checks
+# of the 24 oldest keys whose latest green row is round 1-2 (pick by
+# earliest CORRECTNESS file, stable registry order) — after which every
+# key's latest green row is ≤ 6 rounds old.
 _ADDED_R8: list[str] = [
     "events_interarrival_stats",
     "events_capture_recapture",
@@ -145,6 +157,24 @@ _ADDED_R8: list[str] = [
     "text_readability",
     "mine_frequent_triples",
     "sim_centroid_classify",
+    "events_markov_entropy",
+    "agg_mutual_information",
+    "agg_ks_drift_bh",
+    "text_rake_keyphrases",
+    "text_spearman_length_vocab",
+    "events_burst_kleinberg",
+    "sim_silhouette_eval",
+    "agg_tukey_fences",
+    "agg_calibration_ece",
+    "win_bollinger_bands",
+    "graph_neighborhood_function",
+    "join_asof_nearest",
+    "agg_gini_split_screen",
+    "agg_js_drift",
+    "sample_kfold_assignments",
+    "text_lexical_overlap",
+    "stream_topk_per_window",
+    "events_tier_migration",
 ]
 
 # Keys hash/rows-verified green by the driver in round 7 (the former

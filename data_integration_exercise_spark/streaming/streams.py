@@ -546,3 +546,58 @@ def stream_cdc_upsert(spark, sf_dir):
             F.col("t").alias("last_t"),
         )
     )
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY hour_start
+                                     ORDER BY n DESC, event_type ASC) AS rnk
+        FROM counts
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Streaming leaderboard: the top-3 event types of every tumbling hour.
+    Structured Streaming cannot rank over its own windowed aggregation
+    (no window-function-over-aggregate in a streaming plan), so this is
+    the standard two-stage shape: the STREAM maintains the (window, type)
+    counts — bounded state under the watermark, exactly stream_tumbling's
+    machinery — and the leaderboard rank runs as a bounded BATCH pass over
+    the sink table (|windows|·|types| rows, partitioned by window; ties
+    break on event_type so the cut is deterministic). This is how
+    dashboards actually consume windowed streams: heavy counting in the
+    stream, cheap ranking at read time.
+
+    100 TB: stream state is (windows × types) rows regardless of event
+    volume; the rank pass partitions by window over the sink — never a
+    global sort, never per-event work."""
+    s = _staged_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n",
+        )
+    )
+    counts = _parquet_result(spark, agg, "stream_topk_per_window", "complete")
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("hour_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    )
+    return (
+        counts.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 3)
+    )

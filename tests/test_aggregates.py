@@ -621,3 +621,233 @@ def test_cramers_v_matches_numpy_crosstab(spark):
         v = np.sqrt(row.chi2 / (n * (min(ct.shape) - 1)))
         assert row.cramers_v == round(v, 4)
         assert 0.0 <= row.cramers_v <= 1.0
+
+
+def test_mutual_information_identities(spark):
+    """MI identities vs an independent numpy replay: MI >= 0,
+    MI <= min(H_a, H_b), U coefficients in [0, 1], and the replayed MI
+    lands within 4dp-rounding distance."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_mutual_information"](spark, SF)
+        .toPandas()
+        .set_index("pair")
+    )
+    con = duckdb.connect()
+    o = con.execute(
+        f"""
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               month(o_orderdate) AS mo, year(o_orderdate) AS yr
+        FROM '{SF}/orders.parquet'
+        """
+    ).df()
+    for name, a, b in [
+        ("priority_x_status", "pri", "st"),
+        ("priority_x_month", "pri", "mo"),
+        ("status_x_year", "st", "yr"),
+    ]:
+        ct = np.asarray(o.groupby([a, b]).size().unstack(fill_value=0), dtype=float)
+        n = ct.sum()
+        pij = ct / n
+        pi = pij.sum(axis=1, keepdims=True)
+        pj = pij.sum(axis=0, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(pij > 0, pij * np.log2(pij / (pi * pj)), 0.0)
+        mi = terms.sum()
+        row = pdf.loc[name]
+        assert abs(row.mi_bits - mi) < 5.1e-5
+        ha = -(pi * np.log2(pi)).sum()
+        hb = -(pj * np.log2(pj)).sum()
+        assert abs(row.h_a_bits - ha) < 5.1e-5
+        assert abs(row.h_b_bits - hb) < 5.1e-5
+        assert -1e-9 <= row.mi_bits <= min(row.h_a_bits, row.h_b_bits) + 1e-9
+        assert row.u_a_given_b == round(row.mi_bits / row.h_a_bits, 4)
+        assert 0 <= row.u_a_given_b <= 1 and 0 <= row.u_b_given_a <= 1
+
+
+def test_ks_drift_bh_replay(spark):
+    """Replay one type's KS statistic from raw micro-unit values and check
+    the BH step-up bookkeeping across the whole family."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_ks_drift_bh"](spark, SF)
+        .toPandas()
+        .sort_values("bh_rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    vals = con.execute(
+        f"""
+        SELECT CAST(floor(value * 1000000) AS BIGINT) AS vu,
+               epoch_ns(ts) // 1000 < 1705363200000000 AS in_a
+        FROM '{SF}/events.parquet' WHERE event_type = 'click'
+        """
+    ).df()
+    a = np.sort(vals[vals.in_a].vu.to_numpy())
+    b = np.sort(vals[~vals.in_a].vu.to_numpy())
+    n1, n2 = len(a), len(b)
+    support = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, support, side="right")
+    f2 = np.searchsorted(b, support, side="right")
+    d_num = int(np.abs(f1.astype(object) * n2 - f2.astype(object) * n1).max())
+    row = pdf.set_index("event_type").loc["click"]
+    assert (row.n_first, row.n_second) == (n1, n2)
+    assert row.d_micro == 1000000 * d_num // (n1 * n2)
+    p = min(1.0, 2 * math.exp(-2 * d_num * d_num / (n1 * n2 * (n1 + n2))))
+    assert row.p_approx == round(p, 4)
+    # BH bookkeeping: ranks are 1..m ordered by p, flags are a prefix set
+    # ending at the largest rank passing p(k) <= k*q/m
+    m = len(pdf)
+    assert list(pdf.bh_rank) == list(range(1, m + 1))
+    assert pdf.p_approx.is_monotonic_increasing
+    passing = [r.bh_rank for r in pdf.itertuples() if r.p_approx * m <= r.bh_rank * 0.05]
+    k = max(passing) if passing else 0
+    assert list(pdf.bh_flag) == [1 if r <= k else 0 for r in pdf.bh_rank]
+
+
+def test_tukey_fences_matches_numpy(spark):
+    """Order-statistic quartiles and fence counts replayed in numpy for
+    every priority; near-uniform TPC-H prices must produce ZERO outliers
+    (the honest null reading) and a wide IQR."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_tukey_fences"](spark, SF)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    con = duckdb.connect()
+    o = con.execute(
+        f"""
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM '{SF}/orders.parquet'
+        """
+    ).df()
+    for pri, g in o.groupby("pri"):
+        v = np.sort(g.cents.to_numpy())
+        n = len(v)
+        q1 = int(v[(n + 3) // 4 - 1])
+        q3 = int(v[(3 * n + 3) // 4 - 1])
+        iqr = q3 - q1
+        row = pdf.loc[pri]
+        assert (row.n_orders, row.q1_cents, row.q3_cents) == (n, q1, q3)
+        assert row.iqr_cents == iqr
+        lo = sum(1 for x in v if 2 * int(x) < 2 * q1 - 3 * iqr)
+        hi = sum(1 for x in v if 2 * int(x) > 2 * q3 + 3 * iqr)
+        assert (row.n_low_outliers, row.n_high_outliers) == (lo, hi)
+        assert lo == 0 and hi == 0  # uniform prices: fences never trip
+
+
+def test_calibration_ece_identities(spark):
+    """ECE bookkeeping: bins partition the feed, the per-bin gap recomputes
+    from conf/acc, the weighted gap sum reproduces ece_micro, and the
+    independence of score and outcome shows up as every bin's accuracy
+    pinned near the purchase base rate while confidences climb."""
+    pdf = (
+        aggregates.QUERIES["agg_calibration_ece"](spark, SF)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert set(pdf.bin) <= set(range(10)) and len(pdf) >= 8
+    assert pdf.ece_micro.nunique() == 1
+    n = pdf.n.sum()
+    ece = int(pdf.ece_micro.iloc[0])
+    assert ece == int((pdf.n * (pdf.acc_micro - pdf.conf_micro).abs()).sum()) // n
+    assert (pdf.gap_micro == (pdf.acc_micro - pdf.conf_micro).abs()).all()
+    # confidences rise with the bin; accuracies hover at the base rate
+    assert pdf.conf_micro.is_monotonic_increasing
+    big = pdf[pdf.n >= 100]  # tiny tail bins are all-noise by construction
+    assert big.acc_micro.sub(big.acc_micro.mean()).abs().max() < 100000
+    assert ece > 100000  # the toy scorer is badly miscalibrated, ECE > 0.1
+
+
+def test_gini_split_screen_finds_year_signal(spark):
+    """Numpy replay of root/split impurities per feature. This synthetic
+    generator assigns status independently of every feature (unlike real
+    TPC-H, where date determines it), so the honest reading the screen
+    must report is: all gains ~ 0."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_gini_split_screen"](spark, SF)
+        .toPandas()
+        .set_index("feature")
+    )
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT o.o_orderstatus AS y, o.o_orderpriority AS priority,
+               month(o.o_orderdate) AS month, year(o.o_orderdate) AS year,
+               c.c_mktsegment AS segment
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        """
+    ).df()
+    n = len(base)
+    root = 1 - sum((c / n) ** 2 for c in base.y.value_counts())
+    for feat in ["priority", "month", "year", "segment"]:
+        split = 0.0
+        for _, g in base.groupby(feat):
+            cc = g.y.value_counts()
+            split += (cc * cc).sum() / len(g)
+        split = 1 - split / n
+        row = pdf.loc[feat]
+        assert row.n_values == base[feat].nunique()
+        assert abs(row.gini_split - split) < 5.1e-5
+        assert abs(row.gini_root - root) < 5.1e-5
+        assert abs(row.gini_gain - (root - split)) < 1.1e-4
+    for feat in ["priority", "month", "year", "segment"]:
+        assert 0 <= pdf.loc[feat].gini_gain < 0.01  # independence: no signal
+
+
+def test_js_drift_identities(spark):
+    """JS/TV identities: both vanish on identical halves, JS ≤ 1 bit,
+    TV ≥ 0, and a numpy replay reproduces both for every type; the null
+    regime (value independent of the calendar) keeps them small."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        aggregates.QUERIES["agg_js_drift"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""
+        SELECT event_type, least(9, CAST(floor(value / 50) AS INT)) AS bin,
+               sum(CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                        THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                        THEN 0 ELSE 1 END) AS b
+        FROM '{SF}/events.parquet' GROUP BY 1, 2
+        """
+    ).df()
+    for et, g in cells.groupby("event_type"):
+        A, B = int(g.a.sum()), int(g.b.sum())
+        js = 0.0
+        tv_num = 0
+        for _, r in g.iterrows():
+            a, b = int(r.a), int(r.b)
+            den = a * B + b * A
+            if a > 0:
+                js += 0.5 * (a / A) * np.log2(2 * a * B / den)
+            if b > 0:
+                js += 0.5 * (b / B) * np.log2(2 * b * A / den)
+            tv_num += abs(a * B - b * A)
+        row = pdf.loc[et]
+        assert (row.n_first, row.n_second) == (A, B)
+        assert abs(row.js_bits - js) < 5.1e-5
+        assert row.tv_micro == 1000000 * tv_num // (2 * A * B)
+        assert 0 <= row.js_bits <= 1.0 and row.js_bits < 0.05
+        assert 0 <= row.tv_micro < 200000

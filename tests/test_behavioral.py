@@ -590,3 +590,124 @@ def test_capture_recapture_chapman_algebra(spark):
         assert row.coverage_permille == 1000 * len(a | b) // n_hat_floor
         # the estimate can never fall below what was directly observed
         assert row.n_hat_chapman >= max(na, nb)
+
+
+def test_markov_entropy_identities(spark):
+    """Entropy-chain identities against events_markov_transitions: each
+    H(next|prev) recomputed from the transition rows, contributions sum
+    to the overall conditional entropy, and the modal next step agrees."""
+    import math
+
+    tr = (
+        behavioral.QUERIES["events_markov_transitions"](spark, SF)
+        .toPandas()
+    )
+    me = (
+        behavioral.QUERIES["events_markov_entropy"](spark, SF)
+        .toPandas()
+        .set_index("prev_type")
+    )
+    grand = tr.n.sum()
+    for prev, g in tr.groupby("prev_type"):
+        row = me.loc[prev]
+        tot = g.n.sum()
+        assert row.n_transitions == tot
+        h = -sum((n / tot) * math.log2(n / tot) for n in g.n)
+        assert row.h_next_bits == round(h, 4)
+        contrib = -sum((n / grand) * math.log2(n / tot) for n in g.n)
+        assert row.h_contrib_bits == round(contrib, 4)
+        top = g.sort_values(["n", "next_type"], ascending=[False, True]).iloc[0]
+        assert row.top_next == top.next_type
+        assert row.top_next_permille == 1000 * top.n // tot
+    # 0 <= H <= log2(|support|)
+    assert (me.h_next_bits >= 0).all()
+    assert (me.h_next_bits <= math.log2(len(tr.next_type.unique())) + 1e-9).all()
+
+
+def test_burst_kleinberg_matches_python_viterbi(spark):
+    """Full python replay of the integer Viterbi (costs, switch
+    penalties, bitmask path) for every type; the detector must fire on at
+    least one type of this feed and stay silent on at least one (mixed
+    regimes = both branches of the switch logic exercised)."""
+    import duckdb
+
+    pdf = (
+        behavioral.QUERIES["events_burst_kleinberg"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day, count(*) AS cnt
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    fired, silent = 0, 0
+    for et, g in daily.groupby("event_type"):
+        cs = [int(c) for c in g.cnt]
+        days = [int(d) for d in g.day]
+        n = len(cs)
+        r0 = 1000000 * sum(cs) // n
+        gamma = r0 // 100
+        d0, d1, m0, m1 = 0, gamma, 0, 0
+        for t, c in enumerate(cs):
+            cost = r0 // 5 - c * 182321
+            nd0 = min(d0, d1 + gamma)
+            nm0 = m0 if d0 <= d1 + gamma else m1
+            nd1 = min(d1, d0 + gamma) + cost
+            nm1 = (m1 if d1 <= d0 + gamma else m0) | (1 << t)
+            d0, d1, m0, m1 = nd0, nd1, nm0, nm1
+        cost_fin, mask = (d0, m0) if d0 <= d1 else (d1, m1)
+        row = pdf.loc[et]
+        assert row.n_days == n
+        assert row.r0_micro == r0
+        assert row.burst_mask == mask
+        assert row.n_burst_days == bin(mask).count("1")
+        assert row.viterbi_cost_micro == cost_fin
+        if mask:
+            fired += 1
+            first = min(i for i in range(n) if (mask >> i) & 1)
+            assert row.first_burst_day == days[first]
+            # burst days must be elevated: every flagged day beats r0/day
+            assert all(
+                cs[i] * 1000000 > r0 for i in range(n) if (mask >> i) & 1
+            )
+        else:
+            silent += 1
+            assert row.first_burst_day is None or row.first_burst_day != row.first_burst_day
+    assert fired >= 1 and silent >= 1
+
+
+def test_tier_migration_partitions_users_and_quartiles_balance(spark):
+    """The matrix must count every user exactly once, tier-0 rows must
+    match the users absent from each half, and each half's quartiles must
+    be near-balanced (exact distribution bucketing)."""
+    import duckdb
+
+    pdf = behavioral.QUERIES["events_tier_migration"](spark, SF).toPandas()
+    con = duckdb.connect()
+    n_users, n_only_first, n_only_second = con.execute(
+        f"""
+        SELECT count(*),
+               count(*) FILTER (c2 = 0),
+               count(*) FILTER (c1 = 0)
+        FROM (
+            SELECT user_id,
+                   sum(CASE WHEN epoch_ns(ts) // 1000 < 1705363200000000
+                            THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN epoch_ns(ts) // 1000 >= 1705363200000000
+                            THEN 1 ELSE 0 END) AS c2
+            FROM '{SF}/events.parquet' GROUP BY user_id
+        )
+        """
+    ).fetchone()
+    assert pdf.n_users.sum() == n_users
+    assert pdf[pdf.tier_second == 0].n_users.sum() == n_only_first
+    assert pdf[pdf.tier_first == 0].n_users.sum() == n_only_second
+    # quartile balance per half (among present users): max/min < 1.5
+    for col in ["tier_first", "tier_second"]:
+        present = pdf[pdf[col] > 0].groupby(col).n_users.sum()
+        assert set(present.index) == {1, 2, 3, 4}
+        assert present.max() < 1.5 * present.min()

@@ -216,3 +216,26 @@ def test_clustering_coefficient_consistent_with_triangles(spark):
     wedges = int((cc.degree * (cc.degree - 1) // 2).sum())
     expect = 3000 * len(tri) // wedges
     assert (cc.global_transitivity_permille == expect).all()
+
+
+def test_neighborhood_function_consistent_with_bfs(spark):
+    """Ring sizes must repartition the BFS distance table exactly;
+    coverage is monotone to 1000 permille; d90 is the first ring whose
+    cumulative coverage reaches 90%."""
+    sf = "/root/testdata/sf0.01"
+    nf = (
+        graph.QUERIES["graph_neighborhood_function"](spark, sf)
+        .toPandas()
+        .sort_values("dist")
+        .reset_index(drop=True)
+    )
+    bfs = graph.QUERIES["graph_bfs_distances"](spark, sf).toPandas()
+    rings = bfs.groupby("dist").size()
+    assert list(nf.dist) == sorted(rings.index)
+    assert list(nf.n_nodes) == [rings[d] for d in nf.dist]
+    assert list(nf.cum_nodes) == list(nf.n_nodes.cumsum())
+    total = nf.n_nodes.sum()
+    assert (nf.coverage_permille == 1000 * nf.cum_nodes // total).all()
+    assert nf.coverage_permille.iloc[-1] == 1000
+    d90 = nf[nf.cum_nodes * 10 >= 9 * total].dist.min()
+    assert (nf.eff_diameter_d90 == d90).all()

@@ -190,3 +190,34 @@ def test_mutual_best_match_is_one_to_one_and_mutual(spark):
         theirs = cand[cand.s_suppkey == row.s_suppkey].sort_values(["d", "c_custkey"])
         assert theirs.iloc[0].c_custkey == row.c_custkey
         assert mine.iloc[0].d == row.dist_cents
+
+
+def test_asof_nearest_agrees_with_backward_and_prefers_closer(spark):
+    """Consistency with join_asof: when the nearest match is backward it
+    must equal the backward-asof match; every emitted gap is within the
+    1-hour tolerance; forward matches exist (the rows backward-asof
+    cannot serve) and every match is genuinely the nearer candidate."""
+    from data_integration_exercise_spark.operators import joins as J
+
+    near = (
+        J.QUERIES["join_asof_nearest"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("purchase_id")
+    )
+    back = (
+        J.QUERIES["join_asof"](spark, "/root/testdata/sf0.01").toPandas().set_index("purchase_id")
+    )
+    assert len(near) == len(back)
+    matched = near[near.direction.notna()]
+    assert (matched.gap_us.abs() <= 3_600_000_000).all()
+    bwd = matched[matched.direction == "backward"]
+    fwd = matched[matched.direction == "forward"]
+    assert len(bwd) > 0 and len(fwd) > 0
+    # backward picks must agree with the backward-asof join exactly
+    assert (bwd.click_id == back.loc[bwd.index].click_id).all()
+    assert (bwd.gap_us <= 0).all() and (fwd.gap_us > 0).all()
+    # a forward match means backward was absent or farther
+    b_ts = back.loc[fwd.index].click_ts_us
+    b_gap = fwd.purchase_ts_us - b_ts
+    farther_or_absent = b_ts.isna() | (b_gap > fwd.gap_us)
+    assert farther_or_absent.all()

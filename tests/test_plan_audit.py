@@ -112,6 +112,39 @@ EXPECTED_EXCHANGES = {
     #   broadcasting the (checkpoint-shared) vocab-bounded successor table
     # Round-7 continuation additions (pinned at birth):
     "win_kalman_filter": (2, 0),  # day rollup + per-priority fold
+    # Round-8 additions (pinned at birth). The large counts on the
+    # cross-tab pair screens are ≤ r·c-row rollups off the checkpointed
+    # cell tables (one fact-scan groupBy per pair is the only big pass;
+    # the checkpoint materializes once at runtime) — plan-text lineage,
+    # not data movement.
+    "events_interarrival_stats": (2, 0),  # gap window + per-type rank
+    "events_capture_recapture": (2, 0),  # (type,user) flags + type rollup
+    "events_markov_entropy": (4, 3),  # user window, trans rollup, top pick
+    "agg_cramers_v": (15, 9),  # 3 fact groupBys + cell-table mini-rollups
+    "agg_mutual_information": (30, 21),  # 3 fact groupBys + MI/H mini-rollups
+    "agg_ks_drift_bh": (1, 1),  # one (type,vu) rollup; BH rides m rows
+    "win_pettitt_changepoint": (2, 0),  # daily rollup + rank/cumsum windows
+    "win_sax_paa": (2, 0),  # daily rollup + segment windows
+    "text_readability": (1, 0),  # single lang rollup, regex in codegen
+    "text_spearman_length_vocab": (1, 0),  # lang-partitioned rank windows
+    "text_rake_keyphrases": (3, 3),  # island cumsum + word/phrase rollups
+    "mine_frequent_triples": (4, 3),  # basket rollup + triple/pair rollups
+    "sim_centroid_classify": (5, 4),  # centroid/norm/dot rollups + argmax
+    "events_burst_kleinberg": (2, 0),  # day rollup + per-type Viterbi fold
+    "sim_silhouette_eval": (4, 1),  # centroid rollup bcast + a/b rollups
+    "agg_tukey_fences": (2, 1),  # rank pass + broadcast quartile re-join
+    "agg_calibration_ece": (1, 1),  # 10-bin rollup + 1-row ECE broadcast
+    "win_bollinger_bands": (2, 0),  # day rollup + priority moment window
+    "graph_neighborhood_function": (5, 5),  # ring rollups off BFS checkpoints
+    "join_asof_nearest": (1, 0),  # both carries in ONE user-keyed window pass
+    "agg_gini_split_screen": (24, 8),  # 4 feature screens + root off the
+    #   checkpointed join (cell-table mini-rollups, one fact pass each)
+    "agg_js_drift": (2, 1),  # (type,bin) rollup + |types|-row total join
+    "sample_kfold_assignments": (2, 1),  # 5-fold rollup + 1-row total BNLJ
+    "text_lexical_overlap": (3, 3),  # vocab distinct + pair join + sizes
+    "events_tier_migration": (5, 2),  # user rollup + 2 count-domain
+    #   distributions + matrix (stream_topk_per_window is streaming —
+    #   excluded like the rest of §2.9)
 }
 
 _SHUFFLE_RE = re.compile(
@@ -179,6 +212,10 @@ def test_no_cartesian_product_and_python_stays_whitelisted(spark):
 # Windows inside localCheckpoint'd subtrees are invisible to this audit —
 # the checkpoint truncates the visible plan — so this pins the visible set.
 UNPARTITIONED_WINDOW_OK = {
+    # agg_ks_drift_bh's m-row BH rank window is real but invisible here:
+    # its input frame localCheckpoints (multi-consumer reuse), so the
+    # audited plan ends at checkpoint scans — the dedup_connected_components
+    # pattern. Documented in its docstring instead of whitelisted.
     "agg_ks_test",
     "agg_rollforward_balance",
     "agg_yoy_growth",
@@ -186,6 +223,7 @@ UNPARTITIONED_WINDOW_OK = {
     "etl_surrogate_keys",
     "events_cumulative_reach",
     "events_rfm_segments",
+    "events_tier_migration",  # count-domain distribution axis (rfm precedent)
     "events_survival_km",
     "sim_ann_ivf",
     "sim_ann_lsh",

@@ -70,6 +70,33 @@ _PARTITION_INVARIANT_KEYS = [
     "text_readability",
     "mine_frequent_triples",
     "sim_centroid_classify",
+    # round-8 second wave: global BH rank window, RAKE island cumsums +
+    # integer score ties, midrank windows, entropy partial-agg sums
+    "events_markov_entropy",
+    "agg_mutual_information",
+    "agg_ks_drift_bh",
+    "text_rake_keyphrases",
+    "text_spearman_length_vocab",
+    # round-8 third wave: the Viterbi bitmask fold (collect_list order
+    # must not leak) and the silhouette per-row min/max over broadcast
+    # centroids
+    "events_burst_kleinberg",
+    "sim_silhouette_eval",
+    # round-8 fourth wave: order-stat quartiles, integer ECE rollup,
+    # rolling-moment breakout compares, BFS-derived ring rollups
+    "agg_tukey_fences",
+    "agg_calibration_ece",
+    "win_bollinger_bands",
+    "graph_neighborhood_function",
+    # round-8 fifth wave: dual-carry window picks, impurity partial sums,
+    # JS mixture terms, hash folds, vocabulary pair joins
+    "join_asof_nearest",
+    "agg_gini_split_screen",
+    "agg_js_drift",
+    "sample_kfold_assignments",
+    "text_lexical_overlap",
+    # round-8 sixth wave: quantile-bucket joins over count domains
+    "events_tier_migration",
 ]
 
 

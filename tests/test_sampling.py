@@ -184,3 +184,39 @@ def test_neyman_allocation_tracks_variance(spark):
     assert 1_000_000 - 5 <= pdf.alloc_share_ppm.sum() <= 1_000_000
     w = pdf.n_stratum * pdf.sd_cents
     assert pdf.loc[w.idxmax(), "alloc_n"] == pdf.alloc_n.max()
+
+
+def test_kfold_partitions_and_balances(spark):
+    """The 5 folds partition the table exactly, sizes are near-equal
+    (hash uniformity), per-class counts sum to the class totals, and a
+    re-run is bit-identical (content-hash determinism)."""
+    import duckdb
+
+    pdf = (
+        sampling.QUERIES["sample_kfold_assignments"](spark, SF)
+        .toPandas()
+        .sort_values("fold")
+        .reset_index(drop=True)
+    )
+    assert list(pdf.fold) == [0, 1, 2, 3, 4]
+    con = duckdb.connect()
+    n, nf, no, np_ = con.execute(
+        f"""
+        SELECT count(*),
+               count(*) FILTER (o_orderstatus = 'F'),
+               count(*) FILTER (o_orderstatus = 'O'),
+               count(*) FILTER (o_orderstatus = 'P')
+        FROM '{SF}/orders.parquet'
+        """
+    ).fetchone()
+    assert pdf.n_orders.sum() == n
+    assert (pdf.n_status_f.sum(), pdf.n_status_o.sum(), pdf.n_status_p.sum()) == (nf, no, np_)
+    assert (pdf.share_permille == 1000 * pdf.n_orders // n).all()
+    assert pdf.n_orders.max() < 1.15 * pdf.n_orders.min()
+    again = (
+        sampling.QUERIES["sample_kfold_assignments"](spark, SF)
+        .toPandas()
+        .sort_values("fold")
+        .reset_index(drop=True)
+    )
+    assert pdf.equals(again)

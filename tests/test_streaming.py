@@ -145,3 +145,46 @@ def test_cdc_upsert_state_spans_batches_and_tombstones_win(spark):
             got = out[r.user_id]
             assert got.last_type == r.event_type
             assert got.last_t == r.ts_us
+
+
+def test_stream_topk_per_window_matches_batch_rank(spark):
+    """The streaming leaderboard must equal the same rank computed from a
+    plain batch groupBy: per-hour top-3 with deterministic tiebreaks,
+    ranks dense 1..3, counts non-increasing within each hour."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.streaming import streams
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        streams.QUERIES["stream_topk_per_window"](spark, sf)
+        .toPandas()
+        .sort_values(["hour_start", "rnk"])
+        .reset_index(drop=True)
+    )
+    e = load_table(spark, sf, "events")
+    counts = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .toPandas()
+    )
+    rows = []
+    for hs, g in counts.groupby("hour_start"):
+        g = g.sort_values(["n", "event_type"], ascending=[False, True]).head(3)
+        for i, r in enumerate(g.itertuples(), 1):
+            rows.append((hs, r.event_type, r.n, i))
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows, columns=["hour_start", "event_type", "n", "rnk"])
+        .sort_values(["hour_start", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.event_type.values == want.event_type.values).all()
+    assert (got.n.values == want.n.values).all()
+    assert (got.rnk.values == want.rnk.values).all()

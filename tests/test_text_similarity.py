@@ -639,3 +639,189 @@ def test_centroid_classify_matches_integer_replay(spark):
         (r.label_true, r.label_pred): r.n_vecs for r in pdf.itertuples()
     }
     assert got == conf
+
+
+def test_rake_scores_match_python_replay(spark):
+    """Full python replay of RAKE: stopword-split phrases, degree/freq
+    word stats, integer micro-unit phrase scores — the top-20 must match
+    exactly, including the tie ordering."""
+    import duckdb
+
+    pdf = (
+        text.QUERIES["text_rake_keyphrases"](spark, SF)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    docs = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    stops = {"a", "the"}
+    all_phrases = []  # list of word tuples
+    for d in docs:
+        cur = []
+        for w in d.strip().split():
+            if w in stops:
+                if cur:
+                    all_phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            all_phrases.append(tuple(cur))
+    freq: dict[str, int] = {}
+    degree: dict[str, int] = {}
+    for ph in all_phrases:
+        for w in ph:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ph)
+    scored: dict[str, list] = {}
+    for ph in all_phrases:
+        s = sum(1000000 * degree[w] // freq[w] for w in ph)
+        key = " ".join(ph)
+        if key in scored:
+            scored[key][1] += 1
+            assert scored[key][0] == s
+        else:
+            scored[key] = [s, 1, len(ph)]
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    assert len(pdf) == 20
+    for i, (phrase, (s, occ, ln)) in enumerate(top):
+        row = pdf.iloc[i]
+        assert row.phrase == phrase
+        assert row.score_micro == s
+        assert row.n_occurrences == occ
+        assert row.n_words == ln
+
+
+def test_spearman_length_vocab_replay(spark):
+    """Midrank Spearman replayed in numpy for one language; rho must be
+    strongly positive (longer docs do carry more distinct words)."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        text.QUERIES["text_spearman_length_vocab"](spark, SF)
+        .toPandas()
+        .set_index("lang")
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{SF}/documents.parquet' WHERE lang = 'de'"
+    ).fetchall()
+    x = np.array([len(t.strip().split()) for (t,) in docs])
+    y = np.array([len(set(t.strip().split())) for (t,) in docs])
+
+    def midrank_x2(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v), dtype=object)
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            for k in range(i, j + 1):
+                r[order[k]] = i + j + 2  # 2 * midrank
+            i = j + 1
+        return r
+
+    rx2, ry2 = midrank_x2(x), midrank_x2(y)
+    d2 = sum(int(a - b) ** 2 for a, b in zip(rx2, ry2))
+    n = len(x)
+    row = pdf.loc["de"]
+    assert row.n_docs == n
+    assert row.sum_d2_x4 == d2
+    assert row.rho_approx == round(1 - 1.5 * d2 / (n * (float(n) * n - 1)), 4)
+    assert row.rho_approx > 0.5
+
+
+def test_silhouette_matches_numpy_replay(spark):
+    """Exact-rational replay of the simplified silhouette for every
+    vector: integer distance numerators, per-row IEEE sqrt, per-label
+    4dp means — and the null-geometry reading (mean_s ≈ 0, many
+    negatives) this corpus must produce."""
+    import math
+
+    import duckdb
+
+    pdf = (
+        similarity.QUERIES["sim_silhouette_eval"](spark, SF)
+        .toPandas()
+        .set_index("label")
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    cent: dict[int, list[int]] = {}
+    cnt: dict[int, int] = {}
+    vecs = []
+    for vid, label, emb in rows:
+        q = [math.floor(float(x) * 1000) for x in emb]
+        vecs.append((vid, label, q))
+        if label not in cent:
+            cent[label] = [0] * len(q)
+        cent[label] = [a + v for a, v in zip(cent[label], q)]
+        cnt[label] = cnt.get(label, 0) + 1
+    agg: dict[int, list] = {lb: [0, 0.0, 0, 0.0, 0.0] for lb in cent}
+    for vid, label, q in vecs:
+        dists = {}
+        for lb, s_l in cent.items():
+            c = cnt[lb]
+            d2 = sum((v * c - s) ** 2 for v, s in zip(q, s_l))
+            dists[lb] = math.sqrt(d2) / c
+        a = dists[label]
+        b = min(d for lb, d in dists.items() if lb != label)
+        s = (b - a) / max(a, b)
+        e = agg[label]
+        e[0] += 1
+        e[1] += s
+        e[2] += 1 if b < a else 0
+        e[3] += a
+        e[4] += b
+    for lb, (n, ssum, neg, asum, bsum) in agg.items():
+        row = pdf.loc[lb]
+        assert row.n_vecs == n
+        assert abs(row.mean_silhouette - ssum / n) < 5.1e-5
+        assert row.n_negative == neg
+        assert abs(row.mean_a - asum / n) < 5.1e-5
+        assert abs(row.mean_b - bsum / n) < 5.1e-5
+    # null geometry: means hover near zero with plenty of negatives
+    assert pdf.mean_silhouette.abs().max() < 0.05
+    assert (pdf.n_negative > 0).all()
+
+
+def test_lexical_overlap_matches_python_sets(spark):
+    """Set replay of every pair's Jaccard/containment; the shared
+    synthetic vocabulary must read as near-total overlap."""
+    import duckdb
+
+    pdf = (
+        text.QUERIES["text_lexical_overlap"](spark, SF)
+        .toPandas()
+        .set_index(["lang_a", "lang_b"])
+    )
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    vocab: dict[str, set] = {}
+    for lang, t in docs:
+        vocab.setdefault(lang, set()).update(t.strip().split())
+    langs = sorted(vocab)
+    assert len(pdf) == len(langs) * (len(langs) - 1) // 2
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            inter = len(vocab[la] & vocab[lb])
+            union = len(vocab[la] | vocab[lb])
+            row = pdf.loc[(la, lb)]
+            assert (row.vocab_a, row.vocab_b) == (len(vocab[la]), len(vocab[lb]))
+            assert row.n_common == inter
+            assert row.jaccard_micro == 1000000 * inter // union
+            assert row.containment_permille == 1000 * inter // min(
+                len(vocab[la]), len(vocab[lb])
+            )
+            assert row.jaccard_micro > 900000  # shared vocabulary: say so

@@ -464,3 +464,54 @@ def test_sax_paa_word_structure(spark):
         assert row.n_days == n
         assert row.min_paa == round(paa.min(), 4)
         assert row.max_paa == round(paa.max(), 4)
+
+
+def test_bollinger_flags_match_numpy(spark):
+    """Rolling-moment replay: every emitted mean/std and both breakout
+    flags recomputed from the raw daily series for one priority."""
+    import duckdb
+    import numpy as np
+
+    pdf = (
+        windows.QUERIES["win_bollinger_bands"](spark, "/root/testdata/sf0.01")
+        .toPandas()
+    )
+    pdf = pdf[pdf.o_orderpriority == "1-URGENT"].sort_values("day").reset_index(drop=True)
+    con = duckdb.connect()
+    daily = con.execute(
+        """
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100 AS y
+        FROM '/root/testdata/sf0.01/orders.parquet'
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    ys = [int(v) for v in daily.y]
+    days = [int(d) for d in daily.day]
+    out = []
+    for i in range(19, len(ys)):
+        w = ys[i - 19 : i + 1]
+        k, s, s2, y = 20, sum(w), sum(v * v for v in w), ys[i]
+        dev = k * y - s
+        var_num = k * s2 - s * s
+        exceed = (k - 1) * dev * dev > 4 * k * var_num
+        out.append(
+            (
+                days[i],
+                y,
+                round(s / k, 4),
+                round((var_num / (k * (k - 1))) ** 0.5, 4),
+                int(dev > 0 and exceed),
+                int(dev < 0 and exceed),
+            )
+        )
+    assert len(pdf) == len(out)
+    got = list(
+        zip(pdf.day, pdf.y, pdf.mean_dollars, pdf.std_dollars,
+            pdf.breakout_up, pdf.breakout_down)
+    )
+    assert got == out
+    # the 2-sigma envelope must trip somewhere but rarely (~5% of days)
+    trips = pdf.breakout_up.sum() + pdf.breakout_down.sum()
+    assert 0 < trips < 0.1 * len(pdf)
