@@ -117,13 +117,20 @@ R7_TIER = [
     "win_stl_decompose",
 ]
 
-# Round-8 additions: the 3 most plan-complex of the 8 (the Pettitt/SAX/
-# readability/cramers/capture keys are sub-second bounded-axis rollups at
-# sf0.1 and tracked by tests instead).
+# Round-8 additions: the most plan-complex of the 32 (the Pettitt/SAX/
+# readability/cramers/capture/RSI/tau keys are sub-second bounded-axis
+# rollups at sf0.1 and tracked by tests instead). tpch_q5 carries the
+# two-fact-shuffle + shrunk-broadcast plan, neighborhood_function the
+# iterative BFS composition, sample_systematic the range-partitioned
+# global rank, bigram_richness the corpus-scale type spectrum.
 R8_TIER = [
     "sim_centroid_classify",
     "mine_frequent_triples",
     "events_interarrival_stats",
+    "tpch_q5_local_supplier",
+    "graph_neighborhood_function",
+    "sample_systematic",
+    "text_bigram_richness",
 ]
 
 

@@ -4266,3 +4266,99 @@ def agg_js_drift(spark, sf_dir):
             ).alias("tv_micro"),
         )
     )
+
+
+@register(
+    "agg_kendall_tau",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_diff('month', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 100 AS y
+        FROM orders GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.pri,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+               CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+               CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 ELSE 0 END AS ty
+        FROM monthly a JOIN monthly b ON a.pri = b.pri AND a.m < b.m
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(sum(c) AS BIGINT) AS concordant,
+           CAST(sum(d) AS BIGINT) AS discordant,
+           CAST(sum(tx) AS BIGINT) AS ties_x,
+           CAST(sum(ty) AS BIGINT) AS ties_y,
+           round((sum(c) - sum(d))
+                 / sqrt((sum(c) + sum(d) + sum(tx))
+                        * 1.0 * (sum(c) + sum(d) + sum(ty))), 4) AS tau_b
+    FROM pairs GROUP BY 1
+    """,
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall's τ-b rank correlation between each priority's monthly order
+    COUNT and monthly revenue — the robust "do busier months earn more?"
+    monotone-association test that, unlike Pearson (agg_corr_matrix) and
+    Spearman (text_spearman_length_vocab), is built purely from pairwise
+    integer comparisons: concordant/discordant/tied pair COUNTS, so the
+    whole statistic is exact until one final division.
+
+    τ-b = (C − D) / √((C+D+Tx)(C+D+Ty)) with Tx/Ty the single-side tie
+    counts (both-tied pairs drop from both factors — the tie correction
+    that plain τ-a lacks). x is an exact count, y exact whole dollars.
+
+    100 TB: the O(n²) pair expansion runs on the MONTHLY rollup, not the
+    fact table — n is bounded by the calendar (~80 months/priority, ~3.2k
+    pairs), so the self-join input is a few hundred rows regardless of
+    fact scale; the only fact-scale work is one map-side-combined
+    groupBy. The pair join is an equi-join on pri + month inequality —
+    no CartesianProduct."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) DIV 100"
+        ).alias("y"),
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    prod = (F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))
+    pairs = a.join(
+        b, (F.col("a.pri") == F.col("b.pri")) & (F.col("a.m") < F.col("b.m"))
+    ).select(
+        F.col("a.pri").alias("pri"),
+        F.when(prod > 0, 1).otherwise(0).alias("c"),
+        F.when(prod < 0, 1).otherwise(0).alias("d"),
+        F.when(
+            (F.col("a.x") == F.col("b.x")) & (F.col("a.y") != F.col("b.y")), 1
+        ).otherwise(0).alias("tx"),
+        F.when(
+            (F.col("a.y") == F.col("b.y")) & (F.col("a.x") != F.col("b.x")), 1
+        ).otherwise(0).alias("ty"),
+    )
+    s = pairs.groupBy("pri").agg(
+        F.sum("c").cast("long").alias("concordant"),
+        F.sum("d").cast("long").alias("discordant"),
+        F.sum("tx").cast("long").alias("ties_x"),
+        F.sum("ty").cast("long").alias("ties_y"),
+    )
+    c, d = F.col("concordant"), F.col("discordant")
+    tx, ty = F.col("ties_x"), F.col("ties_y")
+    return s.select(
+        F.col("pri").alias("o_orderpriority"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(
+            (c - d) / F.sqrt((c + d + tx) * 1.0 * (c + d + ty)), 4
+        ).alias("tau_b"),
+    )

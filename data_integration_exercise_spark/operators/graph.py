@@ -1213,3 +1213,103 @@ def graph_neighborhood_function(spark, sf_dir):
             F.col("d90").alias("eff_diameter_d90"),
         )
     )
+
+
+@register(
+    "graph_trade_reciprocity",
+    oracle="""
+    WITH flow AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cents DESC, dst ASC) AS rk
+        FROM flow
+    ), edges AS (SELECT src, dst FROM ranked WHERE rk <= 3)
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS out_deg,
+           CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS mutual,
+           round(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS reciprocity
+    FROM edges e
+    LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+    JOIN nation n ON e.src = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def graph_trade_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity on the top-3-trading-partner graph:
+    nation A → nation B iff B is one of A's 3 largest supplier nations by
+    cross-border revenue. Reciprocity per nation = fraction of its top-3
+    partners that rank A in THEIR top-3 — the classic directed-network
+    mutuality measure (the full nation⋈nation flow graph is dense at
+    every scale factor — all 25×24 pairs trade, measured — so raw edge
+    reciprocity is degenerately 1.0; top-k thresholding is what makes the
+    direction informative).
+
+    Exactness: flows are exact integer cents; the top-3 cut is a
+    row_number with a (cents DESC, dst ASC) total order, so ties can't
+    flap between engines; reciprocity is the single rounded division.
+
+    100 TB: the only fact-scale work is one groupBy (src,dst) rollup —
+    map-side combined, ≤625 output rows regardless of input size; the
+    ranking window, the self-join on the 75-edge set, and the broadcast
+    nation lookup all run on dimension-sized data."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    flow = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    rk = Window.partitionBy("src").orderBy(F.col("cents").desc(), F.col("dst").asc())
+    edges = (
+        flow.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    rev = edges.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    return (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("r_dst")) & (F.col("dst") == F.col("r_src")),
+            "left",
+        )
+        .join(F.broadcast(n), F.col("src") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_deg"),
+            F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("mutual"),
+            F.round(
+                F.sum(F.when(F.col("r_src").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("reciprocity"),
+        )
+    )

@@ -675,3 +675,67 @@ def sample_kfold_assignments(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "sample_systematic",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+               row_number() OVER (
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+    FROM ordered WHERE rn % 100 = 1
+    """,
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic 1-in-100 sample: rank every order along a pseudo-random
+    axis (md5 of the key) and keep every 100th row. Versus
+    sample_hash_mod's Bernoulli-style bucket filter, systematic sampling
+    guarantees the EXACT sample size ceil(N/100) — the property survey
+    methodology cares about when downstream cost is budgeted per row —
+    while the hashed sort axis removes the periodicity risk of stepping
+    through a meaningfully-ordered file. Deterministic and engine-portable
+    (md5 is bit-identical everywhere; the o_orderkey tiebreak makes the
+    total order unique, so no rank flapping).
+
+    100 TB: an honest global rank NEEDS a total order, but NOT a
+    single-partition window — this is the etl_surrogate_keys
+    decomposition: range-repartition on the digest, rank LOCALLY per
+    partition, roll partition counts into broadcast exclusive-prefix
+    offsets, global rn = offset + local rank. Range partitions are
+    ordered and non-overlapping so the composition equals the naive
+    global row_number exactly (the oracle states the naive form; the
+    equality is the correctness claim). localCheckpoint pins ONE
+    boundary sampling — repartitionByRange re-samples per execution,
+    the round-7 sf0.1 landmine. For budget-capped selection without a
+    sort, sample_priority_topk is the cheaper cousin; this key is the
+    exact-grid variant."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    keyed = o.withColumn("h", F.md5(F.col("o_orderkey").cast("string")))
+    parts = keyed.repartitionByRange(8, "h", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("h", "o_orderkey")
+    local = parts.withColumn(
+        "lrank", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count("*").cast("long").alias("n"))
+        # bounded global window: one row per PARTITION (8 rows) — the
+        # offsets-of-counts shape, never over data rows
+        .withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)).cast("long"))
+        .select("pid", "off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .filter((F.col("off") + F.col("lrank")) % 100 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )

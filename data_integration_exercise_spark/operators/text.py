@@ -1432,3 +1432,68 @@ def text_lexical_overlap(spark, sf_dir):
             ).alias("containment_permille"),
         )
     )
+
+
+@register(
+    "text_bigram_richness",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok,
+               unnest(list_transform(string_split(text, ' '),
+                                     (x, i) -> i)) AS pos
+        FROM documents
+    ), big AS (
+        SELECT a.lang, a.tok || ' ' || b.tok AS bg
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), freq AS (
+        SELECT lang, bg, CAST(count(*) AS BIGINT) AS f FROM big GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(f) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+               AS hapax_ratio,
+           round(count(*) * 1.0 / sum(f), 4) AS type_token_ratio
+    FROM freq GROUP BY 1
+    """,
+)
+def text_bigram_richness(spark, sf_dir):
+    """Per-language lexical-richness profile over word BIGRAM types: total
+    bigram tokens, distinct types, hapax legomena (types seen exactly
+    once), hapax ratio, and type-token ratio. The vocabulary-growth
+    diagnostic a corpus curator reads before dedup/mixing — a collapsing
+    hapax ratio across snapshots means the crawl is saturating (or
+    self-duplicating). Unigram types are degenerate on this synthetic
+    corpus (31-word vocabulary, measured), so richness is computed on
+    bigrams (~900 types/lang) where the frequency spectrum is real.
+
+    Exactness: everything is integer counts until the two final ratios
+    (rounded 4dp).
+
+    100 TB: sliding bigrams come from one zip of the token array with
+    itself (transform over indices — no self-join in Spark, the oracle's
+    join is DuckDB-only); the frequency spectrum is a two-level
+    map-side-combinable groupBy (lang,bg)→(lang), both partial-agg
+    friendly. Output is 5 rows; vocab state is bounded by the type count,
+    not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (t, i) -> concat(t, ' ', element_at(split(text, ' '), i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    freq = bigrams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("f"))
+    hap = F.when(F.col("f") == 1, 1).otherwise(0)
+    return freq.groupBy("lang").agg(
+        F.sum("f").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(hap).cast("long").alias("hapax"),
+        F.round(F.sum(hap) * 1.0 / F.count(F.lit(1)), 4).alias("hapax_ratio"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("f"), 4).alias("type_token_ratio"),
+    )

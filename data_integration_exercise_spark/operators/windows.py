@@ -1660,3 +1660,86 @@ def win_bollinger_bands(spark, sf_dir):
         F.when((dev > 0) & exceed, 1).otherwise(0).cast("long").alias("breakout_up"),
         F.when((dev < 0) & exceed, 1).otherwise(0).cast("long").alias("breakout_down"),
     )
+
+
+@register(
+    "win_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 100 AS y
+        FROM orders GROUP BY 1, 2
+    ), d AS (
+        SELECT pri, day, y,
+               y - lag(y) OVER (PARTITION BY pri ORDER BY day) AS delta
+        FROM daily
+    ), w AS (
+        SELECT pri, day, y,
+               CAST(count(delta) OVER win AS BIGINT) AS k,
+               CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                    OVER win AS BIGINT) AS g,
+               CAST(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                    OVER win AS BIGINT) AS l
+        FROM d
+        WINDOW win AS (PARTITION BY pri ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT pri AS o_orderpriority, day, y, g AS gain_sum, l AS loss_sum,
+           CASE WHEN g + l = 0 THEN 50.0
+                ELSE round(100.0 * g / (g + l), 4) END AS rsi
+    FROM w WHERE k = 14
+    """,
+)
+def win_rsi(spark, sf_dir):
+    """14-day RSI (relative strength index, SMA variant) over each
+    priority's daily revenue: RSI = 100·G/(G+L) where G/L are the window
+    sums of positive/negative day-over-day deltas. The momentum gauge that
+    pairs with win_bollinger_bands' volatility envelope — bands say "is
+    today's LEVEL abnormal", RSI says "is the recent DIRECTION one-sided".
+
+    Exactness: deltas of whole-dollar integers are integers, so G and L
+    are exact BIGINT window sums; the single final division is rounded
+    4dp, and the G+L=0 flat-regime case is pinned to 50.0 (the
+    conventional neutral reading) instead of tripping ANSI div-by-zero.
+    Warm-up rows with fewer than 14 deltas are excluded via an exact
+    non-null count, not a row offset — the first row of each series has a
+    NULL delta, so k=14 first holds on row 15.
+
+    100 TB: one map-side-combined day-grain rollup, then two ordered
+    passes over the same priority-partitioned bounded calendar axis (lag,
+    then the rolling sums) — Spark plans both in a single sort, no
+    global window, no second fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) DIV 100"
+        ).alias("y")
+    )
+    ordered = Window.partitionBy("pri").orderBy("day")
+    win = ordered.rowsBetween(-13, 0)
+    d = daily.withColumn("delta", F.col("y") - F.lag("y").over(ordered))
+    gain = F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0))
+    loss = F.when(F.col("delta") < 0, -F.col("delta")).otherwise(F.lit(0))
+    w = (
+        d.withColumn("k", F.count("delta").over(win).cast("long"))
+        .withColumn("g", F.sum(gain).over(win).cast("long"))
+        .withColumn("l", F.sum(loss).over(win).cast("long"))
+        .filter(F.col("k") == 14)
+    )
+    g, l = F.col("g"), F.col("l")
+    return w.select(
+        F.col("pri").alias("o_orderpriority"),
+        "day",
+        "y",
+        g.alias("gain_sum"),
+        l.alias("loss_sum"),
+        F.when(g + l == 0, F.lit(50.0))
+        .otherwise(F.round(100.0 * g / (g + l), 4))
+        .alias("rsi"),
+    )

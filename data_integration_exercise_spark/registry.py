@@ -138,16 +138,15 @@ _PRIORITY = [
 # window for the round-9 rotation.
 #
 # ROUND-9 PLAN (pre-pinned, the r7→r8 pattern — execute at round-9 open
-# AFTER confirming CORRECTNESS_r08 is green): slots 1-26 = the 26
+# AFTER confirming CORRECTNESS_r08 is green): slots 1-32 = the 32
 # `_ADDED_R8` keys below in list order (every one already 3-scale
 # emulator-green and 7-vs-32 partition-invariant, so the window is
 # conversion-to-driver-truth, not discovery). No rewrite-after-green
 # re-verification slots accrue from this round: every round-8 change to a
 # previously-green key (dedup_minhash_lsh's output bounding) was already
-# scheduled INSIDE the round-8 window. Slots 27-50 = freshness re-checks
-# of the 24 oldest keys whose latest green row is round 1-2 (pick by
-# earliest CORRECTNESS file, stable registry order) — after which every
-# key's latest green row is ≤ 6 rounds old.
+# scheduled INSIDE the round-8 window. Slots 33-50 = freshness re-checks
+# of the 18 oldest keys whose latest green row is round 1-2 (pick by
+# earliest CORRECTNESS file, stable registry order).
 _ADDED_R8: list[str] = [
     "events_interarrival_stats",
     "events_capture_recapture",
@@ -175,6 +174,12 @@ _ADDED_R8: list[str] = [
     "text_lexical_overlap",
     "stream_topk_per_window",
     "events_tier_migration",
+    "tpch_q5_local_supplier",
+    "win_rsi",
+    "agg_kendall_tau",
+    "text_bigram_richness",
+    "graph_trade_reciprocity",
+    "sample_systematic",
 ]
 
 # Keys hash/rows-verified green by the driver in round 7 (the former

@@ -851,3 +851,61 @@ def test_js_drift_identities(spark):
         assert row.tv_micro == 1000000 * tv_num // (2 * A * B)
         assert 0 <= row.js_bits <= 1.0 and row.js_bits < 0.05
         assert 0 <= row.tv_micro < 200000
+
+
+def test_kendall_tau_bounds_and_pair_budget(spark):
+    """|τ-b| ≤ 1 and C+D+Tx+Ty can never exceed n(n−1)/2 pairs (both-tied
+    pairs are the only ones outside all four buckets)."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["m"] = pd.to_datetime(o.o_orderdate).dt.to_period("M")
+    n_months = o.groupby("o_orderpriority").m.nunique().to_dict()
+    rows = aggregates.QUERIES["agg_kendall_tau"](spark, SF).collect()
+    assert len(rows) == len(n_months)
+    for r in rows:
+        n = n_months[r.o_orderpriority]
+        assert (
+            r.concordant + r.discordant + r.ties_x + r.ties_y <= n * (n - 1) // 2
+        )
+        assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_kendall_tau_matches_python_pair_count(spark):
+    """Brute-force the pair classification for one priority in Python."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o = o[o.o_orderpriority == "5-LOW"].copy()
+    o["m"] = pd.to_datetime(o.o_orderdate).dt.year * 12 + pd.to_datetime(
+        o.o_orderdate
+    ).dt.month
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    g = pd.DataFrame({"m": o.m, "c": cents}).groupby("m")
+    x = g.size()
+    y = g.c.sum().floordiv(100)
+    ms = sorted(x.index)
+    C = D = TX = TY = 0
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            dx = x[ms[j]] - x[ms[i]]
+            dy = y[ms[j]] - y[ms[i]]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+            elif dx == 0 and dy != 0:
+                TX += 1
+            elif dy == 0 and dx != 0:
+                TY += 1
+    row = next(
+        r
+        for r in aggregates.QUERIES["agg_kendall_tau"](spark, SF).collect()
+        if r.o_orderpriority == "5-LOW"
+    )
+    assert (row.concordant, row.discordant, row.ties_x, row.ties_y) == (C, D, TX, TY)
+    import math
+
+    assert row.tau_b == pytest.approx(
+        round((C - D) / math.sqrt((C + D + TX) * (C + D + TY)), 4), abs=1e-9
+    )

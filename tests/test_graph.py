@@ -239,3 +239,53 @@ def test_neighborhood_function_consistent_with_bfs(spark):
     assert nf.coverage_permille.iloc[-1] == 1000
     d90 = nf[nf.cum_nodes * 10 >= 9 * total].dist.min()
     assert (nf.eff_diameter_d90 == d90).all()
+
+
+def test_trade_reciprocity_structure(spark):
+    """Every nation emits exactly 3 top-partner edges; mutual ∈ [0,3];
+    reciprocity = mutual/3; and mutuality is symmetric, so the total
+    mutual count across nations is even."""
+    rows = graph.QUERIES["graph_trade_reciprocity"](spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.out_deg == 3
+        assert 0 <= r.mutual <= 3
+        assert r.reciprocity == pytest.approx(round(r.mutual / 3, 4), abs=1e-9)
+    assert sum(r.mutual for r in rows) % 2 == 0
+
+
+def test_trade_reciprocity_matches_pandas_topk(spark):
+    """Rebuild the top-3 partner graph in pandas and compare mutual counts."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey", "l_extendedprice"]
+    ]
+    c = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    s = pd.read_parquet(f"{SF}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    n = pd.read_parquet(f"{SF}/nation.parquet")
+    m = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    m = m[m.c_nationkey != m.s_nationkey].copy()
+    m["cents"] = (m.l_extendedprice * 100).round().astype("int64")
+    flow = m.groupby(["c_nationkey", "s_nationkey"]).cents.sum().reset_index()
+    edges = set()
+    for src, grp in flow.groupby("c_nationkey"):
+        top = grp.sort_values(["cents", "s_nationkey"], ascending=[False, True])
+        for dst in top.s_nationkey.head(3):
+            edges.add((src, dst))
+    name = dict(zip(n.n_nationkey, n.n_name))
+    expect = {}
+    for src in sorted({e[0] for e in edges}):
+        outs = [d for (s_, d) in edges if s_ == src]
+        mutual = sum(1 for d in outs if (d, src) in edges)
+        expect[name[src]] = mutual
+    got = {
+        r.n_name: r.mutual
+        for r in graph.QUERIES["graph_trade_reciprocity"](spark, SF).collect()
+    }
+    assert got == expect

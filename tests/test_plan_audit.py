@@ -221,6 +221,8 @@ UNPARTITIONED_WINDOW_OK = {
     "agg_yoy_growth",
     "dedup_threshold_sweep",
     "etl_surrogate_keys",
+    # |partitions|-row offset table (the etl_surrogate_keys decomposition)
+    "sample_systematic",
     "events_cumulative_reach",
     "events_rfm_segments",
     "events_tier_migration",  # count-domain distribution axis (rfm precedent)

@@ -97,6 +97,15 @@ _PARTITION_INVARIANT_KEYS = [
     "text_lexical_overlap",
     # round-8 sixth wave: quantile-bucket joins over count domains
     "events_tier_migration",
+    # round-8 seventh wave: co-location join predicate, windowed integer
+    # delta sums, O(months²) pair counts, bigram frequency spectrum,
+    # top-k directed edges + mutual self-join, range-partitioned global rank
+    "tpch_q5_local_supplier",
+    "win_rsi",
+    "agg_kendall_tau",
+    "text_bigram_richness",
+    "graph_trade_reciprocity",
+    "sample_systematic",
 ]
 
 

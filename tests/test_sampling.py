@@ -220,3 +220,35 @@ def test_kfold_partitions_and_balances(spark):
         .reset_index(drop=True)
     )
     assert pdf.equals(again)
+
+
+def test_systematic_exact_grid_size(spark):
+    """Systematic 1-in-100 yields EXACTLY ceil(N/100) rows — the property
+    that distinguishes it from Bernoulli/hash-mod sampling."""
+    import math
+
+    import pandas as pd
+
+    n = len(pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"]))
+    rows = sampling.QUERIES["sample_systematic"](spark, SF).collect()
+    assert len(rows) == math.ceil(n / 100)
+
+
+def test_systematic_matches_naive_global_rank(spark):
+    """The range-partition + offset decomposition must select the SAME key
+    set as the naive md5-sorted global row_number computed in pandas."""
+    import hashlib
+
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    o["h"] = o.o_orderkey.map(
+        lambda k: hashlib.md5(str(k).encode()).hexdigest()
+    )
+    ranked = o.sort_values(["h", "o_orderkey"]).reset_index(drop=True)
+    expect = set(ranked.o_orderkey[:: 100])
+    got = {
+        r.o_orderkey
+        for r in sampling.QUERIES["sample_systematic"](spark, SF).collect()
+    }
+    assert got == expect

@@ -825,3 +825,31 @@ def test_lexical_overlap_matches_python_sets(spark):
                 len(vocab[la]), len(vocab[lb])
             )
             assert row.jaccard_micro > 900000  # shared vocabulary: say so
+
+
+def test_bigram_richness_matches_counter_replay(spark):
+    """Replay the bigram frequency spectrum per language with a Python
+    Counter — every emitted integer and ratio must agree."""
+    from collections import Counter
+
+    import pandas as pd
+
+    d = pd.read_parquet(f"{SF}/documents.parquet")
+    expect = {}
+    for lang, grp in d.groupby("lang"):
+        cnt = Counter()
+        for t in grp.text:
+            toks = t.split(" ")
+            cnt.update(
+                f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+            )
+        n = sum(cnt.values())
+        v = len(cnt)
+        h = sum(1 for f in cnt.values() if f == 1)
+        expect[lang] = (n, v, h, round(h / v, 4), round(v / n, 4))
+    rows = text.QUERIES["text_bigram_richness"](spark, SF).collect()
+    got = {
+        r.lang: (r.n_bigrams, r.vocab, r.hapax, r.hapax_ratio, r.type_token_ratio)
+        for r in rows
+    }
+    assert got == expect

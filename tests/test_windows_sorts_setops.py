@@ -515,3 +515,53 @@ def test_bollinger_flags_match_numpy(spark):
     # the 2-sigma envelope must trip somewhere but rarely (~5% of days)
     trips = pdf.breakout_up.sum() + pdf.breakout_down.sum()
     assert 0 < trips < 0.1 * len(pdf)
+
+
+def test_rsi_bounds_and_fold(spark):
+    """RSI ∈ [0,100]; every row's rsi reproduces 100·G/(G+L) from its own
+    emitted integer sums; flat regimes (G+L=0) read exactly 50."""
+    rows = windows.QUERIES["win_rsi"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.gain_sum >= 0 and r.loss_sum >= 0
+        assert 0.0 <= r.rsi <= 100.0
+        tot = r.gain_sum + r.loss_sum
+        if tot == 0:
+            assert r.rsi == 50.0
+        else:
+            assert r.rsi == pytest.approx(
+                round(100.0 * r.gain_sum / tot, 4), abs=1e-9
+            )
+
+
+def test_rsi_matches_python_series_replay(spark):
+    """Fold one priority's daily series in pure Python (deltas → 14-window
+    sums) and compare every emitted row."""
+    import pandas as pd
+
+    o = pd.read_parquet("/root/testdata/sf0.01/orders.parquet")
+    o = o[o.o_orderpriority == "1-URGENT"].copy()
+    o["day"] = (pd.to_datetime(o.o_orderdate).dt.normalize()
+                - pd.Timestamp("1970-01-01")).dt.days
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    daily = (
+        pd.DataFrame({"day": o.day, "c": cents})
+        .groupby("day").c.sum().floordiv(100).sort_index()
+    )
+    deltas = daily.diff()
+    expect = {}
+    vals = deltas.tolist()
+    days = daily.index.tolist()
+    for i in range(len(days)):
+        win = [v for v in vals[max(0, i - 13): i + 1] if pd.notna(v)]
+        if len(win) != 14:
+            continue
+        g = int(sum(v for v in win if v > 0))
+        l = int(-sum(v for v in win if v < 0))
+        expect[days[i]] = (g, l)
+    got = {
+        r.day: (r.gain_sum, r.loss_sum)
+        for r in windows.QUERIES["win_rsi"](spark, "/root/testdata/sf0.01").collect()
+        if r.o_orderpriority == "1-URGENT"
+    }
+    assert got == expect
