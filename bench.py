@@ -131,6 +131,7 @@ R8_TIER = [
     "graph_neighborhood_function",
     "sample_systematic",
     "text_bigram_richness",
+    "graph_scc_condensation",
 ]
 
 

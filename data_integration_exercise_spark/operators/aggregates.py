@@ -4362,3 +4362,108 @@ def agg_kendall_tau(spark, sf_dir):
             (c - d) / F.sqrt((c + d + tx) * 1.0 * (c + d + ty)), 4
         ).alias("tau_b"),
     )
+
+
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(cents) OVER () AS BIGINT) AS total
+        FROM spend
+    ), deciles AS (
+        SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS decile_cents,
+               CAST(any_value(total) AS BIGINT) AS total
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_cust, decile_cents,
+           round(decile_cents * 1.0 / total, 4) AS share,
+           round(sum(decile_cents) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / total, 4) AS cum_share
+    FROM deciles
+    """,
+)
+def agg_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve of customer spend in exact deciles: customers ranked
+    by lifetime spend (integer cents, custkey tiebreak — a unique total
+    order, so decile membership can't flap), cut into ten equal-count
+    bins, each reporting its spend share and the cumulative share. The
+    inequality readout behind agg_gini_segments — Gini summarizes it to
+    one number, the Lorenz points show WHERE the curve bends (the
+    "bottom half of customers carry 32% of revenue" sentence).
+
+    The global rank uses the etl_surrogate_keys range-partition + offset
+    decomposition: range-repartition on (cents, custkey), rank locally,
+    add broadcast exclusive-prefix offsets — never a single-partition
+    window over customers. n and total ride the same 8-row offsets
+    rollup. localCheckpoint pins one boundary sampling (the round-7
+    repartitionByRange landmine).
+
+    100 TB: one map-side-combined per-customer rollup, one range
+    exchange, and a 10-row cumulative window on the bounded decile axis
+    (UNPARTITIONED_WINDOW_OK)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("cents")
+    )
+    parts = spend.repartitionByRange(8, "cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    local = parts.withColumn(
+        "lrank", F.row_number().over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("part_cents"),
+        )
+        # bounded global windows: one row per PARTITION (8 rows)
+        .withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long")
+        )
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy()).cast("long"))
+        .withColumn(
+            "total", F.sum("part_cents").over(Window.partitionBy()).cast("long")
+        )
+        .select("pid", "off", "n", "total")
+    )
+    deciles = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "decile",
+            # integer DIV, not double /: float quotients at the decile
+            # boundary could truncate to the wrong bin
+            F.expr("((off + lrank - 1) * 10) DIV n + 1").cast("long"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+            F.any_value("total").alias("total"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return deciles.select(
+        "decile",
+        "n_cust",
+        "decile_cents",
+        F.round(F.col("decile_cents") * 1.0 / F.col("total"), 4).alias("share"),
+        F.round(
+            F.sum("decile_cents").over(w_cum) * 1.0 / F.col("total"), 4
+        ).alias("cum_share"),
+    )

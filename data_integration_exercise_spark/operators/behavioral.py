@@ -2294,3 +2294,95 @@ def events_tier_migration(spark, sf_dir):
     return tiers.groupBy("tier_first", "tier_second").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+#: 2024-01-21 00:00:00 UTC in epoch-µs — the markov-eval train/test cutover
+#: (first 20 days train, last 10 days test; events span Jan 1-30, measured)
+_MARKOV_EVAL_SPLIT_US = 1_705_795_200_000_000
+
+
+@register(
+    "events_markov_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS src, nxt AS dst, ts_us
+        FROM seq WHERE nxt IS NOT NULL
+    ), train AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM trans
+        WHERE ts_us < 1705795200000000 GROUP BY 1, 2
+    ), pred AS (
+        SELECT src, dst AS predicted FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, dst ASC) AS rk
+            FROM train) WHERE rk = 1
+    ), test AS (
+        SELECT src, dst FROM trans WHERE ts_us >= 1705795200000000
+    )
+    SELECT t.src AS event_type, p.predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.dst = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN t.dst = p.predicted THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS accuracy
+    FROM test t JOIN pred p ON t.src = p.src
+    GROUP BY 1, 2
+    """,
+)
+def events_markov_eval(spark, sf_dir):
+    """Backtest of the events_markov_transitions behavior model: train the
+    top-1 next-event predictor on the first 20 days (argmax transition
+    count per source type, ties broken by type name so both engines pick
+    identically), then score it on the last 10 days' transitions —
+    per-type test count, hits, and accuracy. The temporal-holdout ML eval
+    the transition matrix exists to feed; measured accuracies sit at the
+    ~0.2 five-type chance floor because the synthetic stream is
+    near-uniform, and pinning THAT honest null is the point (a leaky
+    split would read far above chance).
+
+    A transition belongs to train/test by its SOURCE event's timestamp,
+    so no pair straddles the cut with label leakage.
+
+    100 TB: one user-partitioned window builds all transitions in a
+    single pass; train collapses to the |types|² matrix before the argmax
+    window (25 rows); the 5-row predictor broadcasts onto the test
+    stream's |types|-row rollup. Nothing fact-scale crosses the cut
+    twice."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            "ts_us",
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    train = (
+        trans.filter(F.col("ts_us") < _MARKOV_EVAL_SPLIT_US)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst").asc())
+    pred = (
+        train.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    test = trans.filter(F.col("ts_us") >= _MARKOV_EVAL_SPLIT_US)
+    hit = F.when(F.col("dst") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(pred), "src")
+        .groupBy(F.col("src").alias("event_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+    )

@@ -909,3 +909,43 @@ def test_kendall_tau_matches_python_pair_count(spark):
     assert row.tau_b == pytest.approx(
         round((C - D) / math.sqrt((C + D + TX) * (C + D + TY)), 4), abs=1e-9
     )
+
+
+def test_lorenz_deciles_structure(spark):
+    """10 deciles, near-equal counts (±1), shares sum to 1, cum_share is
+    non-decreasing and ends at 1, and the curve is convex (later deciles
+    carry ≥ earlier shares — spend-sorted bins can't invert)."""
+    rows = sorted(
+        aggregates.QUERIES["agg_lorenz_deciles"](spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    counts = [r.n_cust for r in rows]
+    assert max(counts) - min(counts) <= 1
+    assert sum(r.decile_cents for r in rows) > 0
+    shares = [r.share for r in rows]
+    assert shares == sorted(shares)
+    assert rows[-1].cum_share == pytest.approx(1.0, abs=2e-4)
+    cums = [r.cum_share for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_lorenz_deciles_match_pandas_rank(spark):
+    """Exact decile cents against a pandas global-sort replay."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    spend = (
+        pd.DataFrame({"k": o.o_custkey, "c": cents})
+        .groupby("k").c.sum().reset_index()
+        .sort_values(["c", "k"]).reset_index(drop=True)
+    )
+    n = len(spend)
+    spend["decile"] = (spend.index * 10) // n + 1
+    expect = spend.groupby("decile").c.sum().to_dict()
+    got = {
+        r.decile: r.decile_cents
+        for r in aggregates.QUERIES["agg_lorenz_deciles"](spark, SF).collect()
+    }
+    assert got == expect

@@ -711,3 +711,45 @@ def test_tier_migration_partitions_users_and_quartiles_balance(spark):
         present = pdf[pdf[col] > 0].groupby(col).n_users.sum()
         assert set(present.index) == {1, 2, 3, 4}
         assert present.max() < 1.5 * present.min()
+
+
+def test_markov_eval_counts_and_no_leakage(spark):
+    """Per-type hits ≤ test transitions; accuracy = hits/n_test; total
+    test transitions equal the independently counted post-cutoff pairs."""
+    import pandas as pd
+
+    rows = behavioral.QUERIES["events_markov_eval"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_test
+        assert r.accuracy == pytest.approx(
+            round(r.n_correct / r.n_test, 4), abs=1e-9
+        )
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["nxt"] = e.groupby("user_id").event_type.shift(-1)
+    cut = pd.Timestamp("2024-01-21")
+    n_test = int(((e.ts >= cut) & e.nxt.notna()).sum())
+    assert sum(r.n_test for r in rows) == n_test
+
+
+def test_markov_eval_predictor_is_train_argmax(spark):
+    """The predicted type per source must be the train-period argmax
+    (count desc, type asc) recomputed in pandas."""
+    import pandas as pd
+
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["nxt"] = e.groupby("user_id").event_type.shift(-1)
+    cut = pd.Timestamp("2024-01-21")
+    train = e[(e.ts < cut) & e.nxt.notna()]
+    counts = train.groupby(["event_type", "nxt"]).size().reset_index(name="c")
+    expect = {}
+    for src, grp in counts.groupby("event_type"):
+        top = grp.sort_values(["c", "nxt"], ascending=[False, True]).iloc[0]
+        expect[src] = top.nxt
+    got = {
+        r.event_type: r.predicted
+        for r in behavioral.QUERIES["events_markov_eval"](spark, SF).collect()
+    }
+    assert got == expect

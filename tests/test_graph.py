@@ -289,3 +289,64 @@ def test_trade_reciprocity_matches_pandas_topk(spark):
         for r in graph.QUERIES["graph_trade_reciprocity"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_scc_condensation_partitions_nations(spark):
+    """SCC sizes sum to 25 (every nation in exactly one component), each
+    scc_id is its own min_member, and members lie inside [min,max]."""
+    rows = graph.QUERIES["graph_scc_condensation"](spark, SF).collect()
+    assert sum(r.scc_size for r in rows) == 25
+    for r in rows:
+        assert r.scc_id == r.min_member
+        assert r.min_member <= r.max_member
+        assert (r.scc_size == 1) == (r.min_member == r.max_member) or r.scc_size > 1
+
+
+def test_scc_matches_networkx_free_python_tarjan(spark):
+    """Recompute SCCs in pure Python (iterative reach sets over the same
+    top-3 edges) and compare the (scc_id, size) multiset."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey", "l_extendedprice"]
+    ]
+    c = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    s = pd.read_parquet(f"{SF}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    m = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    m = m[m.c_nationkey != m.s_nationkey].copy()
+    m["cents"] = (m.l_extendedprice * 100).round().astype("int64")
+    flow = m.groupby(["c_nationkey", "s_nationkey"]).cents.sum().reset_index()
+    adj = {}
+    for src, grp in flow.groupby("c_nationkey"):
+        top = grp.sort_values(["cents", "s_nationkey"], ascending=[False, True])
+        adj[src] = list(top.s_nationkey.head(3))
+    nodes = set(range(25))
+
+    def reach(u):
+        seen, stack = set(), [u]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, []):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    reaches = {u: reach(u) for u in nodes}
+    scc_of = {}
+    for u in nodes:
+        members = {v for v in nodes if (v in reaches[u] and u in reaches[v])} | {u}
+        scc_of[u] = min(members)
+    import collections
+
+    expect = collections.Counter(scc_of.values())
+    got = {
+        r.scc_id: r.scc_size
+        for r in graph.QUERIES["graph_scc_condensation"](spark, SF).collect()
+    }
+    assert got == dict(expect)

@@ -145,6 +145,22 @@ EXPECTED_EXCHANGES = {
     "events_tier_migration": (5, 2),  # user rollup + 2 count-domain
     #   distributions + matrix (stream_topk_per_window is streaming —
     #   excluded like the rest of §2.9)
+    # Round-8 seventh/eighth waves (pinned at birth):
+    "tpch_q5_local_supplier": (2, 5),  # fact-join shuffle + agg; all dims
+    #   + (at sf0.01) the year-filtered orders side broadcast by AQE
+    "win_rsi": (2, 0),  # day rollup + priority delta/sum window
+    "agg_kendall_tau": (3, 1),  # monthly rollup, pair join, pair rollup
+    "text_bigram_richness": (2, 0),  # (lang,bg) rollup + lang rollup
+    "graph_trade_reciprocity": (3, 1),  # 75-edge mutual join + rollup +
+    #   nation broadcast off the localCheckpoint-backed edge set (the
+    #   fact-scale rollup underneath runs once, 9.5 → 3.6 s cold at sf0.1)
+    "sample_systematic": (2, 1),  # range exchange + offsets rollup + bcast
+    "events_markov_eval": (5, 1),  # trans window, train/test rollups, argmax
+    "agg_lorenz_deciles": (4, 1),  # spend rollup, range exchange, offsets,
+    #   decile rollup + broadcast back
+    "graph_scc_condensation": (4, 0),  # post-checkpoint mutual join + scc
+    #   rollups; the closure loop is localCheckpoint-backed (invisible here,
+    #   the dedup_connected_components pattern)
 }
 
 _SHUFFLE_RE = re.compile(
@@ -223,6 +239,8 @@ UNPARTITIONED_WINDOW_OK = {
     "etl_surrogate_keys",
     # |partitions|-row offset table (the etl_surrogate_keys decomposition)
     "sample_systematic",
+    # |partitions|-row offset table + 10-row decile cumulative axis
+    "agg_lorenz_deciles",
     "events_cumulative_reach",
     "events_rfm_segments",
     "events_tier_migration",  # count-domain distribution axis (rfm precedent)

@@ -106,6 +106,11 @@ _PARTITION_INVARIANT_KEYS = [
     "text_bigram_richness",
     "graph_trade_reciprocity",
     "sample_systematic",
+    # round-8 eighth wave: broadcast predictor eval, decile offsets,
+    # iterated-closure SCC
+    "events_markov_eval",
+    "agg_lorenz_deciles",
+    "graph_scc_condensation",
 ]
 
 
