@@ -1682,3 +1682,185 @@ def text_kl_source_drift(spark, sf_dir):
             ),
         )
     )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled 3-iteration Lloyd in DuckDB CTEs (same fixed-point rules)."""
+    parts = [
+        """
+    WITH q AS (
+        SELECT vec_id,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
+                   AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), labels AS (SELECT vec_id, label FROM embeddings),
+    seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    c0 AS (
+        SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
+    )"""
+    ]
+    prev = "c0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , d{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT a{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    parts.append("""
+    , dF AS (
+        SELECT q.vec_id, c3.cluster,
+               CAST(sum((q.qv - c3.c) * (q.qv - c3.c)) AS BIGINT) AS d2
+        FROM q JOIN c3 ON q.pos = c3.pos
+        GROUP BY 1, 2
+    ), aF AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dF) WHERE rn = 1
+    ), lab AS (
+        SELECT a.cluster, l.label, CAST(count(*) AS BIGINT) AS n
+        FROM aF a JOIN labels l USING (vec_id) GROUP BY 1, 2
+    ), maj AS (
+        SELECT cluster, label AS majority_label, n AS n_majority FROM (
+            SELECT cluster, label, n,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY n DESC, label ASC) AS rn
+            FROM lab) WHERE rn = 1
+    )
+    SELECT a.cluster AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(a.d2) AS BIGINT) AS inertia_q,
+           any_value(m.majority_label) AS majority_label,
+           round(any_value(m.n_majority) * 1.0 / count(*), 4) AS purity
+    FROM aF a JOIN maj m ON a.cluster = m.cluster
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+@register("sim_kmeans_lloyd", oracle=_kmeans_oracle())
+def sim_kmeans_lloyd(spark, sf_dir):
+    """Distributed k-means (k=8, 3 full Lloyd iterations + final E-step)
+    over the quantized embeddings — the iterative-ML capstone of the
+    similarity family, and every step is EXACT so the whole trajectory is
+    hash-oracleable: vectors quantize to integer milli-units
+    (_QUANT_SPARK), centroids are integer floor-division means
+    (quantized-Lloyd semantics — documented, deterministic, the
+    sim_nearest_centroid rule), distances are integer squared-L2, and
+    every argmin tie breaks (d2, cluster). Seeds are the 8 vectors with
+    the smallest md5(vec_id) — hash-derived like all repo randomness, so
+    the trajectory is identical across engines, partitionings, and scale
+    reruns. Output: per-cluster size, integer inertia, majority label +
+    purity (the unsupervised-fit readout; labels carry no geometry in
+    this synthetic corpus, so purity ~1/|labels| is the pinned honest
+    reading).
+
+    100 TB: the canonical distributed Lloyd shape — per iteration ONE
+    broadcast of the k·dim centroid table, one narrow zip_with/aggregate
+    distance pass (no UDF, no shuffle), one vec_id-keyed assignment
+    window, and one (cluster,pos) rollup (map-side combined, 512-row
+    output). Each iteration's centroid table localCheckpoints (8 rows)
+    so lineage stays flat — the graph-loop discipline. The seed ranking
+    window rides an 8-row LIMIT frame (UNPARTITIONED_WINDOW_OK)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
+    ).localCheckpoint(eager=False)
+
+    seeds = (
+        q.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(8)
+    )
+    # 8-row frame: rank seeds into cluster ids 0..7 (bounded axis)
+    w_seed = Window.orderBy("h", "vec_id")
+    seed_ids = seeds.withColumn(
+        "cluster", F.row_number().over(w_seed).cast("long") - 1
+    ).select("vec_id", "cluster")
+    carr = (
+        q.join(F.broadcast(seed_ids), "vec_id")
+        .select("cluster", F.col("qarr").alias("carr"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(centroids):
+        d2 = F.aggregate(
+            F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "label", "cluster", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(3):
+        a = assign(carr).select("vec_id", "cluster")
+        cent = (
+            q.join(a, "vec_id")
+            .select("cluster", F.posexplode("qarr").alias("pos", "qv"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(qv) div count(*)").alias("c"))
+        )
+        carr = (
+            cent.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("carr")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    final = assign(carr)
+    lab = final.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+    w_maj = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
+    maj = (
+        lab.withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("d2").cast("long").alias("inertia_q"),
+        )
+        .join(F.broadcast(maj), "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_vectors",
+            "inertia_q",
+            "majority_label",
+            F.round(F.col("n_majority") * 1.0 / F.col("n_vectors"), 4).alias(
+                "purity"
+            ),
+        )
+    )

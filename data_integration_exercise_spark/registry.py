@@ -138,14 +138,14 @@ _PRIORITY = [
 # window for the round-9 rotation.
 #
 # ROUND-9 PLAN (pre-pinned, the r7→r8 pattern — execute at round-9 open
-# AFTER confirming CORRECTNESS_r08 is green): slots 1-35 = the 35
+# AFTER confirming CORRECTNESS_r08 is green): slots 1-36 = the 36
 # `_ADDED_R8` keys below in list order (every one already 3-scale
 # emulator-green and 7-vs-32 partition-invariant, so the window is
 # conversion-to-driver-truth, not discovery). No rewrite-after-green
 # re-verification slots accrue from this round: every round-8 change to a
 # previously-green key (dedup_minhash_lsh's output bounding) was already
-# scheduled INSIDE the round-8 window. Slots 36-50 = freshness re-checks
-# of the 15 oldest keys whose latest green row is round 1-2 (pick by
+# scheduled INSIDE the round-8 window. Slots 37-50 = freshness re-checks
+# of the 14 oldest keys whose latest green row is round 1-2 (pick by
 # earliest CORRECTNESS file, stable registry order).
 _ADDED_R8: list[str] = [
     "events_interarrival_stats",
@@ -183,6 +183,7 @@ _ADDED_R8: list[str] = [
     "events_markov_eval",
     "agg_lorenz_deciles",
     "graph_scc_condensation",
+    "sim_kmeans_lloyd",
 ]
 
 # Keys hash/rows-verified green by the driver in round 7 (the former

@@ -161,6 +161,9 @@ EXPECTED_EXCHANGES = {
     "graph_scc_condensation": (4, 0),  # post-checkpoint mutual join + scc
     #   rollups; the closure loop is localCheckpoint-backed (invisible here,
     #   the dedup_connected_components pattern)
+    "sim_kmeans_lloyd": (5, 3),  # final E-step off the checkpointed
+    #   centroid table (the 3 update iterations are checkpoint-backed):
+    #   assignment window + size/label/majority rollups
 }
 
 _SHUFFLE_RE = re.compile(
@@ -241,6 +244,8 @@ UNPARTITIONED_WINDOW_OK = {
     "sample_systematic",
     # |partitions|-row offset table + 10-row decile cumulative axis
     "agg_lorenz_deciles",
+    # 8-row seed-ranking LIMIT frame (k-means init)
+    "sim_kmeans_lloyd",
     "events_cumulative_reach",
     "events_rfm_segments",
     "events_tier_migration",  # count-domain distribution axis (rfm precedent)

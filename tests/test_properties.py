@@ -111,6 +111,9 @@ _PARTITION_INVARIANT_KEYS = [
     "events_markov_eval",
     "agg_lorenz_deciles",
     "graph_scc_condensation",
+    # the full Lloyd trajectory: seed ranking, floor-div centroid folds,
+    # argmin tiebreaks — every step must survive a partitioning change
+    "sim_kmeans_lloyd",
 ]
 
 

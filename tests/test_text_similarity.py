@@ -853,3 +853,58 @@ def test_bigram_richness_matches_counter_replay(spark):
         for r in rows
     }
     assert got == expect
+
+
+def test_kmeans_lloyd_matches_numpy_trajectory(spark):
+    """Replay the ENTIRE quantized-Lloyd trajectory (md5 seeds, floor-div
+    centroids, (d2, cluster) tiebreaks, 3 iterations + final E-step) in
+    numpy and compare sizes, integer inertia, and majority labels."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from data_integration_exercise_spark.operators import curation
+
+    e = pd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.floor(
+        np.stack(e.embedding.to_numpy()) * 1000.0 + 0.5
+    ).astype("int64")
+    ids = e.vec_id.to_numpy()
+    labels = e.label.to_numpy()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = {c: q[order[c]].copy() for c in range(8)}
+
+    def assign(cents):
+        keys = sorted(cents)
+        d2 = np.stack(
+            [((q - cents[c]) ** 2).sum(axis=1) for c in keys], axis=1
+        )
+        pick = d2.argmin(axis=1)  # argmin returns first min -> (d2, cluster)
+        return np.array([keys[p] for p in pick]), d2.min(axis=1)
+
+    for _ in range(3):
+        a, _d = assign(cents)
+        new = {}
+        for c in set(a.tolist()):
+            mem = q[a == c]
+            s = mem.sum(axis=0)
+            # Spark `div` / DuckDB `//` truncate toward ZERO on negatives;
+            # numpy // floors — replicate the engines' rule
+            new[c] = np.sign(s) * (np.abs(s) // len(mem))
+        cents = new
+    a, d = assign(cents)
+    expect = {}
+    for c in set(a.tolist()):
+        mask = a == c
+        lab, cnt = np.unique(labels[mask], return_counts=True)
+        best = sorted(zip(-cnt, lab))[0][1]
+        expect[c] = (int(mask.sum()), int(d[mask].sum()), best)
+    got = {
+        r.cluster_id: (r.n_vectors, r.inertia_q, r.majority_label)
+        for r in curation.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
+    }
+    assert got == expect
