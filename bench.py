@@ -229,6 +229,33 @@ def main() -> None:
         line["failed"] = failed
         line["partial_total"] = total
     print(json.dumps(line))
+    # Compact summary printed LAST (VERDICT r8 item 4 / r9 item 4): the
+    # driver archives only the tail of bench stdout, and the full record
+    # above fronts the headline six in its (large) per-key dicts — so
+    # truncation was losing exactly the BASELINE-comparable numbers.
+    # Keeping this line short and final guarantees the tail always carries
+    # the headline medians and every tier subtotal.
+    summary = {
+        "metric": "headline_wall_clock_total",
+        "value": None if failed else baseline_subtotal,
+        "unit": "sec",
+        "headline_total_s": None if failed else baseline_subtotal,
+        "queries": {k: timings.get(k) for k in HEADLINE[:6]},
+        "extended_total": total,
+        "tier_totals": {
+            "new": new_tier_total,
+            "r5": r5_tier_total,
+            "r5b": r5b_tier_total,
+            "r5c": r5c_tier_total,
+            "r6": r6_tier_total,
+            "r7": r7_tier_total,
+            "r8": r8_tier_total,
+        },
+        "sf": sf,
+    }
+    if failed:
+        summary["failed"] = failed
+    print(json.dumps(summary))
     spark.stop()
 
 

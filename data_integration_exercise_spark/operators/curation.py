@@ -323,7 +323,9 @@ def dedup_containment_bigram(spark, sf_dir):
     100 TB: same blocking story as dedup_ngram_jaccard — lang-block pairs at
     demo scale; the production path is MinHash over shingles where band
     collisions bound candidates (dedup_minhash_lsh), with this exact
-    containment as the re-rank."""
+    containment as the re-rank. Open-vocabulary corpora (no exact bitset):
+    swap the re-rank seam for array_intersect-on-candidates or the
+    MinHash-estimate score — SURVEY §14 "Open-vocabulary fallback"."""
     from .pipeline import bigram_mask_cols, salted_lang_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -1782,7 +1784,20 @@ def sim_kmeans_lloyd(spark, sf_dir):
     window, and one (cluster,pos) rollup (map-side combined, 512-row
     output). Each iteration's centroid table localCheckpoints (8 rows)
     so lineage stays flat — the graph-loop discipline. The seed ranking
-    window rides an 8-row LIMIT frame (UNPARTITIONED_WINDOW_OK)."""
+    window rides an 8-row LIMIT frame; it sits inside the eagerly
+    checkpointed centroid subtree, so the plan audit never sees it
+    (the agg_ks_drift_bh pattern — documented here, not whitelisted).
+
+    Convergence contract (the graph_pagerank precedent for iterative
+    ops): the plan unrolls a FIXED 3 Lloyd iterations + one final
+    E-step — no data-dependent stopping, so the physical plan and the
+    oracle's unrolled CTE chain are the same finite computation at any
+    scale. Hash-stability follows because every step is closed over the
+    integers: milli-unit quantized inputs, floor-div centroid means,
+    integer squared-L2 distances, and total-order tie-breaks at both
+    argmins ((d2, cluster) for assignment, (n DESC, label ASC) for the
+    majority vote) — no float accumulates across iterations, so there
+    is no engine/partitioning/order sensitivity to amplify."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")

@@ -224,7 +224,11 @@ def _doc_masks(spark, sf_dir):
     bit_count(m1 & m2) / bit_count(m1 | m2) — two codegen'd integer ops per
     pair instead of array_intersect over token arrays. This is what makes
     re-ranking millions of LSH candidates cheap: the candidate join carries
-    8-byte masks, not string arrays."""
+    8-byte masks, not string arrays.
+
+    Open-vocabulary corpora (no lossless bitset): swap the re-rank seam
+    for array_intersect-on-candidates or the MinHash-estimate score —
+    SURVEY §14 "Open-vocabulary fallback"."""
     idx = _tok_idx(spark, sf_dir, distinct=True)
     return idx.groupBy("doc_id", "lang").agg(
         F.expr(
@@ -246,7 +250,11 @@ def bigram_mask_cols(d):
     (a per-row HOF bitset gets its defining aggregate re-inlined into every
     pushed reference — SURVEY §9 lesson 1), and the output is evenly
     hash-partitioned for a following pair join. The exploded index list is
-    already distinct, so count(*) IS the set size."""
+    already distinct, so count(*) IS the set size.
+
+    Open-vocabulary corpora (no exact 961-bit bitset): swap the re-rank
+    seam for array_intersect-on-candidates or the MinHash-estimate score —
+    SURVEY §14 "Open-vocabulary fallback"."""
     bigram_idx = F.expr(
         f"""
         array_distinct(transform(

@@ -64,90 +64,20 @@ _MODULES = [
 # rewrites — CORRECTNESS_r05.json is 50/50 green, so entering round 6 every
 # key EXCEPT the 112 round-5 additions has a driver row (189/301).
 #
-# ROUND-8 WINDOW (the endgame rotation, VERDICT r7 item 1): slots 1-32 are
-# ALL remaining never-driver-verified keys — the 12 `_ADDED_R5` stragglers,
-# the 9 `_ADDED_R6` keys, the 11 `_ADDED_R7` keys, in stable queue order.
-# Slots 33-37 are re-verification of keys rewritten after their latest green
-# row: graph_link_prediction (greatest(1,·) strong-edge cut),
-# win_rolling_corr (ANSI-safe guarded moment sums), etl_surrogate_keys
-# (checkpointed range partitioning), win_zscore_outliers (IEEE −0.0
-# normalization), and dedup_minhash_lsh (round-8 output bounding, VERDICT r7
-# item 4 — rewritten THIS round, so its slot re-verifies the new code).
-# Slots 38-50 re-verify the 13 OLDEST r1-green keys (unchecked for 7
-# rounds, per VERDICT r7 item 1's spare-slot guidance). A green
-# CORRECTNESS_r08 makes every registered key driver-verified on current
+# ROUND-10 WINDOW (executes the pre-pinned round-9 plan — round 9 recorded
+# 0 builder turns, so the rotation lands one round late; VERDICT r9 item 2):
+# slots 1-36 are the 36 round-8 additions, the ONLY keys without a driver
+# row in CORRECTNESS_r01–r09 (each already 3-scale emulator-green and
+# 7-vs-32 partition-invariant, so the window is conversion-to-driver-truth,
+# not discovery). No rewrite-after-green re-verification slots accrue:
+# round 9 changed nothing, and round 10's only edits to green keys are
+# docstrings. Slots 37-50 re-verify the 14 OLDEST keys whose latest green
+# row is round 1 (the first 14 of _VERIFIED_R1 in stable registry order —
+# the 13 previous oldest were re-checked in the round-8/9 windows). A green
+# CORRECTNESS_r10 makes every registered key driver-verified on current
 # code.
 _PRIORITY = [
-    # --- 32 never-driver-verified (the entire remaining queue) ---
-    "graph_adamic_adar",
-    "agg_cuped_adjusted",
-    "dedup_winnowing",
-    "graph_modularity",
-    "agg_price_volume_mix",
-    "text_kl_source_drift",
-    "agg_quantile_treatment_effect",
-    "join_mutual_best_match",
-    "agg_ipf_raking",
-    "agg_mann_kendall",
-    "sample_neyman_allocation",
-    "sim_ndcg_eval",
-    "dedup_minhash_keepers",
-    "dedup_lsh_pr_eval",
-    "sample_token_budget_mix",
-    "sink_jsonl_shards",
-    "text_bpe_encode",
-    "agg_acf_lags",
-    "graph_clustering_coefficient",
-    "events_window_funnel",
-    "etl_partition_backfill_plan",
-    "win_stl_decompose",
-    "win_theil_sen",
-    "agg_srm_check",
-    "dedup_threshold_sweep",
-    "etl_vacuum_retention_plan",
-    "sim_ann_graph",
-    "win_holt_winters",
-    "events_user_lifecycle",
-    "etl_wap_rollback",
-    "text_bigram_generate",
-    "win_kalman_filter",
-    # --- 5 rewrite-after-green re-verifications ---
-    "graph_link_prediction",
-    "win_rolling_corr",
-    "etl_surrogate_keys",
-    "win_zscore_outliers",
-    "dedup_minhash_lsh",
-    # --- 13 oldest r1-green keys (freshness re-check) ---
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "ingest_csv",
-    "ingest_json",
-    "sink_parquet",
-    "sink_jdbc",
-    "sink_partitioned",
-    "sink_bucketed",
-    "scan_dynamic_pruning",
-    "agg_pricing_summary",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-]
-
-# Keys ADDED during round 8 (no driver row yet). Every new operator lands
-# here in the same commit that registers it; they queue directly behind the
-# window for the round-9 rotation.
-#
-# ROUND-9 PLAN (pre-pinned, the r7→r8 pattern — execute at round-9 open
-# AFTER confirming CORRECTNESS_r08 is green): slots 1-36 = the 36
-# `_ADDED_R8` keys below in list order (every one already 3-scale
-# emulator-green and 7-vs-32 partition-invariant, so the window is
-# conversion-to-driver-truth, not discovery). No rewrite-after-green
-# re-verification slots accrue from this round: every round-8 change to a
-# previously-green key (dedup_minhash_lsh's output bounding) was already
-# scheduled INSIDE the round-8 window. Slots 37-50 = freshness re-checks
-# of the 14 oldest keys whose latest green row is round 1-2 (pick by
-# earliest CORRECTNESS file, stable registry order).
-_ADDED_R8: list[str] = [
+    # --- 36 never-driver-verified (the entire remaining queue) ---
     "events_interarrival_stats",
     "events_capture_recapture",
     "agg_cramers_v",
@@ -184,6 +114,89 @@ _ADDED_R8: list[str] = [
     "agg_lorenz_deciles",
     "graph_scc_condensation",
     "sim_kmeans_lloyd",
+    # --- 14 oldest r1-green keys (freshness re-check) ---
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "agg_first_last",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_matrix",
+]
+
+# Keys ADDED during round 10 (no driver row yet). Every new operator lands
+# here in the same commit that registers it; they queue directly behind the
+# window for the round-11 rotation.
+#
+# ROUND-11 PLAN (pre-pinned, the established pattern — execute at round-11
+# open AFTER confirming CORRECTNESS_r10 is green): slots 1-N = the
+# `_ADDED_R10` keys below in list order; remaining slots = freshness
+# re-checks of the oldest keys whose latest green row is round 1
+# (the 19-key _VERIFIED_R1 remainder first, stable registry order).
+_ADDED_R10: list[str] = []
+
+# Keys hash/rows-verified green by the driver in rounds 8+9 (the former
+# round-8 _PRIORITY window; CORRECTNESS_r08 50/50 green, re-confirmed
+# verbatim by the r09 re-run of the same window) — demoted directly behind
+# the round-10 queue.
+_VERIFIED_R8 = [
+    "graph_adamic_adar",
+    "agg_cuped_adjusted",
+    "dedup_winnowing",
+    "graph_modularity",
+    "agg_price_volume_mix",
+    "text_kl_source_drift",
+    "agg_quantile_treatment_effect",
+    "join_mutual_best_match",
+    "agg_ipf_raking",
+    "agg_mann_kendall",
+    "sample_neyman_allocation",
+    "sim_ndcg_eval",
+    "dedup_minhash_keepers",
+    "dedup_lsh_pr_eval",
+    "sample_token_budget_mix",
+    "sink_jsonl_shards",
+    "text_bpe_encode",
+    "agg_acf_lags",
+    "graph_clustering_coefficient",
+    "events_window_funnel",
+    "etl_partition_backfill_plan",
+    "win_stl_decompose",
+    "win_theil_sen",
+    "agg_srm_check",
+    "dedup_threshold_sweep",
+    "etl_vacuum_retention_plan",
+    "sim_ann_graph",
+    "win_holt_winters",
+    "events_user_lifecycle",
+    "etl_wap_rollback",
+    "text_bigram_generate",
+    "win_kalman_filter",
+    "graph_link_prediction",
+    "win_rolling_corr",
+    "etl_surrogate_keys",
+    "win_zscore_outliers",
+    "dedup_minhash_lsh",
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "ingest_csv",
+    "ingest_json",
+    "sink_parquet",
+    "sink_jdbc",
+    "sink_partitioned",
+    "sink_bucketed",
+    "scan_dynamic_pruning",
+    "agg_pricing_summary",
+    "agg_global",
+    "agg_count_distinct",
+    "agg_approx_distinct",
 ]
 
 # Keys hash/rows-verified green by the driver in round 7 (the former
@@ -447,22 +460,9 @@ _VERIFIED_R2 = [
 ]
 
 # Keys hash-verified green by the driver in round 1 — the very end of the
-# iteration order.
+# iteration order. (The 14 oldest — agg_having … agg_corr_matrix — moved
+# into the round-10 freshness tail above.)
 _VERIFIED_R1 = [
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "agg_first_last",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_matrix",
     "proj_select_alias",
     "filter_compound",
     "filter_in_between",
@@ -492,7 +492,8 @@ _VERIFIED_R1 = [
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R8
+        + _ADDED_R10
+        + _VERIFIED_R8
         + _VERIFIED_R7
         + _VERIFIED_R6
         + _VERIFIED_R5
@@ -509,7 +510,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R8): "
+            "registered keys missing from the rotation queue (add to _ADDED_R10): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

@@ -244,8 +244,10 @@ UNPARTITIONED_WINDOW_OK = {
     "sample_systematic",
     # |partitions|-row offset table + 10-row decile cumulative axis
     "agg_lorenz_deciles",
-    # 8-row seed-ranking LIMIT frame (k-means init)
-    "sim_kmeans_lloyd",
+    # sim_kmeans_lloyd's 8-row seed-ranking window is real but invisible
+    # here: the seed ids feed the eagerly-checkpointed centroid table, so
+    # the audited plan ends at checkpoint scans (the agg_ks_drift_bh
+    # precedent). Documented in its docstring instead of whitelisted.
     "events_cumulative_reach",
     "events_rfm_segments",
     "events_tier_migration",  # count-domain distribution axis (rfm precedent)

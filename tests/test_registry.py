@@ -54,117 +54,117 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-8 window so a module reorder or priority-list
-# edit can't silently re-verify already-green keys and waste a round.
+# keys each round. Pin the round-10 window so a module reorder or
+# priority-list edit can't silently re-verify already-green keys and waste
+# a round.
 #
-# Composition (the endgame rotation, VERDICT r7 item 1): slots 1-32 are ALL
-# remaining never-driver-verified keys (12 `_ADDED_R5` stragglers + 9
-# `_ADDED_R6` + 11 `_ADDED_R7`, stable queue order); slots 33-37 re-verify
-# the five keys rewritten after their latest green row (four round-7
-# rewrites + the round-8 `dedup_minhash_lsh` output bounding); slots 38-50
-# re-verify the 13 oldest r1-green keys.
-EXPECTED_R8_WINDOW = [
-    "graph_adamic_adar",
-    "agg_cuped_adjusted",
-    "dedup_winnowing",
-    "graph_modularity",
-    "agg_price_volume_mix",
-    "text_kl_source_drift",
-    "agg_quantile_treatment_effect",
-    "join_mutual_best_match",
-    "agg_ipf_raking",
-    "agg_mann_kendall",
-    "sample_neyman_allocation",
-    "sim_ndcg_eval",
-    "dedup_minhash_keepers",
-    "dedup_lsh_pr_eval",
-    "sample_token_budget_mix",
-    "sink_jsonl_shards",
-    "text_bpe_encode",
-    "agg_acf_lags",
-    "graph_clustering_coefficient",
-    "events_window_funnel",
-    "etl_partition_backfill_plan",
-    "win_stl_decompose",
-    "win_theil_sen",
-    "agg_srm_check",
-    "dedup_threshold_sweep",
-    "etl_vacuum_retention_plan",
-    "sim_ann_graph",
-    "win_holt_winters",
-    "events_user_lifecycle",
-    "etl_wap_rollback",
-    "text_bigram_generate",
-    "win_kalman_filter",
-    "graph_link_prediction",
-    "win_rolling_corr",
-    "etl_surrogate_keys",
-    "win_zscore_outliers",
-    "dedup_minhash_lsh",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "ingest_csv",
-    "ingest_json",
-    "sink_parquet",
-    "sink_jdbc",
-    "sink_partitioned",
-    "sink_bucketed",
-    "scan_dynamic_pruning",
-    "agg_pricing_summary",
-    "agg_global",
-    "agg_count_distinct",
-    "agg_approx_distinct",
+# Composition (executes the pre-pinned round-9 plan, VERDICT r9 item 2):
+# slots 1-36 are ALL remaining never-driver-verified keys (the 36 round-8
+# additions, stable queue order); slots 37-50 re-verify the 14 oldest
+# r1-green keys (the previous 13 oldest were re-checked in the r8/r9
+# windows).
+EXPECTED_R10_WINDOW = [
+    "events_interarrival_stats",
+    "events_capture_recapture",
+    "agg_cramers_v",
+    "win_pettitt_changepoint",
+    "win_sax_paa",
+    "text_readability",
+    "mine_frequent_triples",
+    "sim_centroid_classify",
+    "events_markov_entropy",
+    "agg_mutual_information",
+    "agg_ks_drift_bh",
+    "text_rake_keyphrases",
+    "text_spearman_length_vocab",
+    "events_burst_kleinberg",
+    "sim_silhouette_eval",
+    "agg_tukey_fences",
+    "agg_calibration_ece",
+    "win_bollinger_bands",
+    "graph_neighborhood_function",
+    "join_asof_nearest",
+    "agg_gini_split_screen",
+    "agg_js_drift",
+    "sample_kfold_assignments",
+    "text_lexical_overlap",
+    "stream_topk_per_window",
+    "events_tier_migration",
+    "tpch_q5_local_supplier",
+    "win_rsi",
+    "agg_kendall_tau",
+    "text_bigram_richness",
+    "graph_trade_reciprocity",
+    "sample_systematic",
+    "events_markov_eval",
+    "agg_lorenz_deciles",
+    "graph_scc_condensation",
+    "sim_kmeans_lloyd",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "agg_first_last",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_matrix",
 ]
 
-# The deliberate re-verification tail of the window (slots 33-50): keys that
-# ALREADY have a green driver row but either were rewritten afterwards
-# (33-37) or have gone unchecked since round 1 (38-50).
-_R8_REVERIFY = set(EXPECTED_R8_WINDOW[32:])
+# The deliberate re-verification tail of the window (slots 37-50): keys
+# that ALREADY have a green driver row but have gone unchecked since
+# round 1.
+_R10_REVERIFY = set(EXPECTED_R10_WINDOW[36:])
 
 
-def test_round8_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R8_WINDOW
+def test_round10_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R10_WINDOW
 
 
-def test_round8_window_head_is_fresh():
-    """Window slots 1-32 must be keys with NO prior driver row — those slots
+def test_round10_window_head_is_fresh():
+    """Window slots 1-36 must be keys with NO prior driver row — those slots
     only convert emulation-only keys to driver truth; the re-verification
-    tail (slots 33-50) is the only place already-green keys may appear."""
+    tail (slots 37-50) is the only place already-green keys may appear."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return  # correctness files absent (fresh checkout) — nothing to check
-    stale = set(EXPECTED_R8_WINDOW[:32]) & verified
+    stale = set(EXPECTED_R10_WINDOW[:36]) & verified
     assert not stale, f"window head wastes slots on already-verified keys: {sorted(stale)}"
 
 
-def test_round8_window_covers_every_unverified_key():
-    """window head ∪ _ADDED_R8 must be exactly the keys without a driver
-    row, so round 8 converges to full driver coverage."""
+def test_round10_window_covers_every_unverified_key():
+    """window head ∪ _ADDED_R10 must be exactly the keys without a driver
+    row, so round 10 converges to full driver coverage."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
         try:
             verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R8
+    from data_integration_exercise_spark.registry import _ADDED_R10
 
     unverified = set(queries()) - verified
-    queue = set(EXPECTED_R8_WINDOW[:32]) | set(_ADDED_R8)
+    queue = set(EXPECTED_R10_WINDOW[:36]) | set(_ADDED_R10)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R8"
+        "a key added this round must be listed in registry._ADDED_R10"
     )
 
 
