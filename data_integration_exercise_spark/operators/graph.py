@@ -561,6 +561,16 @@ def graph_label_propagation(spark, sf_dir):
     MATERIALIZED (SURVEY §10 lesson 7: plain CTE inlining is exponential
     in depth)."""
     edges = _edges(spark, sf_dir).localCheckpoint()
+    return _lpa_from_edges(edges)
+
+
+def _lpa_from_edges(edges):
+    """The 4 fixed LPA rounds over an already-checkpointed edge frame.
+
+    Split out so graph_modularity can share ONE edge materialization with
+    the propagation it grades (it previously re-ran the orders⋈lineitem
+    distinct a second time for its own pairs/degree frames — ~1.5 s of
+    duplicated shuffle at sf0.1, and a duplicated scan at any scale)."""
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -935,35 +945,34 @@ def graph_modularity(spark, sf_dir):
     crosses, and Q lands at exactly −0.5 — the eval catching a real
     algorithmic artifact is the point of having it.
 
-    100 TB: the LPA labels frame localCheckpoints once (it is an
-    iterative plan — recomputing it three times for the three consumers
-    would re-run every round; the pagerank lesson), then intra-edge
-    count, degree sums, and node counts are three keyed rollups on the
-    bounded edge/node lists."""
-    labs = graph_label_propagation(spark, sf_dir)
+    100 TB: ONE edge materialization serves both the propagation and the
+    grade — the orders⋈lineitem distinct edge list localCheckpoints once
+    and feeds the 4 LPA rounds (_lpa_from_edges — the identical plan the
+    registered graph_label_propagation runs), the undirected pair list
+    (the even-src half of the bidirectional frame: a narrow filter, no
+    second shuffle), and the per-node degree rollup (groupBy src on the
+    bidirectional frame — each node's out-edges ARE its degree). The LPA
+    labels frame then localCheckpoints once for its three consumers, and
+    intra-edge count, degree sums, and node counts are three keyed
+    rollups on the bounded edge/node lists. (Round 10: previously this
+    re-ran the edge join+distinct a second time for pairs/deg — ~1.5 s
+    of duplicated shuffle at sf0.1 and a duplicated fact scan at any
+    scale.)"""
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labs = _lpa_from_edges(edges)
     nodes = labs.select(
         F.when(F.col("node_type") == "customer", F.col("node_key") * 2)
         .otherwise(F.col("node_key") * 2 + 1)
         .alias("node"),
         "community",
     ).localCheckpoint()
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("cnode"),
-            (F.col("l_suppkey") * 2 + 1).alias("snode"),
-        )
-        .distinct()
-        .localCheckpoint()
+    # fwd half of the bidirectional distinct frame = the undirected pairs
+    pairs = edges.filter(F.col("src") % 2 == 0).select(
+        F.col("src").alias("cnode"), F.col("dst").alias("snode")
     )
     m = pairs.agg(F.count("*").cast("decimal(38,0)").alias("m"))
-    deg = (
-        pairs.select(F.col("cnode").alias("node"))
-        .unionAll(pairs.select(F.col("snode").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("long").alias("d"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
     )
     nc = nodes.withColumnsRenamed({"node": "cnode", "community": "comm_c"})
     ns = nodes.withColumnsRenamed({"node": "snode", "community": "comm_s"})

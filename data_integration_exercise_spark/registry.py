@@ -137,9 +137,14 @@ _PRIORITY = [
 #
 # ROUND-11 PLAN (pre-pinned, the established pattern — execute at round-11
 # open AFTER confirming CORRECTNESS_r10 is green): slots 1-N = the
-# `_ADDED_R10` keys below in list order; remaining slots = freshness
-# re-checks of the oldest keys whose latest green row is round 1
-# (the 19-key _VERIFIED_R1 remainder first, stable registry order).
+# `_ADDED_R10` keys below in list order; next, rewrite-after-green
+# re-verification slots for `graph_modularity` and
+# `graph_label_propagation` (round-10 shared-edges refactor: one edge
+# materialization now feeds both the LPA rounds and modularity's
+# pairs/degree frames — emulator-green post-rewrite, but their latest
+# driver rows predate the change); remaining slots = freshness re-checks
+# of the oldest keys whose latest green row is round 1 (the 19-key
+# _VERIFIED_R1 remainder first, stable registry order).
 _ADDED_R10: list[str] = []
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
