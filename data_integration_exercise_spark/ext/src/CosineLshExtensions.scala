@@ -1,0 +1,172 @@
+// Catalyst extension: rewrite `cosine_sim(a, b) >= tau` filters over inner
+// joins into LSH-bucketed equi-joins (SURVEY.md §4 "showcase" row / §14).
+//
+// What it does, end to end:
+//   1. injectFunction registers a `cosine_sim(array, array)` SQL function as
+//      a RuntimeReplaceable marker expression whose replacement is the pure
+//      declarative cosine (zip_with/aggregate HOFs — whole-stage codegen,
+//      no UDF).
+//   2. injectResolutionRule installs CosineLshJoinRewrite: when a resolved
+//      plan contains Filter(... cosine_sim(a, b) >= tau ..., Join(l, r,
+//      Inner, cond)) with `a` from one side and `b` from the other, it
+//      explodes each side into 8 banded sign-random-hyperplane LSH keys
+//      (8 bands × 4 bits, band index packed into the key) and conjoins
+//      `band(a) = band(b)` into the join condition — turning a quadratic
+//      theta-join (BroadcastNestedLoop/Cartesian at scale) into a
+//      hash-partitioned equi-join; the original cosine filter stays as
+//      the exact re-rank on the band-colliding candidates, and a final
+//      Distinct collapses pairs that matched in several bands.
+//
+// Semantics: the rewritten query returns the DISTINCT pairs that (a) share
+// at least one LSH band AND (b) pass the exact cosine threshold — the
+// standard candidate-generation + exact-re-rank contract of every LSH path
+// in the Python package (sim_ann_lsh, _lsh_threshold_pairs); like those, it
+// assumes set semantics on the matched pairs. It is opt-in twice: the
+// session must be built with this extension, and the query must use the
+// cosine_sim function.
+//
+// Hyperplanes are hash-derived (h_k[i] = ±1 from the parity of
+// murmur3(k, i)), so the bucket expression is deterministic, dimension-
+// agnostic, and identical across sessions — the same discipline as the
+// Python package's hash-derived randomness.
+package dies.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+object Templates {
+  private def subst(sql: String, subs: Map[String, Expression]): Expression =
+    CatalystSqlParser.parseExpression(sql).transformUp {
+      case UnresolvedAttribute(parts)
+          if parts.length == 1 && subs.contains(parts.head) =>
+        subs(parts.head)
+      // inside a lambda body the parser wraps EVERY single-part identifier
+      // as a lambda-variable candidate; placeholder names land here
+      case UnresolvedNamedLambdaVariable(parts)
+          if parts.length == 1 && subs.contains(parts.head) =>
+        subs(parts.head)
+    }
+
+  /** Exact cosine similarity as declarative HOFs (codegen'd, no UDF). */
+  def cosine(a: Expression, b: Expression): Expression = subst(
+    """aggregate(zip_with(__A__, __B__, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate(__A__, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+          * sqrt(aggregate(__B__, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""",
+    Map("__A__" -> a, "__B__" -> b))
+
+  /** Banded sign-random-hyperplane LSH keys: 8 bands × 4 bits, the band
+   *  index packed into the key (key = band·16 + bucket), hyperplane
+   *  h_{b,k}[i] = ±1 from the parity of hash(b·4 + k, i). Deterministic
+   *  and dimension-agnostic; a pair is a candidate iff it shares ≥1 of
+   *  the 8 keys (OR-of-bands — the recall lever single-bucket LSH
+   *  lacks). */
+  def bandArray(v: Expression): Expression = subst(
+    """transform(sequence(0, 7), b ->
+         b * 16L + aggregate(sequence(0, 3), 0L, (acc, k) ->
+           acc * 2L + IF(
+             aggregate(
+               zip_with(__V__, sequence(0, size(__V__) - 1),
+                 (x, i) -> CAST(x AS DOUBLE)
+                           * IF(pmod(hash(b * 4 + k, i), 2) = 0, 1D, -1D)),
+               0D, (acc2, x2) -> acc2 + x2) >= 0D, 1L, 0L)))""",
+    Map("__V__" -> v))
+}
+
+/** Marker expression for the analyzer: survives analysis as-is (so the
+ *  rewrite rule can pattern-match it), and the optimizer's
+ *  ReplaceExpressions swaps in the declarative cosine for execution. */
+case class CosineSim(a: Expression, b: Expression, replacement: Expression)
+    extends RuntimeReplaceable
+    with InheritAnalysisRules {
+  def this(a: Expression, b: Expression) = this(a, b, Templates.cosine(a, b))
+  override def parameters: Seq[Expression] = Seq(a, b)
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildInternal(newChild: Expression): CosineSim =
+    copy(replacement = newChild)
+}
+
+object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  private val BAND_L = "__lsh_band_l"
+  private val BAND_R = "__lsh_band_r"
+
+  /** The a/b sides of the marker, recovered from its RESOLVED replacement
+   *  tree (the `parameters` copies stay unresolved — only the replacement
+   *  participates in analysis). */
+  private def sides(cs: CosineSim): Option[(Expression, Expression)] =
+    cs.replacement match {
+      case Divide(ArrayAggregate(ZipWith(ra, rb, _), _, _, _), _, _) =>
+        Some((ra, rb))
+      case _ => None
+    }
+
+  private def cosineConjunct(cond: Expression): Option[CosineSim] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case GreaterThanOrEqual(cs: CosineSim, rhs) if rhs.foldable => cs
+      case GreaterThan(cs: CosineSim, rhs) if rhs.foldable => cs
+      case LessThanOrEqual(rhs, cs: CosineSim) if rhs.foldable => cs
+      case LessThan(rhs, cs: CosineSim) if rhs.foldable => cs
+    }
+
+  private def alreadyBucketed(j: Join): Boolean =
+    j.left.output.exists(_.name == BAND_L) ||
+      j.right.output.exists(_.name == BAND_R)
+
+  /** Explode `plan` on the 8 banded LSH keys of `v`; the key attribute is
+   *  pre-resolved so the join condition can reference it directly. */
+  private def banded(
+      plan: LogicalPlan, v: Expression, name: String
+  ): (LogicalPlan, Attribute) = {
+    val attr = AttributeReference(
+      name, org.apache.spark.sql.types.LongType, nullable = true)()
+    val gen = Generate(
+      Explode(Templates.bandArray(v)),
+      unrequiredChildIndex = Nil,
+      outer = false,
+      qualifier = None,
+      generatorOutput = Seq(attr),
+      child = plan)
+    (gen, attr)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case f @ Filter(cond, j @ Join(l, r, Inner, jc, hint))
+        if f.resolved && !alreadyBucketed(j) =>
+      cosineConjunct(cond).flatMap(sides) match {
+        case Some((va, vb)) =>
+          val aL = va.references.subsetOf(l.outputSet) &&
+            vb.references.subsetOf(r.outputSet)
+          val aR = va.references.subsetOf(r.outputSet) &&
+            vb.references.subsetOf(l.outputSet)
+          if (!aL && !aR) f
+          else {
+            val (lv, rv) = if (aL) (va, vb) else (vb, va)
+            val (gl, al) = banded(l, lv, BAND_L)
+            val (gr, ar) = banded(r, rv, BAND_R)
+            val eq = EqualTo(al, ar)
+            val newJoin =
+              Join(gl, gr, Inner, Some(jc.map(And(_, eq)).getOrElse(eq)), hint)
+            // re-rank on the exact cosine, hide the band keys, and collapse
+            // multi-band matches — the user sees the original schema
+            Distinct(Project(f.output, Filter(cond, newJoin)))
+          }
+        case None => f
+      }
+  }
+}
+
+/** Entry point for spark.sql.extensions. */
+class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => new CosineSim(args(0), args(1))))
+    ext.injectResolutionRule(_ => CosineLshJoinRewrite)
+  }
+}

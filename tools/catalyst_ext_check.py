@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""End-to-end check of the Catalyst cosine→LSH extension (run standalone:
+it must own JVM startup, because spark.sql.extensions and the driver
+classpath are fixed at session-JVM launch — tests/test_catalyst_ext.py
+invokes this as a subprocess).
+
+Asserts, against $SPARK_GRAFT_SF_DIR/embeddings.parquet (default sf0.001):
+  1. The naive `join(id1 < id2).filter(cosine_sim(v1, v2) >= τ)` plan is
+     rewritten: no CartesianProduct / BroadcastNestedLoopJoin; the join is
+     an equi-join on the injected __lsh_band keys (8 bands × 4 bits).
+  2. The rewrite honors the bucket-conjunct contract exactly: results
+     equal the EXPLICIT band-explode + band-equality + cosine-threshold +
+     distinct query built from the same expressions by hand (deterministic
+     equality — hash-derived hyperplanes, no randomness).
+  3. Recall vs the exact ε-join: printed, and asserted ≥ 0.5 (the 8×4
+     band geometry's deterministic floor at τ=0.35 on this data).
+  4. In a fresh JVM WITHOUT the extension (subprocess --no-ext), the same
+     query fails: cosine_sim is extension-only — no behavior change
+     elsewhere. (Must be a separate process: Spark configs leak into JVM
+     system properties, so an in-process second session would silently
+     inherit the extension.)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JAR = os.path.join(
+    REPO, "data_integration_exercise_spark", "ext", "dies-catalyst-ext.jar"
+)
+TAU = 0.35
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# The same band-key expression the Scala rule injects (kept in sync with
+# Templates.bandArray — the hand-built contract oracle).
+BANDS_SQL = """
+transform(sequence(0, 7), b ->
+  b * 16L + aggregate(sequence(0, 3), 0L, (acc, k) ->
+    acc * 2L + IF(
+      aggregate(
+        zip_with({v}, sequence(0, size({v}) - 1),
+          (x, i) -> CAST(x AS DOUBLE) * IF(pmod(hash(b * 4 + k, i), 2) = 0, 1D, -1D)),
+        0D, (acc2, x2) -> acc2 + x2) >= 0D, 1L, 0L)))
+"""
+COSINE_SQL = """
+aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+ / (sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
+    * sqrt(aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+"""
+
+
+def build_session(with_extension: bool):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master("local[8]")
+        .appName("catalyst-ext-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    if with_extension:
+        b = (
+            b.config("spark.jars", JAR)
+            .config("spark.driver.extraClassPath", JAR)
+            .config("spark.sql.extensions", "dies.ext.CosineLshExtensions")
+        )
+    return b.getOrCreate()
+
+
+def naive_query(spark):
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    e1 = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    return (
+        e1.join(e2, F.col("id1") < F.col("id2"))
+        .filter(F.expr(f"cosine_sim(v1, v2) >= {TAU}D"))
+        .select("id1", "id2")
+    )
+
+
+def no_ext_probe() -> int:
+    """Fresh JVM without the extension: cosine_sim must NOT resolve."""
+    spark = build_session(with_extension=False)
+    try:
+        naive_query(spark).collect()
+        print("ERROR: cosine_sim resolved without the extension", file=sys.stderr)
+        return 1
+    except Exception:
+        print("isolation check ok: cosine_sim is extension-only")
+        return 0
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    spark = build_session(with_extension=True)
+
+    rewritten = naive_query(spark)
+    plan = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "rewrite failed: CartesianProduct"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "rewrite failed: BroadcastNestedLoopJoin"
+    )
+    assert "__lsh_band" in plan, "rewrite failed: no band keys in plan"
+    print("plan check ok: equi-join on __lsh_band keys, no nested-loop join")
+
+    got = sorted(map(tuple, rewritten.collect()))
+
+    # Hand-built contract oracle: band explode + band equality + exact
+    # cosine re-rank + distinct, same expressions, no extension magic.
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    b1 = (
+        e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+        .withColumn("band1", F.explode(F.expr(BANDS_SQL.format(v="v1"))))
+    )
+    b2 = (
+        e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+        .withColumn("band2", F.explode(F.expr(BANDS_SQL.format(v="v2"))))
+    )
+    expected_df = (
+        b1.join(b2, (F.col("id1") < F.col("id2")) & (F.col("band1") == F.col("band2")))
+        .filter(F.expr(COSINE_SQL.format(a="v1", b="v2") + f" >= {TAU}D"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    expected = sorted(map(tuple, expected_df.collect()))
+    assert got == expected, (
+        f"rewrite output != band+rerank contract: {len(got)} vs {len(expected)}"
+    )
+    print(f"contract check ok: {len(got)} pairs == hand-built band+rerank")
+
+    # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
+    exact_df = (
+        e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+        .join(
+            e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2")),
+            F.col("id1") < F.col("id2"),
+        )
+        .filter(F.expr(COSINE_SQL.format(a="v1", b="v2") + f" >= {TAU}D"))
+        .select("id1", "id2")
+    )
+    exact = set(map(tuple, exact_df.collect()))
+    recall = len(set(got) & exact) / len(exact) if exact else 1.0
+    print(f"recall vs exact ε-join: {len(got)}/{len(exact)} = {recall:.3f}")
+    assert set(got) <= exact, "rewrite produced pairs below the threshold"
+    assert recall >= 0.5, f"recall {recall:.3f} below the 8x4 band floor"
+
+    spark.stop()
+
+    # Isolation must run in a FRESH JVM (configs leak via system props).
+    rc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--no-ext"],
+        timeout=300,
+    ).returncode
+    if rc != 0:
+        return rc
+    print("ALL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    if "--no-ext" in sys.argv:
+        sys.exit(no_ext_probe())
+    sys.exit(main())
