@@ -2118,3 +2118,175 @@ def dedup_threshold_sweep(spark, sf_dir):
         "n_pairs_at_or_above",
         F.expr("(1000 * n_pairs_at_or_above) div total").alias("share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-geometry planner (round 10): measured candidate cost + integer
+# closed-form recall per (bands × rows) config — the tuning table a 100 TB
+# dedup/ANN run reads before committing a band geometry. Complements
+# dedup_lsh_pr_eval (which measures ONE config against exact truth) and the
+# Catalyst cosine→LSH extension (whose shipped 8×4 geometry appears as one
+# row here).
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import math as _math
+
+_GEOM_DIM = 64  # embeddings.parquet vector dimensionality (FIXTURES.md)
+_GEOM_POOL = 32  # hyperplane pool = max bands·rows across the config grid
+_GEOM_CONFIGS = [(1, 8), (2, 4), (4, 2), (4, 4), (8, 2), (8, 4), (16, 2)]
+#: target threshold τ = 0.40 (the repo's ε-join surface, sim_threshold_join)
+#: collision probability per hyperplane p = 1 − acos(τ)/π, floored to
+#: permille IN PYTHON so both engines consume the same integer constant
+#: (zero cross-engine libm surface — the sim_ndcg_eval discipline).
+_GEOM_P_PERMILLE = _math.floor(1000 * (1 - _math.acos(0.4) / _math.pi))
+
+
+def _geom_hyperplanes() -> list[list[int]]:
+    """±1 hyperplane pool, md5-derived (deterministic like all repo
+    randomness), shared verbatim by the Spark expression and the oracle."""
+    return [
+        [
+            1 if int(_hashlib.md5(f"lshgeom:{j}:{i}".encode()).hexdigest(), 16) % 2 == 0
+            else -1
+            for i in range(_GEOM_DIM)
+        ]
+        for j in range(_GEOM_POOL)
+    ]
+
+
+def _geom_recall_permille(bands: int, rows: int) -> int:
+    """1 − (1 − p^rows)^bands in stepwise-floored permille — exact integer
+    arithmetic, so the estimate is engine-identical by construction."""
+    pr = 1000
+    for _ in range(rows):
+        pr = pr * _GEOM_P_PERMILLE // 1000
+    miss = 1000
+    for _ in range(bands):
+        miss = miss * (1000 - pr) // 1000
+    return 1000 - miss
+
+
+def _geom_case(expr_fmt: str) -> str:
+    """CASE cfg WHEN '<BxR>' THEN <literal> END over the config grid."""
+    whens = " ".join(
+        f"WHEN '{b}x{r}' THEN {expr_fmt.format(b=b, r=r, rec=_geom_recall_permille(b, r))}"
+        for b, r in _GEOM_CONFIGS
+    )
+    return f"CASE cfg {whens} END"
+
+
+def _geom_oracle() -> str:
+    H = _geom_hyperplanes()
+    sign_entries = ", ".join(
+        "CASE WHEN list_dot_product(qarr, ["
+        + ", ".join(str(v) for v in H[j])
+        + "]) >= 0 THEN 1 ELSE 0 END"
+        for j in range(_GEOM_POOL)
+    )
+    branches = []
+    for b_cnt, r_cnt in _GEOM_CONFIGS:
+        for b in range(b_cnt):
+            key = str(b)
+            for k in range(1, r_cnt + 1):
+                key = f"({key} * 2 + signs[{b * r_cnt + k}])"
+            branches.append(
+                f"SELECT '{b_cnt}x{r_cnt}' AS cfg, {key} AS key FROM s"
+            )
+    keys_sql = " UNION ALL ".join(branches)
+    return f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qarr
+        FROM embeddings
+    ), s AS (
+        SELECT [{sign_entries}] AS signs FROM q
+    ), keys AS (
+        {keys_sql}
+    ), buckets AS (
+        SELECT cfg, key, CAST(count(*) AS BIGINT) AS n
+        FROM keys GROUP BY 1, 2
+    )
+    SELECT cfg,
+           CAST({_geom_case("{b}")} AS BIGINT) AS bands,
+           CAST({_geom_case("{r}")} AS BIGINT) AS rows_per_band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST({_geom_case("{rec}")} AS BIGINT) AS est_recall_permille
+    FROM buckets GROUP BY cfg
+    """
+
+
+@register("plan_lsh_band_geometry", oracle=_geom_oracle())
+def plan_lsh_band_geometry(spark, sf_dir):
+    """LSH band-geometry tuning table: for each (bands × rows-per-band)
+    config on a shared 32-hyperplane pool, the MEASURED candidate-join
+    cost (Σ C(n_bucket, 2), plus bucket count and max bucket — the skew
+    signal) next to the integer closed-form recall estimate
+    1 − (1 − p^rows)^bands at τ=0.4. This is the table a 100 TB dedup/ANN
+    run reads to pick its band config BEFORE paying for the candidate
+    join — recall too low → more bands; candidate_pairs too high → more
+    rows per band (dedup_lsh_pr_eval then measures the chosen config
+    against exact truth; the Catalyst cosine→LSH extension ships the 8×4
+    row of this grid).
+
+    Everything is exact integer arithmetic: vectors quantize to
+    milli-units (the _QUANT_SPARK rule — ±1-hyperplane dot products are
+    then exact integers, no float-summation-order hazard at the sign
+    boundary), hyperplanes are md5-derived ±1 literals shared verbatim
+    with the oracle, and the recall estimate is stepwise-floored permille
+    computed in Python and embedded as literals in BOTH engines (the
+    sim_ndcg_eval zero-libm discipline).
+
+    100 TB: one scan → one narrow projection (32 sign bits/vector) → one
+    explode (Σ bands = 43 rows/vector) → two keyed rollups, all map-side
+    combinable; output is |configs| = 7 rows. At full scale the planner
+    runs on a deterministic hash-sample (sample_hash_mod) — candidate
+    counts scale as the sample-rate square per bucket, which the read-out
+    divides back; the structure is unchanged."""
+    from .curation import _QUANT_SPARK
+
+    H = _geom_hyperplanes()
+    h_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in H
+    ) + ")"
+    signs_expr = f"""transform(sequence(1, {_GEOM_POOL}), j ->
+        IF(aggregate(zip_with(qarr, element_at({h_lit}, j), (x, h) -> x * h),
+                     0L, (a, x) -> a + x) >= 0L, 1L, 0L))"""
+    branches = []
+    for b_cnt, r_cnt in _GEOM_CONFIGS:
+        branches.append(
+            f"""transform(sequence(0, {b_cnt - 1}), b ->
+                named_struct('cfg', '{b_cnt}x{r_cnt}', 'key',
+                    aggregate(sequence(1, {r_cnt}), CAST(b AS BIGINT),
+                              (acc, k) -> acc * 2L
+                                          + element_at(signs, b * {r_cnt} + k))))"""
+        )
+    keys_expr = "flatten(array(" + ", ".join(branches) + "))"
+
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = e.select(F.expr(_QUANT_SPARK).alias("qarr")).select(
+        F.expr(signs_expr).alias("signs")
+    )
+    kx = signs.select(F.explode(F.expr(keys_expr)).alias("ck")).select(
+        "ck.cfg", "ck.key"
+    )
+    buckets = kx.groupBy("cfg", "key").agg(F.count(F.lit(1)).alias("n"))
+    per_cfg = buckets.groupBy("cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("candidate_pairs"),
+        F.max("n").cast("long").alias("max_bucket"),
+    )
+    return per_cfg.select(
+        "cfg",
+        F.expr(f"CAST({_geom_case('{b}')} AS BIGINT)").alias("bands"),
+        F.expr(f"CAST({_geom_case('{r}')} AS BIGINT)").alias("rows_per_band"),
+        "n_buckets",
+        "candidate_pairs",
+        "max_bucket",
+        F.expr(f"CAST({_geom_case('{rec}')} AS BIGINT)").alias(
+            "est_recall_permille"
+        ),
+    )

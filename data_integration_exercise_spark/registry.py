@@ -145,7 +145,9 @@ _PRIORITY = [
 # driver rows predate the change); remaining slots = freshness re-checks
 # of the oldest keys whose latest green row is round 1 (the 19-key
 # _VERIFIED_R1 remainder first, stable registry order).
-_ADDED_R10: list[str] = []
+_ADDED_R10: list[str] = [
+    "plan_lsh_band_geometry",
+]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
 # round-8 _PRIORITY window; CORRECTNESS_r08 50/50 green, re-confirmed

@@ -400,3 +400,34 @@ def test_salted_lang_pairs_enumerates_each_pair_exactly_once(spark):
                 r.a_payload == r.doc1 * 11 and r.b_payload == r.doc2 * 11
                 for r in got
             )
+
+
+def test_lsh_band_geometry_tradeoffs(spark):
+    """The planner table must read as LSH theory says: recall rises with
+    bands at fixed rows, candidate cost rises as buckets coarsen, and the
+    bucket count is bounded by bands * 2^rows."""
+    rows = {
+        r.cfg: r
+        for r in pipeline.QUERIES["plan_lsh_band_geometry"](spark, SF).collect()
+    }
+    assert set(rows) == {f"{b}x{r}" for b, r in pipeline._GEOM_CONFIGS}
+    assert (
+        rows["8x4"].est_recall_permille
+        > rows["4x4"].est_recall_permille
+        > rows["2x4"].est_recall_permille
+    )
+    assert (
+        rows["8x4"].candidate_pairs
+        >= rows["4x4"].candidate_pairs
+        >= rows["2x4"].candidate_pairs
+    )
+    # fewer rows per band -> coarser buckets -> more candidates AND recall
+    assert rows["8x2"].candidate_pairs > rows["8x4"].candidate_pairs
+    assert rows["8x2"].est_recall_permille > rows["8x4"].est_recall_permille
+    for r in rows.values():
+        assert r.n_buckets <= r.bands * (2**r.rows_per_band)
+        assert r.max_bucket >= 1
+    # the closed-form helper pins the 8x4 geometry the Catalyst extension ships
+    assert (
+        pipeline._geom_recall_permille(8, 4) == rows["8x4"].est_recall_permille
+    )
