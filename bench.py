@@ -134,6 +134,11 @@ R8_TIER = [
     "graph_scc_condensation",
 ]
 
+# Round-10 additions, benched median-of-3 so regressions are attributable.
+R10_TIER = [
+    "plan_lsh_band_geometry",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,7 +156,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
-        + R8_TIER
+        + R8_TIER + R10_TIER
     ):
         if key not in qs:
             continue
@@ -201,6 +206,9 @@ def main() -> None:
     r8_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R8_TIER), 4
     )
+    r10_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R10_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -221,6 +229,7 @@ def main() -> None:
         "r6_tier_total": r6_tier_total,
         "r7_tier_total": r7_tier_total,
         "r8_tier_total": r8_tier_total,
+        "r10_tier_total": r10_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
@@ -250,6 +259,7 @@ def main() -> None:
             "r6": r6_tier_total,
             "r7": r7_tier_total,
             "r8": r8_tier_total,
+            "r10": r10_tier_total,
         },
         "sf": sf,
     }
