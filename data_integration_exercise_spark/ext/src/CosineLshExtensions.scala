@@ -60,20 +60,20 @@ object Templates {
           * sqrt(aggregate(__B__, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""",
     Map("__A__" -> a, "__B__" -> b))
 
-  /** Banded sign-random-hyperplane LSH keys: 8 bands × 4 bits, the band
-   *  index packed into the key (key = band·16 + bucket), hyperplane
-   *  h_{b,k}[i] = ±1 from the parity of hash(b·4 + k, i). Deterministic
-   *  and dimension-agnostic; a pair is a candidate iff it shares ≥1 of
-   *  the 8 keys (OR-of-bands — the recall lever single-bucket LSH
-   *  lacks). */
-  def bandArray(v: Expression): Expression = subst(
-    """transform(sequence(0, 7), b ->
-         b * 16L + aggregate(sequence(0, 3), 0L, (acc, k) ->
+  /** Banded sign-random-hyperplane LSH keys: `bands` bands × `rows` bits,
+   *  the band index packed into the key (key = band·2^rows + bucket),
+   *  hyperplane h_{b,k}[i] = ±1 from the parity of hash(b·rows + k, i).
+   *  Deterministic and dimension-agnostic; a pair is a candidate iff it
+   *  shares ≥1 of the `bands` keys (OR-of-bands — the recall lever
+   *  single-bucket LSH lacks). */
+  def bandArray(v: Expression, bands: Int, rows: Int): Expression = subst(
+    s"""transform(sequence(0, ${bands - 1}), b ->
+         b * ${1L << rows}L + aggregate(sequence(0, ${rows - 1}), 0L, (acc, k) ->
            acc * 2L + IF(
              aggregate(
                zip_with(__V__, sequence(0, size(__V__) - 1),
                  (x, i) -> CAST(x AS DOUBLE)
-                           * IF(pmod(hash(b * 4 + k, i), 2) = 0, 1D, -1D)),
+                           * IF(pmod(hash(b * $rows + k, i), 2) = 0, 1D, -1D)),
                0D, (acc2, x2) -> acc2 + x2) >= 0D, 1L, 0L)))""",
     Map("__V__" -> v))
 }
@@ -117,7 +117,14 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     j.left.output.exists(_.name == BAND_L) ||
       j.right.output.exists(_.name == BAND_R)
 
-  /** Explode `plan` on the 8 banded LSH keys of `v`; the key attribute is
+  /** Band geometry is session-tunable (plan_lsh_band_geometry on a sample
+   *  is the table to read before picking): defaults are the 8×4 config. */
+  private def bandsConf: Int =
+    conf.getConfString("spark.dies.lsh.bands", "8").toInt
+  private def rowsConf: Int =
+    conf.getConfString("spark.dies.lsh.rowsPerBand", "4").toInt
+
+  /** Explode `plan` on the banded LSH keys of `v`; the key attribute is
    *  pre-resolved so the join condition can reference it directly. */
   private def banded(
       plan: LogicalPlan, v: Expression, name: String
@@ -125,7 +132,7 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val attr = AttributeReference(
       name, org.apache.spark.sql.types.LongType, nullable = true)()
     val gen = Generate(
-      Explode(Templates.bandArray(v)),
+      Explode(Templates.bandArray(v, bandsConf, rowsConf)),
       unrequiredChildIndex = Nil,
       outer = false,
       qualifier = None,

@@ -38,13 +38,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 # The same band-key expression the Scala rule injects (kept in sync with
 # Templates.bandArray — the hand-built contract oracle).
-BANDS_SQL = """
-transform(sequence(0, 7), b ->
-  b * 16L + aggregate(sequence(0, 3), 0L, (acc, k) ->
+def bands_sql(v: str, bands: int, rows: int) -> str:
+    return f"""
+transform(sequence(0, {bands - 1}), b ->
+  b * {1 << rows}L + aggregate(sequence(0, {rows - 1}), 0L, (acc, k) ->
     acc * 2L + IF(
       aggregate(
         zip_with({v}, sequence(0, size({v}) - 1),
-          (x, i) -> CAST(x AS DOUBLE) * IF(pmod(hash(b * 4 + k, i), 2) = 0, 1D, -1D)),
+          (x, i) -> CAST(x AS DOUBLE) * IF(pmod(hash(b * {rows} + k, i), 2) = 0, 1D, -1D)),
         0D, (acc2, x2) -> acc2 + x2) >= 0D, 1L, 0L)))
 """
 COSINE_SQL = """
@@ -99,6 +100,29 @@ def no_ext_probe() -> int:
         spark.stop()
 
 
+def contract_pairs(spark, bands: int, rows: int):
+    """Hand-built contract oracle: band explode + band equality + exact
+    cosine re-rank + distinct, same expressions, no extension magic."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    b1 = (
+        e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+        .withColumn("band1", F.explode(F.expr(bands_sql("v1", bands, rows))))
+    )
+    b2 = (
+        e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+        .withColumn("band2", F.explode(F.expr(bands_sql("v2", bands, rows))))
+    )
+    expected_df = (
+        b1.join(b2, (F.col("id1") < F.col("id2")) & (F.col("band1") == F.col("band2")))
+        .filter(F.expr(COSINE_SQL.format(a="v1", b="v2") + f" >= {TAU}D"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return sorted(map(tuple, expected_df.collect()))
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -114,31 +138,31 @@ def main() -> int:
     print("plan check ok: equi-join on __lsh_band keys, no nested-loop join")
 
     got = sorted(map(tuple, rewritten.collect()))
-
-    # Hand-built contract oracle: band explode + band equality + exact
-    # cosine re-rank + distinct, same expressions, no extension magic.
-    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    b1 = (
-        e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
-        .withColumn("band1", F.explode(F.expr(BANDS_SQL.format(v="v1"))))
-    )
-    b2 = (
-        e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
-        .withColumn("band2", F.explode(F.expr(BANDS_SQL.format(v="v2"))))
-    )
-    expected_df = (
-        b1.join(b2, (F.col("id1") < F.col("id2")) & (F.col("band1") == F.col("band2")))
-        .filter(F.expr(COSINE_SQL.format(a="v1", b="v2") + f" >= {TAU}D"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    expected = sorted(map(tuple, expected_df.collect()))
+    expected = contract_pairs(spark, bands=8, rows=4)
     assert got == expected, (
         f"rewrite output != band+rerank contract: {len(got)} vs {len(expected)}"
     )
     print(f"contract check ok: {len(got)} pairs == hand-built band+rerank")
 
+    # Session-tunable geometry: the rule must honor spark.dies.lsh.* confs
+    # (pick the config from plan_lsh_band_geometry's table in practice).
+    spark.conf.set("spark.dies.lsh.bands", "16")
+    spark.conf.set("spark.dies.lsh.rowsPerBand", "2")
+    got_162 = sorted(map(tuple, naive_query(spark).collect()))
+    expected_162 = contract_pairs(spark, bands=16, rows=2)
+    assert got_162 == expected_162, (
+        f"16x2 rewrite != 16x2 contract: {len(got_162)} vs {len(expected_162)}"
+    )
+    assert len(got_162) >= len(got), "coarser geometry lost candidates"
+    print(
+        f"conf check ok: 16x2 geometry honored "
+        f"({len(got_162)} pairs >= {len(got)} at 8x4)"
+    )
+    spark.conf.unset("spark.dies.lsh.bands")
+    spark.conf.unset("spark.dies.lsh.rowsPerBand")
+
     # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     exact_df = (
         e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
         .join(
