@@ -147,6 +147,7 @@ _PRIORITY = [
 # _VERIFIED_R1 remainder first, stable registry order).
 _ADDED_R10: list[str] = [
     "plan_lsh_band_geometry",
+    "stream_dedup_minhash",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

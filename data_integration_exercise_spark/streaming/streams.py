@@ -601,3 +601,108 @@ def stream_topk_per_window(spark, sf_dir):
     return (
         counts.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 3)
     )
+
+
+def _staged_documents_stream(spark, sf_dir: str):
+    """Stage canonical documents → parquet; return a file-source stream.
+
+    Same contract as _staged_events_stream: process-private path, staged
+    once per (sf, pid), immutable source."""
+    from ..schemas import DOCUMENTS
+
+    tag = sf_cache_tag(sf_dir)
+    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/documents_stream"
+    if path not in _STAGED:
+        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _STAGED.add(path)
+    return spark.readStream.schema(DOCUMENTS).parquet(path)
+
+
+def _minhash_sig_oracle() -> str:
+    from ..operators.pipeline import MINHASH_PERMS, _V, _VOCAB_DUCK
+
+    terms = " + ".join(
+        f"CAST(list_min(list_transform(idxs, i -> ({a} * i + {b}) % {_V}))"
+        f" AS BIGINT) * {_V ** p}"
+        for p, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(string_split(text, ' '),
+                             t -> list_position({_VOCAB_DUCK}, t))) AS idxs
+        FROM documents
+    ), sig AS (
+        SELECT doc_id, lang, CAST({terms} AS BIGINT) AS sig FROM toks
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                         AS n_docs,
+           CAST(count(DISTINCT sig) AS BIGINT)              AS n_kept,
+           CAST(count(*) - count(DISTINCT sig) AS BIGINT)   AS n_dropped,
+           CAST(1000 * count(DISTINCT sig) // count(*) AS BIGINT)
+               AS kept_permille
+    FROM sig GROUP BY lang
+    """
+
+
+@register("stream_dedup_minhash", oracle=_minhash_sig_oracle())
+def stream_dedup_minhash(spark, sf_dir):
+    """Streaming near-dup dedup AT INGEST: every arriving document gets its
+    full 8-permutation MinHash signature (the same deterministic
+    vocabulary-index arithmetic as dedup_minhash_lsh — one BIGINT packing
+    all 8 minhashes, a bijection of the tuple) and `dropDuplicates` on
+    (lang, signature) keeps the first arrival of each near-dup class —
+    the admission-control form of dedup a 100 TB ingest pipeline runs so
+    exact/near duplicate crawl shards never reach storage. WHICH physical
+    doc survives is batch-order-dependent, so (the stream_dedup
+    discipline) the verified output is the order-independent readout:
+    per-lang arrivals vs kept near-dup classes and the keep rate. The
+    batch oracle computes the same class count via COUNT(DISTINCT sig).
+
+    100 TB: signature computation is a narrow per-row projection (no
+    pre-aggregation, unlike the batch mask build — ingest sees one doc at
+    a time); dedup state is one row per KEPT class, partitioned on the
+    dedup key — state scales with unique content, not arrivals. In
+    unbounded operation the key set is bounded with
+    dropDuplicatesWithinWatermark on ingest time (trade: re-admits a
+    class after the horizon); this bounded demo keeps exact state."""
+    from ..operators.pipeline import MINHASH_PERMS, _V, _VOCAB_SPARK
+
+    idxs = (
+        f"array_distinct(transform(split(text, ' '), "
+        f"t -> array_position({_VOCAB_SPARK}, t)))"
+    )
+    terms = " + ".join(
+        f"array_min(transform(_idxs, i -> CAST(({a} * i + {b}) % {_V} AS BIGINT)))"
+        f" * {_V ** p}L"
+        for p, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    s = _staged_documents_stream(spark, sf_dir)
+    kept = (
+        s.withColumn("_idxs", F.expr(idxs))
+        .select("doc_id", "lang", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
+        .dropDuplicates(["lang", "sig"])
+    )
+    sink = _parquet_result(spark, kept, "stream_dedup_minhash", "append")
+    arrivals = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    kept_counts = sink.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        arrivals.join(kept_counts, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+            F.expr("CAST(1000 * n_kept div n_docs AS BIGINT)").alias(
+                "kept_permille"
+            ),
+        )
+    )

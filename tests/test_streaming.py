@@ -188,3 +188,48 @@ def test_stream_topk_per_window_matches_batch_rank(spark):
     assert (got.event_type.values == want.event_type.values).all()
     assert (got.n.values == want.n.values).all()
     assert (got.rnk.values == want.rnk.values).all()
+
+
+def test_stream_dedup_minhash_agrees_with_batch_signatures(spark):
+    """The streaming kept-class count must equal a batch count of distinct
+    full MinHash signatures computed through the BATCH mask machinery
+    (pipeline._band_signatures packs per-band; here we re-derive the full
+    8-perm signature from the same mask bits) — ties the streaming ingest
+    path to the batch dedup family, and pins n_kept <= n_docs with exact
+    complement accounting."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.operators.pipeline import (
+        MINHASH_PERMS,
+        _V,
+        _doc_masks,
+    )
+
+    got = {
+        r.lang: r
+        for r in streams.QUERIES["stream_dedup_minhash"](spark, SF).collect()
+    }
+    set_idx = "filter(sequence(1, 31), i -> (shiftright(mask, i - 1) & 1) = 1)"
+    terms = " + ".join(
+        f"array_min(transform(_idxs, i -> CAST(({a} * i + {b}) % {_V} AS BIGINT)))"
+        f" * {_V ** p}L"
+        for p, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    batch = (
+        _doc_masks(spark, SF)
+        .withColumn("_idxs", F.expr(set_idx))
+        .select("lang", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sig").alias("n_classes"),
+        )
+        .collect()
+    )
+    assert got, "no output rows"
+    for b in batch:
+        g = got[b.lang]
+        assert g.n_docs == b.n_docs
+        assert g.n_kept == b.n_classes
+        assert g.n_dropped == g.n_docs - g.n_kept
+        assert 0 < g.n_kept <= g.n_docs
