@@ -1497,3 +1497,86 @@ def text_bigram_richness(spark, sf_dir):
         F.round(F.sum(hap) * 1.0 / F.count(F.lit(1)), 4).alias("hapax_ratio"),
         F.round(F.count(F.lit(1)) * 1.0 / F.sum("f"), 4).alias("type_token_ratio"),
     )
+
+
+_EXSUB_K = 8  # window length in tokens (Lee et al. use 50 BPE tokens; this
+#              corpus's docs run 10-100 tokens, so 8 keeps spans informative)
+
+
+@register(
+    "dedup_exact_substring_coverage",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                   range(1, len(toks) - {_EXSUB_K - 2}),
+                   i -> array_to_string(toks[i:i + {_EXSUB_K - 1}], ' ')))
+                   AS span
+        FROM d WHERE len(toks) >= {_EXSUB_K}
+    ), c AS (
+        SELECT span, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY span
+    )
+    SELECT w.doc_id, any_value(w.lang) AS lang,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (c.n >= 2) AS BIGINT) AS n_dup_windows,
+           CAST(1000 * count(*) FILTER (c.n >= 2) // count(*) AS BIGINT)
+               AS dup_coverage_permille
+    FROM w JOIN c USING (span)
+    GROUP BY w.doc_id
+    """,
+)
+def dedup_exact_substring_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better' — the ExactSubstr readout): for every sliding 8-token window
+    of every document, is that exact span seen ANYWHERE else in the corpus
+    (any second occurrence, inter- or intra-document)? Per document:
+    window count, duplicated-window count, and coverage in permille — the
+    number ExactSubstr CUTS spans by, and the complement of winnowing
+    (dedup_winnowing samples ~40% of k-gram fingerprints to find PAIRS;
+    this measures exact full-window duplication MASS per doc).
+
+    All-exact: the join key is the span STRING itself (no hash, no
+    collisions), counts are integers, coverage is floor-div permille.
+
+    100 TB: explode is ~n_tokens rows/doc map-side; the span groupBy and
+    the windows⋈counts join both hash-partition on span, so the second
+    shuffle reuses the first's partitioning (exchange reuse); the per-doc
+    rollup is map-side combinable. At full scale the span key is a 64-bit
+    content hash instead of the string (8 bytes vs ~45) and a Bloom/CMS
+    prefilter drops singleton spans before the join — the structure is
+    unchanged; Lee et al.'s suffix-array construction trades this
+    shuffle for sort-based locality on a single machine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    w = (
+        d.filter(F.size("toks") >= _EXSUB_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(1, size(toks) - {_EXSUB_K - 1}),
+                        i -> concat_ws(' ', slice(toks, i, {_EXSUB_K})))"""
+                )
+            ).alias("span"),
+        )
+    )
+    c = w.groupBy("span").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dup = F.when(F.col("n") >= 2, 1).otherwise(0)
+    return (
+        w.join(c, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_coverage_permille",
+            F.expr("CAST(1000 * n_dup_windows div n_windows AS BIGINT)"),
+        )
+    )

@@ -148,6 +148,7 @@ _PRIORITY = [
 _ADDED_R10: list[str] = [
     "plan_lsh_band_geometry",
     "stream_dedup_minhash",
+    "dedup_exact_substring_coverage",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

@@ -908,3 +908,35 @@ def test_kmeans_lloyd_matches_numpy_trajectory(spark):
         for r in curation.QUERIES["sim_kmeans_lloyd"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_exact_substring_coverage_consistency(spark):
+    """Coverage accounting must be internally consistent and agree with a
+    direct pandas recount of span multiplicities."""
+    from collections import Counter
+
+    from data_integration_exercise_spark.operators import text as text_mod
+
+    SF = "/root/testdata/sf0.01"
+    rows = text_mod.QUERIES["dedup_exact_substring_coverage"](spark, SF).collect()
+    assert rows
+    from data_integration_exercise_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    k = text_mod._EXSUB_K
+    spans = {}
+    counts = Counter()
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        ws = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k:
+            spans[r.doc_id] = ws
+            counts.update(ws)
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(spans)
+    for doc_id, ws in spans.items():
+        g = got[doc_id]
+        n_dup = sum(1 for w in ws if counts[w] >= 2)
+        assert g.n_windows == len(ws)
+        assert g.n_dup_windows == n_dup
+        assert g.dup_coverage_permille == 1000 * n_dup // len(ws)
