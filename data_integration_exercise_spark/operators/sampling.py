@@ -739,3 +739,134 @@ def sample_systematic(spark, sf_dir):
         .filter((F.col("off") + F.col("lrank")) % 100 == 1)
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (round 10)
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+#: same milli-unit quantization as the kmeans/semdedup family
+_KC_QUANT = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
+def _kcenter_oracle() -> str:
+    parts = [f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+        FROM embeddings
+    ), c1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, label, qv FROM q
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    )"""]
+    prev = "c1"
+    for i in range(2, _KCENTER_K + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+        SELECT q.vec_id, q.label, q.qv,
+               min(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                   j -> (q.qv[j] - c.qv[j]) * (q.qv[j] - c.qv[j]))) AS BIGINT))
+                   AS min_d2
+        FROM q, {prev} c GROUP BY 1, 2, 3
+    ), p{i} AS MATERIALIZED (
+        SELECT {i} AS rank, vec_id, label, qv FROM d{i}
+        ORDER BY min_d2 DESC, vec_id LIMIT 1
+    ), c{i} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM p{i}
+    )""")
+        prev = f"c{i}"
+    parts.append(f""", radius AS (
+        SELECT CAST(max(min_d2) AS BIGINT) AS coverage_radius_d2 FROM (
+            SELECT q.vec_id,
+                   min(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                       j -> (q.qv[j] - c.qv[j]) * (q.qv[j] - c.qv[j])))
+                       AS BIGINT)) AS min_d2
+            FROM q, {prev} c GROUP BY 1)
+    )
+    SELECT CAST(c.rank AS BIGINT) AS rank, c.vec_id, c.label,
+           r.coverage_radius_d2
+    FROM {prev} c CROSS JOIN radius r""")
+    return "".join(parts)
+
+
+@register("sample_coreset_kcenter", oracle=_kcenter_oracle())
+def sample_coreset_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (farthest-point traversal — the
+    2-approximation of Gonzalez 1985, the coreset/data-pruning selector
+    of Sener & Savarese 2018): seed with the hash-smallest vector (the
+    repo's derandomization rule), then 7 times add the point FARTHEST
+    from the chosen set (max over min-d2, vec_id tie-break). Output: the
+    8 chosen centers in selection order plus the final coverage radius
+    max_v min_{c∈C} d²(v, c) — the k-center objective the greedy
+    2-approximates, i.e. 'every vector is within √radius of a kept
+    exemplar'. Coresets pick the most-diverse exemplars for labeling /
+    eval-set construction / data pruning — the selection counterpart of
+    dedup (which removes the redundant; this KEEPS the maximally
+    spread).
+
+    All integer: milli-quantized vectors, exact integer squared-L2,
+    total-order tie-breaks — the unrolled 8-step trajectory is
+    hash-stable across engines and partitionings (the sim_kmeans_lloyd /
+    graph_pagerank fixed-iteration contract; the oracle unrolls the same
+    8 steps as MATERIALIZED CTEs).
+
+    100 TB: each of the k rounds is ONE broadcast of the ≤k chosen
+    centers, one narrow zip_with distance pass, and a TakeOrdered(1)
+    reduce — no shuffle at all beyond the top-1 merge; the chosen-set
+    frame localCheckpoints each round (graph-loop discipline, lineage
+    stays flat). k passes over the data is the honest cost of the greedy
+    guarantee; at huge scale you run it on a hash-sample or pre-cluster
+    (the semdedup blocking), structure unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.expr(_KC_QUANT).alias("qv")
+    ).localCheckpoint(eager=False)
+
+    seed = (
+        q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .select(F.lit(1).cast("long").alias("rank"), "vec_id", "label", "qv")
+        .localCheckpoint(eager=True)
+    )
+    chosen = seed
+
+    d2 = F.aggregate(
+        F.zip_with("qv", "cqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def min_d2_frame(chosen_df):
+        c = chosen_df.select(F.col("qv").alias("cqv"))
+        return (
+            q.crossJoin(F.broadcast(c))
+            .select("vec_id", "label", "qv", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.first("label").alias("label"),
+                F.first("qv").alias("qv"),
+                F.min("d2").alias("min_d2"),
+            )
+        )
+
+    for i in range(2, _KCENTER_K + 1):
+        pick = (
+            min_d2_frame(chosen)
+            .orderBy(F.col("min_d2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("rank"), "vec_id", "label", "qv"
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
+
+    radius = min_d2_frame(chosen).agg(
+        F.max("min_d2").cast("long").alias("coverage_radius_d2")
+    )
+    return (
+        chosen.crossJoin(F.broadcast(radius))
+        .select("rank", "vec_id", "label", "coverage_radius_d2")
+    )

@@ -149,6 +149,7 @@ _ADDED_R10: list[str] = [
     "plan_lsh_band_geometry",
     "stream_dedup_minhash",
     "dedup_exact_substring_coverage",
+    "sample_coreset_kcenter",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

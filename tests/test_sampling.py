@@ -252,3 +252,46 @@ def test_systematic_matches_naive_global_rank(spark):
         for r in sampling.QUERIES["sample_systematic"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_kcenter_greedy_invariants(spark):
+    """The k-center trajectory must satisfy the greedy definition: a pure
+    numpy replay of farthest-point traversal from the same hash seed picks
+    the identical center sequence, and the reported coverage radius equals
+    max-over-vectors min-d2 to the chosen set."""
+    import hashlib
+
+    import numpy as np
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators import sampling
+
+    SF = "/root/testdata/sf0.01"
+    rows = sorted(
+        sampling.QUERIES["sample_coreset_kcenter"](spark, SF).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, sampling._KCENTER_K + 1))
+    radius = {r.coverage_radius_d2 for r in rows}
+    assert len(radius) == 1
+    radius = radius.pop()
+
+    pdf = load_table(spark, SF, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    q = np.floor(
+        np.stack(pdf.embedding.map(np.asarray).to_numpy()).astype(np.float64) * 1000
+        + 0.5
+    ).astype(np.int64)
+    seed_pos = min(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    chosen = [seed_pos]
+    min_d2 = ((q - q[seed_pos]) ** 2).sum(axis=1)
+    for _ in range(sampling._KCENTER_K - 1):
+        # argmax of (min_d2, -vec_id): farthest first, smallest id on ties
+        best = max(range(len(ids)), key=lambda i: (min_d2[i], -ids[i]))
+        chosen.append(best)
+        min_d2 = np.minimum(min_d2, ((q - q[best]) ** 2).sum(axis=1))
+    assert [r.vec_id for r in rows] == [int(ids[i]) for i in chosen]
+    assert radius == int(min_d2.max())
