@@ -164,6 +164,14 @@ EXPECTED_EXCHANGES = {
     "sim_kmeans_lloyd": (5, 3),  # final E-step off the checkpointed
     #   centroid table (the 3 update iterations are checkpoint-backed):
     #   assignment window + size/label/majority rollups
+    # Round-10 additions (pinned at birth):
+    "plan_lsh_band_geometry": (2, 0),  # (cfg,key) bucket rollup + cfg rollup
+    "dedup_exact_substring_coverage": (2, 1),  # span rollup (+ reused
+    #   partitioning into the windows⋈counts join) + per-doc rollup; the
+    #   1-row nothing-to-broadcast side is plan-text only
+    "sample_coreset_kcenter": (2, 2),  # final radius pass off the
+    #   checkpointed 8-row chosen set (the 7 selection rounds are
+    #   checkpoint-backed): min-d2 rollup + radius agg, chosen+radius bcasts
 }
 
 _SHUFFLE_RE = re.compile(
