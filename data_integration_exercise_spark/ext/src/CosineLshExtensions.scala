@@ -105,6 +105,14 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  private def isCosinePred(e: Expression): Boolean = e match {
+    case GreaterThanOrEqual(_: CosineSim, rhs) => rhs.foldable
+    case GreaterThan(_: CosineSim, rhs) => rhs.foldable
+    case LessThanOrEqual(rhs, _: CosineSim) => rhs.foldable
+    case LessThan(rhs, _: CosineSim) => rhs.foldable
+    case _ => false
+  }
+
   private def cosineConjunct(cond: Expression): Option[CosineSim] =
     splitConjunctivePredicates(cond).collectFirst {
       case GreaterThanOrEqual(cs: CosineSim, rhs) if rhs.foldable => cs
@@ -141,29 +149,50 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     (gen, attr)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case f @ Filter(cond, j @ Join(l, r, Inner, jc, hint))
-        if f.resolved && !alreadyBucketed(j) =>
-      cosineConjunct(cond).flatMap(sides) match {
-        case Some((va, vb)) =>
-          val aL = va.references.subsetOf(l.outputSet) &&
-            vb.references.subsetOf(r.outputSet)
-          val aR = va.references.subsetOf(r.outputSet) &&
-            vb.references.subsetOf(l.outputSet)
-          if (!aL && !aR) f
-          else {
-            val (lv, rv) = if (aL) (va, vb) else (vb, va)
-            val (gl, al) = banded(l, lv, BAND_L)
-            val (gr, ar) = banded(r, rv, BAND_R)
-            val eq = EqualTo(al, ar)
-            val newJoin =
-              Join(gl, gr, Inner, Some(jc.map(And(_, eq)).getOrElse(eq)), hint)
-            // re-rank on the exact cosine, hide the band keys, and collapse
-            // multi-band matches — the user sees the original schema
-            Distinct(Project(f.output, Filter(cond, newJoin)))
-          }
-        case None => f
+  /** Build the banded rewrite if `cond` carries a sides-separable cosine
+   *  threshold: Distinct(Project(out, Filter(cond, Join(bandedL, bandedR,
+   *  jc AND bandL = bandR)))) — the join prunes to band collisions, the
+   *  filter is the exact re-rank, Distinct collapses multi-band hits. */
+  private def rewrite(
+      out: Seq[Attribute], cond: Expression, l: LogicalPlan, r: LogicalPlan,
+      jc: Option[Expression], hint: JoinHint
+  ): Option[LogicalPlan] =
+    cosineConjunct(cond).flatMap(sides).flatMap { case (va, vb) =>
+      val aL = va.references.subsetOf(l.outputSet) &&
+        vb.references.subsetOf(r.outputSet)
+      val aR = va.references.subsetOf(r.outputSet) &&
+        vb.references.subsetOf(l.outputSet)
+      if (!aL && !aR) None
+      else {
+        val (lv, rv) = if (aL) (va, vb) else (vb, va)
+        val (gl, al) = banded(l, lv, BAND_L)
+        val (gr, ar) = banded(r, rv, BAND_R)
+        val eq = EqualTo(al, ar)
+        val newJoin =
+          Join(gl, gr, Inner, Some(jc.map(And(_, eq)).getOrElse(eq)), hint)
+        Some(Distinct(Project(out, Filter(cond, newJoin))))
       }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.dies.lsh.rewrite.enabled", "true").toBoolean) {
+      return plan
+    }
+    plan.resolveOperatorsUp {
+      // cosine threshold as a filter over an inner join
+      case f @ Filter(cond, j @ Join(l, r, Inner, jc, hint))
+          if f.resolved && !alreadyBucketed(j) =>
+        rewrite(f.output, cond, l, r, jc, hint).getOrElse(f)
+      // cosine threshold written directly in the join condition: the
+      // non-cosine conjuncts keep keying the join (+ the band equality),
+      // the full original condition becomes the post-join exact re-rank
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if j.resolved && !alreadyBucketed(j) =>
+        val residue =
+          splitConjunctivePredicates(cond).filterNot(isCosinePred)
+        rewrite(j.output, cond, l, r, residue.reduceOption(And), hint)
+          .getOrElse(j)
+    }
   }
 }
 

@@ -161,6 +161,37 @@ def main() -> int:
     spark.conf.unset("spark.dies.lsh.bands")
     spark.conf.unset("spark.dies.lsh.rowsPerBand")
 
+    # Cosine threshold written INSIDE the join condition (the other common
+    # user formulation) must rewrite identically.
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    e1 = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"))
+    e2 = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"))
+    injoin = (
+        e1.join(
+            e2,
+            (F.col("id1") < F.col("id2"))
+            & F.expr(f"cosine_sim(v1, v2) >= {TAU}D"),
+        )
+        .select("id1", "id2")
+    )
+    injoin_plan = injoin._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" in injoin_plan and "BroadcastNestedLoopJoin" not in injoin_plan
+    got_ij = sorted(map(tuple, injoin.collect()))
+    assert got_ij == expected, (
+        f"join-condition form != filter form: {len(got_ij)} vs {len(expected)}"
+    )
+    print("join-condition form ok: same plan shape and result set")
+
+    # Kill switch: disabling the rewrite must leave the naive plan alone
+    # (nested-loop join, no band keys) while cosine_sim still evaluates.
+    spark.conf.set("spark.dies.lsh.rewrite.enabled", "false")
+    off = naive_query(spark)
+    off_plan = off._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" not in off_plan, "kill switch ignored"
+    off_n = off.count()
+    spark.conf.set("spark.dies.lsh.rewrite.enabled", "true")
+    print(f"kill-switch ok: naive plan preserved ({off_n} exact pairs)")
+
     # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
     e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     exact_df = (
