@@ -1156,3 +1156,117 @@ def etl_partition_backfill_plan(spark, sf_dir):
 
 
 _BACKFILL_STAGED: set[str] = set()
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-shaped release (round 10)
+# ---------------------------------------------------------------------------
+
+_DP_EPS_MILLI = 1000  # ε = 1.0
+_DP_CAP = 5  # per-customer contribution cap ⇒ L1 sensitivity of the count
+#: the released domain is the fixed 5-value TPC-H segment set — releasing
+#: over a FIXED domain (not the observed one) is itself part of the DP
+#: contract (observed-domain release leaks which cells are non-empty)
+_DP_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _dp_noise(seg: str) -> int:
+    """Integer Laplace(b = sensitivity/ε) noise for one released cell,
+    inverse-CDF applied to an md5-derived uniform. Computed in PYTHON and
+    embedded as a literal in both engines (the sim_ndcg_eval zero-libm
+    discipline): DETERMINISTIC BY DESIGN so the release is
+    oracle-verifiable in this exercise — a production boundary draws u
+    from a CSPRNG instead; mechanism shape, clipping, and sensitivity
+    accounting are unchanged."""
+    import hashlib
+    import math
+
+    b = _DP_CAP / (_DP_EPS_MILLI / 1000.0)
+    u = (int(hashlib.md5(f"dp|{seg}".encode()).hexdigest()[:12], 16) + 0.5) / 16**12
+    # standard Laplace inverse CDF around 0.5
+    noise = -b * math.copysign(1.0, u - 0.5) * math.log(1.0 - 2.0 * abs(u - 0.5))
+    return int(math.floor(noise + 0.5))
+
+
+def _dp_case(fmt) -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {fmt(s)}" for s in _DP_SEGMENTS
+    )
+    return f"CASE c_mktsegment {whens} END"
+
+
+@register(
+    "etl_dp_release",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               least(CAST(count(*) AS BIGINT), {_DP_CAP}) AS contrib
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), cells AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(contrib) AS BIGINT) AS clipped_count
+        FROM per_user GROUP BY 1
+    )
+    SELECT c_mktsegment AS segment,
+           n_users, clipped_count,
+           CAST({_dp_case(_dp_noise)} AS BIGINT) AS noise,
+           CAST(clipped_count + {_dp_case(_dp_noise)} AS BIGINT)
+               AS released_count,
+           CAST({_DP_EPS_MILLI} AS BIGINT) AS epsilon_milli,
+           CAST({_DP_CAP} AS BIGINT) AS sensitivity
+    FROM cells
+    """,
+)
+def etl_dp_release(spark, sf_dir):
+    """Differential-privacy-shaped count release over segments — the
+    governance sibling of etl_pii_mask/etl_gdpr_cascade, and the
+    distributed parts are the REAL content of a DP SQL boundary:
+    (1) per-user contribution CAPPING (each customer counts at most
+    {cap} orders — a per-user rollup + least(), which is what bounds the
+    L1 sensitivity a user has on the released number; without it DP
+    guarantees are vacuous), (2) explicit sensitivity/ε accounting
+    carried in the output, and (3) release over the FIXED segment
+    domain. The Laplace(sensitivity/ε) noise is inverse-CDF applied to
+    an md5-derived uniform, computed in Python and embedded as literals
+    in both engines — deterministic BY DESIGN so the mechanism is
+    hash-verifiable here (production swaps a CSPRNG at the boundary;
+    noise/clipped_count columns are exposed for verification and would
+    not leave a real release).
+
+    100 TB: the capping rollup keys on (segment, user) — the same
+    shuffle the plain count needs; everything after is a 5-row cell
+    table. Cap + noise are O(1) extra work at any scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_user = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(_DP_CAP))
+            .cast("long")
+            .alias("contrib")
+        )
+    )
+    noise_case = _dp_case(_dp_noise)
+    return (
+        per_user.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("contrib").cast("long").alias("clipped_count"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_users",
+            "clipped_count",
+            F.expr(f"CAST({noise_case} AS BIGINT)").alias("noise"),
+            F.expr(f"CAST(clipped_count + {noise_case} AS BIGINT)").alias(
+                "released_count"
+            ),
+            F.lit(_DP_EPS_MILLI).cast("long").alias("epsilon_milli"),
+            F.lit(_DP_CAP).cast("long").alias("sensitivity"),
+        )
+    )

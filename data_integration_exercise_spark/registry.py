@@ -150,6 +150,7 @@ _ADDED_R10: list[str] = [
     "stream_dedup_minhash",
     "dedup_exact_substring_coverage",
     "sample_coreset_kcenter",
+    "etl_dp_release",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

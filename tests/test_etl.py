@@ -397,3 +397,44 @@ def test_wap_rollback_serves_v1_and_quarantines_v2(spark):
     assert pub.select("o_orderkey").distinct().count() == src.n
     again = C.QUERIES["etl_wap_rollback"](spark, sf).toPandas().set_index("step")
     assert (again == pdf).all().all()
+
+
+def test_dp_release_invariants(spark):
+    """Mechanism accounting must hold exactly: released = clipped + noise,
+    clipping never exceeds the raw per-user count sum, the noise literal
+    matches the Python inverse-CDF helper, and the fixed ε/sensitivity
+    ride every row."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.operators import etl
+
+    SF = "/root/testdata/sf0.01"
+    rows = {r.segment: r for r in etl.QUERIES["etl_dp_release"](spark, SF).collect()}
+    assert set(rows) <= set(etl._DP_SEGMENTS)
+    raw = {
+        r.c_mktsegment: (r.n, r.users)
+        for r in (
+            load_table(spark, SF, "orders")
+            .join(
+                load_table(spark, SF, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("o_custkey").alias("users"),
+            )
+            .collect()
+        )
+    }
+    for seg, r in rows.items():
+        assert r.noise == etl._dp_noise(seg)
+        assert r.released_count == r.clipped_count + r.noise
+        assert r.epsilon_milli == etl._DP_EPS_MILLI
+        assert r.sensitivity == etl._DP_CAP
+        n_raw, users = raw[seg]
+        assert r.n_users == users
+        # clipping bounds: between users*1-if-capped floor and raw count
+        assert r.clipped_count <= min(n_raw, users * etl._DP_CAP)
+        assert r.clipped_count >= users  # every user has >= 1 order
