@@ -134,9 +134,13 @@ R8_TIER = [
     "graph_scc_condensation",
 ]
 
-# Round-10 additions, benched median-of-3 so regressions are attributable.
+# Round-10 additions, benched median-of-3 so regressions are attributable
+# (stream_dedup_minhash is streaming — excluded like the rest of §2.9;
+# etl_dp_release is a sub-second 5-row cell rollup, tracked by tests).
 R10_TIER = [
     "plan_lsh_band_geometry",
+    "dedup_exact_substring_coverage",
+    "sample_coreset_kcenter",
 ]
 
 
