@@ -141,6 +141,7 @@ R10_TIER = [
     "plan_lsh_band_geometry",
     "dedup_exact_substring_coverage",
     "sample_coreset_kcenter",
+    "win_matrix_profile",
 ]
 
 

@@ -1743,3 +1743,134 @@ def win_rsi(spark, sf_dir):
         .otherwise(F.round(100.0 * g / (g + l), 4))
         .alias("rsi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matrix profile (round 10)
+# ---------------------------------------------------------------------------
+
+_MP_M = 6  # subsequence length (months): half-year motifs
+_MP_EXCL = 3  # trivial-match exclusion zone (m/2)
+
+
+@register(
+    "win_matrix_profile",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_diff('month', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   // 100 AS v
+        FROM orders GROUP BY 1, 2
+    ), win AS (
+        SELECT a.pri, a.m AS pos, list(b.v ORDER BY b.m) AS w
+        FROM monthly a JOIN monthly b
+          ON a.pri = b.pri AND b.m BETWEEN a.m AND a.m + {_MP_M - 1}
+        GROUP BY 1, 2 HAVING count(*) = {_MP_M}
+    ), d AS (
+        SELECT w1.pri, w1.pos, w2.pos AS pos2,
+               CAST(list_sum(list_transform(range(1, {_MP_M + 1}),
+                   k -> (w1.w[k] - w2.w[k]) * (w1.w[k] - w2.w[k])))
+                   AS BIGINT) AS d2
+        FROM win w1 JOIN win w2
+          ON w1.pri = w2.pri AND abs(w1.pos - w2.pos) >= {_MP_EXCL}
+    ), mp AS (
+        SELECT pri, pos, pos2, d2,
+               row_number() OVER (PARTITION BY pri, pos
+                                  ORDER BY d2, pos2) AS rn
+        FROM d
+    )
+    SELECT pri AS o_orderpriority, pos, pos2 AS nn_pos, d2 AS mp_d2,
+           d2 = min(d2) OVER (PARTITION BY pri) AS is_motif,
+           d2 = max(d2) OVER (PARTITION BY pri) AS is_discord
+    FROM mp WHERE rn = 1
+    """,
+)
+def win_matrix_profile(spark, sf_dir):
+    """Matrix profile (Yeh et al. 2016, ICDM — the all-pairs subsequence
+    similarity index behind motif and discord discovery) of each
+    priority's monthly-revenue series: for every gap-free 6-month window,
+    the squared-L2 distance to its nearest OTHER window (exclusion zone
+    |Δpos| ≥ 3 kills trivial self-matches) plus that neighbor's position;
+    the per-priority min flags the MOTIF (the most-repeated half-year
+    pattern, both endpoints marked) and the max flags the DISCORD (the
+    most anomalous half-year — matrix-profile discords are the classic
+    subsequence-anomaly detector, complementary to the pointwise
+    MAD/CUSUM/Pettitt family which can't see shape anomalies).
+
+    All-exact: revenue in integer dollars (floor cents//100 — keeps d2
+    within BIGINT headroom at any SF), integer squared-L2, (d2, pos2)
+    tie-break; windows are built by a bounded (pri, m±5) range self-join
+    with a count=6 gate so calendar gaps can't silently shorten a
+    subsequence.
+
+    100 TB: the profile runs on the MONTHLY rollup — one fact-scan
+    groupBy, then everything downstream is |priorities|·|months| ≈ 400
+    rows: the O(n²)-per-series pair join is n≈84, not fact-scale (the
+    STOMP trick matters when n is large; here the rollup IS the
+    reduction). Longer series at finer grain would block the pair join
+    on coarse time bands first — candidate-generation + re-rank, the
+    LSH shape in time-index space."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("m"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("v")
+    )
+    b = monthly.select(
+        F.col("pri").alias("pri_b"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    win = (
+        monthly.join(
+            b,
+            (F.col("pri") == F.col("pri_b"))
+            & F.col("mb").between(F.col("m"), F.col("m") + _MP_M - 1),
+        )
+        .groupBy("pri", F.col("m").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("mb", "vb"))),
+                lambda s: s["vb"],
+            ).alias("w"),
+        )
+        .filter(F.col("n") == _MP_M)
+        .drop("n")
+    )
+    w2 = win.select(
+        F.col("pri").alias("pri2"), F.col("pos").alias("pos2"), F.col("w").alias("w_2")
+    )
+    d2 = F.aggregate(
+        F.zip_with("w", "w_2", lambda a, c: (a - c) * (a - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = win.join(
+        w2,
+        (F.col("pri") == F.col("pri2"))
+        & (F.abs(F.col("pos") - F.col("pos2")) >= _MP_EXCL),
+    ).select("pri", "pos", "pos2", d2.alias("d2"))
+    rn = F.row_number().over(
+        Window.partitionBy("pri", "pos").orderBy("d2", "pos2")
+    )
+    mp = pairs.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    w_pri = Window.partitionBy("pri")
+    return mp.select(
+        F.col("pri").alias("o_orderpriority"),
+        "pos",
+        F.col("pos2").alias("nn_pos"),
+        F.col("d2").alias("mp_d2"),
+        (F.col("d2") == F.min("d2").over(w_pri)).alias("is_motif"),
+        (F.col("d2") == F.max("d2").over(w_pri)).alias("is_discord"),
+    )

@@ -137,16 +137,16 @@ _PRIORITY = [
 #
 # ROUND-11 PLAN (pre-pinned, the established pattern — execute at round-11
 # open AFTER confirming CORRECTNESS_r10 is green). Exact 50-slot layout:
-# slots 1-5 = the 5 `_ADDED_R10` keys below in list order (each already
+# slots 1-6 = the 6 `_ADDED_R10` keys below in list order (each already
 # hash-verified at sf0.001/0.01/0.1 and 7-vs-32 partition-invariant via
-# the checked-in emulator, so conversion-to-driver-truth); slots 6-7 =
+# the checked-in emulator, so conversion-to-driver-truth); slots 7-8 =
 # rewrite-after-green re-verification of `graph_modularity` and
 # `graph_label_propagation` (round-10 shared-edges refactor: one edge
 # materialization now feeds both the LPA rounds and modularity's
 # pairs/degree frames — emulator-green post-rewrite, but their latest
-# driver rows predate the change); slots 8-26 = the 19-key _VERIFIED_R1
+# driver rows predate the change); slots 9-27 = the 19-key _VERIFIED_R1
 # remainder (freshness: latest green row is round 1), stable registry
-# order; slots 27-50 = the first 24 of _VERIFIED_R2 (latest green row is
+# order; slots 28-50 = the first 23 of _VERIFIED_R2 (latest green row is
 # rounds 2-3), stable registry order.
 _ADDED_R10: list[str] = [
     "plan_lsh_band_geometry",
@@ -154,6 +154,7 @@ _ADDED_R10: list[str] = [
     "dedup_exact_substring_coverage",
     "sample_coreset_kcenter",
     "etl_dp_release",
+    "win_matrix_profile",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
