@@ -142,6 +142,7 @@ R10_TIER = [
     "dedup_exact_substring_coverage",
     "sample_coreset_kcenter",
     "win_matrix_profile",
+    "graph_hits",
 ]
 
 

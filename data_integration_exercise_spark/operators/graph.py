@@ -1430,3 +1430,122 @@ def graph_scc_condensation(spark, sf_dir):
         F.min("u").cast("long").alias("min_member"),
         F.max("u").cast("long").alias("max_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 10)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), nc AS (
+        SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM edges
+    ), h0 AS (
+        SELECT DISTINCT c, {_SCALE} // nc.n AS h FROM edges, nc
+    )"""
+    ]
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""", a{i}r AS (
+        SELECT e.s, CAST(sum(h.h) AS BIGINT) AS ar
+        FROM edges e JOIN h{i - 1} h ON h.c = e.c GROUP BY e.s
+    ), a{i}t AS (
+        SELECT CAST(sum(ar) AS BIGINT) AS t FROM a{i}r
+    ), a{i} AS (
+        SELECT s, ({_SCALE} * ar) // a{i}t.t AS a FROM a{i}r, a{i}t
+    ), h{i}r AS (
+        SELECT e.c, CAST(sum(a.a) AS BIGINT) AS hr
+        FROM edges e JOIN a{i} a ON a.s = e.s GROUP BY e.c
+    ), h{i}t AS (
+        SELECT CAST(sum(hr) AS BIGINT) AS t FROM h{i}r
+    ), h{i} AS (
+        SELECT c, ({_SCALE} * hr) // h{i}t.t AS h FROM h{i}r, h{i}t
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT 'customer' AS node_type, c AS node_key, CAST(h AS BIGINT) AS score_fp
+    FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'supplier', s, CAST(a AS BIGINT) FROM a{_HITS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) on the
+    DIRECTED customer→supplier purchase graph: customers score as HUBS
+    (they point at many good authorities), suppliers as AUTHORITIES
+    (pointed at by many good hubs) — the directed complement to
+    graph_pagerank's undirected rank, and the classic two-sided
+    importance measure for bipartite commerce graphs.
+
+    Iterative contract (the graph_pagerank/sim_kmeans_lloyd template):
+    FIXED 3 unrolled mutual-recursion rounds (a = Eᵀh then h = E a), no
+    data-dependent stopping, so the plan is hash-stable and the oracle
+    unrolls the identical rounds as CTEs. Exact integer fixed-point
+    throughout: init h = SCALE div |customers|; each half-step L1-
+    normalizes by floor-dividing against the global sum, which keeps
+    every score ≤ SCALE (1e9) and every SCALE·x product ≤ 1e18 — inside
+    BIGINT headroom at ANY scale factor (the usual L2 normalization is
+    irrational and engine-divergent; L1 floor-division is bit-exact on
+    both engines).
+
+    100 TB: the edge derivation (the only fact-table work) runs once and
+    is localCheckpointed; the distinct-customer count is one scalar probe
+    (the blessed measured-cardinality pattern). Each round is two
+    node-keyed hash joins + two map-side-combinable rollups + two 1-ROW
+    broadcast cross-joins for the normalizers — the data moved per round
+    is node-sized, never fact-sized, and the edge frame's partitioning is
+    reused by every round's join."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cust = edges.select("c").distinct().count()  # scalar cardinality probe
+    h = edges.select("c").distinct().select(
+        "c", F.lit(_SCALE // n_cust).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("ar"))
+        )
+        at = ar.agg(F.sum("ar").cast("long").alias("t"))
+        a = ar.crossJoin(F.broadcast(at)).select(
+            "s", F.expr(f"({_SCALE} * ar) div t").cast("long").alias("a")
+        )
+        hr = (
+            edges.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("hr"))
+        )
+        ht = hr.agg(F.sum("hr").cast("long").alias("t"))
+        h = hr.crossJoin(F.broadcast(ht)).select(
+            "c", F.expr(f"({_SCALE} * hr) div t").cast("long").alias("h")
+        )
+    hubs = h.select(
+        F.lit("customer").alias("node_type"),
+        F.col("c").cast("long").alias("node_key"),
+        F.col("h").alias("score_fp"),
+    )
+    auths = a.select(
+        F.lit("supplier").alias("node_type"),
+        F.col("s").cast("long").alias("node_key"),
+        F.col("a").alias("score_fp"),
+    )
+    return hubs.unionByName(auths)

@@ -155,6 +155,7 @@ _ADDED_R10: list[str] = [
     "sample_coreset_kcenter",
     "etl_dp_release",
     "win_matrix_profile",
+    "graph_hits",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
