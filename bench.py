@@ -136,7 +136,8 @@ R8_TIER = [
 
 # Round-10 additions, benched median-of-3 so regressions are attributable
 # (stream_dedup_minhash is streaming — excluded like the rest of §2.9;
-# etl_dp_release is a sub-second 5-row cell rollup, tracked by tests).
+# etl_dp_release / etl_k_anonymity are sub-second bounded-domain cell
+# rollups, tracked by tests).
 R10_TIER = [
     "plan_lsh_band_geometry",
     "dedup_exact_substring_coverage",

@@ -1270,3 +1270,86 @@ def etl_dp_release(spark, sf_dir):
             F.lit(_DP_CAP).cast("long").alias("sensitivity"),
         )
     )
+
+
+@register(
+    "etl_k_anonymity",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    // 1000000 AS BIGINT) AS spend_band
+        FROM orders GROUP BY o_custkey
+    ), recs AS (
+        SELECT c.c_nationkey, c.c_mktsegment,
+               CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) // 100000
+                    AS BIGINT) AS bal_band,
+               coalesce(s.spend_band, CAST(-1 AS BIGINT)) AS sens
+        FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(count(*) AS BIGINT) AS class_n,
+           CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct,
+           count(*) >= 5 AS k_anonymous,
+           count(DISTINCT sens) >= 2 AS l_diverse,
+           CAST(CASE WHEN count(*) >= 5 AND count(DISTINCT sens) >= 2
+                THEN 0 ELSE count(*) END AS BIGINT) AS rows_to_suppress
+    FROM recs GROUP BY 1, 2, 3
+    """,
+)
+def etl_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavasajjhala
+    et al. 2007, ICDE "l-diversity") of the customer table before a data
+    release: quasi-identifier = (nation, market segment, account-balance
+    band of 1000), sensitive attribute = the customer's total-spend band
+    (10k-wide, −1 for never-ordered). Each equivalence class reports its
+    size, its sensitive-value diversity, the k≥5 / l≥2 verdicts, and how
+    many rows a suppression-based release would drop (classes failing
+    either bar must be suppressed or generalized further — this audit is
+    the decision input for that loop). Completes the governance family:
+    etl_pii_mask hides identifiers, etl_dp_release noises counts, this
+    measures re-identification risk of the quasi-identifiers themselves.
+
+    All-exact: balance/spend bands are integer floor-divisions on
+    cent-integers (round(x*100) first — the established cents contract),
+    l-diversity is an exact distinct count, no floats anywhere.
+
+    100 TB: one per-customer spend rollup (the same o_custkey shuffle any
+    per-customer feature needs), one key-equi join customer⋈spend, one
+    QI-keyed rollup whose output is domain-bounded (|nations|·|segments|·
+    |bal bands| — generalization bands exist precisely to keep this
+    bounded), count(DISTINCT) over a banded sensitive domain is a bounded
+    two-level aggregate. No windows, no collects."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " div 1000000 AS BIGINT)"
+        ).alias("spend_band")
+    )
+    recs = c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(CAST(round(c_acctbal * 100) AS BIGINT) div 100000 AS BIGINT)"
+        ).alias("bal_band"),
+        F.coalesce(F.col("spend_band"), F.lit(-1).cast("long")).alias("sens"),
+    )
+    cls = recs.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("class_n"),
+        F.countDistinct("sens").cast("long").alias("l_distinct"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_n",
+        "l_distinct",
+        (F.col("class_n") >= 5).alias("k_anonymous"),
+        (F.col("l_distinct") >= 2).alias("l_diverse"),
+        F.when((F.col("class_n") >= 5) & (F.col("l_distinct") >= 2), F.lit(0))
+        .otherwise(F.col("class_n"))
+        .cast("long")
+        .alias("rows_to_suppress"),
+    )

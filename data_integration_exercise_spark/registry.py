@@ -156,6 +156,7 @@ _ADDED_R10: list[str] = [
     "etl_dp_release",
     "win_matrix_profile",
     "graph_hits",
+    "etl_k_anonymity",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
