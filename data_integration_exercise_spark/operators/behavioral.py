@@ -2386,3 +2386,108 @@ def events_markov_eval(spark, sf_dir):
             F.round(F.sum(hit) * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
         )
     )
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_ns(ts) // 1000 AS t,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), conv AS (
+        SELECT user_id, event_id, t, cents FROM e WHERE event_type = 'purchase'
+    ), touch AS (
+        SELECT user_id, event_type AS channel, t FROM e
+        WHERE event_type IN ('click', 'view', 'signup')
+    ), coal AS (
+        SELECT c.user_id, c.event_id, c.cents,
+               coalesce(list_sort(list_distinct(list(tc.channel)
+                        FILTER (tc.channel IS NOT NULL))), []) AS chans
+        FROM conv c LEFT JOIN touch tc
+          ON tc.user_id = c.user_id
+         AND tc.t >= c.t - {_LOOKBACK_US} AND tc.t < c.t
+        GROUP BY 1, 2, 3
+    ), credit AS (
+        SELECT CASE WHEN len(chans) = 0 THEN 'none' ELSE unnest(
+                   CASE WHEN len(chans) = 0 THEN ['none'] ELSE chans END)
+               END AS channel,
+               CAST(greatest(len(chans), 1) AS BIGINT) AS k, cents
+        FROM coal
+    )
+    SELECT channel,
+           CAST(sum(1000 // k) AS BIGINT) AS shap_conversions_milli,
+           CAST(sum((cents * 1000) // k) AS BIGINT) AS shap_revenue_millicents,
+           CAST(count(*) FILTER (k = 1) AS BIGINT) AS exclusive_conversions
+    FROM credit GROUP BY 1
+    """,
+)
+def events_shapley_attribution(spark, sf_dir):
+    """Shapley-value marketing attribution (Shapley 1953; Zhao et al.
+    2018, arXiv:1804.05327 "Shapley Value Methods for Attribution
+    Modeling"): each purchase's conversion credit is divided among the
+    COALITION of distinct touch channels (click/view/signup) the user saw
+    in the 24 h lookback. Because the coalition-worth function is
+    additive over observed coalitions, the Shapley value collapses to the
+    Harsanyi-dividend form φ_ch = Σ_{{conversions ∋ ch}} value/|coalition|
+    — an EXACT closed form, no 2^k subset sweep — which this computes in
+    integer milli-units (floor-divided equal split; purchases with no
+    prior touch credit the 'none' channel). `exclusive_conversions`
+    (coalition = {{ch}} alone) separates sole-touch from shared credit;
+    contrast with events_attribution's winner-takes-all last-touch.
+
+    100 TB: one user-keyed equi join purchases⋈touches with a time-range
+    predicate (co-partitioned on user_id — the same shuffle every funnel
+    key uses; per-user event counts bound the fan-out), one per-purchase
+    rollup to the distinct-channel coalition, explode (≤3 channels), and
+    a |channels|-bounded final rollup. No windows, no collect; all
+    integer."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_us").alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "t", "cents"
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("t").alias("tt"),
+    )
+    coal = (
+        conv.join(
+            touch,
+            (F.col("tu") == F.col("user_id"))
+            & (F.col("tt") >= F.col("t") - _LOOKBACK_US)
+            & (F.col("tt") < F.col("t")),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "cents")
+        .agg(
+            F.array_sort(
+                F.array_compact(F.collect_set("channel"))
+            ).alias("chans")
+        )
+    )
+    credit = coal.select(
+        "cents",
+        F.greatest(F.size("chans"), F.lit(1)).cast("long").alias("k"),
+        F.explode(
+            F.when(F.size("chans") == 0, F.array(F.lit("none"))).otherwise(
+                F.col("chans")
+            )
+        ).alias("channel"),
+    )
+    return credit.groupBy("channel").agg(
+        F.sum(F.expr("1000 div k")).cast("long").alias("shap_conversions_milli"),
+        F.sum(F.expr("(cents * 1000) div k"))
+        .cast("long")
+        .alias("shap_revenue_millicents"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("exclusive_conversions"),
+    )

@@ -157,6 +157,7 @@ _ADDED_R10: list[str] = [
     "win_matrix_profile",
     "graph_hits",
     "etl_k_anonymity",
+    "events_shapley_attribution",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
