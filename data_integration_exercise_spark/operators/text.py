@@ -1580,3 +1580,77 @@ def dedup_exact_substring_coverage(spark, sf_dir):
             F.expr("CAST(1000 * n_dup_windows div n_windows AS BIGINT)"),
         )
     )
+
+
+@register(
+    "text_chao1_richness",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (n = 1) AS BIGINT) AS f1,
+           CAST(count(*) FILTER (n = 2) AS BIGINT) AS f2,
+           CAST(count(*)
+                + (count(*) FILTER (n = 1)) * ((count(*) FILTER (n = 1)) - 1)
+                  // (2 * ((count(*) FILTER (n = 2)) + 1)) AS BIGINT)
+               AS chao1_est,
+           CAST((1000 * (count(*) FILTER (n = 1))) // sum(n) AS BIGINT)
+               AS unseen_mass_permille
+    FROM tf GROUP BY lang
+    """,
+)
+def text_chao1_richness(spark, sf_dir):
+    """Vocabulary-richness census per language: Chao1 species-richness
+    estimate (Chao 1984, Scand. J. Stat. — bias-corrected form
+    V + F1(F1−1)/(2(F2+1)) from the singleton/doubleton counts) plus the
+    Good-Turing unseen-probability mass P0 = F1/N (Good 1953,
+    Biometrika) in exact permille. Answers the corpus-sizing question
+    behind every crawl-more decision: how much vocabulary has this
+    corpus NOT seen yet, and how far below the true type count is the
+    observed vocabulary — the same frequency-of-frequencies statistics
+    text_zipf_slope reads for its exponent, aimed at coverage instead.
+
+    All integer: the bias-corrected Chao1 denominator (F2+1) never
+    divides by zero, floor-division both engines; unseen mass is an
+    exact integer permille.
+
+    100 TB: stage 1 is the canonical (lang, token) wordcount shuffle —
+    map-side combinable, the cheapest pass any corpus statistic needs;
+    stage 2 collapses it to a frequency-of-frequencies rollup whose
+    input is vocab-sized and output |lang|-sized. Nothing else moves."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    one = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    two = F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("long")
+    return tf.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        one.alias("f1"),
+        two.alias("f2"),
+        (
+            F.count(F.lit(1))
+            + F.expr(
+                "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+                " * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)"
+                " div (2 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))"
+            )
+        )
+        .cast("long")
+        .alias("chao1_est"),
+        F.expr(
+            "(1000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) div sum(n)"
+        )
+        .cast("long")
+        .alias("unseen_mass_permille"),
+    )

@@ -158,6 +158,7 @@ _ADDED_R10: list[str] = [
     "graph_hits",
     "etl_k_anonymity",
     "events_shapley_attribution",
+    "text_chao1_richness",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
