@@ -144,6 +144,7 @@ R10_TIER = [
     "sample_coreset_kcenter",
     "win_matrix_profile",
     "graph_hits",
+    "win_dtw_pairs",
 ]
 
 

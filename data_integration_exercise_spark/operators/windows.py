@@ -1874,3 +1874,148 @@ def win_matrix_profile(spark, sf_dir):
         (F.col("d2") == F.min("d2").over(w_pri)).alias("is_motif"),
         (F.col("d2") == F.max("d2").over(w_pri)).alias("is_discord"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (round 10)
+# ---------------------------------------------------------------------------
+
+_DTW_INF = 400_000_000_000_000_000  # unreachable-cell sentinel, ≪ 2^63 even
+_DTW_W = 8  # Sakoe-Chiba band radius (months)
+
+
+@register(
+    "win_dtw_pairs",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+        SELECT o_orderpriority AS pri,
+               CAST(date_diff('month', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+               CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) // 100 AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ), ser AS (
+        SELECT pri, list(v ORDER BY m) AS s FROM monthly GROUP BY pri
+    ), pairs AS (
+        SELECT a.pri AS pri_a, b.pri AS pri_b, a.s AS xs, b.s AS ys
+        FROM ser a JOIN ser b ON a.pri < b.pri
+    ), rec AS (
+        -- flattened (i, j) band-DTW recursion: one cell appended per step,
+        -- row hand-off when j wraps (the win_kalman_filter list-peeling
+        -- family, extended to a 2-D DP)
+        SELECT pri_a, pri_b, xs, ys,
+               CAST(len(xs) AS BIGINT) AS m, CAST(len(ys) AS BIGINT) AS n,
+               CAST(1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+               [CAST(0 AS BIGINT)]
+                 || list_transform(ys, y -> CAST({_DTW_INF} AS BIGINT)) AS prev,
+               [CAST({_DTW_INF} AS BIGINT)] AS cur
+        FROM pairs
+        UNION ALL
+        SELECT pri_a, pri_b, xs, ys, m, n,
+               CASE WHEN j = n THEN i + 1 ELSE i END,
+               CASE WHEN j = n THEN CAST(0 AS BIGINT) ELSE j + 1 END,
+               CASE WHEN j = n THEN cur ELSE prev END,
+               CASE WHEN j = n THEN [CAST({_DTW_INF} AS BIGINT)]
+                    ELSE list_append(cur,
+                        CASE WHEN abs(i - (j + 1)) > {_DTW_W}
+                             THEN CAST({_DTW_INF} AS BIGINT)
+                             ELSE abs(xs[i] - ys[j + 1])
+                                  + least(prev[j + 2], prev[j + 1],
+                                          cur[len(cur)])
+                        END)
+               END
+        FROM rec WHERE NOT (i = m AND j = n)
+    )
+    SELECT pri_a, pri_b, m AS n_a, n AS n_b,
+           CAST(cur[n + 1] AS BIGINT) AS dtw_cost,
+           CAST(cur[n + 1] // (m + n) AS BIGINT) AS dtw_per_step
+    FROM rec WHERE i = m AND j = n
+    """,
+)
+def win_dtw_pairs(spark, sf_dir):
+    """Dynamic-time-warping distance (Sakoe & Chiba 1978, IEEE TASSP —
+    the banded DP that made DTW practical) between every pair of order
+    priorities' monthly-revenue series: the minimal warped-alignment
+    L1 cost, with a band radius of 8 months bounding how far the
+    alignment may stretch. DTW answers the question lockstep metrics
+    (win_rolling_corr, the matrix profile's fixed windows) cannot: are
+    two series the same SHAPE shifted or locally stretched in time —
+    the standard similarity for clustering series whose cycles drift.
+
+    All-exact: integer-dollar observations, L1 cell costs, and a 4e17
+    sentinel for out-of-band cells (a min-path can add at most
+    |path| ≤ n_a+n_b step costs on top of one sentinel, keeping every
+    value far under 2^63 at any SF). The DP is a NESTED aggregate HOF —
+    the outer fold carries the previous DP row across series elements,
+    the inner fold builds each row left-to-right (the insertion move
+    needs the cell just written, which transform() cannot see) — one
+    codegen'd expression, no UDF, no driver loop; the oracle replays the
+    identical band-DTW as a flattened (i,j) recursive CTE, one cell per
+    recursion step with row hand-off when j wraps (the
+    win_kalman_filter list-peeling family, extended to 2-D DP).
+
+    100 TB: one map-side-combined monthly rollup (the only fact-scan),
+    then |priorities|² bounded pair work on ~84-element arrays — the
+    5-row series frame broadcasts, so the pair join moves nothing. The
+    O(n·min(n, 2w)) banded DP per pair is rollup-scale; fact volume only
+    changes the cell VALUES, never the DP size."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            (F.year("o_orderdate") - F.lit(1970)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("m"),
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " div 100"
+        ).alias("v")
+    )
+    ser = monthly.groupBy("pri").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    b = ser.select(F.col("pri").alias("pri_b"), F.col("s").alias("ys"))
+    pairs = ser.select(F.col("pri").alias("pri_a"), F.col("s").alias("xs")).join(
+        F.broadcast(b), F.col("pri_a") < F.col("pri_b")
+    )
+    dtw = F.expr(
+        f"""
+        element_at(
+          aggregate(
+            sequence(1, size(xs)),
+            concat(array(CAST(0 AS BIGINT)),
+                   transform(ys, y -> CAST({_DTW_INF} AS BIGINT))),
+            (prev, i) -> aggregate(
+                sequence(1, size(ys)),
+                array(CAST({_DTW_INF} AS BIGINT)),
+                (cur, j) -> concat(cur, array(
+                    IF(abs(i - j) > {_DTW_W}, CAST({_DTW_INF} AS BIGINT),
+                       abs(element_at(xs, i) - element_at(ys, j))
+                       + least(element_at(prev, j + 1),
+                               element_at(prev, j),
+                               element_at(cur, size(cur))))))
+            )
+          ),
+          size(ys) + 1)
+        """
+    )
+    return pairs.select(
+        "pri_a",
+        "pri_b",
+        F.size("xs").cast("long").alias("n_a"),
+        F.size("ys").cast("long").alias("n_b"),
+        dtw.alias("dtw_cost"),
+    ).select(
+        "pri_a",
+        "pri_b",
+        "n_a",
+        "n_b",
+        "dtw_cost",
+        F.expr("dtw_cost div (n_a + n_b)").alias("dtw_per_step"),
+    )

@@ -159,6 +159,7 @@ _ADDED_R10: list[str] = [
     "etl_k_anonymity",
     "events_shapley_attribution",
     "text_chao1_richness",
+    "win_dtw_pairs",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

@@ -565,3 +565,59 @@ def test_rsi_matches_python_series_replay(spark):
         if r.o_orderpriority == "1-URGENT"
     }
     assert got == expect
+
+
+def test_dtw_fold_matches_python_replay(spark):
+    """Replay the banded DTW DP in plain Python over each priority pair's
+    monthly series: every pair's warped cost must match the nested
+    aggregate-HOF fold exactly, the band sentinel must never leak into a
+    reachable result, and DTW must be ≤ the lockstep L1 distance (warping
+    can only help) while staying symmetric in the pair orientation."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = W.QUERIES["win_dtw_pairs"](spark, "/root/testdata/sf0.01").toPandas()
+    monthly = duckdb.sql(
+        """
+        SELECT o_orderpriority pri,
+               date_diff('month', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS m,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1, 2
+        """
+    ).df()
+    series = {
+        pri: [int(v) for v in grp.sort_values("m").v]
+        for pri, grp in monthly.groupby("pri")
+    }
+
+    INF, BAND = 400_000_000_000_000_000, 8
+
+    def dtw(xs, ys):
+        prev = [0] + [INF] * len(ys)
+        for i in range(1, len(xs) + 1):
+            cur = [INF]
+            for j in range(1, len(ys) + 1):
+                if abs(i - j) > BAND:
+                    cur.append(INF)
+                else:
+                    cur.append(
+                        abs(xs[i - 1] - ys[j - 1])
+                        + min(prev[j], prev[j - 1], cur[j - 1])
+                    )
+            prev = cur
+        return prev[len(ys)]
+
+    n_pri = len(series)
+    assert len(pdf) == n_pri * (n_pri - 1) // 2
+    for row in pdf.itertuples():
+        xs, ys = series[row.pri_a], series[row.pri_b]
+        expect = dtw(xs, ys)
+        assert row.dtw_cost == expect
+        assert row.dtw_cost < INF  # band wide enough for every real pair
+        assert dtw(ys, xs) == expect  # symmetric under orientation
+        if len(xs) == len(ys):
+            lockstep = sum(abs(a - b) for a, b in zip(xs, ys))
+            assert row.dtw_cost <= lockstep
+        assert row.dtw_per_step == row.dtw_cost // (row.n_a + row.n_b)
