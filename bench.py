@@ -145,6 +145,7 @@ R10_TIER = [
     "win_matrix_profile",
     "graph_hits",
     "win_dtw_pairs",
+    "sample_pps_systematic",
 ]
 
 

@@ -1520,10 +1520,16 @@ def graph_hits(spark, sf_dir):
     )
     a = None
     for _ in range(_HITS_ITERS):
+        # Each half-step's raw-score frame feeds BOTH its own normalizer
+        # sum and the normalized join — without a lineage cut the doubled
+        # subtree re-embeds per round and the flat plan grows ~4× per
+        # iteration (566 exchanges at 3 rounds when first measured). Cut
+        # after each node-sized rollup, the propagate_min_labels pattern.
         ar = (
             edges.join(h, "c")
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("ar"))
+            .localCheckpoint(eager=True)
         )
         at = ar.agg(F.sum("ar").cast("long").alias("t"))
         a = ar.crossJoin(F.broadcast(at)).select(
@@ -1533,6 +1539,7 @@ def graph_hits(spark, sf_dir):
             edges.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("hr"))
+            .localCheckpoint(eager=True)
         )
         ht = hr.agg(F.sum("hr").cast("long").alias("t"))
         h = hr.crossJoin(F.broadcast(ht)).select(

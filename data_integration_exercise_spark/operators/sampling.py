@@ -870,3 +870,114 @@ def sample_coreset_kcenter(spark, sf_dir):
         chosen.crossJoin(F.broadcast(radius))
         .select("rank", "vec_id", "label", "coverage_radius_d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (round 10)
+# ---------------------------------------------------------------------------
+
+_PPS_N = 100  # fixed sample budget (picks)
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM orders
+    ), tot AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS t FROM ordered
+    ), grid AS (
+        SELECT t, t // {_PPS_N} AS step, (t // {_PPS_N}) // 2 AS start
+        FROM tot
+    ), hits AS (
+        SELECT o.*,
+               least({_PPS_N}, CASE WHEN o.cum > g.start
+                   THEN (o.cum - g.start + g.step - 1) // g.step
+                   ELSE 0 END)
+             - least({_PPS_N}, CASE WHEN o.cum - o.cents > g.start
+                   THEN (o.cum - o.cents - g.start + g.step - 1) // g.step
+                   ELSE 0 END) AS n_hits
+        FROM ordered o, grid g
+    )
+    SELECT o_orderkey, o_custkey, o_orderpriority, cents,
+           CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def sample_pps_systematic(spark, sf_dir):
+    """Probability-proportional-to-size systematic sample (Madow 1949;
+    the πps design behind every large survey and the size-weighted
+    cousin of sample_systematic): lay a fixed grid of {100} equally
+    spaced points over the cumulative-revenue axis (step = T div 100,
+    deterministic mid-step start) and keep each order whose cumulative
+    slice contains ≥1 grid point — inclusion probability ∝ order value,
+    and an order worth more than one step is picked multiple times
+    (n_hits is its sampling weight divisor, reported per row). The
+    pseudo-random md5 walk order removes periodicity, and the fixed
+    100-point budget makes downstream cost exactly plannable — the
+    size-biased complement to sample_systematic's equal-probability
+    grid. All-integer: cents axis, floor step, ceil-count of grid points
+    below a boundary via (x−start+step−1) div step on non-negative
+    operands (identical truncation both engines), count capped at the
+    budget so the grid never runs past T.
+
+    100 TB: the global cumulative sum NEVER runs in one partition —
+    range-repartition on the digest, cumsum LOCALLY per partition, roll
+    per-partition totals into broadcast exclusive-prefix offsets, global
+    cum = offset + local cum (the sample_systematic/etl_surrogate_keys
+    decomposition; range partitions are ordered and disjoint so the
+    composition equals the naive global window the oracle states). The
+    grid parameters are one 1-row broadcast; localCheckpoint pins ONE
+    range-boundary sampling per execution."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    keyed = o.withColumn("h", F.md5(F.col("o_orderkey").cast("string")))
+    parts = keyed.repartitionByRange(8, "h", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("h", "o_orderkey")
+    local = parts.withColumn(
+        "lcum", F.sum("cents").over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("cents").cast("long").alias("pt"))
+        # bounded global window: one row per PARTITION (8 rows) — the
+        # offsets-of-counts shape, never over data rows
+        .withColumn("off", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).cast("long"))
+        .select("pid", "off")
+    )
+    grid = (
+        local.agg(F.sum("cents").cast("long").alias("t"))
+        .select(
+            F.expr(f"t div {_PPS_N}").alias("step"),
+            F.expr(f"(t div {_PPS_N}) div 2").alias("start"),
+        )
+    )
+    npts = (
+        "least({n}, IF({x} > start, ({x} - start + step - 1) div step, 0))"
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", (F.col("off") + F.col("lcum")).cast("long"))
+        .crossJoin(F.broadcast(grid))
+        .withColumn(
+            "n_hits",
+            (
+                F.expr(npts.format(n=_PPS_N, x="cum"))
+                - F.expr(npts.format(n=_PPS_N, x="(cum - cents)"))
+            ).cast("long"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "cents", "n_hits")
+    )

@@ -160,6 +160,7 @@ _ADDED_R10: list[str] = [
     "events_shapley_attribution",
     "text_chao1_richness",
     "win_dtw_pairs",
+    "sample_pps_systematic",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

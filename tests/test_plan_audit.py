@@ -172,6 +172,21 @@ EXPECTED_EXCHANGES = {
     "sample_coreset_kcenter": (2, 2),  # final radius pass off the
     #   checkpointed 8-row chosen set (the 7 selection rounds are
     #   checkpoint-backed): min-d2 rollup + radius agg, chosen+radius bcasts
+    # Round-10 late wave (pinned at birth):
+    "win_matrix_profile": (8, 2),  # monthly rollup + window/pair/rank
+    #   rollups on the ~400-row series table
+    "graph_hits": (2, 2),  # final hub/authority normalize off the
+    #   checkpointed half-step rollups (the 3 mutual-recursion rounds are
+    #   checkpoint-backed); was 566 exchanges before the per-half-step cut
+    "etl_k_anonymity": (3, 1),  # spend rollup + cust⋈spend join + QI rollup
+    "events_shapley_attribution": (2, 1),  # purchases⋈touches user join +
+    #   coalition rollup + |channels| rollup
+    "text_chao1_richness": (2, 0),  # (lang,token) wordcount +
+    #   frequency-of-frequencies rollup
+    "win_dtw_pairs": (4, 1),  # monthly rollup + series rollup + broadcast
+    #   pair join; the DP is one codegen'd expression, no exchange
+    "sample_pps_systematic": (3, 2),  # range exchange + offsets rollup +
+    #   offsets/grid broadcasts
 }
 
 _SHUFFLE_RE = re.compile(
@@ -250,6 +265,8 @@ UNPARTITIONED_WINDOW_OK = {
     "etl_surrogate_keys",
     # |partitions|-row offset table (the etl_surrogate_keys decomposition)
     "sample_systematic",
+    # |partitions|-row offset table (same decomposition, cents axis)
+    "sample_pps_systematic",
     # |partitions|-row offset table + 10-row decile cumulative axis
     "agg_lorenz_deciles",
     # sim_kmeans_lloyd's 8-row seed-ranking window is real but invisible
