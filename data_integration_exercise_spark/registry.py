@@ -161,6 +161,7 @@ _ADDED_R10: list[str] = [
     "text_chao1_richness",
     "win_dtw_pairs",
     "sample_pps_systematic",
+    "agg_eb_shrinkage",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
