@@ -4537,3 +4537,120 @@ def agg_eb_shrinkage(spark, sf_dir):
         .alias("shrunk_rate_micro"),
         F.col("m_micro").alias("prior_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT sequential test (round 10)
+# ---------------------------------------------------------------------------
+
+# Pre-registered design constants, Python-computed once and embedded as
+# IDENTICAL integer literals in both engines (the etl_dp_release /
+# events_burst_kleinberg micro-nat discipline — no runtime libm surface):
+# H0: P(purchase)=0.18 vs H1: P=0.22, alpha = beta = 0.05.
+_SPRT_C1 = 200_671  # round(1e6 * ln(p1/p0)),     per-success increment
+_SPRT_C0 = -50_010  # round(1e6 * ln((1-p1)/(1-p0))), per-failure increment
+_SPRT_A = 2_944_439  # round(1e6 * ln((1-beta)/alpha)), accept-H1 bound
+# accept-H0 bound is the symmetric -A since alpha = beta
+
+
+@register(
+    "agg_sprt_sequential",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        FROM events
+        WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+               % 10) >= 5
+    ), d AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(x) AS BIGINT) AS n_purchases
+        FROM b GROUP BY 1
+    ), c AS (
+        SELECT day, n_events, n_purchases,
+               sum(n_purchases * {_SPRT_C1}
+                   + (n_events - n_purchases) * ({_SPRT_C0})) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_llr_micro
+        FROM d
+    ), dec AS (
+        SELECT *, CASE WHEN cum_llr_micro >= {_SPRT_A} THEN 'accept_h1'
+                       WHEN cum_llr_micro <= -{_SPRT_A} THEN 'accept_h0'
+                       ELSE 'continue' END AS decision
+        FROM c
+    )
+    SELECT day, n_events, n_purchases,
+           CAST(cum_llr_micro AS BIGINT) AS cum_llr_micro, decision,
+           decision <> 'continue' AND coalesce(min(CASE WHEN decision <> 'continue'
+               THEN day END) OVER (), DATE '9999-12-31') = day AS is_first_crossing
+    FROM dec
+    """,
+)
+def agg_sprt_sequential(spark, sf_dir):
+    """Wald's sequential probability ratio test (Wald 1945, Ann. Math.
+    Stat. — the optimal sequential design every modern A/B early-stopping
+    engine descends from) over the hashed-out B arm of the event stream:
+    the cumulative log-likelihood ratio of H1 (purchase share 0.22) vs
+    H0 (0.18) walks day by day, and the test stops the first day it
+    crosses ±ln((1−β)/α). Emits the full daily trajectory (the monitoring
+    dashboard), the per-day decision, and the single first-crossing day —
+    the continuous-monitoring complement to agg_ab_ttest's fixed-horizon
+    readout and agg_ab_power_mde's pre-sizing.
+
+    Exactness: the four design constants are Python-computed micro-nat
+    integers embedded as identical literals in both engines (the
+    events_burst_kleinberg discipline — zero runtime libm surface); the
+    trajectory itself is pure integer multiply-add, and the LLR is
+    additive so day-grain partial sums ARE the per-event walk's
+    end-of-day values.
+
+    100 TB: arm filter + one map-side-combinable day rollup (the only
+    fact pass); the cumulative/first-crossing windows run over the
+    CALENDAR-BOUNDED day table (~hundreds of rows at any SF — the
+    win_moving_avg bounded-axis contract), never over events."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.filter(
+        F.expr(
+            "conv(substr(md5(CAST(event_id AS STRING)), 1, 4), 16, 10)"
+            " % 10 >= 5"
+        )
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    d = b.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("x").cast("long").alias("n_purchases"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.withColumn(
+        "cum_llr_micro",
+        F.sum(
+            F.col("n_purchases") * _SPRT_C1
+            + (F.col("n_events") - F.col("n_purchases")) * _SPRT_C0
+        )
+        .over(w_cum)
+        .cast("long"),
+    )
+    dec = c.withColumn(
+        "decision",
+        F.when(F.col("cum_llr_micro") >= _SPRT_A, "accept_h1")
+        .when(F.col("cum_llr_micro") <= -_SPRT_A, "accept_h0")
+        .otherwise("continue"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first = F.min(
+        F.when(F.col("decision") != "continue", F.col("day"))
+    ).over(w_all)
+    return dec.select(
+        "day",
+        "n_events",
+        "n_purchases",
+        "cum_llr_micro",
+        "decision",
+        (
+            (F.col("decision") != "continue")
+            & (F.coalesce(first, F.lit("9999-12-31").cast("date")) == F.col("day"))
+        ).alias("is_first_crossing"),
+    )

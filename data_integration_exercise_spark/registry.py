@@ -162,6 +162,7 @@ _ADDED_R10: list[str] = [
     "win_dtw_pairs",
     "sample_pps_systematic",
     "agg_eb_shrinkage",
+    "agg_sprt_sequential",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

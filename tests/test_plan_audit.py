@@ -284,6 +284,7 @@ UNPARTITIONED_WINDOW_OK = {
     "text_bm25_search",
     "text_zipf_slope",
     "win_moving_avg",
+    "agg_sprt_sequential",  # calendar-bounded day table (moving_avg contract)
     "win_percent_of_total",
     "win_range_frame",
     "win_rolling_corr",
