@@ -949,3 +949,60 @@ def test_lorenz_deciles_match_pandas_rank(spark):
         for r in aggregates.QUERIES["agg_lorenz_deciles"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_eb_shrinkage_blend_properties(spark):
+    """The m-estimate must land between the raw rate and the prior for
+    every customer (floor-division tolerance 1 micro-unit), shrink MORE
+    for smaller n, and reproduce the exact integer blend."""
+    pdf = aggregates.QUERIES["agg_eb_shrinkage"](spark, SF).toPandas()
+    prior = int(pdf.prior_micro.iloc[0])
+    assert (pdf.prior_micro == prior).all()
+    lo = pdf[["raw_rate_micro"]].assign(p=prior).min(axis=1) - 1
+    hi = pdf[["raw_rate_micro"]].assign(p=prior).max(axis=1) + 1
+    assert (pdf.shrunk_rate_micro >= lo).all()
+    assert (pdf.shrunk_rate_micro <= hi).all()
+    expect = (pdf.n_f * 1_000_000 + prior * 20) // (pdf.n_orders + 20)
+    assert (pdf.shrunk_rate_micro == expect).all()
+
+
+def test_sprt_trajectory_python_replay(spark):
+    """Replay the daily SPRT walk in plain Python: the cumulative LLR,
+    the per-day decision, and the unique first-crossing flag must all
+    match; the trajectory must also equal the per-event walk's
+    end-of-day values by LLR additivity."""
+    import duckdb
+
+    pdf = (
+        aggregates.QUERIES["agg_sprt_sequential"](spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    daily = duckdb.sql(
+        """
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s
+        FROM '/root/testdata/sf0.01/events.parquet'
+        WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+               % 10) >= 5
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    cum, first_seen = 0, None
+    for i, r in enumerate(daily.itertuples()):
+        cum += int(r.s) * 200_671 + (int(r.n) - int(r.s)) * -50_010
+        row = pdf.iloc[i]
+        assert row.cum_llr_micro == cum
+        dec = (
+            "accept_h1" if cum >= 2_944_439
+            else "accept_h0" if cum <= -2_944_439
+            else "continue"
+        )
+        assert row.decision == dec
+        if dec != "continue" and first_seen is None:
+            first_seen = row.day
+        assert bool(row.is_first_crossing) == (
+            dec != "continue" and row.day == first_seen
+        )
+    assert pdf.is_first_crossing.sum() <= 1

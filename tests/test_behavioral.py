@@ -753,3 +753,31 @@ def test_markov_eval_predictor_is_train_argmax(spark):
         for r in behavioral.QUERIES["events_markov_eval"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_shapley_attribution_conserves_credit(spark):
+    """Equal-split Shapley credit must conserve totals up to the floor
+    loss of the within-coalition division: Σ milli-conversions lies in
+    (1000·P − 3·P, 1000·P] for P purchases (|coalition| ≤ 3 explodes to
+    at most 3 floor-lossy shares each losing < 1 milli-unit per share
+    ... bounded by 2 per purchase), and the same for revenue against the
+    exact total purchase cents."""
+    import duckdb
+
+    pdf = behavioral.QUERIES["events_shapley_attribution"](spark, SF).toPandas()
+    tot = duckdb.sql(
+        """
+        SELECT count(*) AS p,
+               sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM '/root/testdata/sf0.01/events.parquet'
+        WHERE event_type = 'purchase'
+        """
+    ).df().iloc[0]
+    p, cents = int(tot.p), int(tot.cents)
+    milli = int(pdf.shap_conversions_milli.sum())
+    # k ≤ 3 shares per purchase, each floor-losing < 1 milli-unit
+    assert 1000 * p - 3 * p < milli <= 1000 * p
+    rev = int(pdf.shap_revenue_millicents.sum())
+    assert 1000 * cents - 3 * p < rev <= 1000 * cents
+    assert set(pdf.channel) <= {"click", "view", "signup", "none"}
+    assert (pdf.exclusive_conversions <= pdf.shap_conversions_milli // 1000 + 1).all()

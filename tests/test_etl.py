@@ -438,3 +438,19 @@ def test_dp_release_invariants(spark):
         # clipping bounds: between users*1-if-capped floor and raw count
         assert r.clipped_count <= min(n_raw, users * etl._DP_CAP)
         assert r.clipped_count >= users  # every user has >= 1 order
+
+
+def test_k_anonymity_partition_and_suppression_invariants(spark):
+    """Equivalence classes must partition the customer table exactly
+    (Σ class_n = |customer|), l-diversity can never exceed class size,
+    and the suppression column must be 0 exactly on passing classes."""
+    pdf = etl.QUERIES["etl_k_anonymity"](spark, SF).toPandas()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert int(pdf.class_n.sum()) == n_cust
+    assert (pdf.l_distinct <= pdf.class_n).all()
+    assert (pdf.l_distinct >= 1).all()
+    passing = pdf.k_anonymous & pdf.l_diverse
+    assert (pdf.loc[passing, "rows_to_suppress"] == 0).all()
+    assert (pdf.loc[~passing, "rows_to_suppress"] == pdf.loc[~passing, "class_n"]).all()
+    assert (pdf.k_anonymous == (pdf.class_n >= 5)).all()
+    assert (pdf.l_diverse == (pdf.l_distinct >= 2)).all()

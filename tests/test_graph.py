@@ -350,3 +350,46 @@ def test_scc_matches_networkx_free_python_tarjan(spark):
         for r in graph.QUERIES["graph_scc_condensation"](spark, SF).collect()
     }
     assert got == dict(expect)
+
+
+def test_hits_python_replay_and_l1_conservation(spark):
+    """Replay the 3-round integer HITS recurrence in plain Python over the
+    directed customer→supplier edge set: every hub and authority score
+    must match the checkpointed Spark loop exactly, and each normalized
+    side's L1 mass must equal SCALE up to the per-node floor loss (< 1
+    per node), which is what makes the SCALE·x products BIGINT-safe."""
+    import duckdb
+
+    SCALE = 1_000_000_000
+    edges = duckdb.sql(
+        """
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM '/root/testdata/sf0.01/orders.parquet' o
+        JOIN '/root/testdata/sf0.01/lineitem.parquet' l
+          ON o.o_orderkey = l.l_orderkey
+        """
+    ).df()
+    pairs = list(zip(edges.c.astype(int), edges.s.astype(int)))
+    custs = sorted({c for c, _ in pairs})
+    h = {c: SCALE // len(custs) for c in custs}
+    a = {}
+    for _ in range(3):
+        ar = {}
+        for c, s in pairs:
+            ar[s] = ar.get(s, 0) + h[c]
+        t = sum(ar.values())
+        a = {s: (SCALE * v) // t for s, v in ar.items()}
+        hr = {}
+        for c, s in pairs:
+            hr[c] = hr.get(c, 0) + a[s]
+        t = sum(hr.values())
+        h = {c: (SCALE * v) // t for c, v in hr.items()}
+
+    rows = graph.QUERIES["graph_hits"](spark, SF).collect()
+    got_h = {r.node_key: r.score_fp for r in rows if r.node_type == "customer"}
+    got_a = {r.node_key: r.score_fp for r in rows if r.node_type == "supplier"}
+    assert got_h == h
+    assert got_a == a
+    # L1 conservation: floor loss per node < 1 unit
+    assert SCALE - len(h) <= sum(h.values()) <= SCALE
+    assert SCALE - len(a) <= sum(a.values()) <= SCALE

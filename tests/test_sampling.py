@@ -295,3 +295,27 @@ def test_kcenter_greedy_invariants(spark):
         min_d2 = np.minimum(min_d2, ((q - q[best]) ** 2).sum(axis=1))
     assert [r.vec_id for r in rows] == [int(ids[i]) for i in chosen]
     assert radius == int(min_d2.max())
+
+
+def test_pps_systematic_budget_and_size_bias(spark):
+    """The PPS grid must spend its budget exactly (Σ n_hits = 100 — every
+    grid point lands in exactly one order's cumulative slice), no order
+    can absorb more points than its value spans (n_hits ≤ cents/step + 1),
+    and the sampled orders' mean value must exceed the population mean —
+    the size bias that IS the design."""
+    import duckdb
+
+    pdf = sampling.QUERIES["sample_pps_systematic"](spark, SF).toPandas()
+    pop = duckdb.sql(
+        """
+        SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS t,
+               count(*) AS n
+        FROM '/root/testdata/sf0.01/orders.parquet'
+        """
+    ).df().iloc[0]
+    t, n = int(pop.t), int(pop.n)
+    step = t // 100
+    assert int(pdf.n_hits.sum()) == 100
+    assert (pdf.n_hits <= pdf.cents // step + 1).all()
+    assert len(pdf) <= 100
+    assert pdf.cents.mean() > t / n  # size-biased by construction

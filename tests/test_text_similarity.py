@@ -940,3 +940,21 @@ def test_exact_substring_coverage_consistency(spark):
         assert g.n_windows == len(ws)
         assert g.n_dup_windows == n_dup
         assert g.dup_coverage_permille == 1000 * n_dup // len(ws)
+
+
+def test_chao1_estimator_invariants(spark):
+    """Chao1 must dominate the observed vocabulary (it estimates the
+    unseen tail), singletons+doubletons can't exceed the vocabulary, and
+    the Good-Turing unseen mass must reproduce the exact integer
+    permille of singletons over tokens."""
+    pdf = text.QUERIES["text_chao1_richness"](spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.chao1_est >= pdf.vocab).all()
+    assert (pdf.f1 + pdf.f2 <= pdf.vocab).all()
+    assert (pdf.vocab <= pdf.n_tokens).all()
+    assert (
+        pdf.unseen_mass_permille == (1000 * pdf.f1) // pdf.n_tokens
+    ).all()
+    assert (
+        pdf.chao1_est == pdf.vocab + (pdf.f1 * (pdf.f1 - 1)) // (2 * (pdf.f2 + 1))
+    ).all()

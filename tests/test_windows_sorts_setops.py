@@ -621,3 +621,51 @@ def test_dtw_fold_matches_python_replay(spark):
             lockstep = sum(abs(a - b) for a, b in zip(xs, ys))
             assert row.dtw_cost <= lockstep
         assert row.dtw_per_step == row.dtw_cost // (row.n_a + row.n_b)
+
+
+def test_matrix_profile_python_replay(spark):
+    """Replay the banded matrix-profile construction in plain Python:
+    every window's nearest-neighbor distance, neighbor position, and the
+    motif/discord flags must match; the profile must be built only from
+    gap-free 6-month windows with the |Δpos| ≥ 3 exclusion honored."""
+    import duckdb
+
+    from data_integration_exercise_spark.operators import windows as W
+
+    pdf = W.QUERIES["win_matrix_profile"](spark, "/root/testdata/sf0.01").toPandas()
+    monthly = duckdb.sql(
+        """
+        SELECT o_orderpriority pri,
+               date_diff('month', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS m,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS v
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1, 2
+        """
+    ).df()
+    for pri, grp in monthly.groupby("pri"):
+        series = {int(r.m): int(r.v) for r in grp.itertuples()}
+        wins = {
+            p: [series[p + k] for k in range(6)]
+            for p in series
+            if all(p + k in series for k in range(6))
+        }
+        mp = {}
+        for p1, w1 in wins.items():
+            best = None
+            for p2, w2 in wins.items():
+                if abs(p1 - p2) < 3:
+                    continue
+                d2 = sum((a - b) ** 2 for a, b in zip(w1, w2))
+                if best is None or (d2, p2) < best:
+                    best = (d2, p2)
+            if best is not None:
+                mp[p1] = best
+        rows = pdf[pdf.o_orderpriority == pri]
+        assert len(rows) == len(mp)
+        lo = min(d for d, _ in mp.values())
+        hi = max(d for d, _ in mp.values())
+        for r in rows.itertuples():
+            d2, p2 = mp[int(r.pos)]
+            assert (r.mp_d2, r.nn_pos) == (d2, p2)
+            assert bool(r.is_motif) == (d2 == lo)
+            assert bool(r.is_discord) == (d2 == hi)
