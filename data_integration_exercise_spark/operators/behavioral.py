@@ -2491,3 +2491,73 @@ def events_shapley_attribution(spark, sf_dir):
         .cast("long")
         .alias("exclusive_conversions"),
     )
+
+
+@register(
+    "events_eventually_follows",
+    oracle="""
+    WITH span AS (
+        SELECT user_id, event_type,
+               min(epoch_ns(ts) // 1000) AS first_t,
+               max(epoch_ns(ts) // 1000) AS last_t
+        FROM events GROUP BY 1, 2
+    ), users AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM span
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM span a JOIN span b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+         AND a.first_t < b.last_t
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_users,
+           CAST((1000 * n_users) // u.nu AS BIGINT) AS share_permille
+    FROM pairs, users u
+    """,
+)
+def events_eventually_follows(spark, sf_dir):
+    """Eventually-follows relation (van der Aalst 2016, "Process Mining"
+    ch. 6 — the EF-graph that seeds every process-discovery algorithm,
+    inductive miner included): for each ordered pair of DISTINCT event
+    types, how many users have SOME occurrence of A before SOME
+    occurrence of B (first(A) < last(B) — the standard existential
+    formulation), as a count and an exact permille of the user base.
+    The transitive complement to events_markov_transitions'
+    directly-follows matrix: DF sees only adjacent steps, EF sees
+    ordering at any distance — the difference between the two matrices
+    is where process-discovery infers concurrency vs sequence.
+
+    All-integer (epoch-µs min/max, exact permille). 100 TB: one
+    (user, type) span rollup — fact-sized shuffle, map-side combinable —
+    then a user-keyed self-join whose fan-out is |types|² = 25 per user
+    (domain-bounded, never event-fanout), a |types|²-row rollup, and a
+    1-row user-count broadcast. No windows, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    span = e.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("first_t"), F.max("ts_us").alias("last_t")
+    )
+    users = span.agg(
+        F.countDistinct("user_id").cast("long").alias("nu")
+    )
+    b = span.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("type_b"),
+        F.col("last_t").alias("last_b"),
+    )
+    pairs = (
+        span.join(
+            b,
+            (F.col("user_id") == F.col("ub"))
+            & (F.col("event_type") != F.col("type_b"))
+            & (F.col("first_t") < F.col("last_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    return pairs.crossJoin(F.broadcast(users)).select(
+        "type_a",
+        "type_b",
+        "n_users",
+        F.expr("(1000 * n_users) div nu").cast("long").alias("share_permille"),
+    )

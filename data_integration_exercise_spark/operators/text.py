@@ -1654,3 +1654,84 @@ def text_chao1_richness(spark, sf_dir):
         .cast("long")
         .alias("unseen_mass_permille"),
     )
+
+
+_BURST_MIN_TOTAL = 20  # support floor: VMR over fewer occurrences is noise
+_BURST_TOPK = 50
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS x
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ), nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM documents
+    ), stats AS (
+        SELECT token,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY token
+    )
+    SELECT token, s AS n_occurrences, df AS doc_freq,
+           CAST((1000::HUGEINT * q) // s - (1000::HUGEINT * s) // nd.n
+                AS BIGINT) AS vmr_permille
+    FROM stats, nd
+    WHERE s >= {_BURST_MIN_TOTAL}
+    ORDER BY vmr_permille DESC, token LIMIT {_BURST_TOPK}
+    """,
+)
+def text_burstiness(spark, sf_dir):
+    """Token burstiness census (Church & Gale 1995, "Poisson mixtures";
+    Katz 1996): the variance-to-mean ratio of each token's per-document
+    count, zeros included — a Poisson-scattered token reads ≈1000
+    permille, while content words CLUMP (one doc uses them many times,
+    most never) and read far above it. The top-50 burstiest tokens with
+    support ≥ 20; burstiness is the classic signal separating topical
+    content words from function words at equal frequency, which
+    frequency-only statistics (text_tfidf's df, text_zipf_slope) cannot
+    see. Uses the algebraic identity Var/mean = Σx²/Σx − Σx/N, so the
+    two floor-divided permille terms are exact integers in BOTH engines
+    (the products promote to decimal(38,0)/HUGEINT first — Σx²·1000
+    outgrows int64 on 100 TB corpora).
+
+    100 TB: one (token, doc) rollup (the tokenize shuffle every corpus
+    statistic pays), one token rollup, a 1-row doc-count broadcast, and
+    a bounded global top-50 (TakeOrdered — the topk_global shape, never
+    a full sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = per_doc.groupBy("token").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        stats.filter(F.col("s") >= _BURST_MIN_TOTAL)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("s").alias("n_occurrences"),
+            F.col("df").alias("doc_freq"),
+            F.expr(
+                "CAST(CAST(1000 AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))"
+                " div s"
+                " - CAST(1000 AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"
+                " div n AS BIGINT)"
+            ).alias("vmr_permille"),
+        )
+        .orderBy(F.col("vmr_permille").desc(), "token")
+        .limit(_BURST_TOPK)
+    )

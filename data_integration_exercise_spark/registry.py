@@ -137,17 +137,17 @@ _PRIORITY = [
 #
 # ROUND-11 PLAN (pre-pinned, the established pattern — execute at round-11
 # open AFTER confirming CORRECTNESS_r10 is green). Exact 50-slot layout:
-# slots 1-6 = the 6 `_ADDED_R10` keys below in list order (each already
+# slots 1-N = the `_ADDED_R10` keys below in list order (each already
 # hash-verified at sf0.001/0.01/0.1 and 7-vs-32 partition-invariant via
-# the checked-in emulator, so conversion-to-driver-truth); slots 7-8 =
+# the checked-in emulator, so conversion-to-driver-truth); next 2 slots =
 # rewrite-after-green re-verification of `graph_modularity` and
 # `graph_label_propagation` (round-10 shared-edges refactor: one edge
 # materialization now feeds both the LPA rounds and modularity's
 # pairs/degree frames — emulator-green post-rewrite, but their latest
-# driver rows predate the change); slots 9-27 = the 19-key _VERIFIED_R1
+# driver rows predate the change); then the 19-key _VERIFIED_R1
 # remainder (freshness: latest green row is round 1), stable registry
-# order; slots 28-50 = the first 23 of _VERIFIED_R2 (latest green row is
-# rounds 2-3), stable registry order.
+# order; remaining slots = the head of _VERIFIED_R2 (latest green row is
+# rounds 2-3), stable registry order, filling to 50.
 _ADDED_R10: list[str] = [
     "plan_lsh_band_geometry",
     "stream_dedup_minhash",
@@ -163,6 +163,8 @@ _ADDED_R10: list[str] = [
     "sample_pps_systematic",
     "agg_eb_shrinkage",
     "agg_sprt_sequential",
+    "events_eventually_follows",
+    "text_burstiness",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
