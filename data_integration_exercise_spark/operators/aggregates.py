@@ -4654,3 +4654,48 @@ def agg_sprt_sequential(spark, sf_dir):
             & (F.coalesce(first, F.lit("9999-12-31").cast("date")) == F.col("day"))
         ).alias("is_first_crossing"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap partial aggregation (the
+    Spark 3.5+ bitmap_construct_agg family — the roaring-bitmap-style
+    exact-distinct technique): customer ids bucket into fixed 32k-bit
+    bitmaps, each (priority, bucket) cell ORs its positions map-side,
+    and the distinct count is the sum of per-bucket popcounts. Same
+    ANSWER as count(DISTINCT) — the oracle states the plain form — but a
+    different 100 TB story: COUNT(DISTINCT x) shuffles every distinct
+    VALUE (an Expand + re-shuffle whose width is data-dependent and
+    skew-prone), while the bitmap plan shuffles at most
+    |groups|·⌈keyspace/32768⌉ fixed-size bitmaps whose size is known
+    BEFORE the job runs — the difference between a capacity plan and a
+    hope. agg_approx_distinct is the 2%-error sketch; this is the exact
+    answer at bounded shuffle width for dense integer keyspaces
+    (sparse/huge keyspaces keep the sketch or dictionary-encode first,
+    as its docstring notes).
+
+    Both aggregation levels are map-side combinable; no expand, no
+    value-granular shuffle, no Python."""
+    o = load_table(spark, sf_dir, "orders")
+    buckets = o.groupBy(
+        "o_orderpriority", F.expr("bitmap_bucket_number(o_custkey)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+            "bm"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return buckets.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias(
+            "n_distinct_customers"
+        ),
+        F.sum("n").cast("long").alias("n_orders"),
+    )

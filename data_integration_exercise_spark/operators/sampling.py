@@ -981,3 +981,137 @@ def sample_pps_systematic(spark, sf_dir):
         .filter(F.col("n_hits") > 0)
         .select("o_orderkey", "o_custkey", "o_orderpriority", "cents", "n_hits")
     )
+
+
+@register(
+    "sample_ht_estimate",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM orders
+    ), tot AS (
+        SELECT CAST(sum(cents) AS BIGINT) AS t FROM ordered
+    ), grid AS (
+        SELECT t, t // {_PPS_N} AS step, (t // {_PPS_N}) // 2 AS start
+        FROM tot
+    ), picks AS (
+        SELECT o.o_orderpriority, o.cents, g.t,
+               least({_PPS_N}, CASE WHEN o.cum > g.start
+                   THEN (o.cum - g.start + g.step - 1) // g.step
+                   ELSE 0 END)
+             - least({_PPS_N}, CASE WHEN o.cum - o.cents > g.start
+                   THEN (o.cum - o.cents - g.start + g.step - 1) // g.step
+                   ELSE 0 END) AS n_hits
+        FROM ordered o, grid g
+    ), est AS (
+        SELECT o_orderpriority,
+               CAST(sum(CAST(n_hits * 1000000 AS HUGEINT) * t
+                        // ({_PPS_N} * cents)) AS BIGINT)
+                   AS est_orders_micro,
+               CAST(sum(n_hits) * (any_value(t) // {_PPS_N}) AS BIGINT)
+                   AS est_revenue_cents
+        FROM picks WHERE n_hits > 0 GROUP BY 1
+    ), truth AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS true_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS true_revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT tr.o_orderpriority, tr.true_orders, tr.true_revenue_cents,
+           coalesce(e.est_orders_micro, 0) AS est_orders_micro,
+           coalesce(e.est_revenue_cents, 0) AS est_revenue_cents
+    FROM truth tr LEFT JOIN est e USING (o_orderpriority)
+    """,
+)
+def sample_ht_estimate(spark, sf_dir):
+    """Hansen-Hurwitz / Horvitz-Thompson estimation readout (Hansen &
+    Hurwitz 1943; Horvitz & Thompson 1952, JASA) over the
+    sample_pps_systematic design: each of the 100 grid picks carries
+    draw probability p_i = cents_i/T, so the order-COUNT estimate is
+    (1/100)·Σ n_hits·T/cents_i (big orders are down-weighted exactly as
+    they were over-sampled) and the revenue estimate collapses to
+    hits·T/100 — PPS is self-weighting for its own size variable, which
+    is WHY the design exists. Per priority: truth vs both estimates,
+    unpicked priorities reported at 0 — the estimator-bias readout every
+    sampling pipeline should ship next to its sampler.
+
+    All-integer: the count terms promote to decimal(38,0)/HUGEINT before
+    the floor-divide (n_hits·1e6·T outgrows int64 at large SF), each
+    term floors once, sums stay BIGINT. 100 TB: the pick derivation is
+    the sample_pps_systematic plan (range-repartitioned local cumsum +
+    8-row offsets + 1-row grid broadcasts); the truth side is one
+    map-side-combinable priority rollup; estimates join truth on the
+    5-row priority domain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    keyed = o.withColumn("h", F.md5(F.col("o_orderkey").cast("string")))
+    parts = keyed.repartitionByRange(8, "h", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("h", "o_orderkey")
+    local = parts.withColumn(
+        "lcum", F.sum("cents").over(w_local).cast("long")
+    ).localCheckpoint(eager=False)
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("cents").cast("long").alias("pt"))
+        # 8-row offsets-of-counts window, the sample_pps_systematic shape
+        .withColumn("off", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).cast("long"))
+        .select("pid", "off")
+    )
+    grid = local.agg(F.sum("cents").cast("long").alias("t")).select(
+        "t",
+        F.expr(f"t div {_PPS_N}").alias("step"),
+        F.expr(f"(t div {_PPS_N}) div 2").alias("start"),
+    )
+    npts = "least({n}, IF({x} > start, ({x} - start + step - 1) div step, 0))"
+    picks = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", (F.col("off") + F.col("lcum")).cast("long"))
+        .crossJoin(F.broadcast(grid))
+        .withColumn(
+            "n_hits",
+            (
+                F.expr(npts.format(n=_PPS_N, x="cum"))
+                - F.expr(npts.format(n=_PPS_N, x="(cum - cents)"))
+            ).cast("long"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+    est = picks.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+                f" * t div ({_PPS_N} * cents) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_orders_micro"),
+        (F.sum("n_hits") * F.expr(f"any_value(t div {_PPS_N})"))
+        .cast("long")
+        .alias("est_revenue_cents"),
+    )
+    truth = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("true_orders"),
+        F.sum("cents").cast("long").alias("true_revenue_cents"),
+    )
+    return truth.join(F.broadcast(est), "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "true_orders",
+        "true_revenue_cents",
+        F.coalesce("est_orders_micro", F.lit(0)).cast("long").alias(
+            "est_orders_micro"
+        ),
+        F.coalesce("est_revenue_cents", F.lit(0)).cast("long").alias(
+            "est_revenue_cents"
+        ),
+    )

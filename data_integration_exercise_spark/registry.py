@@ -165,6 +165,8 @@ _ADDED_R10: list[str] = [
     "agg_sprt_sequential",
     "events_eventually_follows",
     "text_burstiness",
+    "agg_bitmap_distinct",
+    "sample_ht_estimate",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

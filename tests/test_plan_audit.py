@@ -267,6 +267,7 @@ UNPARTITIONED_WINDOW_OK = {
     "sample_systematic",
     # |partitions|-row offset table (same decomposition, cents axis)
     "sample_pps_systematic",
+    "sample_ht_estimate",  # same offsets decomposition inside the pick CTE
     # |partitions|-row offset table + 10-row decile cumulative axis
     "agg_lorenz_deciles",
     # sim_kmeans_lloyd's 8-row seed-ranking window is real but invisible

@@ -319,3 +319,30 @@ def test_pps_systematic_budget_and_size_bias(spark):
     assert (pdf.n_hits <= pdf.cents // step + 1).all()
     assert len(pdf) <= 100
     assert pdf.cents.mean() > t / n  # size-biased by construction
+
+
+def test_ht_estimate_self_weighting_conservation(spark):
+    """PPS is self-weighting for its own size variable: the revenue
+    estimates must sum to exactly 100·(T div 100) across priorities
+    (the whole grid's credit, floor loss < 100 cents), and every
+    estimate column must be non-negative with truth rows for all 5
+    priorities present."""
+    import duckdb
+
+    pdf = sampling.QUERIES["sample_ht_estimate"](spark, SF).toPandas()
+    t = int(
+        duckdb.sql(
+            """
+            SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM '/root/testdata/sf0.01/orders.parquet'
+            """
+        ).df().iloc[0, 0]
+    )
+    assert len(pdf) == 5
+    assert int(pdf.est_revenue_cents.sum()) == (t // 100) * 100
+    assert (pdf.est_orders_micro >= 0).all()
+    assert (pdf.true_orders > 0).all()
+    # count estimator sanity: the total estimate lands within 3x of truth
+    est_total = pdf.est_orders_micro.sum() / 1_000_000
+    true_total = pdf.true_orders.sum()
+    assert 0.3 * true_total < est_total < 3 * true_total
