@@ -146,6 +146,9 @@ R10_TIER = [
     "graph_hits",
     "win_dtw_pairs",
     "sample_pps_systematic",
+    "events_eventually_follows",
+    "text_burstiness",
+    "sample_ht_estimate",
 ]
 
 

@@ -187,6 +187,16 @@ EXPECTED_EXCHANGES = {
     #   pair join; the DP is one codegen'd expression, no exchange
     "sample_pps_systematic": (3, 2),  # range exchange + offsets rollup +
     #   offsets/grid broadcasts
+    "agg_eb_shrinkage": (3, 1),  # customer rollup + prior agg + 1-row bcast
+    "agg_sprt_sequential": (2, 0),  # arm day rollup + bounded day windows
+    "events_eventually_follows": (5, 2),  # (user,type) span rollup +
+    #   user-keyed self-join + 25-row pair rollup + distinct-user count
+    "text_burstiness": (3, 1),  # (token,doc) rollup + token rollup +
+    #   1-row doc-count bcast; top-50 rides TakeOrdered
+    "agg_bitmap_distinct": (2, 0),  # (priority,bucket) bitmap OR + popcount
+    #   rollup — fixed-width shuffles, no Expand
+    "sample_ht_estimate": (5, 3),  # PPS pick plan (range exchange +
+    #   offsets) + truth rollup + est/offsets/grid broadcasts
 }
 
 _SHUFFLE_RE = re.compile(
