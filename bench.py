@@ -149,6 +149,7 @@ R10_TIER = [
     "events_eventually_follows",
     "text_burstiness",
     "sample_ht_estimate",
+    "graph_ppr",
 ]
 
 

@@ -1556,3 +1556,121 @@ def graph_hits(spark, sf_dir):
         F.col("a").alias("score_fp"),
     )
     return hubs.unionByName(auths)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (round 10)
+# ---------------------------------------------------------------------------
+
+_PPR_ITERS = 5
+
+
+def _ppr_oracle() -> str:
+    parts = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS MATERIALIZED (
+        SELECT cnode AS src, snode AS dst FROM pairs
+        UNION ALL
+        SELECT snode AS src, cnode AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), seed AS MATERIALIZED (
+        SELECT src AS snode FROM deg ORDER BY d DESC, src LIMIT 1
+    ), r0 AS (
+        SELECT deg.src AS node,
+               CASE WHEN deg.src = seed.snode
+                    THEN CAST({_SCALE} AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS r
+        FROM deg, seed
+    )"""
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(
+            f""", r{i} AS (
+        SELECT e.dst AS node,
+               CASE WHEN e.dst = seed.snode
+                    THEN (15 * CAST({_SCALE} AS BIGINT)) // 100 ELSE 0 END
+               + (85 * CAST(sum(r.r // dg.d) AS BIGINT)) // 100 AS r
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg dg ON dg.src = e.src, seed
+        GROUP BY e.dst, seed.snode
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN r.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           r.node // 2 AS node_key,
+           CAST(r.r AS BIGINT) AS ppr_fp,
+           r.node = seed.snode AS is_seed
+    FROM r{_PPR_ITERS} r, seed
+    WHERE r.r > 0"""
+    )
+    return "".join(parts)
+
+
+@register("graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark, sf_dir):
+    """Personalized PageRank (Jeh & Widom 2003, WWW "Scaling
+    Personalized Web Search") seeded at the best-connected customer in
+    the trade network: the teleport mass returns to ONE node instead of
+    spreading uniformly, so the fixed point ranks every node by
+    proximity-weighted multi-hop connectivity TO THAT CUSTOMER — the
+    standard graph-similarity/recommendation score, where
+    graph_pagerank's uniform teleport measures global importance. Seed
+    choice is deterministic data: max degree, min node id tie-break
+    (one TakeOrdered(1) scalar probe — the blessed
+    measured-cardinality pattern — embedded as a literal; the oracle
+    derives the identical seed via its own ORDER BY/LIMIT CTE).
+
+    Iterative contract (graph_pagerank template): FIXED 5 unrolled
+    rounds of r' = 0.15·SCALE·[node=seed] + 0.85·Σ floor(r_u/deg_u),
+    all-integer floor division, bit-exact vs the unrolled-CTE oracle.
+    Zero-mass nodes ride the frame explicitly (floor(0/d) = 0) so the
+    join shape is identical every round; rows that remain zero after 5
+    rounds (outside the seed's 5-hop ball) are filtered at the end in
+    both engines.
+
+    100 TB: same posture as graph_pagerank — the fact-join edge list
+    localCheckpoints once, the degree-annotated edge frame is hash-
+    partitioned on src once and reused by all 5 joins; only the
+    node-sized rank table moves per round."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    seed_row = deg.orderBy(F.col("d").desc(), F.col("src")).first()
+    seed = int(seed_row["src"])  # scalar probe: deterministic max-degree seed
+    teleport = (15 * _SCALE) // 100
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src") == seed, F.lit(_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint()
+    for _ in range(_PPR_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.node
+        ).select("dst", F.expr("r div d").alias("c"))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = summed.select(
+            F.col("dst").alias("node"),
+            (
+                F.when(F.col("dst") == seed, F.lit(teleport)).otherwise(F.lit(0))
+                + F.expr("(85 * s) div 100")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.filter(F.col("r") > 0).select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("r").alias("ppr_fp"),
+        (F.col("node") == seed).alias("is_seed"),
+    )

@@ -167,6 +167,7 @@ _ADDED_R10: list[str] = [
     "text_burstiness",
     "agg_bitmap_distinct",
     "sample_ht_estimate",
+    "graph_ppr",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

@@ -197,6 +197,8 @@ EXPECTED_EXCHANGES = {
     #   rollup — fixed-width shuffles, no Expand
     "sample_ht_estimate": (5, 3),  # PPS pick plan (range exchange +
     #   offsets) + truth rollup + est/offsets/grid broadcasts
+    "graph_ppr": (11, 0),  # graph_pagerank shape: fixed 5-round loop over
+    #   the checkpointed src-partitioned edge frame + per-round rollup
 }
 
 _SHUFFLE_RE = re.compile(
