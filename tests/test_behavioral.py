@@ -781,3 +781,21 @@ def test_shapley_attribution_conserves_credit(spark):
     assert 1000 * cents - 3 * p < rev <= 1000 * cents
     assert set(pdf.channel) <= {"click", "view", "signup", "none"}
     assert (pdf.exclusive_conversions <= pdf.shap_conversions_milli // 1000 + 1).all()
+
+
+def test_eventually_follows_contains_directly_follows(spark):
+    """Adjacency implies eventual ordering: every off-diagonal pair in
+    the directly-follows (Markov transition) matrix must appear in the
+    eventually-follows matrix, and no EF share can exceed 1000 permille;
+    EF user counts dominate any single user's DF evidence."""
+    ef = behavioral.QUERIES["events_eventually_follows"](spark, SF).toPandas()
+    df_ = behavioral.QUERIES["events_markov_transitions"](spark, SF).toPandas()
+    ef_pairs = set(zip(ef.type_a, ef.type_b))
+    df_pairs = {
+        (a, b)
+        for a, b in zip(df_.prev_type, df_.next_type)
+        if a != b
+    }
+    assert df_pairs <= ef_pairs
+    assert (ef.share_permille <= 1000).all()
+    assert (ef.n_users >= 1).all()

@@ -393,3 +393,18 @@ def test_hits_python_replay_and_l1_conservation(spark):
     # L1 conservation: floor loss per node < 1 unit
     assert SCALE - len(h) <= sum(h.values()) <= SCALE
     assert SCALE - len(a) <= sum(a.values()) <= SCALE
+
+
+def test_ppr_mass_bound_and_seed_dominance(spark):
+    """PPR total mass is bounded by the injected mass (teleport returns
+    0.15·SCALE per round to ONE node; floor-division only loses), the
+    seed must exist, be a customer (bipartite degree argmax lands on the
+    denser side for this dataset), and hold the maximum score —
+    proximity to itself dominates every other node's score."""
+    pdf = graph.QUERIES["graph_ppr"](spark, SF).toPandas()
+    SCALE = 1_000_000_000
+    seeds = pdf[pdf.is_seed]
+    assert len(seeds) == 1
+    assert int(seeds.ppr_fp.iloc[0]) == int(pdf.ppr_fp.max())
+    assert (pdf.ppr_fp > 0).all()
+    assert int(pdf.ppr_fp.sum()) <= SCALE

@@ -958,3 +958,35 @@ def test_chao1_estimator_invariants(spark):
     assert (
         pdf.chao1_est == pdf.vocab + (pdf.f1 * (pdf.f1 - 1)) // (2 * (pdf.f2 + 1))
     ).all()
+
+
+def test_burstiness_matches_direct_recomputation(spark):
+    """Recompute each reported token's VMR permille directly from the
+    raw per-document counts (zeros included, via the Σx²/Σx − Σx/N
+    identity) and check the top-50 ordering contract."""
+    import duckdb
+
+    pdf = text.QUERIES["text_burstiness"](spark, SF).toPandas()
+    assert 0 < len(pdf) <= 50  # the 31-word synthetic vocab undershoots 50
+    stats = duckdb.sql(
+        """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM '/root/testdata/sf0.01/documents.parquet'
+        ), per AS (
+            SELECT token, doc_id, count(*) AS x FROM tok
+            WHERE token <> '' GROUP BY 1, 2
+        )
+        SELECT token, sum(x) AS s, sum(x * x) AS q FROM per GROUP BY 1
+        """
+    ).df().set_index("token")
+    n_docs = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).df().iloc[0, 0]
+    for r in pdf.itertuples():
+        s, q = int(stats.loc[r.token, "s"]), int(stats.loc[r.token, "q"])
+        assert r.n_occurrences == s >= 20
+        assert r.vmr_permille == (1000 * q) // s - (1000 * s) // int(n_docs)
+    # descending VMR with token tie-break (the TakeOrdered contract)
+    keys = list(zip(-pdf.vmr_permille, pdf.token))
+    assert keys == sorted(keys)
