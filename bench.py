@@ -150,6 +150,8 @@ R10_TIER = [
     "text_burstiness",
     "sample_ht_estimate",
     "graph_ppr",
+    "text_heaps_curve",
+    "agg_ljung_box",
 ]
 
 

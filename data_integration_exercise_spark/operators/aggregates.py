@@ -4699,3 +4699,189 @@ def agg_bitmap_distinct(spark, sf_dir):
         ),
         F.sum("n").cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "agg_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS HUGEINT) * CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS HUGEINT) AS s2
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(s1) AS HUGEINT) AS s1_all
+        FROM g
+    ), parts AS (
+        SELECT t.k, t.n_total,
+               sum(CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n) / 10000
+                 - (CAST(t.s1_all AS DOUBLE) * CAST(t.s1_all AS DOUBLE)
+                    / t.n_total) / 10000 AS ssb,
+               sum(CAST(g.s2 AS DOUBLE) / 10000
+                   - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+                     / g.n / 10000) AS ssw
+        FROM g, tot t GROUP BY 1, 2, t.s1_all
+    )
+    SELECT k AS n_groups, n_total,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_total - k AS BIGINT) AS df_within,
+           round(ssb / (k - 1), 4) AS ms_between,
+           round(ssw / (n_total - k), 4) AS ms_within,
+           round((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS f_stat
+    FROM parts
+    """,
+)
+def agg_anova_f(spark, sf_dir):
+    """One-way ANOVA F-test (Fisher 1925) of mean order value across the
+    five priorities — the k-group generalization of agg_ab_ttest's
+    two-sample comparison, and the readout that tells an experimenter
+    whether ANY arm differs before pairwise drilling. Decomposes total
+    variance into between-group (Σ s1_g²/n_g − S²/N) and within-group
+    (Σ s2_g − s1_g²/n_g) sums of squares, both assembled from EXACT
+    integer cent moments (Σx, Σx² in decimal(38,0)/HUGEINT — Σx²
+    outgrows int64 beyond ~2k rows per cell, the agg_ab_ttest
+    discipline); the float surface is the final SS divisions, identical
+    doubles both engines, rounded 4dp. On this hash-free natural split
+    F ≈ 1 is the null regime.
+
+    100 TB: one map-side-combinable (priority, moments) rollup — 5 cells
+    — then driver-free scalar algebra on the 5-row frame with a 1-row
+    broadcast total. Nothing else moves."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum((cents.cast("decimal(38,0)") * cents)).alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("s1").cast("decimal(38,0)").alias("s1_all"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).groupBy("k", "n_total", "s1_all").agg(
+        (
+            F.sum(
+                F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / 10000
+        ).alias("ssb_raw"),
+        F.sum(
+            F.col("s2").cast("double") / 10000
+            - F.col("s1").cast("double")
+            * F.col("s1").cast("double")
+            / F.col("n")
+            / 10000
+        ).alias("ssw"),
+    )
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        "n_total",
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (
+                F.col("ssb_raw")
+                - F.col("s1_all").cast("double")
+                * F.col("s1_all").cast("double")
+                / F.col("n_total")
+                / 10000
+            )
+            / (F.col("k") - 1),
+            4,
+        ).alias("ms_between"),
+        F.round(F.col("ssw") / (F.col("n_total") - F.col("k")), 4).alias(
+            "ms_within"
+        ),
+        F.round(
+            (
+                (
+                    F.col("ssb_raw")
+                    - F.col("s1_all").cast("double")
+                    * F.col("s1_all").cast("double")
+                    / F.col("n_total")
+                    / 10000
+                )
+                / (F.col("k") - 1)
+            )
+            / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+# Ljung-Box critical value: chi²(df=7) 95th percentile, a fixed design
+# constant embedded identically in both engines (the SPRT/burst micro-nat
+# discipline). Standard table value 14.0671404493 → micro units.
+_LJUNG_CRIT_MICRO = 14_067_140
+
+
+def _ljung_box_oracle() -> str:
+    return f"""
+    WITH acf AS ({ORACLES["agg_acf_lags"]}
+    ), nn AS (
+        SELECT CAST(max(n_terms + lag) AS BIGINT) AS n FROM acf
+    ), terms AS (
+        SELECT acf.lag,
+               CAST((nn.n * (nn.n + 2) * CAST(acf.acf_micro AS HUGEINT)
+                     * acf.acf_micro)
+                    // ((nn.n - acf.lag) * 1000000) AS BIGINT) AS term_micro
+        FROM acf, nn
+    )
+    SELECT CAST(count(*) AS BIGINT) AS df,
+           nn.n AS n_obs,
+           CAST(sum(term_micro) AS BIGINT) AS q_micro,
+           CAST({_LJUNG_CRIT_MICRO} AS BIGINT) AS crit_micro,
+           sum(term_micro) > {_LJUNG_CRIT_MICRO} AS reject_white_noise
+    FROM terms, nn GROUP BY nn.n
+    """
+
+
+@register("agg_ljung_box", oracle=_ljung_box_oracle())
+def agg_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau white-noise test (Ljung & Box 1978,
+    Biometrika) over agg_acf_lags' integer autocorrelations: Q =
+    n(n+2)·Σ_{{k=1..7}} r_k²/(n−k), compared against the χ²(7) 95%
+    critical value — the one-number answer to "is there ANY serial
+    structure left?", the standard residual diagnostic after every
+    win_holt_* / win_kalman_filter / win_stl_decompose fit. COMPOSES ON
+    the registered ACF plan (the graph_modularity composition pattern):
+    the same integer micro autocorrelations the driver already verifies
+    feed Q, so the two keys can never drift apart; the critical value is
+    a fixed design constant embedded identically in both engines.
+
+    All-integer: r_k² ≤ 1e12 promotes to decimal(38,0)/HUGEINT before
+    the n(n+2) product (≈5.8e18 at the calendar-bounded n≈2400 — the day
+    axis does NOT grow with SF, but the promotion removes the headroom
+    cliff anyway), one floor division per term, integer sum.
+
+    100 TB: everything downstream of the ACF's own day rollup is a 7-row
+    frame + a 1-row n broadcast. The cost IS agg_acf_lags."""
+    acf = QUERIES["agg_acf_lags"](spark, sf_dir)
+    nn = acf.agg(
+        F.max(F.col("n_terms") + F.col("lag")).cast("long").alias("n")
+    )
+    terms = acf.crossJoin(F.broadcast(nn)).select(
+        "n",
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * (n + 2)"
+            " * CAST(acf_micro AS DECIMAL(38,0)) * acf_micro"
+            " div ((n - lag) * 1000000) AS BIGINT)"
+        ).alias("term_micro"),
+    )
+    return terms.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("term_micro").cast("long").alias("q_micro"),
+    ).select(
+        "df",
+        F.col("n").alias("n_obs"),
+        "q_micro",
+        F.lit(_LJUNG_CRIT_MICRO).cast("long").alias("crit_micro"),
+        (F.col("q_micro") > _LJUNG_CRIT_MICRO).alias("reject_white_noise"),
+    )

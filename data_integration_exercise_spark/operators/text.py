@@ -1735,3 +1735,105 @@ def text_burstiness(spark, sf_dir):
         .orderBy(F.col("vmr_permille").desc(), "token")
         .limit(_BURST_TOPK)
     )
+
+
+@register(
+    "text_heaps_curve",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, text,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                % 10) + 1 AS decile
+        FROM documents
+    ), tok AS (
+        SELECT decile, unnest(string_split(text, ' ')) AS token FROM ranked
+    ), per AS (
+        SELECT decile, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE token <> '' GROUP BY 1, 2
+    ), first_seen AS (
+        SELECT token, CAST(min(decile) AS BIGINT) AS first_decile
+        FROM per GROUP BY token
+    ), tokens_per AS (
+        SELECT decile, CAST(sum(n) AS BIGINT) AS n_tokens FROM per GROUP BY 1
+    ), new_per AS (
+        SELECT first_decile AS decile, CAST(count(*) AS BIGINT) AS new_types
+        FROM first_seen GROUP BY 1
+    )
+    SELECT t.decile, t.n_tokens,
+           coalesce(n.new_types, 0) AS new_types,
+           CAST(sum(coalesce(n.new_types, 0)) OVER (
+               ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_types,
+           CAST(sum(t.n_tokens) OVER (
+               ORDER BY t.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+    FROM tokens_per t LEFT JOIN new_per n USING (decile)
+    """,
+)
+def text_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (Heaps 1978; Herdan 1960): how
+    many NEW word types each ~10%-of-corpus slice contributes, with the
+    cumulative type and token counts that trace V(n) — the curve whose
+    flattening rate answers "how much new vocabulary will the next 10 TB
+    of crawl buy?" (the prospective complement to text_chao1_richness's
+    point estimate of the unseen tail). Slices are content-hash buckets
+    (the sampling.py hash-mod discipline — decile = md5(doc_id) mod 10),
+    so the curve is reproducible, collection-order-free, and the
+    assignment is a pure per-row projection: no global rank, no window,
+    nothing sequential anywhere in the plan (actual slice sizes ride the
+    cum_tokens column).
+
+    All-exact: first-occurrence decile is a min() — no sequential scan
+    over documents is ever needed, which is the whole trick: "new at
+    slice k" ≡ "min slice containing the type is k", turning a
+    seemingly-sequential statistic into two map-side-combinable rollups.
+
+    100 TB: the (decile, token) rollup is the standard tokenize shuffle;
+    first_seen collapses it vocab-sized; the cumulative windows ride the
+    10-row decile table (bounded axis)."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id",
+        "text",
+        (
+            F.expr(
+                "conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) % 10"
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("decile"),
+    )
+    per = (
+        ranked.select(
+            "decile", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("decile", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tokens_per = per.groupBy("decile").agg(
+        F.sum("n").cast("long").alias("n_tokens")
+    )
+    new_per = (
+        per.groupBy("token")
+        .agg(F.min("decile").cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per.join(F.broadcast(new_per), "decile", "left")
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn(
+            "cum_types", F.sum("new_types").over(w_cum).cast("long")
+        )
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_cum).cast("long")
+        )
+    )

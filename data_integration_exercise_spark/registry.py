@@ -168,6 +168,9 @@ _ADDED_R10: list[str] = [
     "agg_bitmap_distinct",
     "sample_ht_estimate",
     "graph_ppr",
+    "text_heaps_curve",
+    "agg_anova_f",
+    "agg_ljung_box",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

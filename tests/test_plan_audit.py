@@ -199,6 +199,12 @@ EXPECTED_EXCHANGES = {
     #   offsets) + truth rollup + est/offsets/grid broadcasts
     "graph_ppr": (11, 0),  # graph_pagerank shape: fixed 5-round loop over
     #   the checkpointed src-partitioned edge frame + per-round rollup
+    "text_heaps_curve": (4, 1),  # (decile,token) rollup + first-seen and
+    #   token rollups + 10-row broadcast; cumsums ride the decile table
+    "agg_anova_f": (4, 1),  # 5-cell moments rollup + total agg + scalar
+    #   algebra on the broadcast-joined cell frame
+    "agg_ljung_box": (6, 7),  # the composed agg_acf_lags plan (day rollup
+    #   + 7 lag-join broadcasts) + the 7-row Q rollup
 }
 
 _SHUFFLE_RE = re.compile(
@@ -298,6 +304,7 @@ UNPARTITIONED_WINDOW_OK = {
     "text_zipf_slope",
     "win_moving_avg",
     "agg_sprt_sequential",  # calendar-bounded day table (moving_avg contract)
+    "text_heaps_curve",  # 10-row decile cumulative axis (lorenz precedent)
     "win_percent_of_total",
     "win_range_frame",
     "win_rolling_corr",
