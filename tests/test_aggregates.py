@@ -1006,3 +1006,63 @@ def test_sprt_trajectory_python_replay(spark):
             dec != "continue" and row.day == first_seen
         )
     assert pdf.is_first_crossing.sum() <= 1
+
+
+def test_anova_f_python_replay(spark):
+    """Recompute the one-way ANOVA from raw cents in plain Python
+    (exact integer moments, float only at the SS divisions — the same
+    surface the operator declares) and match every output column."""
+    import duckdb
+
+    pdf = aggregates.QUERIES["agg_anova_f"](spark, SF).toPandas()
+    g = duckdb.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+                   AS s1,
+               sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+        FROM '/root/testdata/sf0.01/orders.parquet' GROUP BY 1
+        """
+    ).df()
+    k = len(g)
+    n_total = int(g.n.sum())
+    s1_all = float(g.s1.sum())
+    ssb = sum(float(r.s1) ** 2 / r.n for r in g.itertuples()) / 10000 - (
+        s1_all**2 / n_total
+    ) / 10000
+    ssw = sum(
+        float(r.s2) / 10000 - float(r.s1) ** 2 / r.n / 10000
+        for r in g.itertuples()
+    )
+    row = pdf.iloc[0]
+    assert len(pdf) == 1
+    assert (row.n_groups, row.n_total) == (k, n_total)
+    assert (row.df_between, row.df_within) == (k - 1, n_total - k)
+    # relative tolerance: the replay's float summation order differs from
+    # the engines' (which agree with each other bit-for-bit) in the last
+    # few ulps of the ~1e10 sums of squares
+    assert abs(row.ms_between - ssb / (k - 1)) < 1e-6 * abs(row.ms_between)
+    assert abs(row.ms_within - ssw / (n_total - k)) < 1e-6 * abs(row.ms_within)
+    f = (ssb / (k - 1)) / (ssw / (n_total - k))
+    assert abs(row.f_stat - f) < 1e-3
+    assert row.ms_within > 0
+
+
+def test_ljung_box_composes_exactly_on_acf(spark):
+    """Recompute Q from the REGISTERED agg_acf_lags output with integer
+    arithmetic: composition means the two keys can never disagree; the
+    verdict must match the fixed χ²(7) critical constant."""
+    acf = aggregates.QUERIES["agg_acf_lags"](spark, SF).toPandas()
+    lb = aggregates.QUERIES["agg_ljung_box"](spark, SF).toPandas()
+    n = int((acf.n_terms + acf.lag).max())
+    q = sum(
+        (n * (n + 2) * int(r.acf_micro) ** 2) // ((n - int(r.lag)) * 1_000_000)
+        for r in acf.itertuples()
+    )
+    row = lb.iloc[0]
+    assert len(lb) == 1
+    assert (row.df, row.n_obs) == (len(acf), n)
+    assert row.q_micro == q
+    assert row.crit_micro == 14_067_140
+    assert bool(row.reject_white_noise) == (q > 14_067_140)

@@ -990,3 +990,35 @@ def test_burstiness_matches_direct_recomputation(spark):
     # descending VMR with token tie-break (the TakeOrdered contract)
     keys = list(zip(-pdf.vmr_permille, pdf.token))
     assert keys == sorted(keys)
+
+
+def test_heaps_curve_partitions_vocabulary(spark):
+    """The decile-wise new-type counts must partition the corpus
+    vocabulary exactly (Σ new_types = |vocab|, cum_types ends at
+    |vocab|), cumulative columns must be monotone, and Σ n_tokens must
+    equal the corpus token count — plus the Heaps-shape sanity that the
+    first slice contributes the most new types."""
+    import duckdb
+
+    pdf = (
+        text.QUERIES["text_heaps_curve"](spark, SF)
+        .toPandas()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    truth = duckdb.sql(
+        """
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM '/root/testdata/sf0.01/documents.parquet'
+        )
+        SELECT count(DISTINCT token) AS vocab, count(*) AS n_tokens
+        FROM tok WHERE token <> ''
+        """
+    ).df().iloc[0]
+    assert int(pdf.new_types.sum()) == int(truth.vocab)
+    assert int(pdf.cum_types.iloc[-1]) == int(truth.vocab)
+    assert int(pdf.n_tokens.sum()) == int(truth.n_tokens) == int(pdf.cum_tokens.iloc[-1])
+    assert pdf.cum_types.is_monotonic_increasing
+    assert pdf.cum_tokens.is_monotonic_increasing
+    assert pdf.new_types.iloc[0] == pdf.new_types.max()
