@@ -4885,3 +4885,143 @@ def agg_ljung_box(spark, sf_dir):
         F.lit(_LJUNG_CRIT_MICRO).cast("long").alias("crit_micro"),
         (F.col("q_micro") > _LJUNG_CRIT_MICRO).alias("reject_white_noise"),
     )
+
+
+# TOST equivalence margin: ±2% of the pooled mean order value, and the
+# one-sided z critical value at alpha=0.05 (1.6448536270) in micro units —
+# fixed design constants, identical literals both engines.
+_TOST_MARGIN_PERMILLE = 20
+_TOST_Z_CRIT_MICRO = 1_644_854
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority,
+               CASE WHEN (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                          % 10) < 5 THEN 'A' ELSE 'B' END AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), s AS (
+        SELECT o_orderpriority, grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s1,
+               CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+        FROM x GROUP BY 1, 2
+    ), w AS (
+        SELECT a.o_orderpriority, a.n AS n_a, b.n AS n_b,
+               CAST(a.s1 AS DOUBLE) / a.n AS mean_a,
+               CAST(b.s1 AS DOUBLE) / b.n AS mean_b,
+               (CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * a.s1 / a.n)
+                   / (a.n - 1) / a.n
+               + (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * b.s1 / b.n)
+                   / (b.n - 1) / b.n AS se2,
+               (CAST(a.s1 AS DOUBLE) + CAST(b.s1 AS DOUBLE))
+                   / (a.n + b.n) AS pooled_mean
+        FROM s a JOIN s b ON a.o_orderpriority = b.o_orderpriority
+        WHERE a.grp = 'A' AND b.grp = 'B'
+    )
+    SELECT o_orderpriority, n_a, n_b,
+           round((mean_a - mean_b) / 100, 4) AS diff_dollars,
+           round(pooled_mean * {_TOST_MARGIN_PERMILLE} / 1000 / 100, 4)
+               AS margin_dollars,
+           round((mean_a - mean_b + pooled_mean * {_TOST_MARGIN_PERMILLE}
+                  / 1000) / sqrt(se2), 4) AS t_lower,
+           round((mean_a - mean_b - pooled_mean * {_TOST_MARGIN_PERMILLE}
+                  / 1000) / sqrt(se2), 4) AS t_upper,
+           (mean_a - mean_b + pooled_mean * {_TOST_MARGIN_PERMILLE} / 1000)
+               / sqrt(se2) > {_TOST_Z_CRIT_MICRO} / 1000000.0
+           AND (mean_a - mean_b - pooled_mean * {_TOST_MARGIN_PERMILLE} / 1000)
+               / sqrt(se2) < -{_TOST_Z_CRIT_MICRO} / 1000000.0
+               AS equivalent
+    FROM w
+    """,
+)
+def agg_tost_equivalence(spark, sf_dir):
+    """TOST equivalence test (Schuirmann 1987, the two-one-sided-tests
+    procedure behind every bioequivalence and "no-regression" launch
+    gate) per priority on the hashed A/B arms: a non-significant t-test
+    can NEVER certify "the arms are the same" — TOST can, by rejecting
+    BOTH one-sided hypotheses that the difference exceeds ±2% of the
+    pooled mean. Completes the experiment-readout family:
+    agg_ab_ttest detects difference, agg_ab_power_mde sizes it,
+    agg_sprt_sequential stops early, this certifies equivalence. On the
+    null hash split with these n, equivalence should certify — the
+    guardrail-readout regime.
+
+    Exactness: moments are exact decimal(38,0)/HUGEINT cent sums (the
+    agg_ab_ttest discipline); the margin (permille of pooled mean) and
+    the one-sided z critical value are fixed integer design constants;
+    the float surface is the final mean/SE algebra — identical doubles
+    both engines, 4dp.
+
+    100 TB: one (priority, arm) moments rollup — ten cells — then scalar
+    algebra; nothing else moves."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    grp = F.when(
+        F.expr(
+            "conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)"
+            " % 10 < 5"
+        ),
+        "A",
+    ).otherwise("B")
+    s = o.groupBy("o_orderpriority", grp.alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("s2"),
+    )
+    a = s.filter(F.col("grp") == "A").select(
+        "o_orderpriority",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = s.filter(F.col("grp") == "B").select(
+        "o_orderpriority",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    w = (
+        a.join(b, "o_orderpriority")
+        .withColumn("mean_a", F.col("s1a").cast("double") / F.col("n_a"))
+        .withColumn("mean_b", F.col("s1b").cast("double") / F.col("n_b"))
+        .withColumn(
+            "se2",
+            (
+                F.col("s2a").cast("double")
+                - F.col("s1a").cast("double") * F.col("s1a").cast("double") / F.col("n_a")
+            )
+            / (F.col("n_a") - 1)
+            / F.col("n_a")
+            + (
+                F.col("s2b").cast("double")
+                - F.col("s1b").cast("double") * F.col("s1b").cast("double") / F.col("n_b")
+            )
+            / (F.col("n_b") - 1)
+            / F.col("n_b"),
+        )
+        .withColumn(
+            "pooled_mean",
+            (F.col("s1a").cast("double") + F.col("s1b").cast("double"))
+            / (F.col("n_a") + F.col("n_b")),
+        )
+    )
+    margin = F.col("pooled_mean") * _TOST_MARGIN_PERMILLE / 1000
+    t_lo = (F.col("mean_a") - F.col("mean_b") + margin) / F.sqrt("se2")
+    t_hi = (F.col("mean_a") - F.col("mean_b") - margin) / F.sqrt("se2")
+    zc = _TOST_Z_CRIT_MICRO / 1_000_000.0
+    return w.select(
+        "o_orderpriority",
+        "n_a",
+        "n_b",
+        F.round((F.col("mean_a") - F.col("mean_b")) / 100, 4).alias(
+            "diff_dollars"
+        ),
+        F.round(margin / 100, 4).alias("margin_dollars"),
+        F.round(t_lo, 4).alias("t_lower"),
+        F.round(t_hi, 4).alias("t_upper"),
+        ((t_lo > zc) & (t_hi < -zc)).alias("equivalent"),
+    )

@@ -171,6 +171,7 @@ _ADDED_R10: list[str] = [
     "text_heaps_curve",
     "agg_anova_f",
     "agg_ljung_box",
+    "agg_tost_equivalence",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former

@@ -205,6 +205,8 @@ EXPECTED_EXCHANGES = {
     #   algebra on the broadcast-joined cell frame
     "agg_ljung_box": (6, 7),  # the composed agg_acf_lags plan (day rollup
     #   + 7 lag-join broadcasts) + the 7-row Q rollup
+    "agg_tost_equivalence": (2, 1),  # one (priority,arm) moments rollup +
+    #   the 5-row A⋈B cell join (broadcast)
 }
 
 _SHUFFLE_RE = re.compile(
