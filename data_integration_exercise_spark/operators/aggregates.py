@@ -4719,13 +4719,22 @@ def agg_bitmap_distinct(spark, sf_dir):
                CAST(sum(s1) AS HUGEINT) AS s1_all
         FROM g
     ), parts AS (
+        -- fold-left over the priority-ordered term lists: float summation
+        -- must have ONE deterministic order in both engines (a bare sum()
+        -- over doubles is partition-order-dependent and flaps exact parity
+        -- in the last ulp)
         SELECT t.k, t.n_total,
-               sum(CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n) / 10000
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE) / g.n
+                        / 10000 ORDER BY g.o_orderpriority)),
+                   (a, b) -> a + b)
                  - (CAST(t.s1_all AS DOUBLE) * CAST(t.s1_all AS DOUBLE)
                     / t.n_total) / 10000 AS ssb,
-               sum(CAST(g.s2 AS DOUBLE) / 10000
-                   - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
-                     / g.n / 10000) AS ssw
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(CAST(g.s2 AS DOUBLE) / 10000
+                        - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+                          / g.n / 10000 ORDER BY g.o_orderpriority)),
+                   (a, b) -> a + b) AS ssw
         FROM g, tot t GROUP BY 1, 2, t.s1_all
     )
     SELECT k AS n_groups, n_total,
@@ -4765,20 +4774,45 @@ def agg_anova_f(spark, sf_dir):
         F.sum("n").cast("long").alias("n_total"),
         F.sum("s1").cast("decimal(38,0)").alias("s1_all"),
     )
-    parts = g.crossJoin(F.broadcast(tot)).groupBy("k", "n_total", "s1_all").agg(
-        (
-            F.sum(
-                F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
-            )
-            / 10000
-        ).alias("ssb_raw"),
-        F.sum(
-            F.col("s2").cast("double") / 10000
-            - F.col("s1").cast("double")
-            * F.col("s1").cast("double")
-            / F.col("n")
-            / 10000
-        ).alias("ssw"),
+    # Fold-left over priority-ordered term arrays: a bare F.sum over the
+    # five per-group doubles is partition-order-dependent in the last ulp,
+    # which flaps the strict-equality parity harness (the exact decimal
+    # moments are order-free; only the float reduction needs pinning).
+    tb = (
+        F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        / 10000
+    )
+    tw = (
+        F.col("s2").cast("double") / 10000
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+        / 10000
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .select("k", "n_total", "s1_all", "o_orderpriority", tb.alias("tb"), tw.alias("tw"))
+        .groupBy("k", "n_total", "s1_all")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("o_orderpriority", "tb"))
+                    ),
+                    lambda x: x["tb"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ssb_raw"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("o_orderpriority", "tw"))
+                    ),
+                    lambda x: x["tw"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ssw"),
+        )
     )
     return parts.select(
         F.col("k").alias("n_groups"),
