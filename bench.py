@@ -281,6 +281,17 @@ def main() -> None:
     if failed:
         summary["failed"] = failed
     print(json.dumps(summary))
+    # Also persist the headline to a FILE (VERDICT r10 item 7): the judge's
+    # BASELINE comparison must never depend on stdout-tail survival. The
+    # file sits next to bench.py so each round's artifact collection can
+    # pick it up deterministically.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_headline.json"), "w") as fh:
+            json.dump(summary, fh)
+            fh.write("\n")
+    except OSError as e:
+        print(f"bench: could not write bench_headline.json: {e}", file=sys.stderr)
     spark.stop()
 
 

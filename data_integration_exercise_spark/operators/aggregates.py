@@ -3988,7 +3988,7 @@ def agg_tukey_fences(spark, sf_dir):
     ), tot AS (
         SELECT CAST(sum(n) AS BIGINT) AS big_n,
                CAST(sum(n * abs(acc_micro - conf_micro)) AS BIGINT)
-                 // sum(n) AS ece_micro
+                 // CAST(sum(n) AS BIGINT) AS ece_micro
         FROM bins
     )
     SELECT b.bin, b.n, b.conf_micro, b.acc_micro,

@@ -56,99 +56,29 @@ _MODULES = [
 
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
-# driver-side oracle row each round. Coverage so far (all rows green, zero
-# failures ever): round 1 = first 50 keys; rounds 2+3 = a second disjoint
-# 50-key window (r02 ≡ r03); round 4 = a third disjoint window (TPC-H
-# composites + text/dedup/similarity/sampling/UDF/graph tails); round 5 =
-# the 39 never-oracled residue keys + 11 re-verification slots for r4
-# rewrites — CORRECTNESS_r05.json is 50/50 green, so entering round 6 every
-# key EXCEPT the 112 round-5 additions has a driver row (189/301).
+# driver-side oracle row each round. Every window through round 10 is
+# recorded in CORRECTNESS_r01–r10 (only one red row ever:
+# `agg_calibration_ece`, r10 — re-verified in the round-11 window below).
 #
-# ROUND-10 WINDOW (executes the pre-pinned round-9 plan — round 9 recorded
-# 0 builder turns, so the rotation lands one round late; VERDICT r9 item 2):
-# slots 1-36 are the 36 round-8 additions, the ONLY keys without a driver
-# row in CORRECTNESS_r01–r09 (each already 3-scale emulator-green and
-# 7-vs-32 partition-invariant, so the window is conversion-to-driver-truth,
-# not discovery). No rewrite-after-green re-verification slots accrue:
-# round 9 changed nothing, and round 10's only edits to green keys are
-# docstrings. Slots 37-50 re-verify the 14 OLDEST keys whose latest green
-# row is round 1 (the first 14 of _VERIFIED_R1 in stable registry order —
-# the 13 previous oldest were re-checked in the round-8/9 windows). A green
-# CORRECTNESS_r10 makes every registered key driver-verified on current
-# code.
+# ROUND-11 WINDOW (executes the pre-pinned round-10 plan, registry.py@r10
+# line 138, amended per VERDICT r10 item 1 to add the `agg_calibration_ece`
+# re-verification slot — its r10 driver row is the repo's first-ever hash
+# failure; root cause was an oracle-side HUGEINT division typed float64 by
+# duckdb-pandas, fixed in aggregates.py by casting the denominator:
+# `// CAST(sum(n) AS BIGINT)`):
+# slots 1-23 = the 23 round-10 additions, the ONLY keys without a driver
+# row in CORRECTNESS_r01–r10 (each already 3-scale emulator-green and
+# 7-vs-32 partition-invariant — conversion-to-driver-truth, not discovery);
+# slots 24-25 = rewrite-after-green re-verification of `graph_modularity` +
+# `graph_label_propagation` (round-10 shared-edges refactor postdates their
+# last green rows); slot 26 = the `agg_calibration_ece` oracle fix; slots
+# 27-49 = the 23 keys whose latest green row is still ROUND 1 (the entire
+# former _VERIFIED_R1, stable registry order); slot 50 = the head of
+# _VERIFIED_R2 (`stream_tumbling`, last green round 3). A green
+# CORRECTNESS_r11 restores every registered key to driver-verified-on-
+# current-code.
 _PRIORITY = [
-    # --- 36 never-driver-verified (the entire remaining queue) ---
-    "events_interarrival_stats",
-    "events_capture_recapture",
-    "agg_cramers_v",
-    "win_pettitt_changepoint",
-    "win_sax_paa",
-    "text_readability",
-    "mine_frequent_triples",
-    "sim_centroid_classify",
-    "events_markov_entropy",
-    "agg_mutual_information",
-    "agg_ks_drift_bh",
-    "text_rake_keyphrases",
-    "text_spearman_length_vocab",
-    "events_burst_kleinberg",
-    "sim_silhouette_eval",
-    "agg_tukey_fences",
-    "agg_calibration_ece",
-    "win_bollinger_bands",
-    "graph_neighborhood_function",
-    "join_asof_nearest",
-    "agg_gini_split_screen",
-    "agg_js_drift",
-    "sample_kfold_assignments",
-    "text_lexical_overlap",
-    "stream_topk_per_window",
-    "events_tier_migration",
-    "tpch_q5_local_supplier",
-    "win_rsi",
-    "agg_kendall_tau",
-    "text_bigram_richness",
-    "graph_trade_reciprocity",
-    "sample_systematic",
-    "events_markov_eval",
-    "agg_lorenz_deciles",
-    "graph_scc_condensation",
-    "sim_kmeans_lloyd",
-    # --- 14 oldest r1-green keys (freshness re-check) ---
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "agg_first_last",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_matrix",
-]
-
-# Keys ADDED during round 10 (no driver row yet). Every new operator lands
-# here in the same commit that registers it; they queue directly behind the
-# window for the round-11 rotation.
-#
-# ROUND-11 PLAN (pre-pinned, the established pattern — execute at round-11
-# open AFTER confirming CORRECTNESS_r10 is green). Exact 50-slot layout:
-# slots 1-N = the `_ADDED_R10` keys below in list order (each already
-# hash-verified at sf0.001/0.01/0.1 and 7-vs-32 partition-invariant via
-# the checked-in emulator, so conversion-to-driver-truth); next 2 slots =
-# rewrite-after-green re-verification of `graph_modularity` and
-# `graph_label_propagation` (round-10 shared-edges refactor: one edge
-# materialization now feeds both the LPA rounds and modularity's
-# pairs/degree frames — emulator-green post-rewrite, but their latest
-# driver rows predate the change); then the 19-key _VERIFIED_R1
-# remainder (freshness: latest green row is round 1), stable registry
-# order; remaining slots = the head of _VERIFIED_R2 (latest green row is
-# rounds 2-3), stable registry order, filling to 50.
-_ADDED_R10: list[str] = [
+    # --- 23 never-driver-verified (the entire remaining queue) ---
     "plan_lsh_band_geometry",
     "stream_dedup_minhash",
     "dedup_exact_substring_coverage",
@@ -172,17 +102,107 @@ _ADDED_R10: list[str] = [
     "agg_anova_f",
     "agg_ljung_box",
     "agg_tost_equivalence",
+    # --- rewrite/red re-verification slots ---
+    "graph_modularity",
+    "graph_label_propagation",
+    "agg_calibration_ece",
+    # --- 23 oldest keys (latest green row = round 1) ---
+    "proj_select_alias",
+    "filter_compound",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_handling",
+    "proj_case_when",
+    "proj_cast",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_skew_salted",
+    "win_topn_per_group",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    # --- freshness head of the round-2/3 cohort ---
+    "stream_tumbling",
+]
+
+# Keys ADDED during round 11 (no driver row yet). Every new operator lands
+# here in the same commit that registers it; they queue directly behind the
+# window for the round-12 rotation.
+_ADDED_R11: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 10 (the former
+# round-10 _PRIORITY window; CORRECTNESS_r10.json 49/50 — the one red key,
+# `agg_calibration_ece`, moved into the round-11 window above) — demoted
+# directly behind the round-11 additions.
+_VERIFIED_R10 = [
+    "events_interarrival_stats",
+    "events_capture_recapture",
+    "agg_cramers_v",
+    "win_pettitt_changepoint",
+    "win_sax_paa",
+    "text_readability",
+    "mine_frequent_triples",
+    "sim_centroid_classify",
+    "events_markov_entropy",
+    "agg_mutual_information",
+    "agg_ks_drift_bh",
+    "text_rake_keyphrases",
+    "text_spearman_length_vocab",
+    "events_burst_kleinberg",
+    "sim_silhouette_eval",
+    "agg_tukey_fences",
+    "win_bollinger_bands",
+    "graph_neighborhood_function",
+    "join_asof_nearest",
+    "agg_gini_split_screen",
+    "agg_js_drift",
+    "sample_kfold_assignments",
+    "text_lexical_overlap",
+    "stream_topk_per_window",
+    "events_tier_migration",
+    "tpch_q5_local_supplier",
+    "win_rsi",
+    "agg_kendall_tau",
+    "text_bigram_richness",
+    "graph_trade_reciprocity",
+    "sample_systematic",
+    "events_markov_eval",
+    "agg_lorenz_deciles",
+    "graph_scc_condensation",
+    "sim_kmeans_lloyd",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_conditional",
+    "agg_pivot",
+    "agg_collect_sorted",
+    "agg_min_max_by",
+    "agg_first_last",
+    "agg_histogram",
+    "agg_mode_deterministic",
+    "agg_corr_matrix",
 ]
 
 # Keys hash/rows-verified green by the driver in rounds 8+9 (the former
 # round-8 _PRIORITY window; CORRECTNESS_r08 50/50 green, re-confirmed
-# verbatim by the r09 re-run of the same window) — demoted directly behind
-# the round-10 queue.
+# verbatim by the r09 re-run). `graph_modularity` moved into the
+# round-11 re-verification slots above (post-green shared-edges rewrite).
 _VERIFIED_R8 = [
     "graph_adamic_adar",
     "agg_cuped_adjusted",
     "dedup_winnowing",
-    "graph_modularity",
     "agg_price_volume_mix",
     "text_kl_source_drift",
     "agg_quantile_treatment_effect",
@@ -236,7 +256,6 @@ _VERIFIED_R8 = [
 # the round-8 additions.
 _VERIFIED_R7 = [
     "join_spatial_grid",
-    "graph_label_propagation",
     "agg_quantile_sketch",
     "events_path_trigrams",
     "events_cohort_ltv",
@@ -450,7 +469,6 @@ _VERIFIED_R4 = [
 
 # Keys hash/rows-verified green by the driver in rounds 2+3.
 _VERIFIED_R2 = [
-    "stream_tumbling",
     "stream_sliding",
     "stream_session",
     "stream_watermark_late",
@@ -491,47 +509,19 @@ _VERIFIED_R2 = [
     "multimodal_decode",
 ]
 
-# Keys hash-verified green by the driver in round 1 — the very end of the
-# iteration order. (The 14 oldest — agg_having … agg_corr_matrix — moved
-# into the round-10 freshness tail above.)
-_VERIFIED_R1 = [
-    "proj_select_alias",
-    "filter_compound",
-    "filter_in_between",
-    "filter_like",
-    "filter_null_handling",
-    "proj_case_when",
-    "proj_cast",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_asof",
-    "join_skew_salted",
-    "win_topn_per_group",
-    "win_ranking",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-]
 
 
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R10
+        + _ADDED_R11
+        + _VERIFIED_R10
         + _VERIFIED_R8
         + _VERIFIED_R7
         + _VERIFIED_R6
         + _VERIFIED_R5
         + _VERIFIED_R4
         + _VERIFIED_R2
-        + _VERIFIED_R1
     )
     missing = [k for k in lists if k not in d]
     if missing:
@@ -542,7 +532,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R10): "
+            "registered keys missing from the rotation queue (add to _ADDED_R11): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

@@ -41,6 +41,36 @@ def test_oracles_reference_known_tables():
         ), f"{k}: oracle references no known table"
 
 
+def test_no_hugeint_typed_oracle_output_columns():
+    """DESCRIBE every oracle through DuckDB at sf0.001 and reject any
+    HUGEINT/UBIGINT-typed OUTPUT column. DuckDB types integer sums (and any
+    division with a HUGEINT operand) as HUGEINT, which duckdb-pandas fetches
+    as float64 while Spark returns int64 — the driver's dtype-sensitive hash
+    then splits on identical values (130277 vs 130277.0). This exact class
+    caused the repo's only driver hash failure ever (`agg_calibration_ece`,
+    r10: the `// sum(n)` denominator lacked the CAST the numerator had).
+    The fix discipline: CAST every integer sum/product that reaches an
+    output column (or feeds a division) AS BIGINT. ~2 s, no Spark needed."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    offenders = []
+    for k, sql in oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper() or "UBIGINT" in typ.upper():
+                offenders.append((k, col, typ))
+    assert not offenders, (
+        "oracle output columns DuckDB types wider than BIGINT (pandas will "
+        f"fetch these as float64 and the driver hash will split): {offenders}"
+    )
+
+
 def test_no_unrounded_float_aggregates_in_oracles():
     """Float-hash discipline: any avg(/stddev/corr/covar) in an oracle must
     sit inside a round() — raw float aggregates are summation-order traps."""
@@ -54,118 +84,148 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-10 window so a module reorder or
+# keys each round. Pin the round-11 window so a module reorder or
 # priority-list edit can't silently re-verify already-green keys and waste
 # a round.
 #
-# Composition (executes the pre-pinned round-9 plan, VERDICT r9 item 2):
-# slots 1-36 are ALL remaining never-driver-verified keys (the 36 round-8
-# additions, stable queue order); slots 37-50 re-verify the 14 oldest
-# r1-green keys (the previous 13 oldest were re-checked in the r8/r9
-# windows).
-EXPECTED_R10_WINDOW = [
-    "events_interarrival_stats",
-    "events_capture_recapture",
-    "agg_cramers_v",
-    "win_pettitt_changepoint",
-    "win_sax_paa",
-    "text_readability",
-    "mine_frequent_triples",
-    "sim_centroid_classify",
-    "events_markov_entropy",
-    "agg_mutual_information",
-    "agg_ks_drift_bh",
-    "text_rake_keyphrases",
-    "text_spearman_length_vocab",
-    "events_burst_kleinberg",
-    "sim_silhouette_eval",
-    "agg_tukey_fences",
+# Composition (executes the pre-pinned round-10 plan, amended per VERDICT
+# r10 item 1): slots 1-23 are ALL remaining never-driver-verified keys (the
+# 23 round-10 additions, stable queue order); slots 24-25 re-verify the two
+# graph keys rewritten after their last green rows (round-10 shared-edges
+# refactor); slot 26 re-verifies `agg_calibration_ece` — the repo's
+# first-ever driver hash failure (r10; HUGEINT-typed oracle division →
+# float64 vs Spark int64, fixed by casting the denominator); slots 27-49
+# re-verify the 23 keys whose latest green row is round 1; slot 50 takes
+# the head of the round-2/3 cohort.
+EXPECTED_R11_WINDOW = [
+    "plan_lsh_band_geometry",
+    "stream_dedup_minhash",
+    "dedup_exact_substring_coverage",
+    "sample_coreset_kcenter",
+    "etl_dp_release",
+    "win_matrix_profile",
+    "graph_hits",
+    "etl_k_anonymity",
+    "events_shapley_attribution",
+    "text_chao1_richness",
+    "win_dtw_pairs",
+    "sample_pps_systematic",
+    "agg_eb_shrinkage",
+    "agg_sprt_sequential",
+    "events_eventually_follows",
+    "text_burstiness",
+    "agg_bitmap_distinct",
+    "sample_ht_estimate",
+    "graph_ppr",
+    "text_heaps_curve",
+    "agg_anova_f",
+    "agg_ljung_box",
+    "agg_tost_equivalence",
+    "graph_modularity",
+    "graph_label_propagation",
     "agg_calibration_ece",
-    "win_bollinger_bands",
-    "graph_neighborhood_function",
-    "join_asof_nearest",
-    "agg_gini_split_screen",
-    "agg_js_drift",
-    "sample_kfold_assignments",
-    "text_lexical_overlap",
-    "stream_topk_per_window",
-    "events_tier_migration",
-    "tpch_q5_local_supplier",
-    "win_rsi",
-    "agg_kendall_tau",
-    "text_bigram_richness",
-    "graph_trade_reciprocity",
-    "sample_systematic",
-    "events_markov_eval",
-    "agg_lorenz_deciles",
-    "graph_scc_condensation",
-    "sim_kmeans_lloyd",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_conditional",
-    "agg_pivot",
-    "agg_collect_sorted",
-    "agg_min_max_by",
-    "agg_first_last",
-    "agg_histogram",
-    "agg_mode_deterministic",
-    "agg_corr_matrix",
+    "proj_select_alias",
+    "filter_compound",
+    "filter_in_between",
+    "filter_like",
+    "filter_null_handling",
+    "proj_case_when",
+    "proj_cast",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_multiway_star",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "join_asof",
+    "join_skew_salted",
+    "win_topn_per_group",
+    "win_ranking",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_moving_avg",
+    "stream_tumbling",
 ]
 
-# The deliberate re-verification tail of the window (slots 37-50): keys
-# that ALREADY have a green driver row but have gone unchecked since
-# round 1.
-_R10_REVERIFY = set(EXPECTED_R10_WINDOW[36:])
+# The deliberate re-verification tail of the window: keys that ALREADY have
+# a driver row (green, or red-with-verified-fix for agg_calibration_ece).
+_R11_REVERIFY = set(EXPECTED_R11_WINDOW[23:])
 
 
-def test_round10_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R10_WINDOW
+def test_round11_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R11_WINDOW
 
 
-def test_round10_window_head_is_fresh():
-    """Window slots 1-36 must be keys with NO prior driver row — those slots
+def test_round11_window_head_is_fresh():
+    """Window slots 1-23 must be keys with NO prior driver row — those slots
     only convert emulation-only keys to driver truth; the re-verification
-    tail (slots 37-50) is the only place already-green keys may appear."""
+    tail (slots 24-50) is the only place keys with driver rows may appear."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
+    for r in range(1, 11):
         try:
-            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
+            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return  # correctness files absent (fresh checkout) — nothing to check
-    stale = set(EXPECTED_R10_WINDOW[:36]) & verified
+    stale = set(EXPECTED_R11_WINDOW[:23]) & verified
     assert not stale, f"window head wastes slots on already-verified keys: {sorted(stale)}"
 
 
-def test_round10_window_covers_every_unverified_key():
-    """window head ∪ _ADDED_R10 must be exactly the keys without a driver
-    row, so round 10 converges to full driver coverage."""
+def test_round11_window_covers_every_unverified_key():
+    """window head ∪ _ADDED_R11 must be exactly the keys without a driver
+    row, so round 11 converges to full driver coverage."""
     import json
 
     verified = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
+    for r in range(1, 11):
         try:
-            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r}.json")))
+            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json")))
         except FileNotFoundError:
             pass
     if not verified:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R10
+    from data_integration_exercise_spark.registry import _ADDED_R11
 
     unverified = set(queries()) - verified
-    queue = set(EXPECTED_R10_WINDOW[:36]) | set(_ADDED_R10)
+    queue = set(EXPECTED_R11_WINDOW[:23]) | set(_ADDED_R11)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R10"
+        "a key added this round must be listed in registry._ADDED_R11"
     )
+
+
+def test_round11_window_tail_reverifies_stalest_keys():
+    """The re-verification tail must target exactly: the post-green rewrites
+    + the r10 red key + the stalest green cohort — never keys already fresh."""
+    import json
+
+    latest = {}
+    for r in range(1, 11):
+        try:
+            d = json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json"))
+        except FileNotFoundError:
+            continue
+        for k in d:
+            latest[k] = r
+    if not latest:
+        return
+    tail = EXPECTED_R11_WINDOW[23:]
+    # explicit slots: rewritten-after-green graphs + the r10 hash failure
+    assert tail[:3] == [
+        "graph_modularity",
+        "graph_label_propagation",
+        "agg_calibration_ece",
+    ]
+    # freshness slots: every key whose latest row is round 1 must be present
+    round1 = {k for k, r in latest.items() if r == 1}
+    assert round1 <= set(tail), f"round-1-stale keys left out: {sorted(round1 - set(tail))}"
 
 
 def test_queries_count_matches_survey_addendum():

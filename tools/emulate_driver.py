@@ -62,6 +62,32 @@ def _canon(df):
     return pd.DataFrame(out)
 
 
+def _dtype_kind_mismatches(spdf, ddf):
+    """Columns where one engine returned an integer dtype and the other a
+    float dtype. The driver's value hash stringifies per-dtype, so int64
+    130277 vs float64 130277.0 is a hash FAIL there even though ``_canon``
+    above would call the values equal — the r10 ``agg_calibration_ece``
+    miss (VERDICT r10 item 2: the emulator must never be more lenient than
+    the driver). Only the int-vs-float axis is checked: int32-vs-int64 is
+    representation noise both harnesses tolerate, and object columns
+    (strings, dates, decimals) keep their existing string comparison.
+    """
+    import pandas as pd
+
+    def kind(s):
+        if pd.api.types.is_float_dtype(s):
+            return "f"
+        if pd.api.types.is_integer_dtype(s):
+            return "i"
+        return "other"
+
+    return [
+        c
+        for c in spdf.columns
+        if {kind(spdf[c]), kind(ddf[c])} == {"i", "f"}
+    ]
+
+
 def main() -> int:
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -113,9 +139,14 @@ def main() -> int:
         try:
             sa = spdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
             da = ddf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
-            ok = sa.shape == da.shape and (
-                _canon(sa).values == _canon(da).values
-            ).all()
+            kind_bad = _dtype_kind_mismatches(sa, da)
+            if kind_bad:
+                print(k, "DTYPE-KIND mismatch (int vs float):", kind_bad, flush=True)
+            ok = (
+                not kind_bad
+                and sa.shape == da.shape
+                and (_canon(sa).values == _canon(da).values).all()
+            )
         except Exception as e:
             print(k, "COMPARE-ERROR:", repr(e)[:200], flush=True)
             bad.append(k)
