@@ -21,9 +21,11 @@
 // at least one LSH band AND (b) pass the exact cosine threshold — the
 // standard candidate-generation + exact-re-rank contract of every LSH path
 // in the Python package (sim_ann_lsh, _lsh_threshold_pairs); like those, it
-// assumes set semantics on the matched pairs. It is opt-in twice: the
-// session must be built with this extension, and the query must use the
-// cosine_sim function.
+// assumes set semantics on the matched pairs. It is opt-in THREE times: the
+// session must be built with this extension, the query must use the
+// cosine_sim function, and spark.dies.lsh.rewrite.enabled must be set to
+// true (default false since round 11 — without it cosine_sim stays a plain
+// exact function and plans are untouched).
 //
 // Hyperplanes are hash-derived (h_k[i] = ±1 from the parity of
 // murmur3(k, i)), so the bucket expression is deterministic, dimension-
@@ -175,7 +177,13 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.dies.lsh.rewrite.enabled", "true").toBoolean) {
+    // OPT-IN (default false, ADVICE r10): the rewrite trades exactness for
+    // scale — it drops true pairs the band geometry misses (recall ≈ 0.75
+    // at τ=0.35 under the default 8×4 config, lower at lower thresholds)
+    // and injects Distinct (bag→set on the matched pairs). A session must
+    // explicitly accept that contract; a function spelled `cosine_sim`
+    // reads as exact, so exact is what an unconfigured session gets.
+    if (!conf.getConfString("spark.dies.lsh.rewrite.enabled", "false").toBoolean) {
       return plan
     }
     plan.resolveOperatorsUp {
@@ -201,7 +209,20 @@ class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      new ExpressionInfo(
+        classOf[CosineSim].getName,
+        null,
+        "cosine_sim",
+        "cosine_sim(a, b) - exact cosine similarity of two numeric arrays " +
+          "(zip_with/aggregate, codegen-friendly). EXACT by default. If " +
+          "spark.dies.lsh.rewrite.enabled=true (default false), " +
+          "`cosine_sim(a,b) >= tau` predicates over inner joins rewrite to " +
+          "banded-LSH equi-joins: APPROXIMATE (band misses drop true " +
+          "pairs; recall ~0.75 at tau=0.35 under the default 8x4 geometry, " +
+          "lower at lower tau) and SET-semantic (a Distinct collapses " +
+          "duplicate matched rows). Tune via spark.dies.lsh.bands / " +
+          "spark.dies.lsh.rowsPerBand; consult plan_lsh_band_geometry.",
+        ""),
       (args: Seq[Expression]) => new CosineSim(args(0), args(1))))
     ext.injectResolutionRule(_ => CosineLshJoinRewrite)
   }

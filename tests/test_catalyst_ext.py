@@ -32,13 +32,38 @@ JAR = os.path.join(
 CHECK = os.path.join(REPO, "tools", "catalyst_ext_check.py")
 
 
+def _class_hashes(jar_path):
+    import hashlib
+    import zipfile
+
+    with zipfile.ZipFile(jar_path) as z:
+        return {
+            n: hashlib.sha256(z.read(n)).hexdigest()
+            for n in z.namelist()
+            if n.endswith(".class")
+        }
+
+
 def test_cosine_lsh_extension_end_to_end():
-    if not os.path.exists(JAR):
-        # the jar is checked in; rebuild from source if it vanished
-        subprocess.run(
-            ["bash", os.path.join(REPO, "tools", "build_catalyst_ext.sh")],
-            check=True,
-            timeout=300,
+    # ALWAYS rebuild from source (ADVICE r10: a stale or tampered committed
+    # binary must not pass while the Scala source says otherwise). The build
+    # uses pyspark's bundled scalac (~20 s) and is byte-deterministic, so
+    # the rebuilt class files must match the committed jar exactly; the
+    # behavior checks below then run against the fresh build either way.
+    committed = _class_hashes(JAR) if os.path.exists(JAR) else None
+    subprocess.run(
+        ["bash", os.path.join(REPO, "tools", "build_catalyst_ext.sh")],
+        check=True,
+        capture_output=True,
+        timeout=300,
+    )
+    rebuilt = _class_hashes(JAR)
+    assert rebuilt, "build produced no classes"
+    if committed is not None:
+        assert rebuilt == committed, (
+            "committed dies-catalyst-ext.jar does not match a fresh build of "
+            "CosineLshExtensions.scala — re-run tools/build_catalyst_ext.sh "
+            "and commit the jar alongside the source change"
         )
     proc = subprocess.run(
         [sys.executable, CHECK],

@@ -128,6 +128,17 @@ def main() -> int:
 
     spark = build_session(with_extension=True)
 
+    # Opt-in contract (default OFF since round 11, ADVICE r10): with the
+    # extension loaded but the rewrite conf unset, cosine_sim evaluates
+    # exactly and the plan is left alone — no band keys injected.
+    default_plan = naive_query(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" not in default_plan, (
+        "rewrite fired without spark.dies.lsh.rewrite.enabled=true — it "
+        "must be opt-in"
+    )
+    print("opt-in check ok: rewrite off by default, cosine_sim stays exact")
+    spark.conf.set("spark.dies.lsh.rewrite.enabled", "true")
+
     rewritten = naive_query(spark)
     plan = rewritten._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, "rewrite failed: CartesianProduct"
