@@ -154,6 +154,14 @@ R10_TIER = [
     "agg_ljung_box",
 ]
 
+# Round-11 additions, benched median-of-3 like every other tier.
+# dedup_minhash_openvocab is the open-vocabulary (content-hash shingle)
+# MinHash path — tracked next to dedup_minhash_lsh so the general path's
+# cost stays attributable against the bitset path's.
+R11_TIER = [
+    "dedup_minhash_openvocab",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -171,7 +179,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
-        + R8_TIER + R10_TIER
+        + R8_TIER + R10_TIER + R11_TIER
     ):
         if key not in qs:
             continue
@@ -224,6 +232,9 @@ def main() -> None:
     r10_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R10_TIER), 4
     )
+    r11_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R11_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -245,6 +256,7 @@ def main() -> None:
         "r7_tier_total": r7_tier_total,
         "r8_tier_total": r8_tier_total,
         "r10_tier_total": r10_tier_total,
+        "r11_tier_total": r11_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
@@ -275,6 +287,7 @@ def main() -> None:
             "r7": r7_tier_total,
             "r8": r8_tier_total,
             "r10": r10_tier_total,
+            "r11": r11_tier_total,
         },
         "sf": sf,
     }

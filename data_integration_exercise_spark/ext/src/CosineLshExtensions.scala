@@ -204,6 +204,142 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Second rule from the same jar (VERDICT r10 item 8): rewrite
+ *  `levenshtein(a, b) <= k` predicates over inner joins into LENGTH-BANDED
+ *  equi-joins. Unlike the cosine rule this transform is EXACT — result-
+ *  identical to the naive plan, bag semantics preserved — so it defaults ON
+ *  (kill switch: spark.dies.lev.rewrite.enabled=false):
+ *
+ *  - lev(a, b) <= k implies |len(a) - len(b)| <= k, so with bucket width
+ *    w = k + 1 the length buckets β = len div w of a true pair differ by at
+ *    most 1. The LEFT side explodes to {β-1, β, β+1} (3 distinct values),
+ *    the right side keeps its single β, and the join takes
+ *    `__lev_bkt_l = __lev_bkt_r` — every true pair meets EXACTLY once
+ *    (single-valued right key × distinct left values), so no Distinct is
+ *    needed and duplicate input rows survive as in the naive plan.
+ *  - The implied |len(a) - len(b)| <= k rides the join condition as an O(1)
+ *    prefilter inside the bucket, and the re-rank conjunct is swapped for
+ *    the BANDED kernel `levenshtein(a, b, k) >= 0` — O(len·k) instead of
+ *    O(len²), same integers (the threshold form returns -1 above k).
+ *  - Pairs in buckets ≥2 apart are dropped by the band join, but those have
+ *    length gap > k and could never pass lev <= k: lossless.
+ *
+ *  This is the Catalyst form of dedup_fuzzy_levenshtein's hand-written
+ *  discipline (length prefilter + banded Wagner-Fischer), applied to any
+ *  user query that writes the naive predicate. */
+object LevenshteinBandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  private val BKT_L = "__lev_bkt_l"
+  private val BKT_R = "__lev_bkt_r"
+
+  /** Normalize a conjunct to (a, b, k) with `lev(a,b) <= k` semantics.
+   *  Only the 2-arg levenshtein rewrites (a 3-arg call is already banded —
+   *  the user opted into the kernel; banding buckets twice is wasteful). */
+  private def matchLev(e: Expression): Option[(Expression, Expression, Int)] = {
+    def k(lit: Expression): Option[Int] = lit.eval() match {
+      case n: Number => Some(n.intValue())
+      case _ => None
+    }
+    val m = e match {
+      case LessThanOrEqual(Levenshtein(a, b, None), rhs) if rhs.foldable =>
+        k(rhs).map((a, b, _))
+      case GreaterThanOrEqual(rhs, Levenshtein(a, b, None)) if rhs.foldable =>
+        k(rhs).map((a, b, _))
+      case LessThan(Levenshtein(a, b, None), rhs) if rhs.foldable =>
+        k(rhs).map(v => (a, b, v - 1))
+      case GreaterThan(rhs, Levenshtein(a, b, None)) if rhs.foldable =>
+        k(rhs).map(v => (a, b, v - 1))
+      case _ => None
+    }
+    m.filter(_._3 >= 0)
+  }
+
+  private def alreadyBucketed(j: Join): Boolean =
+    j.left.output.exists(_.name == BKT_L) ||
+      j.right.output.exists(_.name == BKT_R)
+
+  private val LongT = org.apache.spark.sql.types.LongType
+
+  /** len(x) div (k+1) as a Long — the length bucket. */
+  private def bucket(x: Expression, k: Int): Expression =
+    IntegralDivide(Cast(Length(x), LongT), Literal((k + 1).toLong))
+
+  /** The banded exact re-rank: levenshtein(a, b, k) >= 0 — identical truth
+   *  value to lev(a, b) <= k, O(len·k) kernel. */
+  private def bandedPred(a: Expression, b: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  /** Replace the FIRST lev conjunct with its banded form; other conjuncts
+   *  (including further lev predicates) pass through untouched. */
+  private def swapConjunct(cond: Expression): Expression = {
+    var done = false
+    splitConjunctivePredicates(cond)
+      .map { c =>
+        if (done) c
+        else matchLev(c) match {
+          case Some((a, b, k)) => done = true; bandedPred(a, b, k)
+          case None => c
+        }
+      }
+      .reduce(And)
+  }
+
+  private def rewrite(
+      out: Seq[Attribute], cond: Expression, l: LogicalPlan, r: LogicalPlan,
+      jc: Option[Expression], hint: JoinHint
+  ): Option[LogicalPlan] =
+    splitConjunctivePredicates(cond).iterator.flatMap(matchLev).collectFirst {
+      case x => x
+    }.flatMap { case (ea, eb, k) =>
+      val aL = ea.references.subsetOf(l.outputSet) &&
+        eb.references.subsetOf(r.outputSet)
+      val aR = ea.references.subsetOf(r.outputSet) &&
+        eb.references.subsetOf(l.outputSet)
+      if (!aL && !aR) None
+      else {
+        val (la, rb) = if (aL) (ea, eb) else (eb, ea)
+        val attrL = AttributeReference(BKT_L, LongT, nullable = true)()
+        val bl = bucket(la, k)
+        val gl = Generate(
+          Explode(CreateArray(Seq(
+            Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))),
+          unrequiredChildIndex = Nil,
+          outer = false,
+          qualifier = None,
+          generatorOutput = Seq(attrL),
+          child = l)
+        val aliasR = Alias(bucket(rb, k), BKT_R)()
+        val pr = Project(r.output :+ aliasR, r)
+        val prefilter = And(
+          EqualTo(attrL, aliasR.toAttribute),
+          LessThanOrEqual(Abs(Subtract(Length(la), Length(rb))), Literal(k)))
+        val newJoin = Join(
+          gl, pr, Inner,
+          Some(jc.map(And(_, prefilter)).getOrElse(prefilter)), hint)
+        Some(Project(out, Filter(swapConjunct(cond), newJoin)))
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Default ON: this rewrite is result-identical (see object doc); the
+    // conf is a kill switch, not an opt-in — the deliberate contrast with
+    // the approximate cosine rule above.
+    if (!conf.getConfString("spark.dies.lev.rewrite.enabled", "true").toBoolean) {
+      return plan
+    }
+    plan.resolveOperatorsUp {
+      case f @ Filter(cond, j @ Join(l, r, Inner, jc, hint))
+          if f.resolved && !alreadyBucketed(j) =>
+        rewrite(f.output, cond, l, r, jc, hint).getOrElse(f)
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if j.resolved && !alreadyBucketed(j) =>
+        val residue = splitConjunctivePredicates(cond)
+          .filter(c => matchLev(c).isEmpty)
+        rewrite(j.output, cond, l, r, residue.reduceOption(And), hint)
+          .getOrElse(j)
+    }
+  }
+}
+
 /** Entry point for spark.sql.extensions. */
 class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -225,5 +361,6 @@ class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (args: Seq[Expression]) => new CosineSim(args(0), args(1))))
     ext.injectResolutionRule(_ => CosineLshJoinRewrite)
+    ext.injectResolutionRule(_ => LevenshteinBandJoinRewrite)
   }
 }

@@ -404,6 +404,199 @@ def dedup_minhash_keepers(spark, sf_dir):
     )
 
 
+#: open-vocabulary MinHash modulus — the Mersenne prime 2^31 - 1. Token keys
+#: are 48-bit md5-derived content hashes (the repo's one cross-engine hash:
+#: Spark conv(substr(md5(t),1,12),16,10) ≡ DuckDB ('0x'||…)::BIGINT), so
+#: a*h+b stays < 2^52 and band sigs mh0*M + mh1 < 2^62 — all BIGINT-exact.
+_OV_M = 2_147_483_647
+
+_OV_PERMS_DUCK = ", ".join(
+    f"({p}, {a}, {b})" for p, (a, b) in enumerate(MINHASH_PERMS)
+)
+
+_OPENVOCAB_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 12))::BIGINT AS h
+        FROM tok
+    ), perms(p, a, b) AS (VALUES {_OV_PERMS_DUCK}),
+    mh AS (
+        SELECT doc_id, p, p // 2 AS band,
+               min((a * h + b) % {_OV_M}) AS mh
+        FROM hashed CROSS JOIN perms
+        GROUP BY doc_id, p
+    ), bands AS (
+        SELECT doc_id, band,
+               CAST(sum(mh * (CASE WHEN p % 2 = 0
+                                   THEN {_OV_M} ELSE 1 END)) AS BIGINT) AS sig
+        FROM mh GROUP BY doc_id, band
+    ), cand AS (
+        SELECT DISTINCT b1.doc_id AS doc1, b2.doc_id AS doc2
+        FROM bands b1 JOIN bands b2
+          ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+    ), sets AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
+    ), pairs AS (
+        SELECT doc1, doc2,
+               round(CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+                     / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))),
+                     4) AS jaccard
+        FROM cand
+        JOIN sets s1 ON s1.doc_id = doc1
+        JOIN sets s2 ON s2.doc_id = doc2
+        WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+              / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+    ), ranked AS (
+        SELECT doc1, doc2, jaccard,
+               CAST(row_number() OVER (PARTITION BY doc1
+                                       ORDER BY jaccard DESC, doc2)
+                    AS BIGINT) AS pair_rank,
+               CAST(count(*) OVER (PARTITION BY doc1) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT doc1, doc2, jaccard, pair_rank, n_pairs
+    FROM ranked WHERE pair_rank <= 3
+"""
+
+
+def _openvocab_band_rows(spark, sf_dir):
+    """(doc_id, sigs, band, sig): banded MinHash rows with NO vocabulary
+    assumption — the general corpus path SURVEY §14 documented in prose,
+    now executable. Token keys are 48-bit md5-derived content hashes, so
+    the signature stage needs no dictionary, no fit pass, and no closed
+    31-word bitset: mh_p = min over the doc's distinct-token hashes of
+    (a_p·h + b_p) mod (2^31−1), band sig = mh_{2B}·M + mh_{2B+1} (a
+    bijection of the per-band tuple). Everything happens inside ONE
+    codegen'd projection on the scan — transform/array_min over the
+    split-token array — so at 100 TB the signature stage is shuffle-free
+    and embarrassingly parallel; only the (band, sig) bucket join moves
+    data. Contrast _band_signatures, which buys its integer re-rank masks
+    with the corpus-specific closed vocabulary.
+
+    The explicit doc_id repartition between the signature projection and
+    the band explosion is the salted_lang_pairs discipline: the band join's
+    build side broadcasts at bench scales, so the pair stage's parallelism
+    equals THIS frame's partition count — a raw single-file scan is 1 task
+    doing the entire multi-million-row candidate expansion (measured 117 s
+    → single-digit s at sf0.1). On a real multi-file 100 TB input the scan
+    is already parallel; the count is passed explicitly because the
+    shuffled bytes are small enough that AQE coalescing would otherwise
+    merge the probe side back to one partition (the expansion downstream
+    is invisible to its heuristic)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = load_table(spark, sf_dir, "documents")
+    hashes = (
+        "transform(array_distinct(split(text, ' ')), "
+        "t -> CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT))"
+    )
+    band_sigs = []
+    for band in range(N_BANDS):
+        terms = []
+        for r in range(2):
+            a, b = MINHASH_PERMS[band * 2 + r]
+            mh = f"array_min(transform(_hs, h -> ({a} * h + {b}) % {_OV_M}))"
+            terms.append(f"{mh} * CAST({_OV_M ** (1 - r)} AS BIGINT)")
+        band_sigs.append(" + ".join(terms))
+    return (
+        d.select("doc_id", F.expr(hashes).alias("_hs"))
+        .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
+        .repartition(n_part, F.col("doc_id"))
+        .select("doc_id", "sigs", F.posexplode("sigs").alias("band", "sig"))
+    )
+
+
+@register("dedup_minhash_openvocab", oracle=_OPENVOCAB_ORACLE)
+def dedup_minhash_openvocab(spark, sf_dir):
+    """dedup_minhash_lsh for corpora WITHOUT a closed vocabulary — the
+    100 TB-general MinHash path (VERDICT r10 item 6, SURVEY §14
+    "Open-vocabulary fallback" promoted from prose to a keyed, hash-oracled
+    operator). Three seams change vs the bitset path, none of the shape:
+
+    1. Shingle keys are 64-bit-class CONTENT HASHES (48-bit md5-derived —
+       the repo's one cross-engine-reproducible hash) instead of positions
+       in a 31-word dictionary: no fit pass, no dictionary broadcast, works
+       on any corpus.
+    2. MinHash permutations run mod the Mersenne prime 2^31−1 instead of
+       mod 31 — same fixed (a, b) literals, same 4-band × 2-row geometry,
+       still integer-exact in both engines.
+    3. The exact re-rank joins the DEDUPED candidate pair stream back to
+       the token-set arrays and scores Jaccard via array_intersect — the
+       candidate-only re-rank; the 31-bit bitmask trick is unavailable
+       without the closed vocab. Sizes are small ints, so the ratio is
+       IEEE-exact cross-engine (round 4dp as everywhere).
+
+    Candidates still dedup WITHOUT a distinct shuffle (the sigs-array
+    first-match test from _lsh_candidate_pairs), and the declared product
+    is the bounded r7 shape: per doc1 the top-3 pairs by Jaccard plus the
+    uncapped n_pairs — O(docs-with-dups) output at any scale. At 100 TB:
+    signature stage shuffle-free on the scan; one (band, sig) equi-join;
+    token arrays move only for candidate docs (two hash joins), never
+    through the band explosion. tests/test_pipeline.py asserts both LSH
+    paths' verified pairs are sound (subset of the exact all-pairs ≥0.8
+    truth, identical 4dp scores) with recall ≥0.98 — measured 0.995 here
+    vs the bitset path's 0.989; the two geometries miss different ~0.5%
+    slivers, so set EQUALITY does not hold (nor should it between two
+    honest LSH configs)."""
+    pairs = _openvocab_scored_pairs(spark, sf_dir)
+    part = Window.partitionBy("doc1")
+    ranked = part.orderBy(F.desc("jaccard"), F.asc("doc2"))
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(ranked).cast("long"))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(part).cast("long"))
+        .filter(F.col("pair_rank") <= 3)
+        .select("doc1", "doc2", "jaccard", "pair_rank", "n_pairs")
+    )
+
+
+def _openvocab_scored_pairs(spark, sf_dir):
+    """The open-vocabulary verified pair stream (doc1 < doc2, jaccard ≥ 0.8):
+    candidate generation off _openvocab_band_rows' (band, sig) equi-join
+    (sigs-array first-match dedup, no distinct shuffle), exact re-rank by
+    joining the candidate pairs back onto token-set arrays — the
+    array_intersect seam SURVEY §14 names as open-vocab fallback #1."""
+    sig = _openvocab_band_rows(spark, sf_dir)
+    b1 = sig.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("sigs").alias("sigs1"),
+        "band",
+        "sig",
+    )
+    b2 = sig.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("sigs").alias("sigs2"),
+        F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+    )
+    cand = b1.join(
+        b2,
+        (b1.band == b2.band2)
+        & (b1.sig == b2.sig2)
+        & (b1.doc1 < b2.doc2)
+        & (
+            F.expr(
+                "array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1"
+            )
+            == b1.band
+        ),
+    ).select("doc1", "doc2")
+    sets = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    denom = F.size("s1") + F.size("s2") - inter
+    pairs = (
+        cand.join(sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1")), "doc1")
+        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2")), "doc2")
+        .withColumn("jac", inter.cast("double") / denom)
+        .filter(F.col("jac") >= 0.8)
+        .select("doc1", "doc2", F.round("jac", 4).alias("jaccard"))
+    )
+    return pairs
+
+
 _LSH_PR_ORACLE = f"""
     WITH tok AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

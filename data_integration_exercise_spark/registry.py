@@ -137,7 +137,9 @@ _PRIORITY = [
 # Keys ADDED during round 11 (no driver row yet). Every new operator lands
 # here in the same commit that registers it; they queue directly behind the
 # window for the round-12 rotation.
-_ADDED_R11: list[str] = []
+_ADDED_R11: list[str] = [
+    "dedup_minhash_openvocab",
+]
 
 # Keys hash/rows-verified green by the driver in round 10 (the former
 # round-10 _PRIORITY window; CORRECTNESS_r10.json 49/50 — the one red key,

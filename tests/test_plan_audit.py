@@ -207,6 +207,13 @@ EXPECTED_EXCHANGES = {
     #   + 7 lag-join broadcasts) + the 7-row Q rollup
     "agg_tost_equivalence": (2, 1),  # one (priority,arm) moments rollup +
     #   the 5-row A⋈B cell join (broadcast)
+    # Round-11 additions (pinned at birth):
+    "dedup_minhash_openvocab": (2, 3),  # signature projection rides the
+    #   scan (no rollup); the explicit doc_id repartition fans the 1-task
+    #   single-file probe side out before the band explosion (117 s → 13 s
+    #   at sf0.1, the salted_lang_pairs discipline) + the bounded top-3
+    #   ranking window on doc1; (band,sig) bucket join + two token-set
+    #   re-rank joins broadcast at this SF
 }
 
 _SHUFFLE_RE = re.compile(

@@ -220,6 +220,62 @@ def main() -> int:
     assert set(got) <= exact, "rewrite produced pairs below the threshold"
     assert recall >= 0.5, f"recall {recall:.3f} below the 8x4 band floor"
 
+    # --- Second rule: levenshtein(a,b) <= k → length-banded equi-join ---
+    # EXACT rewrite (bag semantics, no Distinct, no recall loss), so it is
+    # default-ON — the deliberate contrast with the approximate cosine rule.
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    d1 = d.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("lang").alias("l1"),
+        F.col("text").alias("t1"),
+    )
+    d2 = d.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("lang").alias("l2"),
+        F.col("text").alias("t2"),
+    )
+
+    def lev_query():
+        return (
+            d1.join(d2, (F.col("l1") == F.col("l2")) & (F.col("doc1") < F.col("doc2")))
+            .filter(F.expr("levenshtein(t1, t2) <= 10"))
+            .select("doc1", "doc2", F.expr("levenshtein(t1, t2)").alias("lev"))
+        )
+
+    lev_plan = lev_query()._jdf.queryExecution().executedPlan().toString()
+    assert "__lev_bkt" in lev_plan, "lev rewrite (default-ON) did not fire"
+    assert "BroadcastNestedLoopJoin" not in lev_plan
+    assert ", 10) >= 0" in lev_plan.replace("\n", " ") or "levenshtein" in lev_plan, (
+        "banded re-rank kernel missing from plan"
+    )
+    lev_got = sorted(map(tuple, lev_query().collect()))
+    spark.conf.set("spark.dies.lev.rewrite.enabled", "false")
+    lev_plan_off = lev_query()._jdf.queryExecution().executedPlan().toString()
+    assert "__lev_bkt" not in lev_plan_off, "lev kill switch ignored"
+    lev_exp = sorted(map(tuple, lev_query().collect()))
+    spark.conf.set("spark.dies.lev.rewrite.enabled", "true")
+    assert lev_got == lev_exp, (
+        f"lev rewrite changed results: {len(lev_got)} vs {len(lev_exp)} — "
+        "it must be EXACT"
+    )
+    print(f"lev band-join ok: exact result equality ({len(lev_got)} pairs), "
+          "kill switch honored")
+
+    # Pure theta form (lev predicate inside the join condition, no equi
+    # key): the naive plan is a nested-loop join; rewritten must be an
+    # equi-join on the bucket keys and still result-identical.
+    theta = d1.join(
+        d2, (F.col("doc1") < F.col("doc2")) & F.expr("levenshtein(t1, t2) <= 10")
+    ).select("doc1", "doc2")
+    theta_plan = theta._jdf.queryExecution().executedPlan().toString()
+    assert "__lev_bkt" in theta_plan and "BroadcastNestedLoopJoin" not in theta_plan
+    theta_got = sorted(map(tuple, theta.collect()))
+    spark.conf.set("spark.dies.lev.rewrite.enabled", "false")
+    theta_exp = sorted(map(tuple, theta.collect()))
+    spark.conf.set("spark.dies.lev.rewrite.enabled", "true")
+    assert theta_got == theta_exp, "theta-form lev rewrite changed results"
+    print(f"lev theta-form ok: equi-join plan, exact ({len(theta_got)} pairs)")
+
     spark.stop()
 
     # Isolation must run in a FRESH JVM (configs leak via system props).
