@@ -71,6 +71,55 @@ def test_no_hugeint_typed_oracle_output_columns():
     )
 
 
+def test_spark_and_oracle_dtype_kinds_agree(spark):
+    """Static cross-engine dtype-kind check (no data execution): for every
+    hash-oracled key, Spark's LAZY result schema and DuckDB's DESCRIBE of
+    the oracle must agree per column on the int-vs-float axis. The driver
+    fetches both sides into pandas and hashes stringified values per dtype,
+    so a BIGINT-vs-DOUBLE split fails its hash even when every value is
+    numerically identical (the r10 `agg_calibration_ece` failure mode).
+    The HUGEINT lint above catches the DuckDB-widening subclass; this test
+    catches the whole class — including a Spark-side double against an
+    integer oracle — in one schema-only sweep (~2.5 min, plan time only)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    int_spark = {"byte", "short", "integer", "long"}
+    float_spark = {"float", "double"}
+
+    def spark_kind(dt):
+        n = dt.typeName()
+        return "i" if n in int_spark else "f" if n in float_spark else "o"
+
+    def duck_kind(t):
+        t = t.upper()
+        if any(x in t for x in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                "HUGEINT", "UBIGINT", "UINTEGER")):
+            return "i"
+        if any(x in t for x in ("FLOAT", "DOUBLE", "REAL")):
+            return "f"
+        return "o"
+
+    qs = queries()
+    mismatched = []
+    for k, sql in oracle_sql().items():
+        sp = {f.name: spark_kind(f.dataType) for f in qs[k](spark, sf).schema.fields}
+        du = {c: duck_kind(t) for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall()}
+        for c in sp:
+            if c in du and {sp[c], du[c]} == {"i", "f"}:
+                mismatched.append((k, c, f"spark={sp[c]}", f"duck={du[c]}"))
+    assert not mismatched, (
+        "int-vs-float dtype splits the driver hash would fail on: "
+        f"{mismatched}"
+    )
+
+
 def test_no_unrounded_float_aggregates_in_oracles():
     """Float-hash discipline: any avg(/stddev/corr/covar) in an oracle must
     sit inside a round() — raw float aggregates are summation-order traps."""
