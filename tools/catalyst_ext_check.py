@@ -276,6 +276,34 @@ def main() -> int:
     assert theta_got == theta_exp, "theta-form lev rewrite changed results"
     print(f"lev theta-form ok: equi-join plan, exact ({len(theta_got)} pairs)")
 
+    # Randomized (seeded) equality sweep: 200 random strings of wildly
+    # varying lengths (including duplicates, empties, and NULLs), rewrite
+    # on vs off across several thresholds — bag-semantics equality every
+    # time. This is the property the rule claims: result-identical always.
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    pool = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(180)
+    ] + [""] * 10 + [None] * 10
+    rng.shuffle(pool)
+    ra = spark.createDataFrame([(s,) for s in pool], "s1: string")
+    rb = spark.createDataFrame([(s,) for s in pool], "s2: string")
+    for k in (0, 1, 3, 7):
+        q = ra.join(rb).filter(F.expr(f"levenshtein(s1, s2) <= {k}"))
+        on_plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "__lev_bkt" in on_plan, f"k={k}: rewrite did not fire"
+        got_r = sorted(map(tuple, q.collect()), key=str)
+        spark.conf.set("spark.dies.lev.rewrite.enabled", "false")
+        exp_r = sorted(map(tuple, q.collect()), key=str)
+        spark.conf.set("spark.dies.lev.rewrite.enabled", "true")
+        assert got_r == exp_r, (
+            f"k={k}: randomized sweep mismatch ({len(got_r)} vs {len(exp_r)})"
+        )
+    print("lev randomized sweep ok: exact at k=0/1/3/7 over 200 seeded strings")
+
     spark.stop()
 
     # Isolation must run in a FRESH JVM (configs leak via system props).
