@@ -72,6 +72,23 @@ def _staged_events_stream(spark, sf_dir: str, n_files: int = 1):
 STREAM_SHUFFLE_PARTITIONS = "8"
 
 
+def _sink_scope(name: str, sf_dir: str) -> str:
+    """Per-(sf_dir, operator) result-sink scope. Name alone is NOT enough:
+    the same operator invoked at two sf_dirs in ONE process would alias one
+    sink/checkpoint — in append mode the second run restarts the first
+    run's checkpointed query (same query id), whose file-source log points
+    at the OTHER scale's staged input ('Wrong basePath' crash) and whose
+    output dir still holds the other scale's rows (silent pollution). The
+    exact bug class ADVICE r6 item 1 fixed for the staged INPUTS, caught on
+    the sinks in round 11 when the registry-wide schema-kind test started
+    executing every streaming key at sf0.001 in the same process as the
+    sf0.01 parity suite. Same (name, sf_dir) reuse stays deliberate:
+    append-mode reruns replay an all-files-processed checkpoint
+    idempotently (bench's median-of-3 depends on that)."""
+    tag = sf_cache_tag(sf_dir).replace(".", "_")
+    return f"{tag}__{name}"
+
+
 def _run_to_memory(stream_df, name: str, mode: str) -> None:
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -89,15 +106,19 @@ def _run_to_memory(stream_df, name: str, mode: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def _memory_result(spark, stream_df, name: str, mode: str) -> DataFrame:
+def _memory_result(spark, stream_df, name: str, mode: str, sf_dir: str) -> DataFrame:
     """Memory-sink runner — only for BOUNDED result sets (per-user/segment
     aggregates, ≤ a few thousand rows): the memory sink materializes on the
-    driver. Growing-output windows use _parquet_result instead."""
-    _run_to_memory(stream_df, name, mode)
-    return spark.table(name)
+    driver. Growing-output windows use _parquet_result instead. The view
+    name is sf-scoped (_sink_scope): the returned handle is lazy, so a
+    name-only view re-registered by a later run at another scale would
+    silently swap its contents."""
+    scoped = _sink_scope(name, sf_dir)
+    _run_to_memory(stream_df, scoped, mode)
+    return spark.table(scoped)
 
 
-def _parquet_result(spark, stream_df, name: str, mode: str) -> DataFrame:
+def _parquet_result(spark, stream_df, name: str, mode: str, sf_dir: str) -> DataFrame:
     """Executor-side sink for streams whose output GROWS with data volume
     (per-window, per-session, per-dedup-key rows): results land in parquet
     files written by executors — nothing materializes on the driver, unlike
@@ -105,8 +126,10 @@ def _parquet_result(spark, stream_df, name: str, mode: str) -> DataFrame:
     complete mode (which the parquet sink proper doesn't support) uses
     foreachBatch + overwrite — the standard idempotent complete-mode file
     sink, each micro-batch replacing the whole aggregate. The returned
-    DataFrame scans the final state lazily."""
-    out = f"/tmp/die_spark_stage/p{os.getpid()}/sink/{name}"
+    DataFrame scans the final state lazily. The path is sf-scoped
+    (_sink_scope) so two scales in one process can't alias each other's
+    checkpoint or output."""
+    out = f"/tmp/die_spark_stage/p{os.getpid()}/sink/{_sink_scope(name, sf_dir)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
     try:
@@ -152,7 +175,7 @@ def stream_tumbling(spark, sf_dir):
             F.col("window.start").cast("timestamp_ntz").alias("hour_start"), "event_type", "n", "sum_value"
         )
     )
-    return _parquet_result(spark, agg, "stream_tumbling", "complete")
+    return _parquet_result(spark, agg, "stream_tumbling", "complete", sf_dir)
 
 
 @register(
@@ -183,7 +206,7 @@ def stream_sliding(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
     )
-    return _parquet_result(spark, agg, "stream_sliding", "complete")
+    return _parquet_result(spark, agg, "stream_sliding", "complete", sf_dir)
 
 
 @register(
@@ -227,7 +250,7 @@ def stream_session(spark, sf_dir):
         )
         .select("user_id", "session_start", "n_events", "sum_value")
     )
-    return _parquet_result(spark, agg, "stream_session", "complete")
+    return _parquet_result(spark, agg, "stream_session", "complete", sf_dir)
 
 
 @register("stream_watermark_late")  # rows-only: drop rule is trigger-dependent
@@ -244,7 +267,7 @@ def stream_watermark_late(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "n")
     )
-    return _parquet_result(spark, agg, "stream_watermark_late", "append")
+    return _parquet_result(spark, agg, "stream_watermark_late", "append", sf_dir)
 
 
 @register(
@@ -270,7 +293,7 @@ def stream_dedup(spark, sf_dir):
         .dropDuplicates(["user_id", "event_type", "minute"])
         .select("user_id", "event_type", "minute")
     )
-    return _parquet_result(spark, dedup, "stream_dedup", "append")
+    return _parquet_result(spark, dedup, "stream_dedup", "append", sf_dir)
 
 
 @register(
@@ -298,7 +321,7 @@ def stream_static_join(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
-    return _memory_result(spark, agg, "mem_stream_static_join", "complete")
+    return _memory_result(spark, agg, "mem_stream_static_join", "complete", sf_dir)
 
 
 @register("stream_foreachbatch")  # rows-only: sink side-effects, trigger-dependent
@@ -378,7 +401,7 @@ def stream_stateful_running(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    mem = _memory_result(spark, out, "mem_stream_stateful_running", "update")
+    mem = _memory_result(spark, out, "mem_stream_stateful_running", "update", sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         mem.withColumn("rn", F.row_number().over(w))
@@ -441,7 +464,7 @@ def stream_stream_join(spark, sf_dir):
         & (F.col("purchase_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("user_id", "view_id", "purchase_id", "view_ts_us", "purchase_ts_us")
-    return _parquet_result(spark, joined, "stream_stream_join", "append")
+    return _parquet_result(spark, joined, "stream_stream_join", "append", sf_dir)
 
 
 @register(
@@ -592,7 +615,7 @@ def stream_topk_per_window(spark, sf_dir):
             "n",
         )
     )
-    counts = _parquet_result(spark, agg, "stream_topk_per_window", "complete")
+    counts = _parquet_result(spark, agg, "stream_topk_per_window", "complete", sf_dir)
     from pyspark.sql import Window as W
 
     rnk = F.row_number().over(
@@ -685,7 +708,7 @@ def stream_dedup_minhash(spark, sf_dir):
         .select("doc_id", "lang", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
         .dropDuplicates(["lang", "sig"])
     )
-    sink = _parquet_result(spark, kept, "stream_dedup_minhash", "append")
+    sink = _parquet_result(spark, kept, "stream_dedup_minhash", "append", sf_dir)
     arrivals = (
         load_table(spark, sf_dir, "documents")
         .groupBy("lang")

@@ -34,7 +34,9 @@ def test_stateful_running_state_spans_batches(spark):
     at least one user — proof the accumulator carried across micro-batches
     (4 staged files, one per trigger) rather than re-initializing."""
     streams.QUERIES["stream_stateful_running"](spark, SF).collect()
-    emitted = spark.table("mem_stream_stateful_running").toPandas()
+    emitted = spark.table(
+        streams._sink_scope("mem_stream_stateful_running", SF)
+    ).toPandas()
     per_user = emitted.groupby("user_id").size()
     assert per_user.max() > 1, per_user.to_dict()
     # cumulative rows are strictly increasing in n_events per user
