@@ -369,3 +369,32 @@ def test_poisson_thresholds_are_a_valid_cdf():
     for k, t in enumerate(_POIS_TH):
         c += math.exp(-1) / math.factorial(k)
         assert abs(t - c * 65536) <= 1.0
+
+
+def test_openvocab_content_hash_cross_engine_hypothesis():
+    """dedup_minhash_openvocab's shingle key — the first 12 md5 hex digits
+    parsed as a 48-bit integer — must agree between Python's hashlib (the
+    ground truth both engines' md5 implements) and DuckDB's SQL form for
+    ANY token string, and stay inside [0, 2^48) so a*h+b < 2^52 is
+    BIGINT-exact in both engines. (The Spark side uses the same md5 RFC
+    and is covered end-to-end by the operator's hash-verified parity; this
+    pins the parsing convention itself under fuzzing.)"""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=40))
+    def check(tok):
+        py = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:12], 16)
+        duck = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 12))::BIGINT", [tok]
+        ).fetchone()[0]
+        assert py == duck
+        assert 0 <= py < 1 << 48
+
+    check()
