@@ -14,7 +14,13 @@ CLASSES="$OUT/build/classes"
 rm -rf "$CLASSES"
 mkdir -p "$CLASSES"
 
-java -cp "$SPARK_JARS/scala-compiler-2.13.17.jar:$SPARK_JARS/scala-library-2.13.17.jar:$SPARK_JARS/scala-reflect-2.13.17.jar" \
+# Resolve the bundled Scala toolchain by glob so a pyspark patch bump
+# doesn't break the build (exactly one of each ships with pyspark).
+SCALA_COMPILER=$(ls "$SPARK_JARS"/scala-compiler-*.jar)
+SCALA_LIBRARY=$(ls "$SPARK_JARS"/scala-library-*.jar)
+SCALA_REFLECT=$(ls "$SPARK_JARS"/scala-reflect-*.jar)
+
+java -cp "$SCALA_COMPILER:$SCALA_LIBRARY:$SCALA_REFLECT" \
   scala.tools.nsc.Main \
   -classpath "$SPARK_JARS/*" \
   -d "$CLASSES" \
