@@ -237,6 +237,12 @@ def sink_partitioned(spark, sf_dir):
     )
 
 
+def bucketed_table_names(sf_dir: str) -> tuple[str, str]:
+    """sf-scoped catalog names for sink_bucketed's two bucketed tables."""
+    tag = sf_cache_tag(sf_dir).replace(".", "_")
+    return f"die_li_bucketed_{tag}", f"die_ord_bucketed_{tag}"
+
+
 @register(
     "sink_bucketed",
     oracle="""
@@ -254,15 +260,19 @@ def sink_bucketed(spark, sf_dir):
     disabled) — at 100 TB, bucketing the fact tables on their join key once
     at write time removes the dominant shuffle from every downstream join.
     The in-memory catalog holds the bucket spec; data lands in the staging
-    dir via the explicit path option."""
+    dir via the explicit path option. Catalog names are sf-scoped like the
+    data path (the streaming _sink_scope discipline): a name-only table
+    re-registered by a later run at another scale would leave any still-live
+    lazy handle pointing at replaced data."""
     base = _stage_dir(sf_dir, "sink_bucketed")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li_name, ord_name = bucketed_table_names(sf_dir)
     for name, key, df in [
-        ("die_li_bucketed", "l_orderkey", li),
-        ("die_ord_bucketed", "o_orderkey", o),
+        (li_name, "l_orderkey", li),
+        (ord_name, "o_orderkey", o),
     ]:
         (
             df.write.mode("overwrite")
@@ -272,8 +282,8 @@ def sink_bucketed(spark, sf_dir):
             .option("path", os.path.join(base, name))
             .saveAsTable(name)
         )
-    li_b = spark.table("die_li_bucketed")
-    o_b = spark.table("die_ord_bucketed")
+    li_b = spark.table(li_name)
+    o_b = spark.table(ord_name)
     return (
         li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
         .groupBy("o_orderstatus")

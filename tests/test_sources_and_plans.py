@@ -51,8 +51,9 @@ def test_bucketed_join_has_no_shuffle(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         connectors.QUERIES["sink_bucketed"](spark, SF)  # stage the tables
-        li_b = spark.table("die_li_bucketed")
-        o_b = spark.table("die_ord_bucketed")
+        li_name, ord_name = connectors.bucketed_table_names(SF)
+        li_b = spark.table(li_name)
+        o_b = spark.table(ord_name)
         joined = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
         plan = inspect.formatted_plan(joined)
         assert "SortMergeJoin" in plan, plan
