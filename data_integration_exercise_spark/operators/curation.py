@@ -1686,6 +1686,68 @@ def text_kl_source_drift(spark, sf_dir):
     )
 
 
+def _lloyd_centroids(q, iters: int = 3):
+    """Fixed-iteration quantized-Lloyd training (k=8) over a
+    (vec_id, label, qarr) frame — the shared trainer behind
+    sim_kmeans_lloyd and sim_ann_append. Seeds are the 8 smallest
+    md5(vec_id) rows of THIS frame; every step is integer-exact with
+    (d2, cluster) argmin tie-breaks, so the trajectory is identical
+    across engines and partitionings. Returns ((cluster, carr) frame,
+    assign_fn) where assign_fn(centroids) labels q's vectors with their
+    nearest centroid and exact integer d2."""
+    seeds = (
+        q.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(8)
+    )
+    # 8-row frame: rank seeds into cluster ids 0..7 (bounded axis)
+    w_seed = Window.orderBy("h", "vec_id")
+    seed_ids = seeds.withColumn(
+        "cluster", F.row_number().over(w_seed).cast("long") - 1
+    ).select("vec_id", "cluster")
+    carr = (
+        q.join(F.broadcast(seed_ids), "vec_id")
+        .select("cluster", F.col("qarr").alias("carr"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(centroids):
+        d2 = F.aggregate(
+            F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "label", "cluster", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        a = assign(carr).select("vec_id", "cluster")
+        cent = (
+            q.join(a, "vec_id")
+            .select("cluster", F.posexplode("qarr").alias("pos", "qv"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(qv) div count(*)").alias("c"))
+        )
+        carr = (
+            cent.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("carr")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return carr, assign
+
+
 def _kmeans_oracle() -> str:
     """Unrolled 3-iteration Lloyd in DuckDB CTEs (same fixed-point rules)."""
     parts = [
@@ -1761,6 +1823,192 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
+def _ann_append_oracle() -> str:
+    """sim_ann_append's oracle: train the 8-centroid index on the ~90%
+    hash-split BASE (the same unrolled 3-iteration Lloyd as
+    _kmeans_oracle, seeds from the base only), then assign the ~10% NEW
+    batch to the frozen final centroids and report per-list occupancy,
+    growth, appended inertia, and the imbalance flag."""
+    head = """
+    WITH allq AS (
+        SELECT vec_id,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 10) AS m,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
+                   AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, qv, pos FROM allq WHERE m <> 0
+    ), newq AS (
+        SELECT vec_id, qv, pos FROM allq WHERE m = 0
+    ), seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vec_id FROM q)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    c0 AS (
+        SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
+    )"""
+    parts = [head]
+    prev = "c0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , d{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT a{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    parts.append("""
+    , dB AS (
+        SELECT q.vec_id, c3.cluster,
+               CAST(sum((q.qv - c3.c) * (q.qv - c3.c)) AS BIGINT) AS d2
+        FROM q JOIN c3 ON q.pos = c3.pos GROUP BY 1, 2
+    ), base_occ AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_base FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dB) WHERE rn = 1 GROUP BY cluster
+    ), dN AS (
+        SELECT n.vec_id, c3.cluster,
+               CAST(sum((n.qv - c3.c) * (n.qv - c3.c)) AS BIGINT) AS d2
+        FROM newq n JOIN c3 ON n.pos = c3.pos GROUP BY 1, 2
+    ), new_assign AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dN) WHERE rn = 1
+    ), new_occ AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_new,
+               CAST(sum(d2) AS BIGINT) AS new_inertia_q
+        FROM new_assign GROUP BY cluster
+    ), tot AS (
+        SELECT CAST((SELECT sum(n_base) FROM base_occ) AS BIGINT) AS tb,
+               CAST((SELECT count(*) FROM new_assign) AS BIGINT) AS tn
+    )
+    SELECT b.cluster AS cluster_id,
+           b.n_base,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(1000 * coalesce(n.n_new, 0) // b.n_base AS BIGINT)
+               AS growth_permille,
+           CAST(coalesce(n.new_inertia_q, 0) AS BIGINT) AS new_inertia_q,
+           CAST(CASE WHEN (b.n_base + coalesce(n.n_new, 0)) * 8
+                          > 2 * (t.tb + t.tn)
+                     THEN 1 ELSE 0 END AS BIGINT) AS needs_split
+    FROM base_occ b LEFT JOIN new_occ n ON b.cluster = n.cluster
+    CROSS JOIN tot t""")
+    return "".join(parts)
+
+
+@register("sim_ann_append", oracle=_ann_append_oracle())
+def sim_ann_append(spark, sf_dir):
+    """Incremental ANN index maintenance — the production 'append to a
+    trained IVF index without reclustering' path the batch family
+    (sim_ann_ivf / sim_kmeans_lloyd) points to. The 8-centroid index is
+    trained by the fixed 3-iteration quantized Lloyd (_lloyd_centroids)
+    on the ~90% BASE hash split only (split = md5(vec_id) mod 10, the
+    sampling.py discipline — deterministic, reproducible, no rand()); the
+    ~10% NEW batch is then assigned to the FROZEN final centroids. The
+    readout is the index-maintenance dashboard, all integer-exact: per
+    list (cluster), current occupancy n_base, appended n_new, integer
+    growth_permille, the appended vectors' quantized inertia (how well
+    the old geometry fits the new data — drift shows up as inertia
+    disproportion), and needs_split = occupancy exceeding 2× the mean
+    list size after the append — the imbalance trigger production IVF
+    deployments (e.g. Faiss add + periodic re-train) act on.
+
+    100 TB: training is the offline/amortized arm; the APPEND arm — the
+    thing that runs per ingest batch — is one 8-row centroid broadcast,
+    one narrow zip_with/aggregate distance pass over the new batch, a
+    vec_id argmin window, and an 8-row rollup: no shuffle of the base
+    corpus, no recluster, cost linear in the batch. The base-occupancy
+    arm here re-derives n_base from the final E-step for hash
+    verifiability; a deployed index reads it from posting-list metadata.
+    Oracle unrolls the same trajectory (base-only seeds/training, frozen
+    assignment) in CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 10
+    )
+    allq = e.select(
+        "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr"), m.alias("m")
+    )
+    base = allq.filter(F.col("m") != 0).drop("m").localCheckpoint(eager=False)
+    newb = allq.filter(F.col("m") == 0).drop("m")
+
+    carr, assign_base = _lloyd_centroids(base, iters=3)
+    base_occ = (
+        assign_base(carr)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_base"))
+    )
+
+    # The append path proper: frozen centroids, narrow pass over the batch.
+    d2 = F.aggregate(
+        F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = newb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "cluster", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    new_assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    new_occ = new_assign.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum("d2").cast("long").alias("new_inertia_q"),
+    )
+    tot = base_occ.agg(
+        F.sum("n_base").cast("long").alias("tb")
+    ).crossJoin(new_assign.agg(F.count("*").cast("long").alias("tn")))
+    return (
+        base_occ.join(new_occ, "cluster", "left")
+        .fillna({"n_new": 0, "new_inertia_q": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_base",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.expr("CAST(1000 * n_new div n_base AS BIGINT)").alias(
+                "growth_permille"
+            ),
+            F.col("new_inertia_q").cast("long").alias("new_inertia_q"),
+            F.when(
+                (F.col("n_base") + F.col("n_new")) * 8
+                > 2 * (F.col("tb") + F.col("tn")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("needs_split"),
+        )
+    )
+
+
 @register("sim_kmeans_lloyd", oracle=_kmeans_oracle())
 def sim_kmeans_lloyd(spark, sf_dir):
     """Distributed k-means (k=8, 3 full Lloyd iterations + final E-step)
@@ -1803,57 +2051,10 @@ def sim_kmeans_lloyd(spark, sf_dir):
         "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
     ).localCheckpoint(eager=False)
 
-    seeds = (
-        q.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(8)
-    )
-    # 8-row frame: rank seeds into cluster ids 0..7 (bounded axis)
-    w_seed = Window.orderBy("h", "vec_id")
-    seed_ids = seeds.withColumn(
-        "cluster", F.row_number().over(w_seed).cast("long") - 1
-    ).select("vec_id", "cluster")
-    carr = (
-        q.join(F.broadcast(seed_ids), "vec_id")
-        .select("cluster", F.col("qarr").alias("carr"))
-        .localCheckpoint(eager=True)
-    )
-
-    def assign(centroids):
-        d2 = F.aggregate(
-            F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = q.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "label", "cluster", d2.alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-
-    for _ in range(3):
-        a = assign(carr).select("vec_id", "cluster")
-        cent = (
-            q.join(a, "vec_id")
-            .select("cluster", F.posexplode("qarr").alias("pos", "qv"))
-            .groupBy("cluster", "pos")
-            .agg(F.expr("sum(qv) div count(*)").alias("c"))
-        )
-        carr = (
-            cent.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("carr")
-            )
-            .localCheckpoint(eager=True)
-        )
-
+    # training extracted to _lloyd_centroids in round 11 (shared with
+    # sim_ann_append) — the computation is token-identical to the inlined
+    # round-10 body; emulator hash equality re-confirmed at 3 scales.
+    carr, assign = _lloyd_centroids(q, iters=3)
     final = assign(carr)
     lab = final.groupBy("cluster", "label").agg(F.count("*").alias("n"))
     w_maj = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())

@@ -140,21 +140,27 @@ _PRIORITY = [
 #
 # ROUND-12 PLAN (pre-pinned, the established pattern — execute at round-12
 # open AFTER confirming CORRECTNESS_r11 is green). Slot layout:
-# slot 1 = `dedup_minhash_openvocab` (the only key with no driver row;
-# emulator-hash-verified at sf0.001/0.01/0.1 + 7-vs-32 partition-invariant
-# in round 11); slots 2-11 = rewrite-after-green re-verification of the TEN
-# streaming keys whose result-sink plumbing changed in the round-11
-# _sink_scope fix AFTER their last green driver rows (`stream_sliding`,
-# `stream_session`, `stream_watermark_late`, `stream_dedup`,
-# `stream_static_join`, `stream_foreachbatch`, `stream_stateful_running`,
-# `stream_cdc_upsert`, `stream_stream_join`, `stream_topk_per_window` —
-# stream_tumbling and stream_dedup_minhash already sit in the round-11
-# window so their r11 rows cover the change; all 12 re-verified through the
-# emulator post-fix in round 11); remaining slots = the stalest cohort —
-# the keys whose latest green row is round 2/3 (the `_VERIFIED_R2` block,
-# minus any re-verified above), stable registry order, filling to 50.
+# slots 1-2 = the `_ADDED_R11` keys below in list order (no driver row yet;
+# each emulator-hash-verified at sf0.001/0.01/0.1 + 7-vs-32
+# partition-invariant in round 11); slots 3-12 = rewrite-after-green
+# re-verification of the TEN streaming keys whose result-sink plumbing
+# changed in the round-11 _sink_scope fix AFTER their last green driver
+# rows (`stream_sliding`, `stream_session`, `stream_watermark_late`,
+# `stream_dedup`, `stream_static_join`, `stream_foreachbatch`,
+# `stream_stateful_running`, `stream_cdc_upsert`, `stream_stream_join`,
+# `stream_topk_per_window` — stream_tumbling and stream_dedup_minhash
+# already sit in the round-11 window so their r11 rows cover the change;
+# all 12 re-verified through the emulator post-fix in round 11); slot 13 =
+# rewrite-after-green re-verification of `sim_kmeans_lloyd` (its Lloyd
+# training loop was extracted to the shared _lloyd_centroids helper for
+# sim_ann_append after its r11-window row — emulator-hash-identical
+# post-refactor, but the discipline demands a driver row); remaining
+# slots = the stalest cohort — the keys whose latest green row is round
+# 2/3 (the `_VERIFIED_R2` block, minus any re-verified above), stable
+# registry order, filling to 50.
 _ADDED_R11: list[str] = [
     "dedup_minhash_openvocab",
+    "sim_ann_append",
 ]
 
 # Keys hash/rows-verified green by the driver in round 10 (the former

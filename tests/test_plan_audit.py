@@ -208,6 +208,11 @@ EXPECTED_EXCHANGES = {
     "agg_tost_equivalence": (2, 1),  # one (priority,arm) moments rollup +
     #   the 5-row A⋈B cell join (broadcast)
     # Round-11 additions (pinned at birth):
+    "sim_ann_append": (9, 6),  # post-checkpoint arms only (training's 3
+    #   Lloyd rounds are eager-checkpoint-backed): base final E-step
+    #   (argmin window + occupancy rollup) + new-batch assign (window +
+    #   rollup) + the two 1-row total aggs riding a broadcast BNLJ back
+    #   onto the 8-row list table (the agg_calibration_ece pattern)
     "dedup_minhash_openvocab": (2, 3),  # signature projection rides the
     #   scan (no rollup); the explicit doc_id repartition fans the 1-task
     #   single-file probe side out before the band explosion (117 s → 13 s
