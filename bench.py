@@ -160,6 +160,7 @@ R10_TIER = [
 # cost stays attributable against the bitset path's.
 R11_TIER = [
     "dedup_minhash_openvocab",
+    "sim_ann_append",
 ]
 
 
