@@ -2080,3 +2080,251 @@ def sim_kmeans_lloyd(spark, sf_dir):
             ),
         )
     )
+
+
+def _ivf_geometry_oracle() -> str:
+    """plan_ivf_probe_geometry's oracle: the same unrolled 3-iteration
+    Lloyd as _kmeans_oracle (full-corpus training), then the nprobe
+    sweep — centroid ranks per sampled query, exact top-10 truth, and
+    the cumulative scanned-rows / recall readout per probe count."""
+    head = """
+    WITH q AS (
+        SELECT vec_id,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
+                   AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    c0 AS (
+        SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
+    )"""
+    parts = [head]
+    prev = "c0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , d{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT a{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    parts.append("""
+    , dF AS (
+        SELECT q.vec_id, c3.cluster,
+               CAST(sum((q.qv - c3.c) * (q.qv - c3.c)) AS BIGINT) AS d2
+        FROM q JOIN c3 ON q.pos = c3.pos GROUP BY 1, 2
+    ), aF AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dF) WHERE rn = 1
+    ), lists AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS list_n
+        FROM aF GROUP BY cluster
+    ), crank AS (
+        SELECT vec_id AS qid, cluster,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) AS BIGINT)
+                   AS crank
+        FROM dF WHERE vec_id % 7 = 0
+    ), tdist AS (
+        SELECT s.vec_id AS qid, t.vec_id AS nb,
+               CAST(sum((t.qv - s.qv) * (t.qv - s.qv)) AS BIGINT) AS d2
+        FROM q t JOIN q s ON t.pos = s.pos
+        WHERE s.vec_id % 7 = 0 AND t.vec_id <> s.vec_id
+        GROUP BY 1, 2
+    ), truth AS (
+        SELECT qid, nb FROM (
+            SELECT qid, nb,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d2, nb) AS rn
+            FROM tdist) WHERE rn <= 10
+    ), tr AS (
+        SELECT t.qid, c.crank
+        FROM truth t
+        JOIN aF a ON t.nb = a.vec_id
+        JOIN crank c ON c.qid = t.qid AND c.cluster = a.cluster
+    ), nq AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries
+        FROM q WHERE vec_id % 7 = 0
+    ), nn AS (
+        SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_corpus FROM q
+    ), probes AS (
+        SELECT unnest(range(1, 9)) AS nprobe
+    ), scan_by_crank AS (
+        SELECT c.crank, CAST(sum(l.list_n) AS BIGINT) AS s
+        FROM crank c JOIN lists l ON c.cluster = l.cluster
+        GROUP BY 1
+    ), hit_by_crank AS (
+        SELECT crank, CAST(count(*) AS BIGINT) AS h FROM tr GROUP BY 1
+    ), sc AS (
+        SELECT p.nprobe, CAST(sum(sb.s) AS BIGINT) AS scanned
+        FROM probes p JOIN scan_by_crank sb ON sb.crank <= p.nprobe
+        GROUP BY 1
+    ), ht AS (
+        SELECT p.nprobe, CAST(sum(hb.h) AS BIGINT) AS hits
+        FROM probes p JOIN hit_by_crank hb ON hb.crank <= p.nprobe
+        GROUP BY 1
+    )
+    SELECT CAST(p.nprobe AS BIGINT) AS nprobe,
+           nq.n_queries,
+           CAST(coalesce(sc.scanned, 0) AS BIGINT) AS scanned_rows,
+           CAST(1000 * coalesce(sc.scanned, 0)
+                // (nq.n_queries * nn.n_corpus) AS BIGINT)
+               AS scanned_permille,
+           CAST(coalesce(ht.hits, 0) AS BIGINT) AS truth_hits,
+           CAST(1000 * coalesce(ht.hits, 0) // (10 * nq.n_queries) AS BIGINT)
+               AS recall_permille
+    FROM probes p
+    LEFT JOIN sc ON sc.nprobe = p.nprobe
+    LEFT JOIN ht ON ht.nprobe = p.nprobe
+    CROSS JOIN nq CROSS JOIN nn""")
+    return "".join(parts)
+
+
+@register("plan_ivf_probe_geometry", oracle=_ivf_geometry_oracle())
+def plan_ivf_probe_geometry(spark, sf_dir):
+    """IVF probe-count planner (Jegou/Douze/Schmid, TPAMI 2011 — the
+    inverted-file coarse quantizer every IVF/IVFADC deployment tunes):
+    for each nprobe in 1..8 over the 8-list index trained by the shared
+    fixed-3-iteration quantized Lloyd (_lloyd_centroids — the exact
+    trajectory sim_kmeans_lloyd and sim_ann_append hash-verify), report
+    the two numbers the knob trades off: the fraction of the corpus an
+    nprobe-list search scans, and recall@10 against the exact
+    squared-L2 truth for a deterministic query sample (vec_id % 7 = 0).
+    Recall uses the standard IVF identity: a true top-10 neighbor is
+    found at probe depth p iff the rank of ITS list among the query's
+    distance-ordered centroids is <= p (probed true neighbors always
+    win the exact re-rank), so the whole sweep reduces to one centroid-
+    rank lookup per (query, true-neighbor) pair — the 8-point curve
+    costs no more than one recall eval. The LSH counterpart is
+    plan_lsh_band_geometry; together they close SURVEY's planner story:
+    every approximate index family ships the cost/recall table its
+    100 TB deployment consults before picking the operating point.
+
+    All-integer (quantized milli-unit vectors, integer squared-L2,
+    (d2, id) and (d2, cluster) tie-breaks, truncating permille), so the
+    curve itself hash-verifies cross-engine.
+
+    100 TB: training amortizes offline (sim_ann_append's arm); the
+    sweep's own cost is the sampled-truth arm — |Q| broadcast queries
+    against one corpus scan (the documented eval expense, linear in
+    corpus x sample, never corpus²) — plus Q x 8 centroid ranks and two
+    8-row cumulative rollups. The planner output is 8 rows at any
+    scale; scanned_rows comes from list-size metadata, not a rescan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
+    ).localCheckpoint(eager=False)
+    carr, _assign = _lloyd_centroids(q, iters=3)
+
+    d2 = F.aggregate(
+        F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # dF: every vector x all 8 centroids — feeds both the final
+    # assignment (argmin) and the query-side centroid ranking
+    scored = (
+        q.crossJoin(F.broadcast(carr))
+        .select("vec_id", "cluster", d2.alias("d2"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    member = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    lists = member.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("list_n")
+    )
+    crank_f = (
+        scored.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("crank", F.row_number().over(w).cast("long"))
+        .select(F.col("vec_id").alias("qid"), "cluster", "crank")
+        .localCheckpoint(eager=False)
+    )
+
+    # exact truth for the sampled queries: one corpus scan x |Q|
+    # broadcast queries (BNLJ — the documented eval arm)
+    qs = q.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qarr").alias("sarr")
+    )
+    d2t = F.aggregate(
+        F.zip_with("qarr", "sarr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wt = Window.partitionBy("qid").orderBy("d2", "nb")
+    truth = (
+        q.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("nb"), d2t.alias("d2"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "nb")
+    )
+    tr = truth.join(
+        F.broadcast(member.withColumnRenamed("vec_id", "nb")), "nb"
+    ).join(F.broadcast(crank_f), ["qid", "cluster"]).select("qid", "crank")
+
+    nq_nn = (
+        qs.agg(F.count("*").cast("long").alias("n_queries"))
+        .crossJoin(q.agg(F.count("*").cast("long").alias("n_corpus")))
+    )
+    scan_by = (
+        crank_f.join(F.broadcast(lists), "cluster")
+        .groupBy("crank")
+        .agg(F.sum("list_n").cast("long").alias("s"))
+    )
+    hit_by = tr.groupBy("crank").agg(F.count("*").cast("long").alias("h"))
+    probes = spark.range(1, 9).select(F.col("id").alias("nprobe"))
+    sc = (
+        probes.join(F.broadcast(scan_by), F.col("crank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("s").cast("long").alias("sc"))
+    )
+    ht = (
+        probes.join(F.broadcast(hit_by), F.col("crank") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("h").cast("long").alias("ht"))
+    )
+    return (
+        probes.join(sc, "nprobe", "left")
+        .join(ht, "nprobe", "left")
+        .crossJoin(F.broadcast(nq_nn))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_queries",
+            F.coalesce("sc", F.lit(0)).cast("long").alias("scanned_rows"),
+            F.expr(
+                "CAST(1000 * coalesce(sc, 0)"
+                " div (n_queries * n_corpus) AS BIGINT)"
+            ).alias("scanned_permille"),
+            F.coalesce("ht", F.lit(0)).cast("long").alias("truth_hits"),
+            F.expr(
+                "CAST(1000 * coalesce(ht, 0) div (10 * n_queries) AS BIGINT)"
+            ).alias("recall_permille"),
+        )
+    )

@@ -295,3 +295,27 @@ def test_kl_drift_nonnegative_and_uniform_corpus(spark):
     # floor-truncation can push a true-zero KL slightly negative: bound it
     assert (pdf.kl_micro >= -1000).all()
     assert (pdf.kl_micro < 200_000).all()  # < 0.2 bits: same-distribution regime
+
+
+def test_ivf_probe_geometry_curve_reads_as_ivf_theory(spark):
+    """The nprobe planner table must read as IVF theory says: scanned
+    fraction and recall both rise monotonically with probe depth, and
+    probing every list IS exhaustive search — exactly full scan, exactly
+    full recall, by construction rather than approximately."""
+    rows = {
+        r.nprobe: r
+        for r in curation.QUERIES["plan_ivf_probe_geometry"](spark, SF).collect()
+    }
+    assert sorted(rows) == list(range(1, 9))
+    nq = rows[1].n_queries
+    assert nq > 0 and all(r.n_queries == nq for r in rows.values())
+    for p in range(2, 9):
+        assert rows[p].scanned_rows >= rows[p - 1].scanned_rows
+        assert rows[p].truth_hits >= rows[p - 1].truth_hits
+    assert rows[8].scanned_permille == 1000
+    assert rows[8].recall_permille == 1000
+    assert rows[8].truth_hits == 10 * nq
+    # the tradeoff is real at the other end: the first probe reads only a
+    # fraction of the corpus and recovers only part of the truth
+    assert rows[1].scanned_permille < 1000
+    assert 0 < rows[1].truth_hits < 10 * nq

@@ -213,6 +213,11 @@ EXPECTED_EXCHANGES = {
     #   (argmin window + occupancy rollup) + new-batch assign (window +
     #   rollup) + the two 1-row total aggs riding a broadcast BNLJ back
     #   onto the 8-row list table (the agg_calibration_ece pattern)
+    "plan_ivf_probe_geometry": (9, 8),  # post-checkpoint arms only
+    #   (training + the scored/member/crank frames are checkpoint-backed):
+    #   lists rollup + truth window (BNLJ over |Q| broadcast queries) +
+    #   hit/scan crank rollups + the two 8-row cumulative sweeps + the
+    #   1-row n_queries/n_corpus aggs broadcast back onto the probe table
     "dedup_minhash_openvocab": (2, 3),  # signature projection rides the
     #   scan (no rollup); the explicit doc_id repartition fans the 1-task
     #   single-file probe side out before the band explosion (117 s → 13 s
