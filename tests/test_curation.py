@@ -319,3 +319,83 @@ def test_ivf_probe_geometry_curve_reads_as_ivf_theory(spark):
     # fraction of the corpus and recovers only part of the truth
     assert rows[1].scanned_permille < 1000
     assert 0 < rows[1].truth_hits < 10 * nq
+
+
+def test_ivf_probe_geometry_matches_numpy_reference(spark):
+    """Full numpy replay at sf0.001 — a third implementation independent of
+    both engines: md5-ranked seeds, 3 truncating-div Lloyd iterations with
+    (d2, cluster) argmin, final assignment, per-query centroid ranks,
+    exact top-10 truth by (d2, id), and the cumulative nprobe sweep."""
+    import hashlib
+
+    import numpy as np
+
+    from data_integration_exercise_spark.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.nprobe: (r.n_queries, r.scanned_rows, r.scanned_permille,
+                   r.truth_hits, r.recall_permille)
+        for r in curation.QUERIES["plan_ivf_probe_geometry"](spark, sf).collect()
+    }
+    rows = load_table(spark, sf, "embeddings").collect()
+    ids = np.array([r.vec_id for r in rows])
+    q = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1000 + 0.5
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, q = ids[order], q[order]
+
+    def trunc_div(s, n):
+        return np.sign(s) * (np.abs(s) // n)
+
+    md5s = np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids])
+    seed_rows = sorted(range(len(ids)), key=lambda i: (md5s[i], ids[i]))[:8]
+    cents = {c: q[i].copy() for c, i in enumerate(seed_rows)}
+
+    def assign(cents):
+        cl = sorted(cents)
+        cmat = np.stack([cents[c] for c in cl])
+        d2 = ((q[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        return np.array([cl[j] for j in d2.argmin(axis=1)]), d2, cl
+
+    for _ in range(3):
+        a, _, _ = assign(cents)
+        cents = {
+            c: trunc_div(q[a == c].sum(axis=0), int((a == c).sum()))
+            for c in sorted(set(a.tolist()))
+        }
+    a, d2, cl = assign(cents)
+    list_n = {c: int((a == c).sum()) for c in cl}
+    qmask = ids % 7 == 0
+    n_queries, n_corpus = int(qmask.sum()), len(ids)
+    # crank[query_row][cluster] = 1-based rank of that cluster by (d2, id)
+    crank = {}
+    for i in np.where(qmask)[0]:
+        ranked = sorted(cl, key=lambda c: (d2[i][cl.index(c)], c))
+        crank[i] = {c: r + 1 for r, c in enumerate(ranked)}
+    hits_by_rank = {}
+    scan_by_rank = {}
+    for i in np.where(qmask)[0]:
+        for c in cl:
+            scan_by_rank[crank[i][c]] = (
+                scan_by_rank.get(crank[i][c], 0) + list_n[c]
+            )
+        pd2 = ((q - q[i]) ** 2).sum(axis=1)
+        cand = [j for j in range(len(ids)) if j != i]
+        top10 = sorted(cand, key=lambda j: (pd2[j], ids[j]))[:10]
+        for j in top10:
+            r = crank[i][a[j]]
+            hits_by_rank[r] = hits_by_rank.get(r, 0) + 1
+    want = {}
+    for p in range(1, 9):
+        sc = sum(v for r, v in scan_by_rank.items() if r <= p)
+        ht = sum(v for r, v in hits_by_rank.items() if r <= p)
+        want[p] = (
+            n_queries,
+            sc,
+            1000 * sc // (n_queries * n_corpus),
+            ht,
+            1000 * ht // (10 * n_queries),
+        )
+    assert got == want
