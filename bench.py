@@ -161,6 +161,7 @@ R10_TIER = [
 R11_TIER = [
     "dedup_minhash_openvocab",
     "sim_ann_append",
+    "plan_ivf_probe_geometry",
 ]
 
 
