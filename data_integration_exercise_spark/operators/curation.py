@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry_util import new_registry
 from .pipeline import _VOCAB_DUCK
+from .similarity import ROWS_PER_BLOCK_TASK
 
 QUERIES, ORACLES, register = new_registry()
 
@@ -2226,9 +2227,11 @@ def plan_ivf_probe_geometry(spark, sf_dir):
     curve itself hash-verifies cross-engine.
 
     100 TB: training amortizes offline (sim_ann_append's arm); the
-    sweep's own cost is the sampled-truth arm — |Q| broadcast queries
-    against one corpus scan (the documented eval expense, linear in
-    corpus x sample, never corpus²) — plus Q x 8 centroid ranks and two
+    sweep's own cost is the sampled-truth arm — the query sample
+    replicated into ceil(corpus/4096)-row blocks and scored by one
+    Arrow int64 matmul per task (the documented eval expense, linear in
+    corpus x sample, never corpus²; task memory bounded by the block
+    size regardless of corpus) — plus Q x 8 centroid ranks and two
     8-row cumulative rollups. The planner output is 8 rows at any
     scale; scanned_rows comes from list-size metadata, not a rescan."""
     e = load_table(spark, sf_dir, "embeddings")
@@ -2266,21 +2269,64 @@ def plan_ivf_probe_geometry(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
 
-    # exact truth for the sampled queries: one corpus scan x |Q|
-    # broadcast queries (BNLJ — the documented eval arm)
+    # exact truth for the sampled queries — dense pairwise is the one
+    # workload where Arrow + BLAS beats codegen'd HOFs (sim_topk_cosine's
+    # measured discipline): the corpus splits into ceil(n/4096)-row
+    # blocks, the query sample replicates into every block, one int64
+    # matmul per task scores its block via |x|^2 + |q|^2 - 2x.q (exact —
+    # milli-unit values keep every term far below 2^63), and each task
+    # emits only its local top-10 per query (safe: the global (d2, nb)
+    # order is total, so every global winner wins its own block). The
+    # global cut is one window over blocks*10 rows per query.
     qs = q.filter(F.col("vec_id") % 7 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("qarr").alias("sarr")
+        F.col("vec_id").alias("qid"), F.col("qarr").alias("arr")
     )
-    d2t = F.aggregate(
-        F.zip_with("qarr", "sarr", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    n_corpus_rows = q.groupBy().count().first()[0] or 0
+    n_blocks = max(1, -(-n_corpus_rows // ROWS_PER_BLOCK_TASK))
+    corp = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("qarr").alias("arr"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"),
+        F.lit(False).alias("is_q"),
     )
+    qrep = qs.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    ).withColumn("is_q", F.lit(True))
+
+    def _block_top10(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        qp = pdf[pdf["is_q"]]
+        cp = pdf[~pdf["is_q"]]
+        if len(qp) == 0 or len(cp) == 0:
+            return pd.DataFrame({"qid": [], "nb": [], "d2": []}).astype(
+                {"qid": "int64", "nb": "int64", "d2": "int64"}
+            )
+        qm = np.stack(qp["arr"].to_numpy()).astype(np.int64)
+        cm = np.stack(cp["arr"].to_numpy()).astype(np.int64)
+        d = (
+            (qm * qm).sum(axis=1)[:, None]
+            + (cm * cm).sum(axis=1)[None, :]
+            - 2 * (qm @ cm.T)
+        )
+        qids = qp["qid"].to_numpy()
+        cids = cp["qid"].to_numpy()
+        outs = []
+        for i in range(len(qids)):
+            mask = cids != qids[i]
+            di, ci = d[i][mask], cids[mask]
+            order = np.lexsort((ci, di))[:10]
+            outs.append(
+                pd.DataFrame({"qid": qids[i], "nb": ci[order], "d2": di[order]})
+            )
+        return pd.concat(outs, ignore_index=True)
+
     wt = Window.partitionBy("qid").orderBy("d2", "nb")
     truth = (
-        q.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", F.col("vec_id").alias("nb"), d2t.alias("d2"))
+        corp.unionByName(qrep.select("qid", "arr", "blk", "is_q"))
+        .groupBy("blk")
+        .applyInPandas(_block_top10, "qid long, nb long, d2 long")
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= 10)
         .select("qid", "nb")
