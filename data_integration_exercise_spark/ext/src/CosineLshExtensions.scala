@@ -340,6 +340,146 @@ object LevenshteinBandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper
   }
 }
 
+/** Third rule from the same jar: rewrite numeric band predicates
+ *  `abs(a - b) <= k` over inner joins into BUCKETED equi-joins — the classic
+ *  band join. Vanilla Spark plans a join whose only condition is a numeric
+ *  proximity predicate as BroadcastNestedLoopJoin (or CartesianProduct at
+ *  scale): O(n*m) pair evaluations. With bucket width w = k + 1 the buckets
+ *  beta = x div w of a true pair differ by at most 1 (every bucket interval
+ *  is at least w - 1 = k wide, so two values within k cannot skip a bucket;
+ *  truncating division only WIDENS the bucket around zero, which preserves
+ *  the adjacency bound). The LEFT side explodes to {beta-1, beta, beta+1}
+ *  (3 distinct values), the right side keeps its single beta, and the join
+ *  takes `__band_bkt_l = __band_bkt_r` — every true pair meets EXACTLY once,
+ *  so no Distinct is needed and bag semantics are preserved. The original
+ *  abs predicate stays as the O(1) exact re-rank on bucket-colliding
+ *  candidates.
+ *
+ *  EXACT — result-identical to the naive plan — so it defaults ON
+ *  (kill switch: spark.dies.band.rewrite.enabled=false). Applies only when
+ *  no existing equality conjunct already bridges the two sides: with an
+ *  equi key present the join is already hash-partitioned and the 3x left
+ *  explosion would cost more than it saves. Restricted to integral operand
+ *  types (the events/orders epoch-micro convention) where bucket arithmetic
+ *  is exact; this is the Catalyst form of join_theta_range /
+ *  join_asof's hand-written band discipline, applied automatically to any
+ *  user query that writes the naive proximity predicate. */
+object NumericBandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+  private val BKT_L = "__band_bkt_l"
+  private val BKT_R = "__band_bkt_r"
+  private val LongT = org.apache.spark.sql.types.LongType
+
+  /** Normalize a conjunct to (a, b, k) with `abs(a - b) <= k` semantics;
+   *  only integral operands rewrite (bucket arithmetic must be exact). */
+  private def matchBand(e: Expression): Option[(Expression, Expression, Long)] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    def k(lit: Expression): Option[Long] = lit.eval() match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    def ab(x: Expression): Option[(Expression, Expression)] = x match {
+      case Abs(Subtract(a, b, _), _)
+          if integral.contains(a.dataType) && integral.contains(b.dataType) =>
+        Some((a, b))
+      case _ => None
+    }
+    val m = e match {
+      case LessThanOrEqual(x, rhs) if rhs.foldable =>
+        ab(x).flatMap { case (a, b) => k(rhs).map((a, b, _)) }
+      case GreaterThanOrEqual(rhs, x) if rhs.foldable =>
+        ab(x).flatMap { case (a, b) => k(rhs).map((a, b, _)) }
+      case LessThan(x, rhs) if rhs.foldable =>
+        ab(x).flatMap { case (a, b) => k(rhs).map(v => (a, b, v - 1)) }
+      case GreaterThan(rhs, x) if rhs.foldable =>
+        ab(x).flatMap { case (a, b) => k(rhs).map(v => (a, b, v - 1)) }
+      case _ => None
+    }
+    m.filter(_._3 >= 0L)
+  }
+
+  private def alreadyBucketed(j: Join): Boolean =
+    j.left.output.exists(_.name == BKT_L) ||
+      j.right.output.exists(_.name == BKT_R)
+
+  /** An equality conjunct with one side's refs entirely from l and the
+   *  other's entirely from r — the join already has a hash key. */
+  private def hasEquiBridge(
+      cond: Expression, l: LogicalPlan, r: LogicalPlan): Boolean = {
+    def bridges(x: Expression, y: Expression): Boolean =
+      (x.references.nonEmpty && y.references.nonEmpty &&
+        x.references.subsetOf(l.outputSet) &&
+        y.references.subsetOf(r.outputSet)) ||
+        (x.references.nonEmpty && y.references.nonEmpty &&
+          x.references.subsetOf(r.outputSet) &&
+          y.references.subsetOf(l.outputSet))
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(x, y) => bridges(x, y)
+      case EqualNullSafe(x, y) => bridges(x, y)
+      case _ => false
+    }
+  }
+
+  /** x div (k+1) as a Long — the band bucket. */
+  private def bucket(x: Expression, k: Long): Expression =
+    IntegralDivide(Cast(x, LongT), Literal(k + 1L))
+
+  private def rewrite(
+      out: Seq[Attribute], cond: Expression, l: LogicalPlan, r: LogicalPlan,
+      jc: Option[Expression], hint: JoinHint
+  ): Option[LogicalPlan] =
+    splitConjunctivePredicates(cond).iterator.flatMap(matchBand).collectFirst {
+      case x => x
+    }.flatMap { case (ea, eb, k) =>
+      val aL = ea.references.subsetOf(l.outputSet) &&
+        eb.references.subsetOf(r.outputSet)
+      val aR = ea.references.subsetOf(r.outputSet) &&
+        eb.references.subsetOf(l.outputSet)
+      if (!aL && !aR) None
+      else {
+        val (la, rb) = if (aL) (ea, eb) else (eb, ea)
+        val attrL = AttributeReference(BKT_L, LongT, nullable = true)()
+        val bl = bucket(la, k)
+        val gl = Generate(
+          Explode(CreateArray(Seq(
+            Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))),
+          unrequiredChildIndex = Nil,
+          outer = false,
+          qualifier = None,
+          generatorOutput = Seq(attrL),
+          child = l)
+        val aliasR = Alias(bucket(rb, k), BKT_R)()
+        val pr = Project(r.output :+ aliasR, r)
+        val prefilter = EqualTo(attrL, aliasR.toAttribute)
+        val newJoin = Join(
+          gl, pr, Inner,
+          Some(jc.map(And(_, prefilter)).getOrElse(prefilter)), hint)
+        // the original condition (band conjunct included — it is the O(1)
+        // exact re-rank) applies unchanged above the bucketed join
+        Some(Project(out, Filter(cond, newJoin)))
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Default ON: this rewrite is result-identical (see object doc); the
+    // conf is a kill switch, not an opt-in.
+    if (!conf.getConfString("spark.dies.band.rewrite.enabled", "true").toBoolean) {
+      return plan
+    }
+    plan.resolveOperatorsUp {
+      case f @ Filter(cond, j @ Join(l, r, Inner, jc, hint))
+          if f.resolved && !alreadyBucketed(j) &&
+            !hasEquiBridge(jc.map(And(cond, _)).getOrElse(cond), l, r) =>
+        rewrite(f.output, cond, l, r, jc, hint).getOrElse(f)
+      case j @ Join(l, r, Inner, Some(cond), hint)
+          if j.resolved && !alreadyBucketed(j) &&
+            !hasEquiBridge(cond, l, r) =>
+        rewrite(j.output, cond, l, r, None, hint).getOrElse(j)
+    }
+  }
+}
+
 /** Entry point for spark.sql.extensions. */
 class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -362,5 +502,6 @@ class CosineLshExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => new CosineSim(args(0), args(1))))
     ext.injectResolutionRule(_ => CosineLshJoinRewrite)
     ext.injectResolutionRule(_ => LevenshteinBandJoinRewrite)
+    ext.injectResolutionRule(_ => NumericBandJoinRewrite)
   }
 }

@@ -304,6 +304,75 @@ def main() -> int:
         )
     print("lev randomized sweep ok: exact at k=0/1/3/7 over 200 seeded strings")
 
+    # --- Third rule: abs(a - b) <= k → bucketed numeric band equi-join ---
+    # EXACT rewrite (bag semantics, no Distinct), default-ON; fires only
+    # when no equality conjunct already bridges the sides (with an equi key
+    # the join is already hashed and banding would just 3x the left side).
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ea = ev.select(F.col("event_id").alias("ida"), F.col("user_id").alias("ua"))
+    eb = ev.select(F.col("event_id").alias("idb"), F.col("user_id").alias("ub"))
+
+    def band_query():
+        return (
+            ea.join(eb, F.expr("abs(ua - ub) <= 2") & (F.col("ida") < F.col("idb")))
+            .filter(F.col("ida") % 100 == 0)
+            .select("ida", "idb")
+        )
+
+    band_plan = band_query()._jdf.queryExecution().executedPlan().toString()
+    assert "__band_bkt" in band_plan, "band rewrite (default-ON) did not fire"
+    assert "BroadcastNestedLoopJoin" not in band_plan
+    assert "CartesianProduct" not in band_plan
+    band_got = sorted(map(tuple, band_query().collect()))
+    spark.conf.set("spark.dies.band.rewrite.enabled", "false")
+    band_plan_off = band_query()._jdf.queryExecution().executedPlan().toString()
+    assert "__band_bkt" not in band_plan_off, "band kill switch ignored"
+    assert ("BroadcastNestedLoopJoin" in band_plan_off
+            or "CartesianProduct" in band_plan_off), (
+        "naive plan unexpectedly not nested-loop — the rewrite claim is stale"
+    )
+    band_exp = sorted(map(tuple, band_query().collect()))
+    spark.conf.set("spark.dies.band.rewrite.enabled", "true")
+    assert band_got == band_exp, (
+        f"band rewrite changed results: {len(band_got)} vs {len(band_exp)}"
+    )
+    print(f"numeric band-join ok: equi-join plan, exact result equality "
+          f"({len(band_got)} pairs), kill switch honored")
+
+    # Guard: an existing equality bridge must suppress the rewrite.
+    guarded = ea.join(
+        eb, (F.col("ua") == F.col("ub")) & F.expr("abs(ida - idb) <= 5")
+    )
+    g_plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "__band_bkt" not in g_plan, (
+        "band rule fired despite an existing equi key — the guard is broken"
+    )
+    print("band equi-bridge guard ok: already-hashed joins are untouched")
+
+    # Randomized (seeded) equality sweep: 200 integers spanning negatives,
+    # duplicates, and NULLs; <= and < forms; rewrite on vs off at several
+    # widths — bag-semantics equality every time.
+    rng2 = random.Random(13)
+    ipool = [rng2.randint(-50, 50) for _ in range(160)] + [0] * 20 + [None] * 20
+    rng2.shuffle(ipool)
+    ia = spark.createDataFrame([(v,) for v in ipool], "x1: long")
+    ib = spark.createDataFrame([(v,) for v in ipool], "x2: long")
+    for pred in ("abs(x1 - x2) <= 0", "abs(x1 - x2) <= 1",
+                 "abs(x1 - x2) <= 5", "abs(x1 - x2) < 4"):
+        qn = ia.join(ib).filter(F.expr(pred))
+        on_plan2 = qn._jdf.queryExecution().executedPlan().toString()
+        assert "__band_bkt" in on_plan2, f"{pred!r}: rewrite did not fire"
+        got_n = sorted(map(tuple, qn.collect()), key=str)
+        spark.conf.set("spark.dies.band.rewrite.enabled", "false")
+        exp_n = sorted(map(tuple, qn.collect()), key=str)
+        spark.conf.set("spark.dies.band.rewrite.enabled", "true")
+        assert got_n == exp_n, (
+            f"{pred!r}: randomized sweep mismatch "
+            f"({len(got_n)} vs {len(exp_n)})"
+        )
+    print("band randomized sweep ok: exact at k=0/1/5 and strict-< "
+          "over 200 seeded ints with negatives and NULLs")
+
     spark.stop()
 
     # Isolation must run in a FRESH JVM (configs leak via system props).
