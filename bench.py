@@ -162,6 +162,7 @@ R11_TIER = [
     "dedup_minhash_openvocab",
     "sim_ann_append",
     "plan_ivf_probe_geometry",
+    "stream_ann_ingest",
 ]
 
 

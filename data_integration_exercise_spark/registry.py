@@ -140,7 +140,7 @@ _PRIORITY = [
 #
 # ROUND-12 PLAN (pre-pinned, the established pattern — execute at round-12
 # open AFTER confirming CORRECTNESS_r11 is green). Slot layout:
-# slots 1-3 = the `_ADDED_R11` keys below in list order (no driver row yet;
+# slots 1-4 = the `_ADDED_R11` keys below in list order (no driver row yet;
 # each emulator-hash-verified at sf0.001/0.01/0.1 + 7-vs-32
 # partition-invariant in round 11); next slots = rewrite-after-green
 # re-verification of the TEN streaming keys whose result-sink plumbing
@@ -162,6 +162,7 @@ _ADDED_R11: list[str] = [
     "dedup_minhash_openvocab",
     "sim_ann_append",
     "plan_ivf_probe_geometry",
+    "stream_ann_ingest",
 ]
 
 # Keys hash/rows-verified green by the driver in round 10 (the former

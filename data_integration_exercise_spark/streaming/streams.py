@@ -729,3 +729,191 @@ def stream_dedup_minhash(spark, sf_dir):
             ),
         )
     )
+
+
+def _staged_embeddings_stream(spark, sf_dir: str):
+    """Stage canonical embeddings → parquet; return a file-source stream.
+
+    Same contract as _staged_events_stream: process-private path, staged
+    once per (sf, pid), immutable source."""
+    from ..schemas import EMBEDDINGS
+
+    tag = sf_cache_tag(sf_dir)
+    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/embeddings_stream"
+    if path not in _STAGED:
+        load_table(spark, sf_dir, "embeddings").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _STAGED.add(path)
+    return spark.readStream.schema(EMBEDDINGS).parquet(path)
+
+
+def _ann_ingest_oracle() -> str:
+    """stream_ann_ingest's oracle: the base-split Lloyd training of
+    sim_ann_append (same unrolled CTEs), then frozen-centroid assignment
+    of EVERY vector and the per-list ingest dashboard."""
+    head = """
+    WITH allq AS (
+        SELECT vec_id,
+               (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+                   % 10) AS m,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
+                   AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, qv, pos FROM allq WHERE m <> 0
+    ), seeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+        FROM (SELECT DISTINCT vec_id FROM q)
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    c0 AS (
+        SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
+    )"""
+    parts = [head]
+    prev = "c0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , d{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT a{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    parts.append("""
+    , dALL AS (
+        SELECT a.vec_id, c3.cluster,
+               CAST(sum((a.qv - c3.c) * (a.qv - c3.c)) AS BIGINT) AS d2
+        FROM allq a JOIN c3 ON a.pos = c3.pos GROUP BY 1, 2
+    ), assign AS (
+        SELECT vec_id, cluster, d2 FROM (
+            SELECT vec_id, cluster, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM dALL) WHERE rn = 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM assign
+    )
+    SELECT cluster AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(sum(d2) AS BIGINT) AS inertia_q,
+           CAST(1000 * count(*) // t.n AS BIGINT) AS share_permille
+    FROM assign CROSS JOIN tot t GROUP BY cluster, t.n""")
+    return "".join(parts)
+
+
+@register("stream_ann_ingest", oracle=_ann_ingest_oracle())
+def stream_ann_ingest(spark, sf_dir):
+    """Streaming ANN-index ingest — the vector-store twin of
+    stream_dedup_minhash's dedup-at-ingest: the 8-list IVF index trains
+    BATCH-side on the ~90% md5-hash BASE split (the shared fixed-
+    3-iteration quantized Lloyd of sim_ann_append / sim_kmeans_lloyd /
+    plan_ivf_probe_geometry), and every ARRIVING vector is assigned to
+    the FROZEN centroids inside the stream itself: the 8x64 integer
+    model is baked into the streaming projection as literals (the
+    model-distribution path — 8 rows of trained centroids move to the
+    plan, data never moves to the driver), each row computes its 8
+    quantized squared-L2 distances with one transform/zip_with fold and
+    takes the strict-< argmin (lowest cluster wins ties — the (d2,
+    cluster) rule everywhere else). STATELESS streaming inference: no
+    watermark, no state store, nothing to recover beyond the sink
+    offsets. The verified readout is the ingest dashboard over the
+    assignment sink: per-list arrivals, quantized inertia, and integer
+    share permille; the oracle replays the identical trajectory
+    (base-split training, frozen assignment of all vectors) in CTEs.
+
+    100 TB: this is how a production vector store actually ingests —
+    train offline (amortized, sim_ann_append's arm), broadcast the
+    frozen coarse quantizer into every ingest executor, assign each
+    arriving vector with a narrow per-row projection, append
+    (list_id, vec) to the posting-list sink. Per-row cost is k·dim
+    integer multiply-adds; state is zero; throughput scales with
+    executors, not with index size."""
+    from ..operators.curation import _QUANT_SPARK, _lloyd_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    m = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 10
+    )
+    base = (
+        e.select("vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr"), m.alias("m"))
+        .filter(F.col("m") != 0)
+        .drop("m")
+        .localCheckpoint(eager=False)
+    )
+    carr, _assign = _lloyd_centroids(base, iters=3)
+    # model distribution: the trained 8x64 centroid table becomes plan
+    # literals (8 rows — the one collect here moves the MODEL, not data)
+    model = sorted(
+        ((r["cluster"], list(r["carr"])) for r in carr.collect()),
+        key=lambda t: t[0],
+    )
+    cents_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in arr) + ")"
+        for _, arr in model
+    ) + ")"
+    clist_sql = "array(" + ", ".join(f"{int(c)}L" for c, _ in model) + ")"
+    k = len(model)
+
+    s = _staged_embeddings_stream(spark, sf_dir)
+    scored = s.select(
+        "vec_id", F.expr(_QUANT_SPARK).alias("_q")
+    ).select(
+        "vec_id",
+        F.expr(
+            f"transform({cents_sql}, c -> aggregate(zip_with(_q, c,"
+            f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"
+        ).alias("_d"),
+    )
+    # strict-< fold keeps the LOWEST index on ties — the (d2, cluster)
+    # rule; guard k == 1 (Spark's sequence(1, 0) descends, not empties)
+    argmin = (
+        "1"
+        if k == 1
+        else (
+            f"aggregate(sequence(1, {k - 1}), 1,"
+            f" (acc, i) -> IF(element_at(_d, i + 1) <"
+            f" element_at(_d, acc), i + 1, acc))"
+        )
+    )
+    assigned = scored.select(
+        "vec_id",
+        F.expr(f"element_at({clist_sql}, {argmin})").alias("cluster"),
+        F.expr("array_min(_d)").alias("d2"),
+    )
+    sink = _parquet_result(spark, assigned, "stream_ann_ingest", "append", sf_dir)
+    tot = sink.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        sink.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("d2").cast("long").alias("inertia_q"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster").cast("long").alias("cluster_id"),
+            "n_assigned",
+            "inertia_q",
+            F.expr("CAST(1000 * n_assigned div n AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+    )

@@ -235,3 +235,24 @@ def test_stream_dedup_minhash_agrees_with_batch_signatures(spark):
         assert g.n_kept == b.n_classes
         assert g.n_dropped == g.n_docs - g.n_kept
         assert 0 < g.n_kept <= g.n_docs
+
+
+def test_stream_ann_ingest_reconciles_with_batch_append(spark):
+    """The streaming ingest and the batch append arm share one trajectory:
+    both train on the ~90% md5 BASE split and assign against the frozen
+    final centroids. Per list, the stream's arrivals must therefore equal
+    sim_ann_append's n_base + n_new exactly, and shares must sum to ~1000
+    (integer-floor slack below |lists|)."""
+    from data_integration_exercise_spark.operators import curation
+
+    got = {
+        r.cluster_id: (r.n_assigned, r.share_permille)
+        for r in streams.QUERIES["stream_ann_ingest"](spark, SF).collect()
+    }
+    batch = {
+        r.cluster_id: r.n_base + r.n_new
+        for r in curation.QUERIES["sim_ann_append"](spark, SF).collect()
+    }
+    assert {c: n for c, (n, _) in got.items()} == batch
+    share_sum = sum(s for _, s in got.values())
+    assert 1000 - len(got) < share_sum <= 1000
