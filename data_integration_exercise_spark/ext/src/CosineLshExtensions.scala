@@ -356,7 +356,16 @@ object LevenshteinBandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper
  *  candidates.
  *
  *  EXACT — result-identical to the naive plan — so it defaults ON
- *  (kill switch: spark.dies.band.rewrite.enabled=false). Applies only when
+ *  (kill switch: spark.dies.band.rewrite.enabled=false). Known boundary:
+ *  when `a - b` itself overflows the operand type (|a|,|b| near the type's
+ *  extremes), the two plans diverge — under ANSI mode (Spark 4 default)
+ *  the naive plan ERRORS on the overflowing pair while the rewrite never
+ *  evaluates it (buckets are far apart), and under non-ANSI wrap the naive
+ *  plan can return a wrapped-negative abs that satisfies `<= k` while the
+ *  rewrite drops the pair. Proximity predicates on values spanning more
+ *  than half the type's range are outside this rule's contract; Spark's
+ *  own predicate reordering makes error surfacing order-unstable in the
+ *  same way. Applies only when
  *  no existing equality conjunct already bridges the two sides: with an
  *  equi key present the join is already hash-partitioned and the 3x left
  *  explosion would cost more than it saves. Restricted to integral operand

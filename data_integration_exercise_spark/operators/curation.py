@@ -1687,6 +1687,39 @@ def text_kl_source_drift(spark, sf_dir):
     )
 
 
+def _lloyd_unroll_ctes() -> str:
+    """The shared unrolled 3-iteration Lloyd CTE chain (d{i}/a{i}/c{i}
+    for i in 1..3), to be appended after a WITH-head that defines
+    `q` (vec_id, qv, pos) and the seed centroid table `c0`. This is the
+    ONE text every oracle that replays the trainer concatenates —
+    _kmeans_oracle, _ann_append_oracle, _ivf_geometry_oracle, and
+    streaming's _ann_ingest_oracle — so the cross-engine trajectory
+    (md5 seed order, (d2, cluster) tie-break, truncating-div centroid
+    mean) can never fork between copies."""
+    parts = []
+    prev = "c0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , d{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT a{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"c{i}"
+    return "".join(parts)
+
+
 def _lloyd_centroids(q, iters: int = 3):
     """Fixed-iteration quantized-Lloyd training (k=8) over a
     (vec_id, label, qarr) frame — the shared trainer behind
@@ -1854,27 +1887,7 @@ def _ann_append_oracle() -> str:
     c0 AS (
         SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
     )"""
-    parts = [head]
-    prev = "c0"
-    for i in (1, 2, 3):
-        parts.append(f"""
-    , d{i} AS (
-        SELECT q.vec_id, {prev}.cluster,
-               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
-        FROM q JOIN {prev} ON q.pos = {prev}.pos
-        GROUP BY 1, 2
-    ), a{i} AS (
-        SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cluster) AS rn
-            FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-        SELECT a{i}.cluster, q.pos,
-               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
-        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
-    )""")
-        prev = f"c{i}"
+    parts = [head, _lloyd_unroll_ctes()]
     parts.append("""
     , dB AS (
         SELECT q.vec_id, c3.cluster,
@@ -2106,27 +2119,7 @@ def _ivf_geometry_oracle() -> str:
     c0 AS (
         SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
     )"""
-    parts = [head]
-    prev = "c0"
-    for i in (1, 2, 3):
-        parts.append(f"""
-    , d{i} AS (
-        SELECT q.vec_id, {prev}.cluster,
-               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
-        FROM q JOIN {prev} ON q.pos = {prev}.pos
-        GROUP BY 1, 2
-    ), a{i} AS (
-        SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cluster) AS rn
-            FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-        SELECT a{i}.cluster, q.pos,
-               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
-        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
-    )""")
-        prev = f"c{i}"
+    parts = [head, _lloyd_unroll_ctes()]
     parts.append("""
     , dF AS (
         SELECT q.vec_id, c3.cluster,
@@ -2335,9 +2328,10 @@ def plan_ivf_probe_geometry(spark, sf_dir):
         F.broadcast(member.withColumnRenamed("vec_id", "nb")), "nb"
     ).join(F.broadcast(crank_f), ["qid", "cluster"]).select("qid", "crank")
 
-    nq_nn = (
-        qs.agg(F.count("*").cast("long").alias("n_queries"))
-        .crossJoin(q.agg(F.count("*").cast("long").alias("n_corpus")))
+    # n_corpus is already on the driver (the block-count scalar above) —
+    # reuse it as a literal instead of a second full-corpus aggregation
+    nq_nn = qs.agg(F.count("*").cast("long").alias("n_queries")).withColumn(
+        "n_corpus", F.lit(int(n_corpus_rows)).cast("long")
     )
     scan_by = (
         crank_f.join(F.broadcast(lists), "cluster")

@@ -626,21 +626,23 @@ def stream_topk_per_window(spark, sf_dir):
     )
 
 
-def _staged_documents_stream(spark, sf_dir: str):
-    """Stage canonical documents → parquet; return a file-source stream.
+def _staged_table_stream(spark, sf_dir: str, table: str):
+    """Stage a canonical table → parquet; return a file-source stream.
 
-    Same contract as _staged_events_stream: process-private path, staged
-    once per (sf, pid), immutable source."""
-    from ..schemas import DOCUMENTS
+    Same contract as _staged_events_stream (process-private PID-unique
+    path, full-path sf tag, staged once per (sf, pid), immutable source) —
+    the ONE parameterized helper behind the documents and embeddings
+    streams so those invariants live in a single place."""
+    from ..schemas import SCHEMAS
 
     tag = sf_cache_tag(sf_dir)
-    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/documents_stream"
+    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/{table}_stream"
     if path not in _STAGED:
-        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+        load_table(spark, sf_dir, table).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
         _STAGED.add(path)
-    return spark.readStream.schema(DOCUMENTS).parquet(path)
+    return spark.readStream.schema(SCHEMAS[table]).parquet(path)
 
 
 def _minhash_sig_oracle() -> str:
@@ -702,7 +704,7 @@ def stream_dedup_minhash(spark, sf_dir):
         f" * {_V ** p}L"
         for p, (a, b) in enumerate(MINHASH_PERMS)
     )
-    s = _staged_documents_stream(spark, sf_dir)
+    s = _staged_table_stream(spark, sf_dir, "documents")
     kept = (
         s.withColumn("_idxs", F.expr(idxs))
         .select("doc_id", "lang", F.expr(f"CAST({terms} AS BIGINT)").alias("sig"))
@@ -731,23 +733,6 @@ def stream_dedup_minhash(spark, sf_dir):
     )
 
 
-def _staged_embeddings_stream(spark, sf_dir: str):
-    """Stage canonical embeddings → parquet; return a file-source stream.
-
-    Same contract as _staged_events_stream: process-private path, staged
-    once per (sf, pid), immutable source."""
-    from ..schemas import EMBEDDINGS
-
-    tag = sf_cache_tag(sf_dir)
-    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/embeddings_stream"
-    if path not in _STAGED:
-        load_table(spark, sf_dir, "embeddings").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
-        _STAGED.add(path)
-    return spark.readStream.schema(EMBEDDINGS).parquet(path)
-
-
 def _ann_ingest_oracle() -> str:
     """stream_ann_ingest's oracle: the base-split Lloyd training of
     sim_ann_append (same unrolled CTEs), then frozen-centroid assignment
@@ -774,27 +759,9 @@ def _ann_ingest_oracle() -> str:
     c0 AS (
         SELECT s.cluster, q.pos, q.qv AS c FROM seeds s JOIN q USING (vec_id)
     )"""
-    parts = [head]
-    prev = "c0"
-    for i in (1, 2, 3):
-        parts.append(f"""
-    , d{i} AS (
-        SELECT q.vec_id, {prev}.cluster,
-               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
-        FROM q JOIN {prev} ON q.pos = {prev}.pos
-        GROUP BY 1, 2
-    ), a{i} AS (
-        SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cluster) AS rn
-            FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-        SELECT a{i}.cluster, q.pos,
-               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
-        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
-    )""")
-        prev = f"c{i}"
+    from ..operators.curation import _lloyd_unroll_ctes
+
+    parts = [head, _lloyd_unroll_ctes()]
     parts.append("""
     , dALL AS (
         SELECT a.vec_id, c3.cluster,
@@ -873,7 +840,7 @@ def stream_ann_ingest(spark, sf_dir):
     clist_sql = "array(" + ", ".join(f"{int(c)}L" for c, _ in model) + ")"
     k = len(model)
 
-    s = _staged_embeddings_stream(spark, sf_dir)
+    s = _staged_table_stream(spark, sf_dir, "embeddings")
     scored = s.select(
         "vec_id", F.expr(_QUANT_SPARK).alias("_q")
     ).select(

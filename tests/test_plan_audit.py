@@ -214,13 +214,14 @@ EXPECTED_EXCHANGES = {
     #   (argmin window + occupancy rollup) + new-batch assign (window +
     #   rollup) + the two 1-row total aggs riding a broadcast BNLJ back
     #   onto the 8-row list table (the agg_calibration_ece pattern)
-    "plan_ivf_probe_geometry": (10, 7),  # post-checkpoint arms only
+    "plan_ivf_probe_geometry": (9, 6),  # post-checkpoint arms only
     #   (training + the scored/member/crank frames are checkpoint-backed):
     #   lists rollup + the blocked-matmul truth arm (corpus/query union
     #   shuffled by block into applyInPandas, then the global top-10
     #   window) + hit/scan crank rollups + the two 8-row cumulative
-    #   sweeps + the 1-row n_queries/n_corpus aggs broadcast back onto
-    #   the probe table
+    #   sweeps + the 1-row n_queries agg (n_corpus rides as a literal —
+    #   the block-count scalar is already on the driver) broadcast back
+    #   onto the probe table
     "dedup_minhash_openvocab": (2, 3),  # signature projection rides the
     #   scan (no rollup); the explicit doc_id repartition fans the 1-task
     #   single-file probe side out before the band explosion (117 s → 13 s

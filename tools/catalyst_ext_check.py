@@ -291,13 +291,21 @@ def main() -> int:
     rng.shuffle(pool)
     ra = spark.createDataFrame([(s,) for s in pool], "s1: string")
     rb = spark.createDataFrame([(s,) for s in pool], "s2: string")
+    # NOTE: analysis (and thus the resolution-rule rewrite) happens EAGERLY
+    # at Dataset construction — a conf toggle after construction does not
+    # re-analyze, so each arm must rebuild the DataFrame under its conf.
+    def lev_rand_q(k):
+        return ra.join(rb).filter(F.expr(f"levenshtein(s1, s2) <= {k}"))
+
     for k in (0, 1, 3, 7):
-        q = ra.join(rb).filter(F.expr(f"levenshtein(s1, s2) <= {k}"))
-        on_plan = q._jdf.queryExecution().executedPlan().toString()
+        on_plan = lev_rand_q(k)._jdf.queryExecution().executedPlan().toString()
         assert "__lev_bkt" in on_plan, f"k={k}: rewrite did not fire"
-        got_r = sorted(map(tuple, q.collect()), key=str)
+        got_r = sorted(map(tuple, lev_rand_q(k).collect()), key=str)
         spark.conf.set("spark.dies.lev.rewrite.enabled", "false")
-        exp_r = sorted(map(tuple, q.collect()), key=str)
+        off_q = lev_rand_q(k)
+        off_plan2 = off_q._jdf.queryExecution().executedPlan().toString()
+        assert "__lev_bkt" not in off_plan2, f"k={k}: off-arm still rewritten"
+        exp_r = sorted(map(tuple, off_q.collect()), key=str)
         spark.conf.set("spark.dies.lev.rewrite.enabled", "true")
         assert got_r == exp_r, (
             f"k={k}: randomized sweep mismatch ({len(got_r)} vs {len(exp_r)})"
@@ -357,14 +365,20 @@ def main() -> int:
     rng2.shuffle(ipool)
     ia = spark.createDataFrame([(v,) for v in ipool], "x1: long")
     ib = spark.createDataFrame([(v,) for v in ipool], "x2: long")
+    # Same eager-analysis rule as the lev sweep: rebuild under each conf.
+    def band_rand_q(pred):
+        return ia.join(ib).filter(F.expr(pred))
+
     for pred in ("abs(x1 - x2) <= 0", "abs(x1 - x2) <= 1",
                  "abs(x1 - x2) <= 5", "abs(x1 - x2) < 4"):
-        qn = ia.join(ib).filter(F.expr(pred))
-        on_plan2 = qn._jdf.queryExecution().executedPlan().toString()
+        on_plan2 = band_rand_q(pred)._jdf.queryExecution().executedPlan().toString()
         assert "__band_bkt" in on_plan2, f"{pred!r}: rewrite did not fire"
-        got_n = sorted(map(tuple, qn.collect()), key=str)
+        got_n = sorted(map(tuple, band_rand_q(pred).collect()), key=str)
         spark.conf.set("spark.dies.band.rewrite.enabled", "false")
-        exp_n = sorted(map(tuple, qn.collect()), key=str)
+        off_qn = band_rand_q(pred)
+        off_plan3 = off_qn._jdf.queryExecution().executedPlan().toString()
+        assert "__band_bkt" not in off_plan3, f"{pred!r}: off-arm still rewritten"
+        exp_n = sorted(map(tuple, off_qn.collect()), key=str)
         spark.conf.set("spark.dies.band.rewrite.enabled", "true")
         assert got_n == exp_n, (
             f"{pred!r}: randomized sweep mismatch "
