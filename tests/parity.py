@@ -22,6 +22,9 @@ from data_integration_exercise_spark.schemas import TABLES
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # enable out-of-core spilling (in-memory DuckDB disables it by
+    # default) — the emulate_driver.py sweep lesson applies here too
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -105,6 +105,13 @@ def main() -> int:
     import duckdb
 
     con = duckdb.connect()
+    # In-memory DuckDB disables out-of-core spilling by default (no temp
+    # directory), so a heavy oracle late in a 384-key sweep can hit a hard
+    # OutOfMemoryException that the same key in isolation never sees
+    # (observed: graph_clustering_coefficient at sf0.1, green alone at
+    # 163 s, OOM in the full sweep). Give the sweep a spill directory so
+    # memory-heavy oracles degrade to disk instead of failing.
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
