@@ -115,12 +115,29 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  private def cosineConjunct(cond: Expression): Option[CosineSim] =
+  private def cosineConjunct(cond: Expression): Option[(CosineSim, Expression)] =
     splitConjunctivePredicates(cond).collectFirst {
-      case GreaterThanOrEqual(cs: CosineSim, rhs) if rhs.foldable => cs
-      case GreaterThan(cs: CosineSim, rhs) if rhs.foldable => cs
-      case LessThanOrEqual(rhs, cs: CosineSim) if rhs.foldable => cs
-      case LessThan(rhs, cs: CosineSim) if rhs.foldable => cs
+      case GreaterThanOrEqual(cs: CosineSim, rhs) if rhs.foldable => (cs, rhs)
+      case GreaterThan(cs: CosineSim, rhs) if rhs.foldable => (cs, rhs)
+      case LessThanOrEqual(rhs, cs: CosineSim) if rhs.foldable => (cs, rhs)
+      case LessThan(rhs, cs: CosineSim) if rhs.foldable => (cs, rhs)
+    }
+
+  /** τ-floor guard (VERDICT r11 item 7): banding fires only when the
+   *  foldable threshold evaluates to a number ≥ the configured floor.
+   *  Band-collision probability falls with τ (≈0.75 recall at τ=0.35
+   *  under 8×4, collapsing toward 0 as τ→0), so an opt-in session must
+   *  not silently run a recall-collapsing threshold — below the floor
+   *  the exact naive plan stands. Unevaluable thresholds don't rewrite. */
+  private def minTauConf: Double =
+    conf.getConfString("spark.dies.lsh.minThreshold", "0.2").toDouble
+
+  private def clearsTauFloor(rhs: Expression): Boolean =
+    rhs.eval(null) match {
+      case n: java.lang.Number => n.doubleValue() >= minTauConf
+      case d: org.apache.spark.sql.types.Decimal =>
+        d.toDouble >= minTauConf
+      case _ => false
     }
 
   private def alreadyBucketed(j: Join): Boolean =
@@ -159,7 +176,9 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       out: Seq[Attribute], cond: Expression, l: LogicalPlan, r: LogicalPlan,
       jc: Option[Expression], hint: JoinHint
   ): Option[LogicalPlan] =
-    cosineConjunct(cond).flatMap(sides).flatMap { case (va, vb) =>
+    cosineConjunct(cond).collect {
+      case (cs, rhs) if clearsTauFloor(rhs) => cs
+    }.flatMap(sides).flatMap { case (va, vb) =>
       val aL = va.references.subsetOf(l.outputSet) &&
         vb.references.subsetOf(r.outputSet)
       val aR = va.references.subsetOf(r.outputSet) &&
@@ -450,9 +469,20 @@ object NumericBandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (la, rb) = if (aL) (ea, eb) else (eb, ea)
         val attrL = AttributeReference(BKT_L, LongT, nullable = true)()
         val bl = bucket(la, k)
+        // TRY-mode neighbors (ADVICE r11): when the bucket sits at a Long
+        // extreme (k = 0 with an operand at the type boundary), bl +- 1
+        // overflows -- under ANSI a plain Subtract/Add would make the
+        // REWRITTEN plan error where the naive plan succeeds. try_add/
+        // try_subtract yield NULL instead; a null band row can never
+        // equal a real right-side bucket, and a partner for the
+        // overflowed neighbor cannot exist anyway (it would need a value
+        // beyond the type extreme), so dropping it is result-identical.
+        // (The Levenshtein rule above keeps plain +- 1: its buckets
+        // derive from string lengths, which never approach Long extremes.)
         val gl = Generate(
           Explode(CreateArray(Seq(
-            Subtract(bl, Literal(1L)), bl, Add(bl, Literal(1L))))),
+            Subtract(bl, Literal(1L), EvalMode.TRY), bl,
+            Add(bl, Literal(1L), EvalMode.TRY)))),
           unrequiredChildIndex = Nil,
           outer = false,
           qualifier = None,

@@ -1969,6 +1969,172 @@ def agg_quantile_sketch(spark, sf_dir):
     )
 
 
+#: Mergeable-quantile-sketch geometry: bottom-K_SHARD sample rows per
+#: (group, shard) partial, bottom-K_MERGE of the shard-partial union per
+#: group. K_MERGE rank error ~ 0.5/sqrt(512) ≈ 2.2% — the pinned test bound
+#: (tests/test_aggregates.py) is the observed sf0.01 error with 2× headroom.
+_QSKM_K_SHARD = 128
+_QSKM_K_MERGE = 512
+
+
+@register(
+    "agg_quantile_sketch_merge",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS pri, o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(o_orderkey % 16 AS BIGINT) AS shard,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                   AS skey
+        FROM orders
+    ), partials AS (
+        SELECT pri, k, cents, skey,
+               row_number() OVER (PARTITION BY pri, shard
+                                  ORDER BY skey, k) AS rn
+        FROM c
+    ), merged AS (
+        SELECT pri, k, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY skey, k) AS rn2
+        FROM partials WHERE rn <= {_QSKM_K_SHARD}
+    ), sranked AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents, k) AS r,
+               count(*) OVER (PARTITION BY pri) AS m
+        FROM merged WHERE rn2 <= {_QSKM_K_MERGE}
+    ), est AS (
+        SELECT pri, CAST(max(m) AS BIGINT) AS m,
+               min(CASE WHEN 100 * r >= 50 * m THEN cents END) AS p50_cents,
+               min(CASE WHEN 100 * r >= 90 * m THEN cents END) AS p90_cents
+        FROM sranked GROUP BY pri
+    ), eranked AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents, k) AS r,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM c
+    ), ex AS (
+        SELECT pri, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN 100 * r >= 50 * n THEN cents END)
+                   AS exact_p50_cents,
+               min(CASE WHEN 100 * r >= 90 * n THEN cents END)
+                   AS exact_p90_cents
+        FROM eranked GROUP BY pri
+    )
+    SELECT est.pri AS o_orderpriority, ex.n, est.m,
+           est.p50_cents, est.p90_cents,
+           ex.exact_p50_cents, ex.exact_p90_cents,
+           CAST(abs(est.p50_cents - ex.exact_p50_cents) * 1000
+                // ex.exact_p50_cents AS BIGINT) AS err_p50_permille,
+           CAST(abs(est.p90_cents - ex.exact_p90_cents) * 1000
+                // ex.exact_p90_cents AS BIGINT) AS err_p90_permille
+    FROM est JOIN ex ON est.pri = ex.pri
+    """,
+)
+def agg_quantile_sketch_merge(spark, sf_dir):
+    """Union-mergeable quantile sketch (VERDICT r11 item 6) — the quantile
+    twin of agg_hll_sketch_merge, via a two-level KMV-style coordinated
+    sample: each of 16 shards keeps its bottom-128 rows by a deterministic
+    48-bit md5 sample key (the repo's one cross-engine hash, the
+    dedup_minhash_openvocab idiom), the per-group merge re-takes the
+    bottom-512 of the shard-partial union, and p50/p90 read out by
+    nearest-rank (integer cross-multiply 100·r ≥ q·m — no interpolation,
+    no float) over the merged sample's cents values.
+
+    Bottom-k-by-hash is the sketch that MERGES by construction: the
+    bottom-k of a union of bottom-k partials equals the union's bottom-k
+    whenever no shard holds more than k of the global winners (16 shards ×
+    128 ≫ 512 global — astronomically safe margins here; and even when the
+    cap binds the merge is still a deterministic uniform-by-hash sample,
+    so the oracle, which replicates the same two-stage rule, agrees
+    exactly). At 100 TB: the partial stage shuffles once on (group, shard)
+    and keeps ≤k rows of state per shard — yesterday's partials persist
+    and never rescan, exactly like the HLL twin's register files — the
+    merge moves only groups×k sample rows, and the read-out runs on
+    groups×512. log₂-bin agg_quantile_sketch trades accuracy-per-byte
+    differently (bounded RELATIVE value error vs this sketch's bounded
+    RANK error with exact sample values); shipping both is the point.
+
+    Unlike the rows-only HLL twin, every stage here is integer/md5-exact
+    in both engines, so this key is fully HASH-oracled: the truth arm
+    (exact nearest-rank p50/p90 via a full per-group sort — the
+    verification harness you would drop at 100 TB) and the quantized
+    err_*_permille self-signals are part of the compared product. At tiny
+    scales (group n ≤ 512) the sample IS the group and err = 0;
+    tests/test_aggregates.py pins that plus the sf0.01 error bound."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("shard", F.pmod(F.col("k"), F.lit(16)))
+        .withColumn(
+            "skey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    wpart = Window.partitionBy("pri", "shard").orderBy("skey", "k")
+    partials = o.withColumn("rn", F.row_number().over(wpart)).filter(
+        F.col("rn") <= _QSKM_K_SHARD
+    )
+    wmerge = Window.partitionBy("pri").orderBy("skey", "k")
+    merged = partials.withColumn("rn2", F.row_number().over(wmerge)).filter(
+        F.col("rn2") <= _QSKM_K_MERGE
+    )
+
+    def _nearest_rank(frame, total_alias, out50, out90):
+        wrank = Window.partitionBy("pri").orderBy("cents", "k")
+        wall = Window.partitionBy("pri")
+        ranked = frame.select(
+            "pri",
+            "cents",
+            F.row_number().over(wrank).alias("r"),
+            F.count(F.lit(1)).over(wall).alias("t"),
+        )
+        return ranked.groupBy("pri").agg(
+            F.max("t").cast("long").alias(total_alias),
+            F.min(
+                F.when(100 * F.col("r") >= 50 * F.col("t"), F.col("cents"))
+            ).alias(out50),
+            F.min(
+                F.when(100 * F.col("r") >= 90 * F.col("t"), F.col("cents"))
+            ).alias(out90),
+        )
+
+    est = _nearest_rank(merged, "m", "p50_cents", "p90_cents")
+    ex = _nearest_rank(o, "n", "exact_p50_cents", "exact_p90_cents")
+    return est.join(ex, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        "m",
+        "p50_cents",
+        "p90_cents",
+        "exact_p50_cents",
+        "exact_p90_cents",
+        (
+            F.floor(
+                F.abs(F.col("p50_cents") - F.col("exact_p50_cents"))
+                * F.lit(1000)
+                / F.col("exact_p50_cents")
+            )
+            .cast("long")
+            .alias("err_p50_permille")
+        ),
+        (
+            F.floor(
+                F.abs(F.col("p90_cents") - F.col("exact_p90_cents"))
+                * F.lit(1000)
+                / F.col("exact_p90_cents")
+            )
+            .cast("long")
+            .alias("err_p90_permille")
+        ),
+    )
+
+
 @register(
     "agg_seasonality_dow",
     oracle="""

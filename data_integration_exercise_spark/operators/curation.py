@@ -2324,9 +2324,15 @@ def plan_ivf_probe_geometry(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("qid", "nb")
     )
-    tr = truth.join(
-        F.broadcast(member.withColumnRenamed("vec_id", "nb")), "nb"
-    ).join(F.broadcast(crank_f), ["qid", "cluster"]).select("qid", "crank")
+    # broadcast the O(sample) sides (truth is ~10 rows per sampled query,
+    # crank_f is Q x 8); member is the full-corpus vec_id->cluster frame
+    # and must stay on the probe side of the hash join (ADVICE r11)
+    tr = (
+        member.withColumnRenamed("vec_id", "nb")
+        .join(F.broadcast(truth), "nb")
+        .join(F.broadcast(crank_f), ["qid", "cluster"])
+        .select("qid", "crank")
+    )
 
     # n_corpus is already on the driver (the block-count scalar above) —
     # reuse it as a literal instead of a second full-corpus aggregation

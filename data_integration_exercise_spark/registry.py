@@ -56,29 +56,109 @@ _MODULES = [
 
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
-# driver-side oracle row each round. Every window through round 10 is
-# recorded in CORRECTNESS_r01–r10 (only one red row ever:
-# `agg_calibration_ece`, r10 — re-verified in the round-11 window below).
+# driver-side oracle row each round. Every window through round 11 is
+# recorded in CORRECTNESS_r01–r11 (only one red row ever:
+# `agg_calibration_ece`, r10 — converted to a hash-pass by its r11 row after
+# the `// CAST(sum(n) AS BIGINT)` oracle fix; r11 itself is 50/50 green).
 #
-# ROUND-11 WINDOW (executes the pre-pinned round-10 plan, registry.py@r10
-# line 138, amended per VERDICT r10 item 1 to add the `agg_calibration_ece`
-# re-verification slot — its r10 driver row is the repo's first-ever hash
-# failure; root cause was an oracle-side HUGEINT division typed float64 by
-# duckdb-pandas, fixed in aggregates.py by casting the denominator:
-# `// CAST(sum(n) AS BIGINT)`):
-# slots 1-23 = the 23 round-10 additions, the ONLY keys without a driver
-# row in CORRECTNESS_r01–r10 (each already 3-scale emulator-green and
-# 7-vs-32 partition-invariant — conversion-to-driver-truth, not discovery);
-# slots 24-25 = rewrite-after-green re-verification of `graph_modularity` +
-# `graph_label_propagation` (round-10 shared-edges refactor postdates their
-# last green rows); slot 26 = the `agg_calibration_ece` oracle fix; slots
-# 27-49 = the 23 keys whose latest green row is still ROUND 1 (the entire
-# former _VERIFIED_R1, stable registry order); slot 50 = the head of
-# _VERIFIED_R2 (`stream_tumbling`, last green round 3). A green
-# CORRECTNESS_r11 restores every registered key to driver-verified-on-
+# ROUND-12 WINDOW (executes the pre-pinned round-11 plan, registry.py@r11
+# line 141, confirmed against the green CORRECTNESS_r11):
+# slots 1-4 = the four `_ADDED_R11` keys — the ONLY registered keys without
+# a driver row in CORRECTNESS_r01–r11 (each 3-scale emulator-green and
+# 7-vs-32 partition-invariant in round 11 — conversion-to-driver-truth, not
+# discovery); slots 5-14 = rewrite-after-green re-verification of the TEN
+# streaming keys whose result-sink plumbing changed in the round-11
+# `_sink_scope` fix after their last green driver rows (r3–r6 vintage;
+# stream_tumbling and stream_dedup_minhash already hold post-fix r11 rows);
+# slot 15 = rewrite-after-green re-verification of `sim_kmeans_lloyd`
+# (training loop extracted to the shared `_lloyd_centroids` helper after its
+# r11-window row; emulator-hash-identical post-refactor); slot 16 = the
+# round-12 addition `agg_quantile_sketch_merge` (mergeable KLL-style
+# quantile sketch, VERDICT r11 item 6); slots 17-48 = the stalest cohort —
+# the 32 non-streaming keys whose latest green row is round 2/3 (the entire
+# former _VERIFIED_R2 minus the six streaming keys re-verified above, stable
+# registry order); slots 49-50 = the head of the round-4 cohort
+# (`tpch_q2_min_cost_supplier`, `tpch_q3_unshipped`). A green
+# CORRECTNESS_r12 restores every registered key to driver-verified-on-
 # current-code.
 _PRIORITY = [
-    # --- 23 never-driver-verified (the entire remaining queue) ---
+    # --- 4 never-driver-verified (the entire remaining queue, _ADDED_R11) ---
+    "dedup_minhash_openvocab",
+    "sim_ann_append",
+    "plan_ivf_probe_geometry",
+    "stream_ann_ingest",
+    # --- 10 sink-scope rewrite-after-green streaming re-verifications ---
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_foreachbatch",
+    "stream_stateful_running",
+    "stream_cdc_upsert",
+    "stream_stream_join",
+    "stream_topk_per_window",
+    # --- _lloyd_centroids-refactor re-verification ---
+    "sim_kmeans_lloyd",
+    # --- round-12 addition (registered this round, no driver row yet) ---
+    "agg_quantile_sketch_merge",
+    # --- 32 stalest keys (latest green row = rounds 2/3) ---
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_explode",
+    "fn_json",
+    "fn_map_struct",
+    "fn_null_family",
+    "fn_hash",
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_lang_stats",
+    "text_sentiment_lexicon",
+    "sim_ann_lsh",
+    "multimodal_join",
+    "skyline_pareto",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_python",
+    "win_range_frame",
+    "win_first_last_value",
+    "sort_multikey",
+    "topk_global",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "dedup_exact_rows",
+    "text_quality_score",
+    "multimodal_decode",
+    # --- freshness head of the round-4 cohort ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_unshipped",
+]
+
+# Keys ADDED during round 12 (no driver row yet). Every new operator lands
+# here in the same commit that registers it UNLESS it also gets a window
+# slot the same round (as `agg_quantile_sketch_merge` does above); keys
+# here queue directly behind the window for the round-13 rotation.
+#
+# ROUND-13 PLAN (pre-pinned, the established pattern — execute at round-13
+# open AFTER confirming CORRECTNESS_r12 is green). Slot layout: slots 1-N =
+# any `_ADDED_R12` keys below in list order plus any rewrite-after-green
+# re-verifications accrued during round 12; remaining slots = the stalest
+# cohort — the round-4 keys (`_VERIFIED_R4` from `tpch_q4_order_priority`
+# on, the two q2/q3 heads having rotated through the round-12 window),
+# stable registry order, filling to 50.
+_ADDED_R12: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 11 (the former
+# round-11 _PRIORITY window; CORRECTNESS_r11.json 50/50 green — the first
+# all-green window since r5/r6, converting the r10 `agg_calibration_ece`
+# red row to a hash-pass) — demoted directly behind the round-12 additions.
+_VERIFIED_R11 = [
     "plan_lsh_band_geometry",
     "stream_dedup_minhash",
     "dedup_exact_substring_coverage",
@@ -102,11 +182,9 @@ _PRIORITY = [
     "agg_anova_f",
     "agg_ljung_box",
     "agg_tost_equivalence",
-    # --- rewrite/red re-verification slots ---
     "graph_modularity",
     "graph_label_propagation",
     "agg_calibration_ece",
-    # --- 23 oldest keys (latest green row = round 1) ---
     "proj_select_alias",
     "filter_compound",
     "filter_in_between",
@@ -130,39 +208,7 @@ _PRIORITY = [
     "win_lag_lead",
     "win_running_sum",
     "win_moving_avg",
-    # --- freshness head of the round-2/3 cohort ---
     "stream_tumbling",
-]
-
-# Keys ADDED during round 11 (no driver row yet). Every new operator lands
-# here in the same commit that registers it; they queue directly behind the
-# window for the round-12 rotation.
-#
-# ROUND-12 PLAN (pre-pinned, the established pattern — execute at round-12
-# open AFTER confirming CORRECTNESS_r11 is green). Slot layout:
-# slots 1-4 = the `_ADDED_R11` keys below in list order (no driver row yet;
-# each emulator-hash-verified at sf0.001/0.01/0.1 + 7-vs-32
-# partition-invariant in round 11); next slots = rewrite-after-green
-# re-verification of the TEN streaming keys whose result-sink plumbing
-# changed in the round-11 _sink_scope fix AFTER their last green driver
-# rows (`stream_sliding`, `stream_session`, `stream_watermark_late`,
-# `stream_dedup`, `stream_static_join`, `stream_foreachbatch`,
-# `stream_stateful_running`, `stream_cdc_upsert`, `stream_stream_join`,
-# `stream_topk_per_window` — stream_tumbling and stream_dedup_minhash
-# already sit in the round-11 window so their r11 rows cover the change;
-# all 12 re-verified through the emulator post-fix in round 11); slot 13 =
-# rewrite-after-green re-verification of `sim_kmeans_lloyd` (its Lloyd
-# training loop was extracted to the shared _lloyd_centroids helper for
-# sim_ann_append after its r11-window row — emulator-hash-identical
-# post-refactor, but the discipline demands a driver row); remaining
-# slots = the stalest cohort — the keys whose latest green row is round
-# 2/3 (the `_VERIFIED_R2` block, minus any re-verified above), stable
-# registry order, filling to 50.
-_ADDED_R11: list[str] = [
-    "dedup_minhash_openvocab",
-    "sim_ann_append",
-    "plan_ivf_probe_geometry",
-    "stream_ann_ingest",
 ]
 
 # Keys hash/rows-verified green by the driver in round 10 (the former
@@ -193,7 +239,6 @@ _VERIFIED_R10 = [
     "agg_js_drift",
     "sample_kfold_assignments",
     "text_lexical_overlap",
-    "stream_topk_per_window",
     "events_tier_migration",
     "tpch_q5_local_supplier",
     "win_rsi",
@@ -204,7 +249,6 @@ _VERIFIED_R10 = [
     "events_markov_eval",
     "agg_lorenz_deciles",
     "graph_scc_condensation",
-    "sim_kmeans_lloyd",
     "agg_having",
     "agg_rollup",
     "agg_cube",
@@ -358,7 +402,6 @@ _VERIFIED_R6 = [
     "etl_cdc_deletes",
     "text_ccnet_buckets",
     "pipeline_corpus_curate",
-    "stream_cdc_upsert",
     "sink_zorder",
     "graph_bfs_distances",
     "scan_manifest_pruned",
@@ -435,14 +478,11 @@ _VERIFIED_R5 = [
     "sim_knn_query",
     "text_tfidf",
     "dedup_exact_text",
-    "stream_stateful_running",
     "text_lang_id",
 ]
 
 # Keys hash/rows-verified green by the driver in round 4.
 _VERIFIED_R4 = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_unshipped",
     "tpch_q4_order_priority",
     "tpch_q6_forecast",
     "tpch_q7_volume_shipping",
@@ -481,7 +521,6 @@ _VERIFIED_R4 = [
     "dedup_contamination_ngram",
     "sim_ann_ivf",
     "sim_quantized_cosine",
-    "stream_stream_join",
     "udf_pandas_iterator",
     "udf_map_in_arrow",
     "sample_hash_mod",
@@ -493,61 +532,20 @@ _VERIFIED_R4 = [
     "graph_degree_distribution",
 ]
 
-# Keys hash/rows-verified green by the driver in rounds 2+3.
-_VERIFIED_R2 = [
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_foreachbatch",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_explode",
-    "fn_json",
-    "fn_map_struct",
-    "fn_null_family",
-    "fn_hash",
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "text_lang_stats",
-    "text_sentiment_lexicon",
-    "sim_ann_lsh",
-    "multimodal_join",
-    "skyline_pareto",
-    "udf_python_scalar",
-    "udf_pandas_vectorized",
-    "udaf_grouped_agg",
-    "udtf_python",
-    "win_range_frame",
-    "win_first_last_value",
-    "sort_multikey",
-    "topk_global",
-    "limit_offset",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "dedup_exact_rows",
-    "text_quality_score",
-    "multimodal_decode",
-]
 
 
 
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R11
+        + _ADDED_R12
+        + _VERIFIED_R11
         + _VERIFIED_R10
         + _VERIFIED_R8
         + _VERIFIED_R7
         + _VERIFIED_R6
         + _VERIFIED_R5
         + _VERIFIED_R4
-        + _VERIFIED_R2
     )
     missing = [k for k in lists if k not in d]
     if missing:
@@ -558,7 +556,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R11): "
+            "registered keys missing from the rotation queue (add to _ADDED_R12): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

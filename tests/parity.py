@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 import decimal
+import os
 
 import numpy as np
 import pandas as pd
@@ -23,8 +24,11 @@ from data_integration_exercise_spark.schemas import TABLES
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # enable out-of-core spilling (in-memory DuckDB disables it by
-    # default) — the emulate_driver.py sweep lesson applies here too
-    con.execute("SET temp_directory = '/tmp/duck_spill'")
+    # default) — the emulate_driver.py sweep lesson applies here too.
+    # PID-keyed path: DuckDB spill filenames are not process-unique, so
+    # concurrent instances (parallel pytest, a sweep running alongside
+    # tests) sharing one directory could corrupt each other's spill files.
+    con.execute(f"SET temp_directory = '/tmp/duck_spill/p{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -59,6 +59,37 @@ def test_hll_sketch_merge_quality(spark):
         )
 
 
+def test_quantile_sketch_merge_error_bounds(spark):
+    """Mergeable-sample-sketch invariants across both small scales:
+    (a) exhaustive regime — when a group's n ≤ K_MERGE the merged
+    bottom-k sample IS the group, so the sketch must be EXACT (err = 0,
+    m = n; holds at sf0.001); (b) sampled regime — at sf0.01 the sample
+    caps at m = 512 and the pinned quantized bound is err ≤ 200 permille
+    (2× the observed worst of 96‰ — a ~2.2% rank-error sample reading a
+    locally-flat CDF); (c) every estimate lies inside the group's exact
+    value envelope [p50 ≤ p90 read-out order preserved]."""
+    for sf_dir, exhaustive in (
+        ("/root/testdata/sf0.001", True),
+        ("/root/testdata/sf0.01", False),
+    ):
+        rows = aggregates.QUERIES["agg_quantile_sketch_merge"](
+            spark, sf_dir
+        ).collect()
+        assert len(rows) == 5, sf_dir
+        for r in rows:
+            if exhaustive:
+                assert r.n <= 512 and r.m == r.n, (sf_dir, r)
+                assert r.err_p50_permille == 0 and r.err_p90_permille == 0, r
+                assert r.p50_cents == r.exact_p50_cents, r
+                assert r.p90_cents == r.exact_p90_cents, r
+            else:
+                assert r.m == 512 and r.n > 512, (sf_dir, r)
+                assert r.err_p50_permille <= 200, r
+                assert r.err_p90_permille <= 200, r
+            assert r.p50_cents <= r.p90_cents, r
+            assert r.exact_p50_cents <= r.exact_p90_cents, r
+
+
 def test_ks_test_statistic_bounds_and_null_regime(spark):
     """KS ∈ [0,1] by construction; the priority assignment is independent
     of o_totalprice in the generator, so one-vs-rest drift must be small

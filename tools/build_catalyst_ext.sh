@@ -26,5 +26,32 @@ java -cp "$SCALA_COMPILER:$SCALA_LIBRARY:$SCALA_REFLECT" \
   -d "$CLASSES" \
   "$SRC"
 
-"${JAVA_HOME:-/usr}/bin/jar" cf "$OUT/dies-catalyst-ext.jar" -C "$CLASSES" dies
+# Deterministic archive (VERDICT r11 item 4): `jar cf` stamps each entry
+# with the build wall-clock, so byte-identical classes still produced a
+# byte-DIFFERENT jar and every test-run rebuild dirtied the working tree.
+# Write the zip ourselves with sorted entries and a fixed timestamp —
+# identical class bytes now reproduce the identical committed jar.
+python - "$CLASSES" "$OUT/dies-catalyst-ext.jar" <<'EOF'
+import os
+import sys
+import zipfile
+
+classes, jar = sys.argv[1], sys.argv[2]
+entries = []
+for root, _dirs, files in os.walk(classes):
+    for f in files:
+        full = os.path.join(root, f)
+        entries.append((os.path.relpath(full, classes), full))
+entries.sort()
+with zipfile.ZipFile(jar, "w", zipfile.ZIP_DEFLATED) as z:
+    mf = zipfile.ZipInfo("META-INF/MANIFEST.MF", (2020, 1, 1, 0, 0, 0))
+    mf.external_attr = 0o644 << 16
+    z.writestr(mf, "Manifest-Version: 1.0\r\n\r\n")
+    for rel, full in entries:
+        zi = zipfile.ZipInfo(rel.replace(os.sep, "/"), (2020, 1, 1, 0, 0, 0))
+        zi.external_attr = 0o644 << 16
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        with open(full, "rb") as fh:
+            z.writestr(zi, fh.read())
+EOF
 echo "built $OUT/dies-catalyst-ext.jar"

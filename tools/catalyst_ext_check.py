@@ -203,6 +203,31 @@ def main() -> int:
     spark.conf.set("spark.dies.lsh.rewrite.enabled", "true")
     print(f"kill-switch ok: naive plan preserved ({off_n} exact pairs)")
 
+    # τ-floor guard (VERDICT r11 item 7): with the rewrite opted IN, a
+    # threshold below spark.dies.lsh.minThreshold (default 0.2) must NOT
+    # band — low τ collapses band-collision recall, so the exact naive
+    # plan stands. Lowering the floor re-enables banding. Rebuild the
+    # DataFrame under each conf (analysis-time rule, same as the sweeps).
+    def low_tau_q():
+        return (
+            e1.join(e2, F.col("id1") < F.col("id2"))
+            .filter(F.expr("cosine_sim(v1, v2) >= 0.05D"))
+            .select("id1", "id2")
+        )
+
+    floor_plan = low_tau_q()._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" not in floor_plan, (
+        "rewrite fired at τ=0.05 < default floor 0.2 — the τ-floor guard "
+        "is broken"
+    )
+    spark.conf.set("spark.dies.lsh.minThreshold", "0.01")
+    floor_plan_low = low_tau_q()._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" in floor_plan_low, (
+        "rewrite did not fire at τ=0.05 with the floor lowered to 0.01"
+    )
+    spark.conf.unset("spark.dies.lsh.minThreshold")
+    print("τ-floor guard ok: no banding below the floor, conf-tunable")
+
     # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
     e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     exact_df = (
@@ -386,6 +411,35 @@ def main() -> int:
         )
     print("band randomized sweep ok: exact at k=0/1/5 and strict-< "
           "over 200 seeded ints with negatives and NULLs")
+
+    # Long-extreme operands (ADVICE r11): with k=0 and a value at
+    # Long.MaxValue the neighbor bucket bl+1 overflows; plain Add would
+    # make the REWRITTEN plan throw under ANSI where the naive plan
+    # succeeds. The TRY-mode neighbors must keep the rewrite green and
+    # result-identical. (No MinValue operand here: abs(Max - Min) also
+    # overflows in the NAIVE predicate, which is the documented shared
+    # boundary, not this rule's.)
+    jmax = (1 << 63) - 1
+    xa = spark.createDataFrame([(jmax,), (jmax - 1,), (5,), (None,)], "x1: long")
+    xb = spark.createDataFrame([(jmax,), (jmax - 1,), (5,), (None,)], "x2: long")
+    ansi_prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    extreme = xa.join(xb).filter(F.expr("abs(x1 - x2) <= 0"))
+    ex_plan = extreme._jdf.queryExecution().executedPlan().toString()
+    assert "__band_bkt" in ex_plan, "extreme-operand query did not rewrite"
+    ex_got = sorted(map(tuple, extreme.collect()), key=str)
+    spark.conf.set("spark.dies.band.rewrite.enabled", "false")
+    ex_exp = sorted(
+        map(tuple, xa.join(xb).filter(F.expr("abs(x1 - x2) <= 0")).collect()),
+        key=str,
+    )
+    spark.conf.set("spark.dies.band.rewrite.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", ansi_prev)
+    assert ex_got == ex_exp, (
+        f"Long-extreme mismatch: {ex_got} vs {ex_exp}"
+    )
+    print("band Long-extreme ok: TRY-mode neighbors, ANSI-safe, "
+          f"result-identical ({len(ex_got)} pairs)")
 
     spark.stop()
 

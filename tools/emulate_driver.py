@@ -110,8 +110,10 @@ def main() -> int:
     # OutOfMemoryException that the same key in isolation never sees
     # (observed: graph_clustering_coefficient at sf0.1, green alone at
     # 163 s, OOM in the full sweep). Give the sweep a spill directory so
-    # memory-heavy oracles degrade to disk instead of failing.
-    con.execute("SET temp_directory = '/tmp/duck_spill'")
+    # memory-heavy oracles degrade to disk instead of failing. PID-keyed:
+    # spill filenames are not process-unique, so concurrent instances
+    # sharing one directory could corrupt each other's spill files.
+    con.execute(f"SET temp_directory = '/tmp/duck_spill/p{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
