@@ -1,0 +1,156 @@
+"""Per-key implementation fingerprints — the freshness invariant's engine.
+
+VERDICT r11 item 5: the repo's own discipline says a key whose
+implementation changed after its last green verification owes a NEW
+verification ("rewrite-after-green"), but until round 12 that rule lived
+only in session habit. This module makes it a standing test:
+
+- ``key_fingerprint(key)`` hashes the TRANSITIVE SOURCE CLOSURE of a
+  registered query — the decorated function's source, every function it
+  (recursively) references that is defined inside
+  ``data_integration_exercise_spark``, every package-level data constant
+  those functions reference, and the key's oracle SQL. Helper
+  extraction, constant tweaks, and oracle edits all change the
+  fingerprint; cosmetic edits elsewhere in the same (jumbo) module file
+  do not — per-KEY granularity, where a file-mtime rule would flag a
+  hundred innocent siblings.
+- ``tools/verified_fingerprints.json`` is the LEDGER: key → fingerprint
+  as of that key's last green emulator verification (the driver's own
+  per-round record is CORRECTNESS_r*.json; the ledger is the
+  between-rounds emulator counterpart).
+- ``tests/test_freshness.py`` fails for any key whose live fingerprint
+  differs from the ledger — the fix is ``python
+  tools/update_fingerprints.py``, which re-verifies exactly the changed
+  keys through the neutral-session emulator and refreshes the ledger
+  only on green.
+
+Known blind spot, accepted: code reached through dynamic dispatch
+(getattr, exec, per-row lambdas serialized by Spark) is invisible to the
+closure walk; the repo's operators are module-level defs calling
+module-level helpers, which the walk covers — including the
+_lloyd_centroids-style helper refactor that motivated the invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import types
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(REPO, "tools", "verified_fingerprints.json")
+_PKG = "data_integration_exercise_spark"
+
+
+def _iter_code_names(code):
+    """All global names a code object (incl. nested lambdas/defs) touches."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _iter_code_names(const)
+    return names
+
+
+def _stable_repr(val) -> str:
+    """repr with canonical ordering for unordered containers: set/frozenset
+    element order follows PYTHONHASHSEED for strings, so a plain repr would
+    flip fingerprints between processes."""
+    if isinstance(val, types.FunctionType):
+        # by NAME only — the function's body is folded into the closure by
+        # _container_functions recursion, and a raw repr would embed a
+        # process-random memory address
+        return f"<fn {val.__module__}.{val.__qualname__}>"
+    if isinstance(val, (set, frozenset)):
+        return "{" + ", ".join(sorted(_stable_repr(v) for v in val)) + "}"
+    if isinstance(val, dict):
+        items = sorted(
+            (_stable_repr(k), _stable_repr(v)) for k, v in val.items()
+        )
+        return "{" + ", ".join(f"{k}: {v}" for k, v in items) + "}"
+    if isinstance(val, tuple):
+        return "(" + ", ".join(_stable_repr(v) for v in val) + ",)"
+    if isinstance(val, list):
+        return "[" + ", ".join(_stable_repr(v) for v in val) + "]"
+    return repr(val)
+
+
+def _container_functions(val) -> list:
+    """Package-defined functions reachable inside a data container (e.g. a
+    module QUERIES registry referenced for dynamic dispatch) — those
+    functions' bodies belong in the closure too."""
+    if isinstance(val, types.FunctionType):
+        return [val] if (val.__module__ or "").startswith(_PKG) else []
+    if isinstance(val, dict):
+        vals = list(val.keys()) + list(val.values())
+    elif isinstance(val, (tuple, list, set, frozenset)):
+        vals = list(val)
+    else:
+        return []
+    out = []
+    for v in vals:
+        out.extend(_container_functions(v))
+    return out
+
+
+def _closure_parts(fn, seen: set) -> list:
+    """Deterministic source closure of ``fn`` within the package: the
+    function's own source, then (sorted by name) every package-defined
+    function it references, recursively, and the repr of every
+    package-module data constant it references."""
+    tag = f"{fn.__module__}.{fn.__qualname__}"
+    if tag in seen:
+        return []
+    seen.add(tag)
+    parts = [f"## {tag}\n{inspect.getsource(fn)}"]
+    g = fn.__globals__
+    for name in sorted(_iter_code_names(fn.__code__)):
+        if name not in g:
+            continue
+        val = g[name]
+        if isinstance(val, types.FunctionType) and (
+            val.__module__ or ""
+        ).startswith(_PKG):
+            parts.extend(_closure_parts(val, seen))
+        elif isinstance(
+            val,
+            (str, bytes, int, float, bool, tuple, list, dict, set, frozenset),
+        ) and not name.startswith("__"):
+            parts.append(
+                f"## const {fn.__module__}.{name} = {_stable_repr(val)}"
+            )
+            # dynamic dispatch through a container of package functions
+            # (QUERIES[...] reuse): fold every reachable function's body in,
+            # deterministically ordered — deliberately coarse, since the
+            # dispatch target can't be resolved statically
+            for sub in sorted(
+                _container_functions(val),
+                key=lambda f: (f.__module__, f.__qualname__),
+            ):
+                parts.extend(_closure_parts(sub, seen))
+    return parts
+
+
+def key_fingerprint(key: str, fn, oracle: str | None) -> str:
+    parts = _closure_parts(fn, seen=set())
+    parts.append(f"## oracle\n{oracle or '<rows-only>'}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def live_fingerprints() -> dict[str, str]:
+    from data_integration_exercise_spark.registry import oracle_sql, queries
+
+    qs, osql = queries(), oracle_sql()
+    return {k: key_fingerprint(k, fn, osql.get(k)) for k, fn in qs.items()}
+
+
+def load_ledger() -> dict:
+    with open(LEDGER_PATH) as f:
+        return json.load(f)
+
+
+def save_ledger(ledger: dict) -> None:
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
