@@ -165,6 +165,15 @@ R11_TIER = [
     "stream_ann_ingest",
 ]
 
+# Round-12 additions, benched median-of-3 like every other tier: the
+# union-mergeable quantile sketch, the integer-exact weighted reservoir,
+# and the rendezvous shard planner.
+R12_TIER = [
+    "agg_quantile_sketch_merge",
+    "sample_weighted_reservoir",
+    "etl_rendezvous_shard",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,7 +191,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
-        + R8_TIER + R10_TIER + R11_TIER
+        + R8_TIER + R10_TIER + R11_TIER + R12_TIER
     ):
         if key not in qs:
             continue
@@ -238,6 +247,9 @@ def main() -> None:
     r11_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R11_TIER), 4
     )
+    r12_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R12_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -260,6 +272,7 @@ def main() -> None:
         "r8_tier_total": r8_tier_total,
         "r10_tier_total": r10_tier_total,
         "r11_tier_total": r11_tier_total,
+        "r12_tier_total": r12_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
@@ -291,6 +304,7 @@ def main() -> None:
             "r8": r8_tier_total,
             "r10": r10_tier_total,
             "r11": r11_tier_total,
+            "r12": r12_tier_total,
         },
         "sf": sf,
     }

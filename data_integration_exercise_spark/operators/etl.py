@@ -1353,3 +1353,80 @@ def etl_k_anonymity(spark, sf_dir):
         .cast("long")
         .alias("rows_to_suppress"),
     )
+
+
+def _rendezvous_expr(n_shards: int) -> str:
+    """argmax over shards of the 48-bit md5 weight h(doc, s) — the HRW
+    (highest-random-weight) pick, as one codegen'd struct-max projection."""
+    return (
+        f"array_max(transform(sequence(0, {n_shards - 1}), s -> "
+        "struct(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(s AS STRING))), 1, 12), 16, 10) AS BIGINT) AS h, s))).s"
+    )
+
+
+def _rendezvous_duck(n_shards: int) -> str:
+    return (
+        f"list_max(list_transform(generate_series(0, {n_shards - 1}), s -> "
+        "{'h': ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR),"
+        " 1, 12))::BIGINT, 's': s})).s"
+    )
+
+
+@register(
+    "etl_rendezvous_shard",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST({_rendezvous_duck(8)} AS BIGINT) AS shard8,
+               CAST({_rendezvous_duck(9)} AS BIGINT) AS shard9
+        FROM documents
+    )
+    SELECT shard8,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN shard9 <> shard8 THEN 1 END) AS BIGINT)
+               AS n_moved,
+           CAST(count(CASE WHEN shard9 <> shard8 THEN 1 END) * 1000
+                // count(*) AS BIGINT) AS moved_permille
+    FROM assigned GROUP BY shard8
+    """,
+)
+def etl_rendezvous_shard(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    1996, the consistent-placement scheme behind cache rings and shard
+    maps: each doc goes to argmax over shards of h(doc, shard), so when
+    the shard count grows S -> S+1 ONLY the docs whose new-shard weight
+    wins move (expected 1/(S+1) of the corpus), and they can only move TO
+    the new shard — no reshuffle of the surviving S shards, the property
+    mod-hashing (sample_hash_mod's bucketing) lacks (changing the modulus
+    remaps ~everything). The operator assigns documents under S=8 and
+    S=9 and reports, per old shard, how many docs the growth step moves
+    (expected ~111 permille) — the migration-cost table an incremental
+    100 TB pipeline reads before resizing its shard map.
+
+    Exactness: the HRW weight is the repo's 48-bit md5 content hash, the
+    argmax is an integer struct-max — one shuffle-free codegen'd
+    projection per shard count (the transform stays inside the row;
+    S=8/9 here, and HRW at larger S is still O(S) per key with no state,
+    no lookup table, no coordination). The movement identity (a doc
+    moves iff its S=9 argmax IS the new shard 8) is pinned in
+    tests/test_etl.py; output is |shards| rows at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.select(
+        "doc_id",
+        F.expr(_rendezvous_expr(8)).cast("long").alias("shard8"),
+        F.expr(_rendezvous_expr(9)).cast("long").alias("shard9"),
+    )
+    return assigned.groupBy("shard8").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("shard9") != F.col("shard8"), 1))
+        .cast("long")
+        .alias("n_moved"),
+        F.floor(
+            F.count(F.when(F.col("shard9") != F.col("shard8"), 1))
+            * F.lit(1000)
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("moved_permille"),
+    )

@@ -1115,3 +1115,103 @@ def sample_ht_estimate(spark, sf_dir):
             "est_revenue_cents"
         ),
     )
+
+
+#: weighted-reservoir geometry: top-K per group by the A-ES key.
+_WRES_K = 32
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH c AS (
+        SELECT l_returnflag AS flag, l_orderkey AS ok, l_linenumber AS ln,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ), keyed AS (
+        SELECT flag, ok, ln, w,
+               list_max(list_transform(generate_series(1, w), j ->
+                   ('0x' || substr(md5(ok::VARCHAR || '-' || ln::VARCHAR
+                                       || '-' || w::VARCHAR
+                                       || '-' || j::VARCHAR), 1, 12))::BIGINT
+               )) AS skey
+        FROM c
+    ), ranked AS (
+        SELECT flag, ok, ln, w, skey,
+               CAST(row_number() OVER (PARTITION BY flag
+                                       ORDER BY skey DESC, ok, ln, w)
+                    AS BIGINT) AS smp_rank
+        FROM keyed
+    )
+    SELECT flag AS l_returnflag, ok AS l_orderkey, ln AS l_linenumber,
+           w, skey, smp_rank
+    FROM ranked WHERE smp_rank <= {_WRES_K}
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, deterministic across engines
+    and partitionings — Efraimidis-Spirtakis A-ES done integer-exact: the
+    A-ES key u^(1/w) needs libm pow on a float uniform, but for INTEGER
+    weights the identity P(max of w iid uniforms <= t) = t^w means the max
+    of w independent md5 draws has exactly the u^(1/w) distribution, so
+    the key is array_max over w 48-bit content hashes — no float, no RNG,
+    no pow. Top-K per group by (key DESC, id) is then a valid weighted
+    sample: P(row i beats row j) = w_i/(w_i + w_j), heavier rows
+    proportionally likelier (the l_quantity weight here stands in for the
+    quality-score/token-count weights an LLM-corpus selection pass uses).
+
+    Mergeable/scale posture (the sketch-family contract): the key is one
+    shuffle-free codegen'd projection on the scan (sequence(1, w) stays
+    inside the row — w <= 50 here; megaweight corpora would bucket w
+    first), per-partition top-K partials merge by re-taking top-K of the
+    union (same bottom-k algebra as agg_quantile_sketch_merge, flipped to
+    max), and only groups x K rows ever move. Contrast sample_pps_*:
+    PPS estimates totals from inclusion probabilities; this one hands you
+    the concrete weighted-without-replacement sample rows.
+
+    The engine-native alternative (df.sample / rand()-ranked windows) can
+    never hash-match DuckDB and resamples per run; this is reproducible
+    corpus curation — same sample on a laptop and a 1000-executor
+    cluster. tests/test_sampling.py pins the weighting bias (sampled mean
+    weight well above the corpus mean)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    # the hash identity folds the WEIGHT in: the synthetic lineitem does not
+    # enforce a (l_orderkey, l_linenumber) primary key, so two distinct rows
+    # can share the pair — without w in the draw string they would share the
+    # whole draw sequence, and the (skey, ok, ln) tie-break could not
+    # separate them (rows identical on every sort column except w ranked
+    # differently per engine). With w folded in, any rows still identical on
+    # (flag, ok, ln, w) are identical output rows, so rank interchange among
+    # them is invisible to the order-insensitive compare.
+    keyed = li.withColumn(
+        "skey",
+        F.expr(
+            "array_max(transform(sequence(1L, w), j -> "
+            "CAST(conv(substr(md5(concat(CAST(ok AS STRING), '-', "
+            "CAST(ln AS STRING), '-', CAST(w AS STRING), '-', "
+            "CAST(j AS STRING))), 1, 12), 16, 10)"
+            " AS BIGINT)))"
+        ),
+    )
+    wrank = Window.partitionBy("flag").orderBy(
+        F.desc("skey"), F.asc("ok"), F.asc("ln"), F.asc("w")
+    )
+    return (
+        keyed.withColumn(
+            "smp_rank", F.row_number().over(wrank).cast("long")
+        )
+        .filter(F.col("smp_rank") <= _WRES_K)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("ok").alias("l_orderkey"),
+            F.col("ln").alias("l_linenumber"),
+            "w",
+            "skey",
+            "smp_rank",
+        )
+    )

@@ -152,7 +152,10 @@ _PRIORITY = [
 # cohort — the round-4 keys (`_VERIFIED_R4` from `tpch_q4_order_priority`
 # on, the two q2/q3 heads having rotated through the round-12 window),
 # stable registry order, filling to 50.
-_ADDED_R12: list[str] = []
+_ADDED_R12: list[str] = [
+    "sample_weighted_reservoir",
+    "etl_rendezvous_shard",
+]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former
 # round-11 _PRIORITY window; CORRECTNESS_r11.json 50/50 green — the first

@@ -454,3 +454,31 @@ def test_k_anonymity_partition_and_suppression_invariants(spark):
     assert (pdf.loc[~passing, "rows_to_suppress"] == pdf.loc[~passing, "class_n"]).all()
     assert (pdf.k_anonymous == (pdf.class_n >= 5)).all()
     assert (pdf.l_diverse == (pdf.l_distinct >= 2)).all()
+
+
+def test_rendezvous_shard_movement_identity(spark):
+    """HRW invariants: (a) growth moves ~1/9 of docs (global permille in
+    [60, 170] around the expected 111 — 500 docs, md5-deterministic);
+    (b) the movement identity — a doc's assignment changes S=8 -> S=9
+    IFF its S=9 argmax is the NEW shard 8, never a reshuffle among the
+    surviving shards; (c) all 8 old shards are populated."""
+    from pyspark.sql import functions as F
+
+    rows = etl.QUERIES["etl_rendezvous_shard"](spark, SF).collect()
+    assert sorted(r.shard8 for r in rows) == list(range(8))
+    n, moved = sum(r.n_docs for r in rows), sum(r.n_moved for r in rows)
+    assert 60 <= moved * 1000 // n <= 170, (moved, n)
+
+    d = load_table(spark, SF, "documents").select("doc_id")
+    from data_integration_exercise_spark.operators.etl import (
+        _rendezvous_expr,
+    )
+
+    assigned = d.select(
+        F.expr(_rendezvous_expr(8)).alias("s8"),
+        F.expr(_rendezvous_expr(9)).alias("s9"),
+    )
+    bad = assigned.filter(
+        (F.col("s8") != F.col("s9")) & (F.col("s9") != 8)
+    ).count()
+    assert bad == 0, f"{bad} docs moved to a surviving shard"

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 
+from data_integration_exercise_spark.io import load_table
 from data_integration_exercise_spark.operators import sampling
 
 from .parity import assert_parity
@@ -346,3 +347,32 @@ def test_ht_estimate_self_weighting_conservation(spark):
     est_total = pdf.est_orders_micro.sum() / 1_000_000
     true_total = pdf.true_orders.sum()
     assert 0.3 * true_total < est_total < 3 * true_total
+
+
+def test_weighted_reservoir_bias_and_shape(spark):
+    """A-ES invariants: (a) exactly K=32 rows per flag, ranks 1..K dense;
+    (b) the weighting works — heavier rows are proportionally likelier,
+    so the sampled mean weight must sit well above the corpus mean
+    (size-biased expectation E[w^2]/E[w] ~ 33.7 vs E[w] ~ 25.5 on the
+    uniform-1..50 quantity; the margin of +3 is > 2 sigma of the K*5
+    sample and the draw is md5-deterministic anyway); (c) the A-ES key
+    is within the 48-bit hash domain."""
+    from pyspark.sql import functions as F
+
+    rows = sampling.QUERIES["sample_weighted_reservoir"](spark, SF).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+        assert 1 <= r.w <= 50
+        assert 0 <= r.skey < (1 << 48)
+    for flag, grp in by_flag.items():
+        assert sorted(r.smp_rank for r in grp) == list(
+            range(1, len(grp) + 1)
+        ), flag
+        assert len(grp) == 32, flag
+    sampled_mean = sum(r.w for r in rows) / len(rows)
+    li = load_table(spark, SF, "lineitem")
+    corpus_mean = li.agg(F.avg("l_quantity")).first()[0]
+    assert sampled_mean > corpus_mean + 3, (
+        f"weighted sample not size-biased: {sampled_mean} vs {corpus_mean}"
+    )

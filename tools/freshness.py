@@ -33,15 +33,75 @@ _lloyd_centroids-style helper refactor that motivated the invariant.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import inspect
 import json
 import os
+import sys
 import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_PATH = os.path.join(REPO, "tools", "verified_fingerprints.json")
 _PKG = "data_integration_exercise_spark"
+
+_ASSIGN_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _module_assign_sources(module_name: str) -> dict[str, str]:
+    """name → source text of every top-level assignment in a module."""
+    if module_name in _ASSIGN_CACHE:
+        return _ASSIGN_CACHE[module_name]
+    out: dict[str, str] = {}
+    mod = sys.modules.get(module_name)
+    path = getattr(mod, "__file__", None)
+    if path and os.path.exists(path):
+        src = open(path).read()
+        for node in ast.parse(src).body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                ]
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                targets = [node.target.id]
+            if targets:
+                seg = ast.get_source_segment(src, node) or ""
+                for t in targets:
+                    out[t] = seg
+    _ASSIGN_CACHE[module_name] = out
+    return out
+
+
+def _static_const_parts(module_name: str, name: str, seen: set) -> list:
+    """STATIC source of a module-level constant: the text of its top-level
+    assignment, recursing into other module-level names that text
+    references (a derived constant changes when its ingredients do).
+    Static — never the runtime value — so state containers the operators
+    mutate during execution (staging-path registries, per-PID scopes)
+    cannot flip a fingerprint: the fingerprint is a pure function of the
+    source tree."""
+    tag = f"const:{module_name}.{name}"
+    if tag in seen:
+        return []
+    seen.add(tag)
+    assigns = _module_assign_sources(module_name)
+    if name not in assigns:
+        return []
+    seg = assigns[name]
+    parts = [f"## const {module_name}.{name}\n{seg}"]
+    for sub in sorted(
+        {
+            n.id
+            for n in ast.walk(ast.parse(seg))
+            if isinstance(n, ast.Name) and n.id != name
+        }
+    ):
+        if sub in assigns:
+            parts.extend(_static_const_parts(module_name, sub, seen))
+    return parts
 
 
 def _iter_code_names(code):
@@ -117,9 +177,34 @@ def _closure_parts(fn, seen: set) -> list:
             val,
             (str, bytes, int, float, bool, tuple, list, dict, set, frozenset),
         ) and not name.startswith("__"):
-            parts.append(
-                f"## const {fn.__module__}.{name} = {_stable_repr(val)}"
-            )
+            # STATIC assignment source, not runtime value: several
+            # operators mutate module-level state while executing (staged
+            # stream inputs, per-PID sink scopes), and a value-repr
+            # fingerprint flipped for 27 keys after any test run executed
+            # them. Look in the function's own module first, then in any
+            # package module that binds this exact object (imports share
+            # identity).
+            home = None
+            if name in _module_assign_sources(fn.__module__):
+                home = fn.__module__
+            else:
+                for m in sorted(sys.modules):
+                    if (
+                        m.startswith(_PKG)
+                        and getattr(sys.modules[m], name, None) is val
+                        and name in _module_assign_sources(m)
+                    ):
+                        home = m
+                        break
+            if home is not None:
+                parts.extend(_static_const_parts(home, name, seen))
+            elif not isinstance(val, (list, dict, set)):
+                # no static source found (e.g. built dynamically): fall
+                # back to value repr, but only for immutable types — a
+                # mutable container with no static home could drift
+                parts.append(
+                    f"## const {fn.__module__}.{name} = {_stable_repr(val)}"
+                )
             # dynamic dispatch through a container of package functions
             # (QUERIES[...] reuse): fold every reachable function's body in,
             # deterministically ordered — deliberately coarse, since the
