@@ -172,6 +172,7 @@ R12_TIER = [
     "agg_quantile_sketch_merge",
     "sample_weighted_reservoir",
     "etl_rendezvous_shard",
+    "stream_quantile_ingest",
 ]
 
 

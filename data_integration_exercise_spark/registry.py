@@ -155,6 +155,7 @@ _PRIORITY = [
 _ADDED_R12: list[str] = [
     "sample_weighted_reservoir",
     "etl_rendezvous_shard",
+    "stream_quantile_ingest",
 ]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former

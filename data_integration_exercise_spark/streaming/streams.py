@@ -884,3 +884,183 @@ def stream_ann_ingest(spark, sf_dir):
             ),
         )
     )
+
+
+_QSK_STREAM_K = 512
+
+_QSK_STREAM_ORACLE = f"""
+    WITH c AS (
+        SELECT o_orderpriority AS pri, o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT
+                   AS skey
+        FROM orders
+    ), samp AS (
+        SELECT pri, k, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY skey, k) AS rn
+        FROM c
+    ), sr AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents, k) AS r,
+               count(*) OVER (PARTITION BY pri) AS m
+        FROM samp WHERE rn <= {_QSK_STREAM_K}
+    ), est AS (
+        SELECT pri, CAST(max(m) AS BIGINT) AS m,
+               min(CASE WHEN 100 * r >= 50 * m THEN cents END) AS p50_cents,
+               min(CASE WHEN 100 * r >= 90 * m THEN cents END) AS p90_cents
+        FROM sr GROUP BY pri
+    ), tot AS (
+        SELECT pri, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY pri
+    )
+    SELECT est.pri AS o_orderpriority, tot.n, est.m,
+           est.p50_cents, est.p90_cents
+    FROM est JOIN tot ON est.pri = tot.pri
+"""
+
+
+@register("stream_quantile_ingest", oracle=_QSK_STREAM_ORACLE)
+def stream_quantile_ingest(spark, sf_dir):
+    """Streaming quantile-sketch ingest — the micro-batch twin of
+    agg_quantile_sketch_merge, closing the ingest trio next to
+    stream_dedup_minhash (dedup-at-ingest) and stream_ann_ingest
+    (index-at-ingest): a per-group bottom-k KMV sample plus a running
+    count is maintained AS DATA LANDS, so p50/p90 are answerable after
+    every micro-batch without ever rescanning history. orders is staged
+    into 4 files and streamed with maxFilesPerTrigger=1, so the merge
+    really runs across 4 micro-batches; foreachBatch folds each batch
+    into versioned state (bottom-k of prev-state ∪ batch, counts
+    accumulated), and the readout runs nearest-rank over the final
+    sample.
+
+    Hash-oracled DESPITE batching because the bottom-k algebra is
+    batch-split independent: bottom_k(bottom_k(A) ∪ B) = bottom_k(A ∪ B),
+    so the final state equals the global bottom-k no matter how the
+    files were split into batches, and the batch-SQL oracle states the
+    global form directly. State versions are immutable parquet dirs (no
+    read-then-overwrite-self); the latest version is discovered from the
+    manifest at read time, so checkpointed re-runs (bench median-of-3)
+    replay nothing and read the settled state — the _sink_scope
+    discipline keeps scales apart.
+
+    100 TB: per-batch work is one narrow projection + a groups×k-bounded
+    merge against state that never exceeds groups × (k + 1) rows — state
+    scales with GROUPS, not arrivals; the sample-key hash makes the
+    retained sample identical to what a batch job over the full corpus
+    would keep, which is what makes streaming-vs-batch parity testable
+    at all (the lambda-architecture reconciliation property)."""
+    from ..schemas import SCHEMAS
+
+    tag = sf_cache_tag(sf_dir)
+    src = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/orders_qsk_4f"
+    if src not in _STAGED:
+        load_table(spark, sf_dir, "orders").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _STAGED.add(src)
+    stream = (
+        spark.readStream.schema(SCHEMAS["orders"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    base = (
+        f"/tmp/die_spark_stage/p{os.getpid()}/sink/"
+        f"{_sink_scope('stream_quantile_ingest', sf_dir)}"
+    )
+
+    def _latest_version() -> int:
+        root = os.path.dirname(base)
+        prefix = os.path.basename(base) + "_v"
+        if not os.path.isdir(root):
+            return -1
+        vs = [
+            int(d[len(prefix):])
+            for d in os.listdir(root)
+            if d.startswith(prefix) and d[len(prefix):].isdigit()
+        ]
+        return max(vs, default=-1)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        b = batch_df.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ).withColumn(
+            "skey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            ),
+        )
+        bs = batch_df.sparkSession
+        prev = _latest_version()
+        if prev >= 0:
+            prev_s = bs.read.parquet(f"{base}_v{prev}/sample")
+            prev_c = bs.read.parquet(f"{base}_v{prev}/counts")
+        else:
+            prev_s = b.limit(0)
+            prev_c = bs.createDataFrame([], "pri string, n long")
+        rn = F.row_number().over(
+            W.partitionBy("pri").orderBy("skey", "k")
+        )
+        sample = (
+            prev_s.unionByName(b)
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") <= _QSK_STREAM_K)
+            .drop("_rn")
+        )
+        counts = (
+            prev_c.unionByName(
+                b.groupBy("pri").agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+            .groupBy("pri")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        out = f"{base}_v{batch_id}"
+        sample.write.mode("overwrite").parquet(f"{out}/sample")
+        counts.write.mode("overwrite").parquet(f"{out}/counts")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", base + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = _latest_version()
+    sample = spark.read.parquet(f"{base}_v{final}/sample")
+    counts = spark.read.parquet(f"{base}_v{final}/counts")
+    from pyspark.sql import Window as W
+
+    wrank = W.partitionBy("pri").orderBy("cents", "k")
+    wall = W.partitionBy("pri")
+    ranked = sample.select(
+        "pri",
+        "cents",
+        F.row_number().over(wrank).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    est = ranked.groupBy("pri").agg(
+        F.max("m").cast("long").alias("m"),
+        F.min(
+            F.when(100 * F.col("r") >= 50 * F.col("m"), F.col("cents"))
+        ).alias("p50_cents"),
+        F.min(
+            F.when(100 * F.col("r") >= 90 * F.col("m"), F.col("cents"))
+        ).alias("p90_cents"),
+    )
+    return est.join(counts, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        "n",
+        "m",
+        "p50_cents",
+        "p90_cents",
+    )

@@ -256,3 +256,42 @@ def test_stream_ann_ingest_reconciles_with_batch_append(spark):
     assert {c: n for c, (n, _) in got.items()} == batch
     share_sum = sum(s for _, s in got.values())
     assert 1000 - len(got) < share_sum <= 1000
+
+
+def test_stream_quantile_ingest_merges_across_batches(spark):
+    """The sketch-at-ingest contract: (a) the run really crosses
+    micro-batches — the 4-file staging with maxFilesPerTrigger=1 must
+    leave >= 2 immutable state versions on disk; (b) the final state is
+    batch-split independent — per-group m = min(n, 512) exactly, and the
+    p50/p90 read-outs sit inside the group's true value envelope
+    (p50 <= p90); (c) counts reconcile with the batch arrivals."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+    from data_integration_exercise_spark.streaming.streams import _sink_scope
+
+    rows = streams.QUERIES["stream_quantile_ingest"](spark, SF).collect()
+    assert len(rows) == 5
+    truth = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n == truth[r.o_orderpriority]
+        assert r.m == min(r.n, 512)
+        assert r.p50_cents <= r.p90_cents
+
+    base = (
+        f"/tmp/die_spark_stage/p{os.getpid()}/sink/"
+        f"{_sink_scope('stream_quantile_ingest', SF)}"
+    )
+    root, prefix = os.path.dirname(base), os.path.basename(base) + "_v"
+    versions = [d for d in os.listdir(root) if d.startswith(prefix)]
+    assert len(versions) >= 2, (
+        f"expected multi-batch state history, found {versions}"
+    )
