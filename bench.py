@@ -173,6 +173,7 @@ R12_TIER = [
     "sample_weighted_reservoir",
     "etl_rendezvous_shard",
     "stream_quantile_ingest",
+    "plan_quantile_sketch_geometry",
 ]
 
 

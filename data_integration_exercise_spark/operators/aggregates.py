@@ -5225,3 +5225,155 @@ def agg_tost_equivalence(spark, sf_dir):
         F.round(t_hi, 4).alias("t_upper"),
         ((t_lo > zc) & (t_hi < -zc)).alias("equivalent"),
     )
+
+
+#: K-ladder for the quantile-sketch geometry planner.
+_QSKG_LADDER = (16, 32, 64, 128, 256, 512)
+
+
+@register(
+    "plan_quantile_sketch_geometry",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS pri, o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+                   AS skey
+        FROM orders
+    ), ranked AS (
+        SELECT pri, k, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY skey, k) AS rn
+        FROM c
+    ), ladder(k_cap) AS (VALUES {", ".join(f"({k})" for k in _QSKG_LADDER)}),
+    cand AS (
+        SELECT pri, CAST(k_cap AS BIGINT) AS k_cap, k, cents
+        FROM ranked JOIN ladder ON rn <= k_cap
+    ), sr AS (
+        SELECT pri, k_cap, cents,
+               row_number() OVER (PARTITION BY pri, k_cap
+                                  ORDER BY cents, k) AS r,
+               count(*) OVER (PARTITION BY pri, k_cap) AS m
+        FROM cand
+    ), est AS (
+        SELECT pri, k_cap, CAST(max(m) AS BIGINT) AS m,
+               min(CASE WHEN 100 * r >= 50 * m THEN cents END) AS p50,
+               min(CASE WHEN 100 * r >= 90 * m THEN cents END) AS p90
+        FROM sr GROUP BY pri, k_cap
+    ), er AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents, k) AS r,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM c
+    ), ex AS (
+        SELECT pri,
+               min(CASE WHEN 100 * r >= 50 * n THEN cents END) AS e50,
+               min(CASE WHEN 100 * r >= 90 * n THEN cents END) AS e90
+        FROM er GROUP BY pri
+    ), errs AS (
+        SELECT est.k_cap, est.m,
+               abs(est.p50 - ex.e50) * 1000 // ex.e50 AS ep50,
+               abs(est.p90 - ex.e90) * 1000 // ex.e90 AS ep90
+        FROM est JOIN ex ON est.pri = ex.pri
+    )
+    SELECT k_cap,
+           CAST(sum(m) AS BIGINT)    AS sample_rows,
+           CAST(max(ep50) AS BIGINT) AS max_err_p50_permille,
+           CAST(max(ep90) AS BIGINT) AS max_err_p90_permille
+    FROM errs GROUP BY k_cap
+    """,
+)
+def plan_quantile_sketch_geometry(spark, sf_dir):
+    """Quantile-sketch K-geometry planner — the third planner table,
+    closing the family next to plan_lsh_band_geometry (band config vs
+    candidate cost/recall) and plan_ivf_probe_geometry (nprobe vs
+    scan/recall): for each sample cap K in {16..512} it reports the two
+    numbers the knob trades off — state cost (sample_rows kept per group)
+    and worst-group p50/p90 rank-sketch error vs the exact arm, in
+    quantized permille. A 100 TB deployment reads this table once on a
+    hash-sample to size agg_quantile_sketch_merge / stream_quantile_ingest
+    state before paying for it (rank error ~ 0.5/sqrt(K): halving error
+    costs 4x state — the table shows where that stops paying for itself).
+
+    One rank window per group feeds every ladder rung (the K cut is a
+    predicate on the SAME rn, so the 6-config sweep costs one window +
+    a <= sum(ladder)-rows-per-group broadcast-ladder expansion, not 6
+    scans); the exact arm is the shared verification harness you would
+    drop at scale. All md5/integer arithmetic — the full table
+    hash-verifies cross-engine. At K=512 the one-level cut here equals
+    the two-level shard merge of agg_quantile_sketch_merge by the
+    bottom-k algebra, an equality tests/test_aggregates.py pins."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "skey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 12), 16, 10)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+    wpri = Window.partitionBy("pri").orderBy("skey", "k")
+    sub = (
+        o.withColumn("rn", F.row_number().over(wpri))
+        .filter(F.col("rn") <= max(_QSKG_LADDER))
+    )
+    ladder = spark.createDataFrame(
+        [(k,) for k in _QSKG_LADDER], "k_cap: long"
+    )
+    cand = sub.join(F.broadcast(ladder), F.col("rn") <= F.col("k_cap")).select(
+        "pri", "k_cap", "k", "cents"
+    )
+    wcut = Window.partitionBy("pri", "k_cap").orderBy("cents", "k")
+    wall = Window.partitionBy("pri", "k_cap")
+    sr = cand.select(
+        "pri",
+        "k_cap",
+        "cents",
+        F.row_number().over(wcut).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    est = sr.groupBy("pri", "k_cap").agg(
+        F.max("m").cast("long").alias("m"),
+        F.min(
+            F.when(100 * F.col("r") >= 50 * F.col("m"), F.col("cents"))
+        ).alias("p50"),
+        F.min(
+            F.when(100 * F.col("r") >= 90 * F.col("m"), F.col("cents"))
+        ).alias("p90"),
+    )
+    wex = Window.partitionBy("pri").orderBy("cents", "k")
+    wexall = Window.partitionBy("pri")
+    er = o.select(
+        "pri",
+        "cents",
+        F.row_number().over(wex).alias("r"),
+        F.count(F.lit(1)).over(wexall).alias("n"),
+    )
+    ex = er.groupBy("pri").agg(
+        F.min(
+            F.when(100 * F.col("r") >= 50 * F.col("n"), F.col("cents"))
+        ).alias("e50"),
+        F.min(
+            F.when(100 * F.col("r") >= 90 * F.col("n"), F.col("cents"))
+        ).alias("e90"),
+    )
+    errs = est.join(F.broadcast(ex), "pri").select(
+        "k_cap",
+        "m",
+        F.floor(
+            F.abs(F.col("p50") - F.col("e50")) * F.lit(1000) / F.col("e50")
+        ).alias("ep50"),
+        F.floor(
+            F.abs(F.col("p90") - F.col("e90")) * F.lit(1000) / F.col("e90")
+        ).alias("ep90"),
+    )
+    return errs.groupBy("k_cap").agg(
+        F.sum("m").cast("long").alias("sample_rows"),
+        F.max("ep50").cast("long").alias("max_err_p50_permille"),
+        F.max("ep90").cast("long").alias("max_err_p90_permille"),
+    )

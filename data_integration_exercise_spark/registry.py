@@ -156,6 +156,7 @@ _ADDED_R12: list[str] = [
     "sample_weighted_reservoir",
     "etl_rendezvous_shard",
     "stream_quantile_ingest",
+    "plan_quantile_sketch_geometry",
 ]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former

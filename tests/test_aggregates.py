@@ -1097,3 +1097,31 @@ def test_ljung_box_composes_exactly_on_acf(spark):
     assert row.q_micro == q
     assert row.crit_micro == 14_067_140
     assert bool(row.reject_white_noise) == (q > 14_067_140)
+
+
+def test_quantile_sketch_geometry_ladder(spark):
+    """Planner-table invariants at sf0.01 (every group n > 512): (a) state
+    cost is exactly 5·K per rung — the ladder cut really is a prefix of
+    one shared rank; (b) error at the K=512 rung equals the two-level
+    shard merge of agg_quantile_sketch_merge (bottom-k algebra: the
+    one-level cut and the 128-per-shard merge keep the SAME global
+    bottom-512, so their read-outs must agree exactly); (c) the K=512
+    rung is at least as accurate as the K=16 rung on both quantiles."""
+    geom = {
+        r.k_cap: r
+        for r in aggregates.QUERIES["plan_quantile_sketch_geometry"](
+            spark, SF
+        ).collect()
+    }
+    assert sorted(geom) == [16, 32, 64, 128, 256, 512]
+    for k_cap, r in geom.items():
+        assert r.sample_rows == 5 * k_cap, r
+    merge_rows = aggregates.QUERIES["agg_quantile_sketch_merge"](
+        spark, SF
+    ).collect()
+    worst50 = max(r.err_p50_permille for r in merge_rows)
+    worst90 = max(r.err_p90_permille for r in merge_rows)
+    assert geom[512].max_err_p50_permille == worst50
+    assert geom[512].max_err_p90_permille == worst90
+    assert geom[512].max_err_p50_permille <= geom[16].max_err_p50_permille
+    assert geom[512].max_err_p90_permille <= geom[16].max_err_p90_permille
