@@ -137,144 +137,149 @@ def test_no_unrounded_float_aggregates_in_oracles():
 # priority-list edit can't silently re-verify already-green keys and waste
 # a round.
 #
-# Composition (executes the pre-pinned round-10 plan, amended per VERDICT
-# r10 item 1): slots 1-23 are ALL remaining never-driver-verified keys (the
-# 23 round-10 additions, stable queue order); slots 24-25 re-verify the two
-# graph keys rewritten after their last green rows (round-10 shared-edges
-# refactor); slot 26 re-verifies `agg_calibration_ece` — the repo's
-# first-ever driver hash failure (r10; HUGEINT-typed oracle division →
-# float64 vs Spark int64, fixed by casting the denominator); slots 27-49
-# re-verify the 23 keys whose latest green row is round 1; slot 50 takes
-# the head of the round-2/3 cohort.
-EXPECTED_R11_WINDOW = [
-    "plan_lsh_band_geometry",
-    "stream_dedup_minhash",
-    "dedup_exact_substring_coverage",
-    "sample_coreset_kcenter",
-    "etl_dp_release",
-    "win_matrix_profile",
-    "graph_hits",
-    "etl_k_anonymity",
-    "events_shapley_attribution",
-    "text_chao1_richness",
-    "win_dtw_pairs",
-    "sample_pps_systematic",
-    "agg_eb_shrinkage",
-    "agg_sprt_sequential",
-    "events_eventually_follows",
-    "text_burstiness",
-    "agg_bitmap_distinct",
-    "sample_ht_estimate",
-    "graph_ppr",
-    "text_heaps_curve",
-    "agg_anova_f",
-    "agg_ljung_box",
-    "agg_tost_equivalence",
-    "graph_modularity",
-    "graph_label_propagation",
-    "agg_calibration_ece",
-    "proj_select_alias",
-    "filter_compound",
-    "filter_in_between",
-    "filter_like",
-    "filter_null_handling",
-    "proj_case_when",
-    "proj_cast",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_multiway_star",
-    "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta_range",
-    "join_asof",
-    "join_skew_salted",
-    "win_topn_per_group",
-    "win_ranking",
-    "win_lag_lead",
-    "win_running_sum",
-    "win_moving_avg",
-    "stream_tumbling",
+# Composition (executes the pre-pinned round-11 plan, registry.py@r11):
+# slots 1-4 are ALL remaining never-driver-verified keys from round 11
+# (`_ADDED_R11`, stable queue order); slots 5-14 re-verify the ten
+# streaming keys whose result-sink plumbing changed in the round-11
+# `_sink_scope` fix after their last green rows; slot 15 re-verifies
+# `sim_kmeans_lloyd` (post-green `_lloyd_centroids` helper extraction);
+# slot 16 is the round-12 addition `agg_quantile_sketch_merge` (new, no
+# driver row); slots 17-48 re-verify the 32 non-streaming keys whose
+# latest green row is round 2/3; slots 49-50 take the round-4 cohort head.
+EXPECTED_R12_WINDOW = [
+    "dedup_minhash_openvocab",
+    "sim_ann_append",
+    "plan_ivf_probe_geometry",
+    "stream_ann_ingest",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_foreachbatch",
+    "stream_stateful_running",
+    "stream_cdc_upsert",
+    "stream_stream_join",
+    "stream_topk_per_window",
+    "sim_kmeans_lloyd",
+    "agg_quantile_sketch_merge",
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_explode",
+    "fn_json",
+    "fn_map_struct",
+    "fn_null_family",
+    "fn_hash",
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_lang_stats",
+    "text_sentiment_lexicon",
+    "sim_ann_lsh",
+    "multimodal_join",
+    "skyline_pareto",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_grouped_agg",
+    "udtf_python",
+    "win_range_frame",
+    "win_first_last_value",
+    "sort_multikey",
+    "topk_global",
+    "limit_offset",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "dedup_exact_rows",
+    "text_quality_score",
+    "multimodal_decode",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_unshipped",
 ]
 
-# The deliberate re-verification tail of the window: keys that ALREADY have
-# a driver row (green, or red-with-verified-fix for agg_calibration_ece).
-_R11_REVERIFY = set(EXPECTED_R11_WINDOW[23:])
+#: window slots holding keys with NO driver row in CORRECTNESS_r01-r11:
+#: the four round-11 additions (slots 1-4) and the round-12 sketch (16).
+_R12_NEVER_VERIFIED = EXPECTED_R12_WINDOW[:4] + ["agg_quantile_sketch_merge"]
 
 
-def test_round11_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R11_WINDOW
-
-
-def test_round11_window_head_is_fresh():
-    """Window slots 1-23 must be keys with NO prior driver row — those slots
-    only convert emulation-only keys to driver truth; the re-verification
-    tail (slots 24-50) is the only place keys with driver rows may appear."""
-    import json
-
-    verified = set()
-    for r in range(1, 11):
-        try:
-            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json")))
-        except FileNotFoundError:
-            pass
-    if not verified:
-        return  # correctness files absent (fresh checkout) — nothing to check
-    stale = set(EXPECTED_R11_WINDOW[:23]) & verified
-    assert not stale, f"window head wastes slots on already-verified keys: {sorted(stale)}"
-
-
-def test_round11_window_covers_every_unverified_key():
-    """window head ∪ _ADDED_R11 must be exactly the keys without a driver
-    row, so round 11 converges to full driver coverage."""
-    import json
-
-    verified = set()
-    for r in range(1, 11):
-        try:
-            verified |= set(json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json")))
-        except FileNotFoundError:
-            pass
-    if not verified:
-        return
-    from data_integration_exercise_spark.registry import _ADDED_R11
-
-    unverified = set(queries()) - verified
-    queue = set(EXPECTED_R11_WINDOW[:23]) | set(_ADDED_R11)
-    assert queue == unverified, (
-        f"queue misses: {sorted(unverified - queue)}; "
-        f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R11"
-    )
-
-
-def test_round11_window_tail_reverifies_stalest_keys():
-    """The re-verification tail must target exactly: the post-green rewrites
-    + the r10 red key + the stalest green cohort — never keys already fresh."""
+def _driver_rows_through(last_round: int) -> dict:
+    """key -> latest round with a driver row, across CORRECTNESS_r01..rN."""
     import json
 
     latest = {}
-    for r in range(1, 11):
+    for r in range(1, last_round + 1):
         try:
             d = json.load(open(f"/root/repo/CORRECTNESS_r{r:02d}.json"))
         except FileNotFoundError:
             continue
         for k in d:
             latest[k] = r
+    return latest
+
+
+def test_round12_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R12_WINDOW
+
+
+def test_round12_window_never_verified_slots_are_fresh():
+    """The never-verified slots must hold keys with NO prior driver row —
+    they exist to convert emulation-only keys to driver truth; every other
+    slot is deliberate re-verification of keys that already have rows."""
+    latest = _driver_rows_through(11)
+    if not latest:
+        return  # correctness files absent (fresh checkout)
+    stale = set(_R12_NEVER_VERIFIED) & set(latest)
+    assert not stale, (
+        f"never-verified slots waste coverage on already-verified keys: "
+        f"{sorted(stale)}"
+    )
+
+
+def test_round12_window_covers_every_unverified_key():
+    """never-verified slots ∪ _ADDED_R12 must be exactly the keys without
+    a driver row, so round 12 converges to full driver coverage."""
+    latest = _driver_rows_through(11)
     if not latest:
         return
-    tail = EXPECTED_R11_WINDOW[23:]
-    # explicit slots: rewritten-after-green graphs + the r10 hash failure
-    assert tail[:3] == [
-        "graph_modularity",
-        "graph_label_propagation",
-        "agg_calibration_ece",
+    from data_integration_exercise_spark.registry import _ADDED_R12
+
+    unverified = set(queries()) - set(latest)
+    queue = set(_R12_NEVER_VERIFIED) | set(_ADDED_R12)
+    assert queue == unverified, (
+        f"queue misses: {sorted(unverified - queue)}; "
+        f"wastes slots on: {sorted(queue - unverified)}; "
+        "a key added this round must be listed in registry._ADDED_R12"
+    )
+
+
+def test_round12_window_tail_reverifies_stalest_keys():
+    """The re-verification slots must target exactly: the sink-scope
+    streaming rewrites + the post-green Lloyd refactor + the stalest
+    (round-2/3) green cohort — never keys already fresh."""
+    latest = _driver_rows_through(11)
+    if not latest:
+        return
+    # explicit rewrite-after-green slots
+    assert EXPECTED_R12_WINDOW[4:15] == [
+        "stream_sliding",
+        "stream_session",
+        "stream_watermark_late",
+        "stream_dedup",
+        "stream_static_join",
+        "stream_foreachbatch",
+        "stream_stateful_running",
+        "stream_cdc_upsert",
+        "stream_stream_join",
+        "stream_topk_per_window",
+        "sim_kmeans_lloyd",
     ]
-    # freshness slots: every key whose latest row is round 1 must be present
-    round1 = {k for k, r in latest.items() if r == 1}
-    assert round1 <= set(tail), f"round-1-stale keys left out: {sorted(round1 - set(tail))}"
+    # freshness slots: every key whose latest row is round <= 3 must be in
+    # the window (the entire former round-2/3 cohort rotates through)
+    stale23 = {k for k, r in latest.items() if r <= 3}
+    missing = stale23 - set(EXPECTED_R12_WINDOW)
+    assert not missing, f"round-2/3-stale keys left out: {sorted(missing)}"
 
 
 def test_queries_count_matches_survey_addendum():
