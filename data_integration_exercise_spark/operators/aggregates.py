@@ -1977,6 +1977,34 @@ _QSKM_K_SHARD = 128
 _QSKM_K_MERGE = 512
 
 
+def _nearest_rank_quantiles(frame, group_cols, total_alias, out50, out90):
+    """Nearest-rank p50/p90 read-out over a (group_cols, k, cents) frame:
+    rank by (cents, k) within the group, then the smallest cents whose
+    rank clears the integer cross-multiply 100·r ≥ q·total — no
+    percentile interpolation, no float. THE shared read-out for the whole
+    sketch family (agg_quantile_sketch_merge, plan_quantile_sketch_geometry,
+    streaming/streams.stream_quantile_ingest): the geometry planner's
+    K=512-equals-shard-merge pin only means anything if all three read
+    quantiles by literally the same rule."""
+    wrank = Window.partitionBy(*group_cols).orderBy("cents", "k")
+    wall = Window.partitionBy(*group_cols)
+    ranked = frame.select(
+        *group_cols,
+        "cents",
+        F.row_number().over(wrank).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("t"),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.max("t").cast("long").alias(total_alias),
+        F.min(
+            F.when(100 * F.col("r") >= 50 * F.col("t"), F.col("cents"))
+        ).alias(out50),
+        F.min(
+            F.when(100 * F.col("r") >= 90 * F.col("t"), F.col("cents"))
+        ).alias(out90),
+    )
+
+
 @register(
     "agg_quantile_sketch_merge",
     oracle=f"""
@@ -2085,27 +2113,10 @@ def agg_quantile_sketch_merge(spark, sf_dir):
         F.col("rn2") <= _QSKM_K_MERGE
     )
 
-    def _nearest_rank(frame, total_alias, out50, out90):
-        wrank = Window.partitionBy("pri").orderBy("cents", "k")
-        wall = Window.partitionBy("pri")
-        ranked = frame.select(
-            "pri",
-            "cents",
-            F.row_number().over(wrank).alias("r"),
-            F.count(F.lit(1)).over(wall).alias("t"),
-        )
-        return ranked.groupBy("pri").agg(
-            F.max("t").cast("long").alias(total_alias),
-            F.min(
-                F.when(100 * F.col("r") >= 50 * F.col("t"), F.col("cents"))
-            ).alias(out50),
-            F.min(
-                F.when(100 * F.col("r") >= 90 * F.col("t"), F.col("cents"))
-            ).alias(out90),
-        )
-
-    est = _nearest_rank(merged, "m", "p50_cents", "p90_cents")
-    ex = _nearest_rank(o, "n", "exact_p50_cents", "exact_p90_cents")
+    est = _nearest_rank_quantiles(merged, ["pri"], "m", "p50_cents", "p90_cents")
+    ex = _nearest_rank_quantiles(
+        o, ["pri"], "n", "exact_p50_cents", "exact_p90_cents"
+    )
     return est.join(ex, "pri").select(
         F.col("pri").alias("o_orderpriority"),
         "n",
@@ -5328,40 +5339,8 @@ def plan_quantile_sketch_geometry(spark, sf_dir):
     cand = sub.join(F.broadcast(ladder), F.col("rn") <= F.col("k_cap")).select(
         "pri", "k_cap", "k", "cents"
     )
-    wcut = Window.partitionBy("pri", "k_cap").orderBy("cents", "k")
-    wall = Window.partitionBy("pri", "k_cap")
-    sr = cand.select(
-        "pri",
-        "k_cap",
-        "cents",
-        F.row_number().over(wcut).alias("r"),
-        F.count(F.lit(1)).over(wall).alias("m"),
-    )
-    est = sr.groupBy("pri", "k_cap").agg(
-        F.max("m").cast("long").alias("m"),
-        F.min(
-            F.when(100 * F.col("r") >= 50 * F.col("m"), F.col("cents"))
-        ).alias("p50"),
-        F.min(
-            F.when(100 * F.col("r") >= 90 * F.col("m"), F.col("cents"))
-        ).alias("p90"),
-    )
-    wex = Window.partitionBy("pri").orderBy("cents", "k")
-    wexall = Window.partitionBy("pri")
-    er = o.select(
-        "pri",
-        "cents",
-        F.row_number().over(wex).alias("r"),
-        F.count(F.lit(1)).over(wexall).alias("n"),
-    )
-    ex = er.groupBy("pri").agg(
-        F.min(
-            F.when(100 * F.col("r") >= 50 * F.col("n"), F.col("cents"))
-        ).alias("e50"),
-        F.min(
-            F.when(100 * F.col("r") >= 90 * F.col("n"), F.col("cents"))
-        ).alias("e90"),
-    )
+    est = _nearest_rank_quantiles(cand, ["pri", "k_cap"], "m", "p50", "p90")
+    ex = _nearest_rank_quantiles(o, ["pri"], "n", "e50", "e90").drop("n")
     errs = est.join(F.broadcast(ex), "pri").select(
         "k_cap",
         "m",

@@ -1128,6 +1128,7 @@ _WRES_K = 32
         SELECT l_returnflag AS flag, l_orderkey AS ok, l_linenumber AS ln,
                CAST(l_quantity AS BIGINT) AS w
         FROM lineitem
+        WHERE l_quantity >= 1
     ), keyed AS (
         SELECT flag, ok, ln, w,
                list_max(list_transform(generate_series(1, w), j ->
@@ -1174,11 +1175,20 @@ def sample_weighted_reservoir(spark, sf_dir):
     corpus curation — same sample on a laptop and a 1000-executor
     cluster. tests/test_sampling.py pins the weighting bias (sampled mean
     weight well above the corpus mean)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_linenumber").alias("ln"),
-        F.col("l_quantity").cast("long").alias("w"),
+    # w >= 1 guard on BOTH engines: a zero/negative weight means "never
+    # sample me", but Spark's sequence(1, w) would DESCEND for w < 1 and
+    # hand such a row a competitive key while DuckDB's generate_series
+    # returns empty (NULL key, sorts last) — a latent cross-engine
+    # divergence on data this corpus doesn't currently contain
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 1)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
     )
     # the hash identity folds the WEIGHT in: the synthetic lineitem does not
     # enforce a (l_orderkey, l_linenumber) primary key, so two distinct rows

@@ -626,23 +626,42 @@ def stream_topk_per_window(spark, sf_dir):
     )
 
 
-def _staged_table_stream(spark, sf_dir: str, table: str):
+def _staged_table_stream(
+    spark,
+    sf_dir: str,
+    table: str,
+    n_files: int = 1,
+    max_files_per_trigger: int | None = None,
+    order_col: str | None = None,
+):
     """Stage a canonical table → parquet; return a file-source stream.
 
     Same contract as _staged_events_stream (process-private PID-unique
     path, full-path sf tag, staged once per (sf, pid), immutable source) —
-    the ONE parameterized helper behind the documents and embeddings
-    streams so those invariants live in a single place."""
+    the ONE parameterized helper behind the table streams so those
+    invariants live in a single place. ``n_files`` > 1 (with
+    ``order_col`` for a deterministic repartitionByRange split and
+    ``max_files_per_trigger`` on the reader) stages a MULTI-micro-batch
+    source for operators whose cross-batch merge is the thing under
+    test."""
     from ..schemas import SCHEMAS
 
     tag = sf_cache_tag(sf_dir)
-    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/{table}_stream"
+    suffix = "" if n_files == 1 else f"_{n_files}f"
+    path = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/{table}_stream{suffix}"
     if path not in _STAGED:
-        load_table(spark, sf_dir, table).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(path)
+        src = load_table(spark, sf_dir, table)
+        src = (
+            src.coalesce(1)
+            if n_files == 1
+            else src.repartitionByRange(n_files, order_col)
+        )
+        src.write.mode("overwrite").parquet(path)
         _STAGED.add(path)
-    return spark.readStream.schema(SCHEMAS[table]).parquet(path)
+    reader = spark.readStream.schema(SCHEMAS[table])
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def _minhash_sig_oracle() -> str:
@@ -948,19 +967,13 @@ def stream_quantile_ingest(spark, sf_dir):
     retained sample identical to what a batch job over the full corpus
     would keep, which is what makes streaming-vs-batch parity testable
     at all (the lambda-architecture reconciliation property)."""
-    from ..schemas import SCHEMAS
-
-    tag = sf_cache_tag(sf_dir)
-    src = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/orders_qsk_4f"
-    if src not in _STAGED:
-        load_table(spark, sf_dir, "orders").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(src)
-        _STAGED.add(src)
-    stream = (
-        spark.readStream.schema(SCHEMAS["orders"])
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    stream = _staged_table_stream(
+        spark,
+        sf_dir,
+        "orders",
+        n_files=4,
+        max_files_per_trigger=1,
+        order_col="o_orderkey",
     )
 
     base = (
@@ -968,7 +981,13 @@ def stream_quantile_ingest(spark, sf_dir):
         f"{_sink_scope('stream_quantile_ingest', sf_dir)}"
     )
 
-    def _latest_version() -> int:
+    def _latest_version(below: int | None = None) -> int:
+        """Largest on-disk state version, optionally strictly below a
+        batch id: a REPLAYED micro-batch (foreachBatch is at-least-once —
+        a crash between the state write and the checkpoint commit replays
+        the batch) must read its predecessor's state, never its own
+        half-committed version — self-read would both double-count the
+        batch and overwrite a path being read from."""
         root = os.path.dirname(base)
         prefix = os.path.basename(base) + "_v"
         if not os.path.isdir(root):
@@ -978,6 +997,8 @@ def stream_quantile_ingest(spark, sf_dir):
             for d in os.listdir(root)
             if d.startswith(prefix) and d[len(prefix):].isdigit()
         ]
+        if below is not None:
+            vs = [v for v in vs if v < below]
         return max(vs, default=-1)
 
     def _merge(batch_df, batch_id: int) -> None:
@@ -995,7 +1016,7 @@ def stream_quantile_ingest(spark, sf_dir):
             ),
         )
         bs = batch_df.sparkSession
-        prev = _latest_version()
+        prev = _latest_version(below=batch_id)
         if prev >= 0:
             prev_s = bs.read.parquet(f"{base}_v{prev}/sample")
             prev_c = bs.read.parquet(f"{base}_v{prev}/counts")
@@ -1038,24 +1059,10 @@ def stream_quantile_ingest(spark, sf_dir):
     final = _latest_version()
     sample = spark.read.parquet(f"{base}_v{final}/sample")
     counts = spark.read.parquet(f"{base}_v{final}/counts")
-    from pyspark.sql import Window as W
+    from ..operators.aggregates import _nearest_rank_quantiles
 
-    wrank = W.partitionBy("pri").orderBy("cents", "k")
-    wall = W.partitionBy("pri")
-    ranked = sample.select(
-        "pri",
-        "cents",
-        F.row_number().over(wrank).alias("r"),
-        F.count(F.lit(1)).over(wall).alias("m"),
-    )
-    est = ranked.groupBy("pri").agg(
-        F.max("m").cast("long").alias("m"),
-        F.min(
-            F.when(100 * F.col("r") >= 50 * F.col("m"), F.col("cents"))
-        ).alias("p50_cents"),
-        F.min(
-            F.when(100 * F.col("r") >= 90 * F.col("m"), F.col("cents"))
-        ).alias("p90_cents"),
+    est = _nearest_rank_quantiles(
+        sample, ["pri"], "m", "p50_cents", "p90_cents"
     )
     return est.join(counts, "pri").select(
         F.col("pri").alias("o_orderpriority"),

@@ -28,7 +28,14 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # PID-keyed path: DuckDB spill filenames are not process-unique, so
     # concurrent instances (parallel pytest, a sweep running alongside
     # tests) sharing one directory could corrupt each other's spill files.
-    con.execute(f"SET temp_directory = '/tmp/duck_spill/p{os.getpid()}'")
+    # The atexit sweep removes this process's dir even after an OOM-killed
+    # oracle stranded multi-GB spill files in it.
+    spill = f"/tmp/duck_spill/p{os.getpid()}"
+    con.execute(f"SET temp_directory = '{spill}'")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -31,7 +31,7 @@ java -cp "$SCALA_COMPILER:$SCALA_LIBRARY:$SCALA_REFLECT" \
 # byte-DIFFERENT jar and every test-run rebuild dirtied the working tree.
 # Write the zip ourselves with sorted entries and a fixed timestamp —
 # identical class bytes now reproduce the identical committed jar.
-python - "$CLASSES" "$OUT/dies-catalyst-ext.jar" <<'EOF'
+"${PYTHON:-python3}" - "$CLASSES" "$OUT/dies-catalyst-ext.jar" <<'EOF'
 import os
 import sys
 import zipfile

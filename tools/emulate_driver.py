@@ -112,8 +112,15 @@ def main() -> int:
     # 163 s, OOM in the full sweep). Give the sweep a spill directory so
     # memory-heavy oracles degrade to disk instead of failing. PID-keyed:
     # spill filenames are not process-unique, so concurrent instances
-    # sharing one directory could corrupt each other's spill files.
-    con.execute(f"SET temp_directory = '/tmp/duck_spill/p{os.getpid()}'")
+    # sharing one directory could corrupt each other's spill files. The
+    # atexit sweep removes this process's dir even after an OOM-killed
+    # oracle stranded multi-GB spill files in it.
+    spill = f"/tmp/duck_spill/p{os.getpid()}"
+    con.execute(f"SET temp_directory = '{spill}'")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"

@@ -181,23 +181,26 @@ def _closure_parts(fn, seen: set) -> list:
             # operators mutate module-level state while executing (staged
             # stream inputs, per-PID sink scopes), and a value-repr
             # fingerprint flipped for 27 keys after any test run executed
-            # them. Look in the function's own module first, then in any
-            # package module that binds this exact object (imports share
-            # identity).
-            home = None
+            # them. Candidate homes: the function's own module plus every
+            # package module that binds this exact object under this name
+            # — ALL candidates are folded in (not first-match), because
+            # identity alone can't disambiguate interned values (two
+            # modules both assigning K = 32 share one int object); over-
+            # sensitivity re-verifies a spare key, under-sensitivity would
+            # let a real edit slip the ledger.
+            homes = set()
             if name in _module_assign_sources(fn.__module__):
-                home = fn.__module__
-            else:
-                for m in sorted(sys.modules):
-                    if (
-                        m.startswith(_PKG)
-                        and getattr(sys.modules[m], name, None) is val
-                        and name in _module_assign_sources(m)
-                    ):
-                        home = m
-                        break
-            if home is not None:
-                parts.extend(_static_const_parts(home, name, seen))
+                homes.add(fn.__module__)
+            for m in sorted(sys.modules):
+                if (
+                    m.startswith(_PKG)
+                    and getattr(sys.modules[m], name, None) is val
+                    and name in _module_assign_sources(m)
+                ):
+                    homes.add(m)
+            if homes:
+                for home in sorted(homes):
+                    parts.extend(_static_const_parts(home, name, seen))
             elif not isinstance(val, (list, dict, set)):
                 # no static source found (e.g. built dynamically): fall
                 # back to value repr, but only for immutable types — a
