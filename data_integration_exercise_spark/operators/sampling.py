@@ -1180,6 +1180,7 @@ def sample_weighted_reservoir(spark, sf_dir):
     # hand such a row a competitive key while DuckDB's generate_series
     # returns empty (NULL key, sorts last) — a latent cross-engine
     # divergence on data this corpus doesn't currently contain
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 1)
@@ -1189,6 +1190,13 @@ def sample_weighted_reservoir(spark, sf_dir):
             F.col("l_linenumber").alias("ln"),
             F.col("l_quantity").cast("long").alias("w"),
         )
+        # the key projection below computes ~w md5 draws PER ROW (~25x the
+        # row count) — the dedup_minhash_openvocab repartition discipline:
+        # a single-file scan is 1-3 tasks, so without this fan-out one task
+        # does nearly the entire hash workload (measured ~25 s -> ~3 s at
+        # sf0.1); on a real multi-file 100 TB input the scan is already
+        # parallel and this exchange is cheap relative to the projection
+        .repartition(n_part, F.col("ok"))
     )
     # the hash identity folds the WEIGHT in: the synthetic lineitem does not
     # enforce a (l_orderkey, l_linenumber) primary key, so two distinct rows
