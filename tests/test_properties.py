@@ -114,6 +114,15 @@ _PARTITION_INVARIANT_KEYS = [
     # the full Lloyd trajectory: seed ranking, floor-div centroid folds,
     # argmin tiebreaks — every step must survive a partitioning change
     "sim_kmeans_lloyd",
+    # round-12 sketch family: bottom-k window ties, md5-key folds, ladder
+    # cuts, HRW struct-max argmax (stream_quantile_ingest is excluded: its
+    # checkpointed state makes a second same-process run a no-op read, so
+    # the comparison would be vacuous — its 7-vs-32 check runs through the
+    # emulator instead)
+    "agg_quantile_sketch_merge",
+    "plan_quantile_sketch_geometry",
+    "sample_weighted_reservoir",
+    "etl_rendezvous_shard",
 ]
 
 
@@ -398,3 +407,109 @@ def test_openvocab_content_hash_cross_engine_hypothesis():
         assert 0 <= py < 1 << 48
 
     check()
+
+
+def test_bottomk_merge_algebra_hypothesis():
+    """The identity all three round-12 sketch operators rest on:
+    bottom_k(bottom_k(A) ∪ B, k) == bottom_k(A ∪ B, k) for any multisets
+    A, B and any k — shard partials (agg_quantile_sketch_merge),
+    micro-batch state folds (stream_quantile_ingest), and the planner's
+    ladder cuts (plan_quantile_sketch_geometry) are all instances. Keys
+    here are (skey, id) pairs like the operators' (skey, k) tie-broken
+    order; duplicates allowed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(st.integers(0, 50), st.integers(0, 10_000))
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(pair, max_size=60),
+        st.lists(pair, max_size=60),
+        st.integers(1, 20),
+    )
+    def check(a, b, k):
+        def bottomk(rows, kk):
+            return sorted(rows)[:kk]
+
+        assert bottomk(bottomk(a, k) + b, k) == bottomk(a + b, k)
+
+    check()
+
+
+def test_rendezvous_movement_identity_hypothesis():
+    """HRW growth S -> S+1: a key's argmax either stays put or moves to
+    the NEW shard — never to a surviving shard — for any id and any S.
+    Pure-python md5 replay of etl_rendezvous_shard's weight rule (both
+    engines' md5 is the same RFC; the operator's hash parity covers the
+    engines, this pins the algebra)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def hrw(doc_id, n_shards):
+        def w(s):
+            h = hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest()[:12]
+            return (int(h, 16), s)
+
+        return max(w(s) for s in range(n_shards))[1]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, 10**12), st.integers(2, 12))
+    def check(doc_id, s):
+        before, after = hrw(doc_id, s), hrw(doc_id, s + 1)
+        assert after == before or after == s
+
+    check()
+
+
+def test_nearest_rank_cross_multiply_equals_order_statistic_hypothesis():
+    """The shared read-out rule min{v : 100·rank(v) ≥ q·n} must equal the
+    textbook nearest-rank order statistic sorted[ceil(q·n/100) − 1] for
+    any value multiset and q ∈ {50, 90} — the rule
+    _nearest_rank_quantiles and every oracle CTE state."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=80),
+        st.sampled_from([50, 90]),
+    )
+    def check(vals, q):
+        s = sorted(vals)
+        n = len(s)
+        by_rule = min(
+            v for r, v in enumerate(s, start=1) if 100 * r >= q * n
+        )
+        by_stat = s[math.ceil(q * n / 100) - 1]
+        assert by_rule == by_stat
+
+    check()
+
+
+def test_aes_key_distribution_is_weight_monotone():
+    """A-ES sanity on the real draw rule (deterministic, not statistical
+    fuzz): over a fixed id population, the average max-of-w-md5-draws key
+    must be strictly increasing in w for w in {1, 4, 16, 50} — the
+    monotone size-bias that makes sample_weighted_reservoir a WEIGHTED
+    sampler at all. md5 replay of the operator's exact draw string."""
+    import hashlib
+
+    def key(ok, ln, w):
+        return max(
+            int(
+                hashlib.md5(f"{ok}-{ln}-{w}-{j}".encode()).hexdigest()[:12],
+                16,
+            )
+            for j in range(1, w + 1)
+        )
+
+    means = []
+    for w in (1, 4, 16, 50):
+        ks = [key(ok, 1, w) for ok in range(400)]
+        means.append(sum(ks) / len(ks))
+    assert means == sorted(means) and len(set(means)) == 4
