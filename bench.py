@@ -174,6 +174,7 @@ R12_TIER = [
     "etl_rendezvous_shard",
     "stream_quantile_ingest",
     "plan_quantile_sketch_geometry",
+    "sample_epoch_shuffle",
 ]
 
 

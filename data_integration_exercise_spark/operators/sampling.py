@@ -1233,3 +1233,70 @@ def sample_weighted_reservoir(spark, sf_dir):
             "smp_rank",
         )
     )
+
+
+#: epoch-shuffle geometry: epochs replayed, reader shards per epoch.
+_EPOCH_N = 3
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest(range({_EPOCH_N})) AS epoch FROM documents
+    ), keyed AS (
+        SELECT epoch, doc_id,
+               ('0x' || substr(md5('e' || epoch::VARCHAR || ':'
+                                   || doc_id::VARCHAR), 1, 12))::BIGINT
+                   AS okey
+        FROM e
+    ), placed AS (
+        SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+               okey % {_EPOCH_SHARDS} AS shard,
+               row_number() OVER (PARTITION BY epoch, okey % {_EPOCH_SHARDS}
+                                  ORDER BY okey, doc_id) AS pos
+        FROM keyed
+    )
+    SELECT epoch, doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(pos AS BIGINT) AS pos
+    FROM placed
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-data ordering — the data-loader
+    shuffle: each epoch assigns every doc a fresh md5 order key
+    ('e{{epoch}}:{{doc_id}}'), the key's residue picks the reader shard and
+    its rank within the shard is the read position, so every epoch is an
+    independent-looking permutation that is REPRODUCIBLE (same order on a
+    laptop, a 1000-executor cluster, and a resumed run — a checkpoint at
+    (epoch, shard, pos) resumes exactly) and requires NO global sort:
+    shard assignment is a projection, position is a per-(epoch, shard)
+    rank — at 100 TB that is |shards| independent sorts of corpus/|shards|
+    keys each, embarrassingly parallel, versus the driver-side
+    random.shuffle a naive loader cannot scale. Epoch replay and shard
+    count are the two knobs a curriculum/packing stage composes with
+    (text_pack_sequences consumes exactly this ordering). Engine-exact:
+    one 48-bit md5 key, integer residue, (okey, doc_id) tie-break."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(_EPOCH_N)])
+    ).alias("epoch")
+    keyed = d.select("doc_id", epochs).select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat('e', CAST(epoch AS STRING), ':', "
+            "CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+        ).alias("okey"),
+    )
+    keyed = keyed.withColumn(
+        "shard", F.pmod(F.col("okey"), F.lit(_EPOCH_SHARDS)).cast("long")
+    )
+    wpos = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(wpos).cast("long").alias("pos"),
+    )

@@ -157,6 +157,7 @@ _ADDED_R12: list[str] = [
     "etl_rendezvous_shard",
     "stream_quantile_ingest",
     "plan_quantile_sketch_geometry",
+    "sample_epoch_shuffle",
 ]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former

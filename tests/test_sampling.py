@@ -376,3 +376,27 @@ def test_weighted_reservoir_bias_and_shape(spark):
     assert sampled_mean > corpus_mean + 3, (
         f"weighted sample not size-biased: {sampled_mean} vs {corpus_mean}"
     )
+
+
+def test_epoch_shuffle_is_a_family_of_distinct_permutations(spark):
+    """Epoch-shuffle invariants: (a) each epoch covers every doc exactly
+    once (a permutation, not a sample); (b) positions are dense 1..n
+    within each (epoch, shard); (c) epochs genuinely differ — no two
+    epochs produce the identical (shard, pos) placement for all docs;
+    (d) shards are roughly balanced (no shard > 2x the ideal share)."""
+    rows = sampling.QUERIES["sample_epoch_shuffle"](spark, SF).collect()
+    from collections import defaultdict
+
+    by_epoch = defaultdict(dict)
+    by_es = defaultdict(list)
+    for r in rows:
+        by_epoch[r.epoch][r.doc_id] = (r.shard, r.pos)
+        by_es[(r.epoch, r.shard)].append(r.pos)
+    n_docs = len({r.doc_id for r in rows})
+    assert sorted(by_epoch) == [0, 1, 2]
+    for e, placing in by_epoch.items():
+        assert len(placing) == n_docs, e
+    for (e, s), poss in by_es.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), (e, s)
+        assert len(poss) <= 2 * (n_docs // 8 + 1), (e, s, len(poss))
+    assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
