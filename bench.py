@@ -175,6 +175,7 @@ R12_TIER = [
     "stream_quantile_ingest",
     "plan_quantile_sketch_geometry",
     "sample_epoch_shuffle",
+    "sample_token_stream_batches",
 ]
 
 

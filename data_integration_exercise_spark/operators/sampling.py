@@ -1300,3 +1300,122 @@ def sample_epoch_shuffle(spark, sf_dir):
         "shard",
         F.row_number().over(wpos).cast("long").alias("pos"),
     )
+
+
+#: token-stream batch budget (tokens per training batch slice).
+_TSB_BUDGET = 1024
+
+
+@register(
+    "sample_token_stream_batches",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars // 4 + 1 AS tokens,
+               ('0x' || substr(md5('e0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+                   AS okey
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, tokens, okey,
+               okey % {_EPOCH_SHARDS} AS shard
+        FROM keyed
+    ), laid AS (
+        SELECT shard, doc_id, tokens,
+               -- sum() OVER types HUGEINT in DuckDB: pin BIGINT so the
+               -- division and generate_series bind (the dtype lint class)
+               CAST(COALESCE(sum(tokens) OVER (
+                   PARTITION BY shard ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_tok
+        FROM placed
+    ), spans AS (
+        SELECT shard, doc_id, tokens, start_tok,
+               CAST(start_tok // {_TSB_BUDGET} AS BIGINT) AS b0,
+               CAST((start_tok + tokens - 1) // {_TSB_BUDGET} AS BIGINT)
+                   AS b1
+        FROM laid
+    ), hits AS (
+        SELECT shard, doc_id, tokens, start_tok, b0,
+               unnest(generate_series(b0, b1)) AS batch_id
+        FROM spans
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN b0 < batch_id THEN 1 END) AS BIGINT)
+               AS n_carryover,
+           CAST(sum(
+               least(start_tok + tokens, (batch_id + 1) * {_TSB_BUDGET})
+               - greatest(start_tok, batch_id * {_TSB_BUDGET})
+           ) AS BIGINT) AS tokens_in_batch
+    FROM hits GROUP BY shard, batch_id
+    """,
+)
+def sample_token_stream_batches(spark, sf_dir):
+    """Token-stream batch layout — the GPT-style pretraining loader's
+    final stage, composing with sample_epoch_shuffle's ordering: each
+    shard's documents are CONCATENATED in their epoch-0 shuffle order
+    into one token stream (token proxy: n_chars div 4 + 1) and sliced
+    into fixed 1024-token batches; a document whose span crosses a
+    slice boundary belongs to every batch it overlaps (the carryover the
+    loader handles with attention masking). Output per (shard, batch):
+    docs touched, carryovers, and the exact token fill — which must be
+    EXACTLY the budget for every non-terminal batch, the invariant
+    tests/test_sampling.py pins (a fill < budget anywhere but the tail
+    means the layout dropped tokens).
+
+    100 TB: the layout is one cumulative-sum window per shard over the
+    already-sharded ordering (no global state: shard streams are
+    independent), the span explode is bounded by tokens/budget + 1 rows
+    per doc, and the rollup is map-side combinable — the whole batch
+    manifest for a trillion-token corpus is computable in one pass and is
+    O(total_tokens / budget) rows. Integer-exact end to end (md5 order
+    key, integer division spans, least/greatest overlap), so the full
+    manifest hash-verifies cross-engine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.floor(F.col("n_chars") / 4) + 1).cast("long").alias("tokens"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('e0:', CAST(doc_id AS STRING))), "
+            "1, 12), 16, 10) AS BIGINT)"
+        ).alias("okey"),
+    ).withColumn(
+        "shard", F.pmod(F.col("okey"), F.lit(_EPOCH_SHARDS)).cast("long")
+    )
+    wlay = (
+        Window.partitionBy("shard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = d.withColumn(
+        "start_tok", F.coalesce(F.sum("tokens").over(wlay), F.lit(0))
+    )
+    spans = laid.select(
+        "shard",
+        "doc_id",
+        "tokens",
+        "start_tok",
+        (F.col("start_tok") / _TSB_BUDGET).cast("long").alias("b0"),
+        ((F.col("start_tok") + F.col("tokens") - 1) / _TSB_BUDGET)
+        .cast("long")
+        .alias("b1"),
+    )
+    hits = spans.select(
+        "shard",
+        "doc_id",
+        "tokens",
+        "start_tok",
+        "b0",
+        F.explode(F.sequence("b0", "b1")).alias("batch_id"),
+    )
+    end_tok = F.col("start_tok") + F.col("tokens")
+    win_lo = F.col("batch_id") * _TSB_BUDGET
+    win_hi = (F.col("batch_id") + 1) * _TSB_BUDGET
+    return hits.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("b0") < F.col("batch_id"), 1))
+        .cast("long")
+        .alias("n_carryover"),
+        F.sum(F.least(end_tok, win_hi) - F.greatest(F.col("start_tok"), win_lo))
+        .cast("long")
+        .alias("tokens_in_batch"),
+    )

@@ -158,6 +158,7 @@ _ADDED_R12: list[str] = [
     "stream_quantile_ingest",
     "plan_quantile_sketch_geometry",
     "sample_epoch_shuffle",
+    "sample_token_stream_batches",
 ]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former

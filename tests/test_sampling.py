@@ -400,3 +400,39 @@ def test_epoch_shuffle_is_a_family_of_distinct_permutations(spark):
         assert sorted(poss) == list(range(1, len(poss) + 1)), (e, s)
         assert len(poss) <= 2 * (n_docs // 8 + 1), (e, s, len(poss))
     assert by_epoch[0] != by_epoch[1] and by_epoch[1] != by_epoch[2]
+
+
+def test_token_stream_batches_fill_exactly(spark):
+    """Token-stream layout invariants: (a) every non-terminal batch in a
+    shard is filled to EXACTLY the 1024-token budget (fill < budget
+    anywhere else means the layout dropped tokens); (b) per shard the
+    batch ids are dense 0..max; (c) total tokens across batches equals
+    the corpus token count (div-4+1 proxy) exactly — carryover docs are
+    counted by OVERLAP, never double-counted; (d) every batch holds at
+    least one doc."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    rows = sampling.QUERIES["sample_token_stream_batches"](spark, SF).collect()
+    by_shard = defaultdict(dict)
+    for r in rows:
+        by_shard[r.shard][r.batch_id] = r
+        assert r.n_docs >= 1 and 0 <= r.n_carryover <= 1, r
+    total = 0
+    for shard, batches in by_shard.items():
+        last = max(batches)
+        assert sorted(batches) == list(range(last + 1)), shard
+        for b, r in batches.items():
+            total += r.tokens_in_batch
+            if b < last:
+                assert r.tokens_in_batch == 1024, (shard, b, r)
+            else:
+                assert 1 <= r.tokens_in_batch <= 1024, (shard, b, r)
+    corpus_tokens = (
+        load_table(spark, SF, "documents")
+        .select((F.floor(F.col("n_chars") / 4) + 1).alias("t"))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    assert total == corpus_tokens
