@@ -128,9 +128,15 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
    *  Band-collision probability falls with τ (≈0.75 recall at τ=0.35
    *  under 8×4, collapsing toward 0 as τ→0), so an opt-in session must
    *  not silently run a recall-collapsing threshold — below the floor
-   *  the exact naive plan stands. Unevaluable thresholds don't rewrite. */
+   *  the exact naive plan stands. Unevaluable thresholds don't rewrite.
+   *  A MALFORMED conf value must not fail analysis for every cosine
+   *  query (ADVICE r12 item 2): an unparsable string falls back to the
+   *  0.2 default, keeping the rule a pure optimization that can only
+   *  choose between two correct plans, never throw. */
   private def minTauConf: Double =
-    conf.getConfString("spark.dies.lsh.minThreshold", "0.2").toDouble
+    scala.util.Try(
+      conf.getConfString("spark.dies.lsh.minThreshold", "0.2").toDouble
+    ).getOrElse(0.2)
 
   private def clearsTauFloor(rhs: Expression): Boolean =
     rhs.eval(null) match {

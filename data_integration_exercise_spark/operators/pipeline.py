@@ -503,8 +503,11 @@ def _openvocab_band_rows(spark, sf_dir):
     return (
         d.select("doc_id", F.expr(hashes).alias("_hs"))
         .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
+        .withColumn("n_tok", F.size("_hs").cast("long"))
         .repartition(n_part, F.col("doc_id"))
-        .select("doc_id", "sigs", F.posexplode("sigs").alias("band", "sig"))
+        .select(
+            "doc_id", "sigs", "n_tok", F.posexplode("sigs").alias("band", "sig")
+        )
     )
 
 
@@ -551,27 +554,39 @@ def dedup_minhash_openvocab(spark, sf_dir):
     )
 
 
-def _openvocab_scored_pairs(spark, sf_dir):
+def _openvocab_scored_pairs(spark, sf_dir, size_bound=True):
     """The open-vocabulary verified pair stream (doc1 < doc2, jaccard ≥ 0.8):
     candidate generation off _openvocab_band_rows' (band, sig) equi-join
     (sigs-array first-match dedup, no distinct shuffle), exact re-rank by
     joining the candidate pairs back onto token-set arrays — the
-    array_intersect seam SURVEY §14 names as open-vocab fallback #1."""
+    array_intersect seam SURVEY §14 names as open-vocab fallback #1.
+
+    ``size_bound`` (VERDICT r12 item 5) adds the Jaccard size-bound
+    prefilter INSIDE the candidate join: J(s1,s2) ≤ min(|s1|,|s2|) /
+    max(|s1|,|s2|) (the intersection is at most the smaller set, the union
+    at least the larger), so J ≥ 0.8 forces 5·min(|s1|,|s2|) ≥
+    4·max(|s1|,|s2|) — integer-exact, no float threshold. Candidates
+    outside the bound can never survive the ≥0.8 re-rank filter, so the
+    output is provably identical (tests/test_pipeline.py asserts equality
+    against size_bound=False); what changes is that their token-set arrays
+    never move through the two re-rank joins. ``size_bound=False`` exists
+    only for that equivalence test."""
     sig = _openvocab_band_rows(spark, sf_dir)
     b1 = sig.select(
         F.col("doc_id").alias("doc1"),
         F.col("sigs").alias("sigs1"),
+        F.col("n_tok").alias("n1"),
         "band",
         "sig",
     )
     b2 = sig.select(
         F.col("doc_id").alias("doc2"),
         F.col("sigs").alias("sigs2"),
+        F.col("n_tok").alias("n2"),
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
-    cand = b1.join(
-        b2,
+    cond = (
         (b1.band == b2.band2)
         & (b1.sig == b2.sig2)
         & (b1.doc1 < b2.doc2)
@@ -580,8 +595,13 @@ def _openvocab_scored_pairs(spark, sf_dir):
                 "array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1"
             )
             == b1.band
-        ),
-    ).select("doc1", "doc2")
+        )
+    )
+    if size_bound:
+        cond = cond & (
+            F.lit(5) * F.least(b1.n1, b2.n2) >= F.lit(4) * F.greatest(b1.n1, b2.n2)
+        )
+    cand = b1.join(b2, cond).select("doc1", "doc2")
     sets = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
     )

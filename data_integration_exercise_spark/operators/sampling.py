@@ -1394,10 +1394,8 @@ def sample_token_stream_batches(spark, sf_dir):
         "doc_id",
         "tokens",
         "start_tok",
-        (F.col("start_tok") / _TSB_BUDGET).cast("long").alias("b0"),
-        ((F.col("start_tok") + F.col("tokens") - 1) / _TSB_BUDGET)
-        .cast("long")
-        .alias("b1"),
+        F.expr(f"start_tok DIV {_TSB_BUDGET}").alias("b0"),
+        F.expr(f"(start_tok + tokens - 1) DIV {_TSB_BUDGET}").alias("b1"),
     )
     hits = spans.select(
         "shard",

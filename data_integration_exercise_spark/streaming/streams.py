@@ -22,6 +22,7 @@ window boundaries hash-match oracles computing on epoch_ns(ts)//1000.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -995,7 +996,13 @@ def stream_quantile_ingest(spark, sf_dir):
         vs = [
             int(d[len(prefix):])
             for d in os.listdir(root)
-            if d.startswith(prefix) and d[len(prefix):].isdigit()
+            if d.startswith(prefix)
+            and d[len(prefix):].isdigit()
+            # completeness check: only versions holding BOTH halves count
+            # (the atomic rename publish makes half versions impossible
+            # going forward; this also rejects any stranded pre-fix dir)
+            and os.path.isdir(os.path.join(root, d, "sample"))
+            and os.path.isdir(os.path.join(root, d, "counts"))
         ]
         if below is not None:
             vs = [v for v in vs if v < below]
@@ -1039,9 +1046,20 @@ def stream_quantile_ingest(spark, sf_dir):
             .groupBy("pri")
             .agg(F.sum("n").cast("long").alias("n"))
         )
+        # Atomic version commit (ADVICE r12 item 3): the two frames land
+        # under a .tmp staging dir and a single os.rename publishes the
+        # version — a crash between the sample and counts writes can no
+        # longer leave a half version that _latest_version() would pick
+        # up. A replayed batch (at-least-once foreachBatch) recomputes the
+        # identical deterministic content from prev-state, so an existing
+        # published dir is simply replaced.
         out = f"{base}_v{batch_id}"
-        sample.write.mode("overwrite").parquet(f"{out}/sample")
-        counts.write.mode("overwrite").parquet(f"{out}/counts")
+        tmp = f"{out}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        sample.write.mode("overwrite").parquet(f"{tmp}/sample")
+        counts.write.mode("overwrite").parquet(f"{tmp}/counts")
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)

@@ -25,17 +25,22 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     # enable out-of-core spilling (in-memory DuckDB disables it by
     # default) — the emulate_driver.py sweep lesson applies here too.
-    # PID-keyed path: DuckDB spill filenames are not process-unique, so
-    # concurrent instances (parallel pytest, a sweep running alongside
-    # tests) sharing one directory could corrupt each other's spill files.
-    # The atexit sweep removes this process's dir even after an OOM-killed
-    # oracle stranded multi-GB spill files in it.
-    spill = f"/tmp/duck_spill/p{os.getpid()}"
-    con.execute(f"SET temp_directory = '{spill}'")
+    # Per-CONNECTION path under a PID-keyed parent (ADVICE r12 item 4):
+    # DuckDB spill filenames are not unique across instances, so both
+    # concurrent PROCESSES (parallel pytest, a sweep alongside tests) and
+    # concurrent connections within one process sharing a directory could
+    # corrupt each other's spill files; mkdtemp keys each connection to its
+    # own dir. The atexit sweep removes this process's whole parent even
+    # after an OOM-killed oracle stranded multi-GB spill files in it.
     import atexit
     import shutil
+    import tempfile
 
-    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    parent = f"/tmp/duck_spill/p{os.getpid()}"
+    os.makedirs(parent, exist_ok=True)
+    spill = tempfile.mkdtemp(dir=parent)
+    con.execute(f"SET temp_directory = '{spill}'")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

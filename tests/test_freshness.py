@@ -33,6 +33,12 @@ def test_every_key_fingerprint_matches_verified_ledger():
         f"ledger entries for unregistered keys {ghosts} — run "
         "python tools/update_fingerprints.py"
     )
+    seeded = sorted(k for k, v in ledger.items() if str(v).startswith("seeded:"))
+    assert not seeded, (
+        f"ledger entries seeded by --init WITHOUT verification for {seeded} "
+        "(ADVICE r12 item 1) — run python tools/update_fingerprints.py to "
+        "emulator-verify them and clear the marker"
+    )
     stale = sorted(k for k in live if ledger[k] != live[k])
     assert not stale, (
         f"implementation changed after last verification for {stale} — "

@@ -80,6 +80,26 @@ def test_openvocab_path_vs_bitset_path_and_exact_truth(spark):
     assert r_ov >= 0.98, f"openvocab recall regressed: {r_ov:.4f}"
 
 
+def test_openvocab_size_bound_prefilter_is_lossless(spark):
+    """The candidate size-bound prefilter (VERDICT r12 item 5) is implied
+    by the ≥0.8 re-rank threshold — J ≤ min(|s1|,|s2|)/max(|s1|,|s2|), so
+    J ≥ 0.8 forces 5·min ≥ 4·max — and therefore CANNOT change the verified
+    pair stream; it only keeps out-of-bound candidates' token arrays out of
+    the two re-rank joins. Assert exact output equality against the
+    unfiltered path at sf0.01."""
+    bounded = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in pipeline._openvocab_scored_pairs(spark, SF).collect()
+    }
+    unbounded = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in pipeline._openvocab_scored_pairs(
+            spark, SF, size_bound=False
+        ).collect()
+    }
+    assert bounded == unbounded
+
+
 def test_minhash_keepers_account_for_every_dup(spark):
     """Property: the bounded-output summary conserves the dup population —
     sum(n_dups) equals the number of distinct doc2 in the full internal

@@ -228,6 +228,26 @@ def main() -> int:
     spark.conf.unset("spark.dies.lsh.minThreshold")
     print("τ-floor guard ok: no banding below the floor, conf-tunable")
 
+    # Malformed floor conf (ADVICE r12 item 2): an unparsable
+    # minThreshold must not throw during analysis — the rule falls back
+    # to the 0.2 default, so the low-τ query still refuses to band and a
+    # high-τ query still bands. Correctness is unaffected either way
+    # (the rule only chooses between two correct plans).
+    spark.conf.set("spark.dies.lsh.minThreshold", "not-a-number")
+    bad_floor_low = low_tau_q()._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" not in bad_floor_low, (
+        "malformed floor conf must fall back to 0.2 (τ=0.05 banded)"
+    )
+    bad_floor_hi = naive_query(spark)
+    bad_floor_hi_plan = (
+        bad_floor_hi._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__lsh_band" in bad_floor_hi_plan, (
+        "malformed floor conf broke banding above the fallback floor"
+    )
+    spark.conf.unset("spark.dies.lsh.minThreshold")
+    print("malformed-floor fallback ok: analysis never throws, 0.2 default")
+
     # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
     e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     exact_df = (

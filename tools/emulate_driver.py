@@ -110,17 +110,21 @@ def main() -> int:
     # OutOfMemoryException that the same key in isolation never sees
     # (observed: graph_clustering_coefficient at sf0.1, green alone at
     # 163 s, OOM in the full sweep). Give the sweep a spill directory so
-    # memory-heavy oracles degrade to disk instead of failing. PID-keyed:
-    # spill filenames are not process-unique, so concurrent instances
-    # sharing one directory could corrupt each other's spill files. The
-    # atexit sweep removes this process's dir even after an OOM-killed
-    # oracle stranded multi-GB spill files in it.
-    spill = f"/tmp/duck_spill/p{os.getpid()}"
-    con.execute(f"SET temp_directory = '{spill}'")
+    # memory-heavy oracles degrade to disk instead of failing.
+    # Per-connection mkdtemp under a PID-keyed parent (ADVICE r12 item 4):
+    # spill filenames are not unique across DuckDB instances, so neither
+    # concurrent processes nor concurrent in-process connections may share
+    # a directory. The atexit sweep removes this process's parent even
+    # after an OOM-killed oracle stranded multi-GB spill files in it.
     import atexit
     import shutil
+    import tempfile
 
-    atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    parent = f"/tmp/duck_spill/p{os.getpid()}"
+    os.makedirs(parent, exist_ok=True)
+    spill = tempfile.mkdtemp(dir=parent)
+    con.execute(f"SET temp_directory = '{spill}'")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"

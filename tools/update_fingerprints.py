@@ -5,10 +5,7 @@ Usage:
     python tools/update_fingerprints.py             # verify + refresh diffs
     python tools/update_fingerprints.py --dry-run   # list stale keys only
     python tools/update_fingerprints.py --init      # (re)seed all entries
-                                                    # WITHOUT verification —
-                                                    # only for a tree that a
-                                                    # full emulator sweep just
-                                                    # proved green
+                                                    # WITHOUT verification
 
 The default path diffs live fingerprints (tools/freshness.py source
 closure) against tools/verified_fingerprints.json, runs the
@@ -16,6 +13,14 @@ neutral-session driver emulation (tools/emulate_driver.py, sf0.01) on the
 stale keys, and rewrites their ledger entries only if that run exits 0 —
 so a ledger entry always testifies to a green check of the code it
 fingerprints. tests/test_freshness.py enforces the invariant.
+
+``--init`` earns NO verification credit (ADVICE r12 item 1: a bare reseed
+used to silently convert the rewrite-after-green gate into a no-op): every
+seeded entry is written with a ``seeded:`` prefix that
+tests/test_freshness.py REJECTS, and a plain follow-up run treats every
+seeded entry as stale — the ledger only turns green again once the
+emulator has actually re-verified each key. ``--init`` also refuses to run
+without the explicit ``--unverified-ok`` confirmation flag.
 """
 
 from __future__ import annotations
@@ -37,8 +42,19 @@ from tools.freshness import (  # noqa: E402
 def main() -> int:
     live = live_fingerprints()
     if "--init" in sys.argv:
-        save_ledger(live)
-        print(f"seeded {len(live)} fingerprints -> {LEDGER_PATH}")
+        if "--unverified-ok" not in sys.argv:
+            print(
+                "--init seeds UNVERIFIED entries (marked 'seeded:', rejected "
+                "by tests/test_freshness.py until an emulator run converts "
+                "them); pass --unverified-ok to confirm",
+                file=sys.stderr,
+            )
+            return 2
+        save_ledger({k: f"seeded:{fp}" for k, fp in live.items()})
+        print(
+            f"seeded {len(live)} UNVERIFIED fingerprints -> {LEDGER_PATH}; "
+            "run tools/update_fingerprints.py to verify and clear the marker"
+        )
         return 0
 
     ledger = load_ledger()
