@@ -56,38 +56,105 @@ _MODULES = [
 
 # The driver's per-round correctness harness samples a fixed-size prefix of
 # ``queries()`` in iteration order, so key order decides which operators get a
-# driver-side oracle row each round. Every window through round 11 is
-# recorded in CORRECTNESS_r01–r11 (only one red row ever:
+# driver-side oracle row each round. Every window through round 12 is
+# recorded in CORRECTNESS_r01–r12 (only one red row ever:
 # `agg_calibration_ece`, r10 — converted to a hash-pass by its r11 row after
-# the `// CAST(sum(n) AS BIGINT)` oracle fix; r11 itself is 50/50 green).
+# the `// CAST(sum(n) AS BIGINT)` oracle fix; r11 and r12 are 50/50 green).
 #
-# ROUND-12 WINDOW (executes the pre-pinned round-11 plan, registry.py@r11
-# line 141, confirmed against the green CORRECTNESS_r11):
-# slots 1-4 = the four `_ADDED_R11` keys — the ONLY registered keys without
-# a driver row in CORRECTNESS_r01–r11 (each 3-scale emulator-green and
-# 7-vs-32 partition-invariant in round 11 — conversion-to-driver-truth, not
-# discovery); slots 5-14 = rewrite-after-green re-verification of the TEN
-# streaming keys whose result-sink plumbing changed in the round-11
-# `_sink_scope` fix after their last green driver rows (r3–r6 vintage;
-# stream_tumbling and stream_dedup_minhash already hold post-fix r11 rows);
-# slot 15 = rewrite-after-green re-verification of `sim_kmeans_lloyd`
-# (training loop extracted to the shared `_lloyd_centroids` helper after its
-# r11-window row; emulator-hash-identical post-refactor); slot 16 = the
-# round-12 addition `agg_quantile_sketch_merge` (mergeable KLL-style
-# quantile sketch, VERDICT r11 item 6); slots 17-48 = the stalest cohort —
-# the 32 non-streaming keys whose latest green row is round 2/3 (the entire
-# former _VERIFIED_R2 minus the six streaming keys re-verified above, stable
-# registry order); slots 49-50 = the head of the round-4 cohort
-# (`tpch_q2_min_cost_supplier`, `tpch_q3_unshipped`). A green
-# CORRECTNESS_r12 restores every registered key to driver-verified-on-
-# current-code.
+# ROUND-13 WINDOW (executes the pre-pinned round-12 plan, registry.py@r12
+# `_ADDED_R12` block comment, confirmed against the green CORRECTNESS_r12):
+# slots 1-6 = the six `_ADDED_R12` keys — the ONLY registered keys without
+# a driver row in CORRECTNESS_r01–r12 (each emulator-green in round 12 and
+# re-verified 6/6 by the round-12 judge — conversion-to-driver-truth, not
+# discovery); slot 7 = rewrite-after-green re-verification of
+# `dedup_minhash_openvocab` (the round-13 lossless size-bound candidate
+# prefilter, VERDICT r12 item 5, landed after its green r12 row;
+# emulator-green and output-equality-tested post-change); slots 8-50 = the
+# stalest cohort — the first 43 round-4 keys (`_VERIFIED_R4` from
+# `tpch_q4_order_priority` on, stable registry order; the last 4 queue as
+# the round-14 head). A green CORRECTNESS_r13 restores every registered key
+# to driver-verified-on-current-code.
 _PRIORITY = [
-    # --- 4 never-driver-verified (the entire remaining queue, _ADDED_R11) ---
+    # --- 6 never-driver-verified (the entire remaining queue, _ADDED_R12) ---
+    "sample_weighted_reservoir",
+    "etl_rendezvous_shard",
+    "stream_quantile_ingest",
+    "plan_quantile_sketch_geometry",
+    "sample_epoch_shuffle",
+    "sample_token_stream_batches",
+    # --- size-bound-prefilter rewrite-after-green re-verification ---
     "dedup_minhash_openvocab",
+    # --- 43 stalest keys (latest green row = round 4) ---
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    "agg_weighted_median",
+    "agg_hll_sketch_merge",
+    "win_gaps_islands",
+    "win_percent_of_total",
+    "win_ntile_distribution",
+    "fn_bitwise",
+    "fn_regexp",
+    "ingest_csv_permissive",
+    "text_token_count",
+    "text_fingerprint",
+    "text_keywords_topk",
+    "text_pmi_cooccurrence",
+    "text_pack_sequences",
+    "text_chunk_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_contamination_ngram",
+    "sim_ann_ivf",
+    "sim_quantized_cosine",
+    "udf_pandas_iterator",
+    "udf_map_in_arrow",
+    "sample_hash_mod",
+    "sample_stratified",
+    "sample_k_per_stratum",
+]
+
+# Keys ADDED during round 13 (no driver row yet). Every new operator lands
+# here in the same commit that registers it UNLESS it also gets a window
+# slot the same round; keys here queue directly behind the window for the
+# round-14 rotation.
+#
+# ROUND-14 PLAN (pre-pinned, the established pattern — execute at round-14
+# open AFTER confirming CORRECTNESS_r13 is green). Slot layout: slots 1-N =
+# any `_ADDED_R13` keys below in list order plus any rewrite-after-green
+# re-verifications accrued during round 13; remaining slots = the stalest
+# cohort — the round-4 tail (`_VERIFIED_R4`, 4 keys) then the round-5 keys
+# (`_VERIFIED_R5` from `plan_cbo_stats` on, stable registry order),
+# filling to 50.
+_ADDED_R13: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 12 (the former
+# round-12 _PRIORITY window; CORRECTNESS_r12.json 50/50 green — all four
+# r11 additions, the ten sink-scope streaming re-verifications, the Lloyd
+# refactor, the quantile sketch, and the entire stale round-2/3 cohort
+# converted) — demoted directly behind the round-13 additions.
+# `dedup_minhash_openvocab` is NOT here: it re-entered the round-13 window
+# above after its post-green prefilter rewrite.
+_VERIFIED_R12 = [
     "sim_ann_append",
     "plan_ivf_probe_geometry",
     "stream_ann_ingest",
-    # --- 10 sink-scope rewrite-after-green streaming re-verifications ---
     "stream_sliding",
     "stream_session",
     "stream_watermark_late",
@@ -98,11 +165,8 @@ _PRIORITY = [
     "stream_cdc_upsert",
     "stream_stream_join",
     "stream_topk_per_window",
-    # --- _lloyd_centroids-refactor re-verification ---
     "sim_kmeans_lloyd",
-    # --- round-12 addition (registered this round, no driver row yet) ---
     "agg_quantile_sketch_merge",
-    # --- 32 stalest keys (latest green row = rounds 2/3) ---
     "fn_string",
     "fn_date",
     "fn_math",
@@ -138,27 +202,6 @@ _PRIORITY = [
     # --- freshness head of the round-4 cohort ---
     "tpch_q2_min_cost_supplier",
     "tpch_q3_unshipped",
-]
-
-# Keys ADDED during round 12 (no driver row yet). Every new operator lands
-# here in the same commit that registers it UNLESS it also gets a window
-# slot the same round (as `agg_quantile_sketch_merge` does above); keys
-# here queue directly behind the window for the round-13 rotation.
-#
-# ROUND-13 PLAN (pre-pinned, the established pattern — execute at round-13
-# open AFTER confirming CORRECTNESS_r12 is green). Slot layout: slots 1-N =
-# any `_ADDED_R12` keys below in list order plus any rewrite-after-green
-# re-verifications accrued during round 12; remaining slots = the stalest
-# cohort — the round-4 keys (`_VERIFIED_R4` from `tpch_q4_order_priority`
-# on, the two q2/q3 heads having rotated through the round-12 window),
-# stable registry order, filling to 50.
-_ADDED_R12: list[str] = [
-    "sample_weighted_reservoir",
-    "etl_rendezvous_shard",
-    "stream_quantile_ingest",
-    "plan_quantile_sketch_geometry",
-    "sample_epoch_shuffle",
-    "sample_token_stream_batches",
 ]
 
 # Keys hash/rows-verified green by the driver in round 11 (the former
@@ -488,51 +531,10 @@ _VERIFIED_R5 = [
     "text_lang_id",
 ]
 
-# Keys hash/rows-verified green by the driver in round 4.
+# Keys hash/rows-verified green by the driver in round 4 — the tail left
+# after the round-13 window absorbed the cohort's first 43 keys; queues as
+# the round-14 freshness head.
 _VERIFIED_R4 = [
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    "agg_weighted_median",
-    "agg_hll_sketch_merge",
-    "win_gaps_islands",
-    "win_percent_of_total",
-    "win_ntile_distribution",
-    "fn_bitwise",
-    "fn_regexp",
-    "ingest_csv_permissive",
-    "text_token_count",
-    "text_fingerprint",
-    "text_keywords_topk",
-    "text_pmi_cooccurrence",
-    "text_pack_sequences",
-    "text_chunk_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_contamination_ngram",
-    "sim_ann_ivf",
-    "sim_quantized_cosine",
-    "udf_pandas_iterator",
-    "udf_map_in_arrow",
-    "sample_hash_mod",
-    "sample_stratified",
-    "sample_k_per_stratum",
     "sample_train_valid_test",
     "diag_skew_keys",
     "graph_pagerank",
@@ -545,7 +547,8 @@ _VERIFIED_R4 = [
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R12
+        + _ADDED_R13
+        + _VERIFIED_R12
         + _VERIFIED_R11
         + _VERIFIED_R10
         + _VERIFIED_R8
@@ -563,7 +566,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R12): "
+            "registered keys missing from the rotation queue (add to _ADDED_R13): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

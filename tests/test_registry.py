@@ -133,75 +133,73 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-11 window so a module reorder or
+# keys each round. Pin the round-13 window so a module reorder or
 # priority-list edit can't silently re-verify already-green keys and waste
 # a round.
 #
-# Composition (executes the pre-pinned round-11 plan, registry.py@r11):
-# slots 1-4 are ALL remaining never-driver-verified keys from round 11
-# (`_ADDED_R11`, stable queue order); slots 5-14 re-verify the ten
-# streaming keys whose result-sink plumbing changed in the round-11
-# `_sink_scope` fix after their last green rows; slot 15 re-verifies
-# `sim_kmeans_lloyd` (post-green `_lloyd_centroids` helper extraction);
-# slot 16 is the round-12 addition `agg_quantile_sketch_merge` (new, no
-# driver row); slots 17-48 re-verify the 32 non-streaming keys whose
-# latest green row is round 2/3; slots 49-50 take the round-4 cohort head.
-EXPECTED_R12_WINDOW = [
+# Composition (executes the pre-pinned round-12 plan, registry.py@r12
+# `_ADDED_R12` block comment): slots 1-6 are ALL remaining
+# never-driver-verified keys (`_ADDED_R12`, stable queue order); slot 7
+# re-verifies `dedup_minhash_openvocab` after its post-green round-13
+# size-bound-prefilter rewrite (VERDICT r12 item 5); slots 8-50 re-verify
+# the stalest cohort — the first 43 round-4 keys, stable registry order
+# (the last 4 queue as the round-14 head).
+EXPECTED_R13_WINDOW = [
+    "sample_weighted_reservoir",
+    "etl_rendezvous_shard",
+    "stream_quantile_ingest",
+    "plan_quantile_sketch_geometry",
+    "sample_epoch_shuffle",
+    "sample_token_stream_batches",
     "dedup_minhash_openvocab",
-    "sim_ann_append",
-    "plan_ivf_probe_geometry",
-    "stream_ann_ingest",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_foreachbatch",
-    "stream_stateful_running",
-    "stream_cdc_upsert",
-    "stream_stream_join",
-    "stream_topk_per_window",
-    "sim_kmeans_lloyd",
-    "agg_quantile_sketch_merge",
-    "fn_string",
-    "fn_date",
-    "fn_math",
-    "fn_array",
-    "fn_explode",
-    "fn_json",
-    "fn_map_struct",
-    "fn_null_family",
-    "fn_hash",
-    "text_tokenize_wordcount",
-    "text_ngrams",
-    "text_lang_stats",
-    "text_sentiment_lexicon",
-    "sim_ann_lsh",
-    "multimodal_join",
-    "skyline_pareto",
-    "udf_python_scalar",
-    "udf_pandas_vectorized",
-    "udaf_grouped_agg",
-    "udtf_python",
-    "win_range_frame",
-    "win_first_last_value",
-    "sort_multikey",
-    "topk_global",
-    "limit_offset",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "dedup_exact_rows",
-    "text_quality_score",
-    "multimodal_decode",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_unshipped",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cardinality",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_customers",
+    "agg_weighted_median",
+    "agg_hll_sketch_merge",
+    "win_gaps_islands",
+    "win_percent_of_total",
+    "win_ntile_distribution",
+    "fn_bitwise",
+    "fn_regexp",
+    "ingest_csv_permissive",
+    "text_token_count",
+    "text_fingerprint",
+    "text_keywords_topk",
+    "text_pmi_cooccurrence",
+    "text_pack_sequences",
+    "text_chunk_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "dedup_embedding_cosine",
+    "dedup_contamination_ngram",
+    "sim_ann_ivf",
+    "sim_quantized_cosine",
+    "udf_pandas_iterator",
+    "udf_map_in_arrow",
+    "sample_hash_mod",
+    "sample_stratified",
+    "sample_k_per_stratum",
 ]
 
-#: window slots holding keys with NO driver row in CORRECTNESS_r01-r11:
-#: the four round-11 additions (slots 1-4) and the round-12 sketch (16).
-_R12_NEVER_VERIFIED = EXPECTED_R12_WINDOW[:4] + ["agg_quantile_sketch_merge"]
+#: window slots holding keys with NO driver row in CORRECTNESS_r01-r12:
+#: the six round-12 additions (slots 1-6).
+_R13_NEVER_VERIFIED = EXPECTED_R13_WINDOW[:6]
 
 
 def _driver_rows_through(last_round: int) -> dict:
@@ -219,67 +217,58 @@ def _driver_rows_through(last_round: int) -> dict:
     return latest
 
 
-def test_round12_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R12_WINDOW
+def test_round13_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R13_WINDOW
 
 
-def test_round12_window_never_verified_slots_are_fresh():
+def test_round13_window_never_verified_slots_are_fresh():
     """The never-verified slots must hold keys with NO prior driver row —
     they exist to convert emulation-only keys to driver truth; every other
     slot is deliberate re-verification of keys that already have rows."""
-    latest = _driver_rows_through(11)
+    latest = _driver_rows_through(12)
     if not latest:
         return  # correctness files absent (fresh checkout)
-    stale = set(_R12_NEVER_VERIFIED) & set(latest)
+    stale = set(_R13_NEVER_VERIFIED) & set(latest)
     assert not stale, (
         f"never-verified slots waste coverage on already-verified keys: "
         f"{sorted(stale)}"
     )
 
 
-def test_round12_window_covers_every_unverified_key():
-    """never-verified slots ∪ _ADDED_R12 must be exactly the keys without
-    a driver row, so round 12 converges to full driver coverage."""
-    latest = _driver_rows_through(11)
+def test_round13_window_covers_every_unverified_key():
+    """never-verified slots ∪ _ADDED_R13 must be exactly the keys without
+    a driver row, so round 13 converges to full driver coverage."""
+    latest = _driver_rows_through(12)
     if not latest:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R12
+    from data_integration_exercise_spark.registry import _ADDED_R13
 
     unverified = set(queries()) - set(latest)
-    queue = set(_R12_NEVER_VERIFIED) | set(_ADDED_R12)
+    queue = set(_R13_NEVER_VERIFIED) | set(_ADDED_R13)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R12"
+        "a key added this round must be listed in registry._ADDED_R13"
     )
 
 
-def test_round12_window_tail_reverifies_stalest_keys():
-    """The re-verification slots must target exactly: the sink-scope
-    streaming rewrites + the post-green Lloyd refactor + the stalest
-    (round-2/3) green cohort — never keys already fresh."""
-    latest = _driver_rows_through(11)
+def test_round13_window_tail_reverifies_stalest_keys():
+    """The re-verification slots must target exactly: the post-green
+    openvocab prefilter rewrite + the stalest (round-4) green cohort —
+    never keys already fresh."""
+    latest = _driver_rows_through(12)
     if not latest:
         return
-    # explicit rewrite-after-green slots
-    assert EXPECTED_R12_WINDOW[4:15] == [
-        "stream_sliding",
-        "stream_session",
-        "stream_watermark_late",
-        "stream_dedup",
-        "stream_static_join",
-        "stream_foreachbatch",
-        "stream_stateful_running",
-        "stream_cdc_upsert",
-        "stream_stream_join",
-        "stream_topk_per_window",
-        "sim_kmeans_lloyd",
-    ]
-    # freshness slots: every key whose latest row is round <= 3 must be in
-    # the window (the entire former round-2/3 cohort rotates through)
-    stale23 = {k for k, r in latest.items() if r <= 3}
-    missing = stale23 - set(EXPECTED_R12_WINDOW)
-    assert not missing, f"round-2/3-stale keys left out: {sorted(missing)}"
+    # explicit rewrite-after-green slot
+    assert EXPECTED_R13_WINDOW[6] == "dedup_minhash_openvocab"
+    # freshness slots: every key whose latest row is round <= 4 must be in
+    # the window or the pinned round-14 head (the 4-key round-4 tail)
+    from data_integration_exercise_spark.registry import _VERIFIED_R4
+
+    stale4 = {k for k, r in latest.items() if r <= 4}
+    missing = stale4 - set(EXPECTED_R13_WINDOW) - set(_VERIFIED_R4)
+    assert not missing, f"round-4-stale keys left out: {sorted(missing)}"
+    assert len(_VERIFIED_R4) == 4
 
 
 def test_queries_count_matches_survey_addendum():
