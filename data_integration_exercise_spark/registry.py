@@ -142,7 +142,9 @@ _PRIORITY = [
 # cohort — the round-4 tail (`_VERIFIED_R4`, 4 keys) then the round-5 keys
 # (`_VERIFIED_R5` from `plan_cbo_stats` on, stable registry order),
 # filling to 50.
-_ADDED_R13: list[str] = []
+_ADDED_R13: list[str] = [
+    "stream_watermark_deterministic",
+]
 
 # Keys hash/rows-verified green by the driver in round 12 (the former
 # round-12 _PRIORITY window; CORRECTNESS_r12.json 50/50 green — all four

@@ -271,6 +271,121 @@ def stream_watermark_late(spark, sf_dir):
     return _parquet_result(spark, agg, "stream_watermark_late", "append", sf_dir)
 
 
+#: deterministic-watermark geometry: 15-minute windows (900e6 µs), 10-minute
+#: watermark delay (600e6 µs), and a 1-minute safety margin (60e6 µs) on
+#: BOTH the staged drop set and the kept-window readout, so no row or window
+#: ever sits exactly on Spark's eviction boundary (whose <=-vs-< semantics
+#: the operator therefore never has to assume).
+_WM_WINDOW_US = 900_000_000
+_WM_CLOSE_US = 660_000_000  # delay (600e6) + margin (60e6)
+
+
+def _staged_watermark_stream(spark, sf_dir: str):
+    """Three-batch staged event stream with an EXACTLY COMPUTABLE drop set
+    (VERDICT r12 item 7). Batch 1 holds the on-time rows INCLUDING the
+    global max timestamp, so the watermark computed after it stands at
+    max(ts) − 10 min. Batch 2 is a single on-time "advance" row (the
+    min-event_id on-time row): Spark ≥3.4 splits the late-events watermark
+    from the eviction watermark — batch N filters late input against the
+    watermark in effect DURING batch N−1 (measured here on 4.1.2:
+    numRowsDroppedByWatermark stays 0 when the late file lands in batch 2,
+    drops everything when it lands in batch 3) — so this spacer batch
+    commits max(ts) − 10 min as batch 3's late-event filter. Batch 3 holds
+    the designated late set — rows with even event_id whose 15-minute
+    window closed at least 1 min BELOW that watermark — all dropped under
+    either <=-or-< boundary semantics. Each batch is one part-file (a
+    multi-file half could split across micro-batches, letting the max-ts
+    batch precede sibling on-time rows) with pinned mtimes 100 s apart,
+    since the file source orders batches by modification time. Returns
+    (stream, max_us); the two scalar collects are stage GEOMETRY, not
+    data movement."""
+    tag = sf_cache_tag(sf_dir)
+    stage = f"/tmp/die_spark_stage/p{os.getpid()}/{tag}/events_wm_det"
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts_us")).collect()[0][0]
+    if stage not in _STAGED:
+        late = (F.col("event_id") % 2 == 0) & (
+            F.expr(f"ts_us div {_WM_WINDOW_US}") * _WM_WINDOW_US + _WM_WINDOW_US
+            <= F.lit(mx - _WM_CLOSE_US)
+        )
+        ontime = ev.filter(~late)
+        adv_id = ontime.agg(F.min("event_id")).collect()[0][0]
+        os.makedirs(stage, exist_ok=True)
+        for name, frame, mtime in (
+            ("00_ontime", ontime.filter(F.col("event_id") != adv_id), 1_700_000_000),
+            ("01_advance", ontime.filter(F.col("event_id") == adv_id), 1_700_000_100),
+            ("02_late", ev.filter(late), 1_700_000_200),
+        ):
+            tmp = f"{stage}_tmp_{name}"
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.startswith("part-")][0]
+            dst = os.path.join(stage, f"{name}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (mtime, mtime))
+        _STAGED.add(stage)
+    s = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return s, mx
+
+
+@register(
+    "stream_watermark_deterministic",
+    oracle=f"""
+    WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    keep AS (
+        SELECT (epoch_us(ts) // {_WM_WINDOW_US}) * {_WM_WINDOW_US} AS ws_us,
+               event_type
+        FROM events, m
+        WHERE NOT (event_id % 2 = 0
+                   AND (epoch_us(ts) // {_WM_WINDOW_US}) * {_WM_WINDOW_US}
+                       + {_WM_WINDOW_US} <= mx - {_WM_CLOSE_US})
+    )
+    SELECT make_timestamp(ws_us) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keep, m
+    WHERE ws_us + {_WM_WINDOW_US} <= mx - {_WM_CLOSE_US}
+    GROUP BY ws_us, event_type
+    """,
+)
+def stream_watermark_deterministic(spark, sf_dir):
+    """Watermark drop semantics converted from rows-only to HASH truth
+    (VERDICT r12 item 7): the staged three-batch input pins the batch
+    boundaries, so the drop set is exactly the staged late half and the
+    kept set is the batch SQL of the on-time subset restricted to windows
+    that closed ≥1 min below the final watermark — both sides of the
+    margin, so Spark's eviction-boundary choice can't flip a row. The
+    general trigger-dependent case stays covered by the rows-only
+    `stream_watermark_late`; this key is the deterministic-by-construction
+    variant a pipeline uses to TEST its late-data policy. 100 TB: identical
+    plan to any watermarked windowed agg — per-batch partial agg into
+    watermark-bounded state keyed by (window, type); the readout filter is
+    a scalar comparison on the window key."""
+    s, mx = _staged_watermark_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    res = _parquet_result(
+        spark, agg, "stream_watermark_deterministic", "append", sf_dir
+    )
+    closed = (
+        F.unix_micros(F.col("window_start").cast("timestamp")) + _WM_WINDOW_US
+        <= F.lit(mx - _WM_CLOSE_US)
+    )
+    return res.filter(closed)
+
+
 @register(
     "stream_dedup",
     oracle="""
