@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry_util import new_registry
 from .pipeline import _VOCAB_DUCK
-from .similarity import ROWS_PER_BLOCK_TASK
+from .similarity import _PQ_CODES_CTE, ROWS_PER_BLOCK_TASK
 
 QUERIES, ORACLES, register = new_registry()
 
@@ -2020,6 +2020,184 @@ def sim_ann_append(spark, sf_dir):
             .cast("long")
             .alias("needs_split"),
         )
+    )
+
+
+def _coarse_lloyd_cte() -> str:
+    """The _kmeans_oracle CTE chain with k-prefixed names (kq, kseeds,
+    kc0..kc3, kd1..kd3, ka1..ka3, kdF, kaF), so it can share one WITH
+    clause with _PQ_CODES_CTE (whose unprefixed q/seed/a1 names would
+    collide). Same math token-for-token: milli-unit quantization,
+    md5-ranked seeds, 3 unrolled integer Lloyd iterations, final E-step."""
+    parts = [
+        """kq AS (
+        SELECT vec_id,
+               CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
+                   AS qv,
+               unnest(range(len(embedding))) AS pos
+        FROM embeddings
+    ), kseeds AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS cluster
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    kc0 AS (
+        SELECT s.cluster, q.pos, q.qv AS c FROM kseeds s JOIN kq q USING (vec_id)
+    )"""
+    ]
+    prev = "kc0"
+    for i in (1, 2, 3):
+        parts.append(f"""
+    , kd{i} AS (
+        SELECT q.vec_id, {prev}.cluster,
+               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
+        FROM kq q JOIN {prev} ON q.pos = {prev}.pos
+        GROUP BY 1, 2
+    ), ka{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM kd{i}) WHERE rn = 1
+    ), kc{i} AS (
+        SELECT ka{i}.cluster, q.pos,
+               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
+        FROM kq q JOIN ka{i} USING (vec_id) GROUP BY 1, 2
+    )""")
+        prev = f"kc{i}"
+    parts.append("""
+    , kdF AS (
+        SELECT q.vec_id, kc3.cluster,
+               CAST(sum((q.qv - kc3.c) * (q.qv - kc3.c)) AS BIGINT) AS d2
+        FROM kq q JOIN kc3 ON q.pos = kc3.pos
+        GROUP BY 1, 2
+    ), kaF AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM kdF) WHERE rn = 1
+    )""")
+    return "".join(parts)
+
+
+_IVFADC_ORACLE = f"""
+    WITH {_PQ_CODES_CTE}, {_coarse_lloyd_cte()}, kdP AS (
+        SELECT q.vec_id, kc3.cluster,
+               CAST(sum((q.qv - kc3.c) * (q.qv - kc3.c)) AS BIGINT) AS d2
+        FROM kq q JOIN kc3 ON q.pos = kc3.pos
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2
+    ), kprobe AS (
+        SELECT vec_id AS probe_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM kdP) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.probe_id, a.vec_id
+        FROM kprobe p JOIN kaF a USING (cluster)
+        WHERE a.vec_id != p.probe_id
+    ), probee AS (
+        SELECT vec_id AS probe_id, m,
+               unnest(list_transform(sv, (v, i) -> i)) AS i,
+               unnest(sv) AS x
+        FROM sub WHERE vec_id < 5
+    ), dtab AS (
+        SELECT p.probe_id, p.m, cb.c,
+               CAST(sum((p.x - cb.cent) * (p.x - cb.cent)) AS BIGINT) AS td2
+        FROM probee p JOIN cbe cb ON p.m = cb.m AND p.i = cb.i
+        GROUP BY p.probe_id, p.m, cb.c
+    ), adc AS (
+        SELECT c.probe_id, c.vec_id, CAST(sum(t.td2) AS BIGINT) AS adc_d2
+        FROM cand c
+        JOIN best b ON b.vec_id = c.vec_id
+        JOIN dtab t ON t.probe_id = c.probe_id AND t.m = b.m AND t.c = b.c
+        GROUP BY 1, 2
+    )
+    SELECT probe_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+    WHERE rn <= 5
+"""
+
+
+@register("sim_ann_ivfadc", oracle=_IVFADC_ORACLE)
+def sim_ann_ivfadc(spark, sf_dir):
+    """IVF + PQ/ADC composed — the FAISS IVFADC architecture, THE layout
+    a billion-vector production index actually ships: a coarse quantizer
+    (the 8-centroid fixed-3-iteration integer Lloyd, _lloyd_centroids —
+    shared with sim_kmeans_lloyd / sim_ann_append so trainer and index
+    cannot drift) partitions the corpus into inverted lists; each of the
+    5 probes ranks the coarse centroids and scans only its nprobe=2
+    nearest lists; within the candidate lists, distance is the PQ/ADC sum
+    of 8 integer table lookups (_pq_parts, shared with sim_pq_quantize /
+    sim_adc_search). Top-5 per probe by (adc_d2, vec_id). Every stage is
+    integer-exact with total-order tie-breaks, so the APPROXIMATE result
+    is hash-verified cross-engine — unlike `sim_ann_ivf` (rows-only, real
+    float centroids), this key pins the full IVF+PQ trajectory.
+
+    100 TB: the coarse centroid table (8×64 ints) and the PQ codebook
+    (128 rows) broadcast; list assignment is one narrow zip_with pass;
+    the probe side moves only |probes|·nprobe list keys into the
+    candidate equi-join, so the ADC scan touches ~nprobe/nlist of the
+    code table instead of all of it — the entire point of IVF — and the
+    codes themselves are 8 ints/vector, never the raw embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
+    ).localCheckpoint(eager=False)
+    carr, assign = _lloyd_centroids(q, iters=3)
+    lists = assign(carr).select("vec_id", "cluster")
+    d2 = F.aggregate(
+        F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d2", "cluster")
+    probe_lists = (
+        q.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(carr))
+        .select(F.col("vec_id").alias("probe_id"), "cluster", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 2)
+        .select("probe_id", "cluster")
+    )
+    cand = (
+        probe_lists.join(lists, "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    from .similarity import _pq_parts
+
+    sub, cb, best = _pq_parts(spark, sf_dir)
+    probes = sub.filter(F.col("vec_id") < 5).withColumnsRenamed(
+        {"vec_id": "probe_id", "sv": "pv"}
+    )
+    dtab = probes.join(F.broadcast(cb), "m").select(
+        "probe_id",
+        "m",
+        "c",
+        F.expr(
+            """aggregate(zip_with(pv, centroid, (a, b) -> (a - b) * (a - b)),
+                         0L, (acc, x) -> acc + x)"""
+        ).alias("td2"),
+    )
+    adc = (
+        cand.join(best.drop("d2"), "vec_id")
+        .join(F.broadcast(dtab), ["probe_id", "m", "c"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.sum("td2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("probe_id", "vec_id", "adc_d2", "rnk")
     )
 
 

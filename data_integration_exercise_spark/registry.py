@@ -144,6 +144,7 @@ _PRIORITY = [
 # filling to 50.
 _ADDED_R13: list[str] = [
     "stream_watermark_deterministic",
+    "sim_ann_ivfadc",
 ]
 
 # Keys hash/rows-verified green by the driver in round 12 (the former
