@@ -133,6 +133,119 @@ def agg_approx_distinct(spark, sf_dir):
     )
 
 
+#: deterministic-HLL geometry: 64 registers (6 index bits off the top of a
+#: 48-bit md5-derived hash), 42-bit tail, alpha_64 = 0.709 (Flajolet et al.
+#: 2007, m=64). The register SUM is exact in double — at most 64 dyadic
+#: terms 2^-m (m <= 43) plus an integer, needing <= 49 mantissa bits — so
+#: the raw estimate is one deterministic multiply+divide, hash-stable
+#: cross-engine with no libm call (the ln small-range correction is
+#: deliberately NOT applied; n_exact and v_zero in the output let a reader
+#: apply any correction downstream).
+_HLL_DET_M = 64
+_HLL_DET_TAIL = 1 << 42
+
+
+@register(
+    "agg_hll_deterministic",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                               1, 12))::BIGINT AS h
+        FROM events
+    ), rb AS (
+        SELECT event_type, h // {_HLL_DET_TAIL} AS bucket,
+               43 - length(ltrim(bin(h % {_HLL_DET_TAIL}), '0')) AS rank
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, CAST(max(rank) AS BIGINT) AS m
+        FROM rb GROUP BY 1, 2
+    ), est AS (
+        SELECT event_type,
+               CAST({_HLL_DET_M} - count(*) AS BIGINT) AS v_zero,
+               ({_HLL_DET_M} - count(*)) * 1.0 + sum(pow(2.0, -m)) AS s
+        FROM regs GROUP BY 1
+    ), ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, x.n_exact, e.v_zero,
+           round(0.709 * {_HLL_DET_M * _HLL_DET_M} / e.s, 4) AS est_raw
+    FROM est e JOIN ex x USING (event_type)
+    """,
+)
+def agg_hll_deterministic(spark, sf_dir):
+    """HyperLogLog with the approximation HASH-VERIFIED (r13): the
+    rows-only `agg_approx_distinct` / `agg_hll_sketch_merge` keys use
+    engine sketches whose estimates are theirs alone; this key builds the
+    HLL from first principles on the repo's cross-engine hash — 48-bit
+    md5-derived value hash, top 6 bits pick one of 64 registers, register
+    value = leading-zero rank of the 42-bit tail (string-exact via
+    length(ltrim(bin(w), '0')); w = 0 degenerates to rank 43 with no CASE
+    since the ltrim leaves ''), registers maxed — so registers are
+    integers and the raw Flajolet estimate alpha·m²/S is reproducible to
+    the bit (see the geometry note above for why S is float-EXACT).
+    Built the mergeable way: per-(type, user_id%4 shard) partial
+    registers maxed into the merged register table — max-merge is the
+    entire HLL merge algebra, and the oracle computing global registers
+    DIRECTLY is what proves partial-then-merge ≡ one-pass. Output per
+    event_type: exact distinct (the verification target), v_zero register
+    state, and the 4dp raw estimate.
+
+    100 TB: per-shard register tables are 64 rows regardless of input
+    (the constant-memory distinct); only registers move to the merge, and
+    yesterday's partials union in without rescanning — the lambda
+    property agg_quantile_sketch_merge pins for quantiles, now pinned for
+    distinct counts."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = F.expr(
+        "CAST(conv(substr(md5(concat('hll:', CAST(user_id AS STRING))), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
+    rb = ev.select(
+        "event_type",
+        F.pmod("user_id", F.lit(4)).alias("shard"),
+        h.alias("h"),
+    ).select(
+        "event_type",
+        "shard",
+        F.expr(f"h div {_HLL_DET_TAIL}").alias("bucket"),
+        (
+            F.lit(43)
+            - F.length(
+                F.expr(f"trim(LEADING '0' FROM bin(h % {_HLL_DET_TAIL}))")
+            )
+        ).alias("rank"),
+    )
+    partial = rb.groupBy("event_type", "shard", "bucket").agg(
+        F.max("rank").alias("m_part")
+    )
+    regs = partial.groupBy("event_type", "bucket").agg(
+        F.max("m_part").cast("long").alias("m")
+    )
+    est = regs.groupBy("event_type").agg(
+        (F.lit(_HLL_DET_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            (F.lit(_HLL_DET_M) - F.count(F.lit(1))) * F.lit(1.0)
+            + F.sum(F.pow(F.lit(2.0), -F.col("m")))
+        ).alias("s"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "v_zero",
+            F.round(F.lit(0.709) * F.lit(float(_HLL_DET_M * _HLL_DET_M)) / F.col("s"), 4).alias(
+                "est_raw"
+            ),
+        )
+    )
+
+
 @register("agg_hll_sketch_merge")  # rows-only: sketch estimate is approximate
 def agg_hll_sketch_merge(spark, sf_dir):
     """Mergeable-sketch distinct: Datasketches HLL sketches built per

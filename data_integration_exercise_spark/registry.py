@@ -145,6 +145,7 @@ _PRIORITY = [
 _ADDED_R13: list[str] = [
     "stream_watermark_deterministic",
     "sim_ann_ivfadc",
+    "agg_hll_deterministic",
 ]
 
 # Keys hash/rows-verified green by the driver in round 12 (the former
