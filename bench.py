@@ -178,6 +178,15 @@ R12_TIER = [
     "sample_token_stream_batches",
 ]
 
+# Round-13 additions, benched median-of-3 like every other tier: the
+# deterministic watermark drop, the composed IVF+PQ/ADC search, and the
+# hash-verified HLL.
+R13_TIER = [
+    "stream_watermark_deterministic",
+    "sim_ann_ivfadc",
+    "agg_hll_deterministic",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,7 +204,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
-        + R8_TIER + R10_TIER + R11_TIER + R12_TIER
+        + R8_TIER + R10_TIER + R11_TIER + R12_TIER + R13_TIER
     ):
         if key not in qs:
             continue
@@ -254,6 +263,9 @@ def main() -> None:
     r12_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R12_TIER), 4
     )
+    r13_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R13_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -277,6 +289,7 @@ def main() -> None:
         "r10_tier_total": r10_tier_total,
         "r11_tier_total": r11_tier_total,
         "r12_tier_total": r12_tier_total,
+        "r13_tier_total": r13_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
@@ -309,6 +322,7 @@ def main() -> None:
             "r10": r10_tier_total,
             "r11": r11_tier_total,
             "r12": r12_tier_total,
+            "r13": r13_tier_total,
         },
         "sf": sf,
     }

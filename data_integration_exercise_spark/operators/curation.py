@@ -2096,7 +2096,7 @@ _IVFADC_ORACLE = f"""
             SELECT vec_id, cluster,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cluster) AS rn
-            FROM kdP) WHERE rn <= 2
+            FROM kdP) WHERE rn <= 3
     ), cand AS (
         SELECT p.probe_id, a.vec_id
         FROM kprobe p JOIN kaF a USING (cluster)
@@ -2133,7 +2133,7 @@ def sim_ann_ivfadc(spark, sf_dir):
     (the 8-centroid fixed-3-iteration integer Lloyd, _lloyd_centroids —
     shared with sim_kmeans_lloyd / sim_ann_append so trainer and index
     cannot drift) partitions the corpus into inverted lists; each of the
-    5 probes ranks the coarse centroids and scans only its nprobe=2
+    5 probes ranks the coarse centroids and scans only its nprobe=3
     nearest lists; within the candidate lists, distance is the PQ/ADC sum
     of 8 integer table lookups (_pq_parts, shared with sim_pq_quantize /
     sim_adc_search). Top-5 per probe by (adc_d2, vec_id). Every stage is
@@ -2164,7 +2164,7 @@ def sim_ann_ivfadc(spark, sf_dir):
         .crossJoin(F.broadcast(carr))
         .select(F.col("vec_id").alias("probe_id"), "cluster", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= 3)
         .select("probe_id", "cluster")
     )
     cand = (

@@ -1125,3 +1125,23 @@ def test_quantile_sketch_geometry_ladder(spark):
     assert geom[512].max_err_p90_permille == worst90
     assert geom[512].max_err_p50_permille <= geom[16].max_err_p50_permille
     assert geom[512].max_err_p90_permille <= geom[16].max_err_p90_permille
+
+
+def test_hll_deterministic_error_and_merge_bound(spark):
+    """agg_hll_deterministic's raw Flajolet estimate must sit inside the
+    m=64 theory envelope (σ ≈ 1.04/√64 ≈ 13%; allow 3σ ≈ 40% — the raw
+    estimator also biases high below the 2.5m small-range threshold,
+    which the sf0.01 cardinalities straddle), and the register state must
+    be sane: v_zero registers in [0, 64) and estimate strictly positive.
+    The hash oracle already proves shard-merge ≡ one-pass; this pins the
+    STATISTICAL claim the sketch exists for."""
+    rows = aggregates.QUERIES["agg_hll_deterministic"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.v_zero < 64
+        assert r.est_raw > 0
+        rel = abs(r.est_raw - r.n_exact) / r.n_exact
+        assert rel <= 0.40, (
+            f"{r.event_type}: HLL rel error {rel:.3f} outside the 3σ "
+            f"envelope (est {r.est_raw} vs exact {r.n_exact})"
+        )

@@ -399,3 +399,29 @@ def test_ivf_probe_geometry_matches_numpy_reference(spark):
             1000 * ht // (10 * n_queries),
         )
     assert got == want
+
+
+def test_ivfadc_recall_floors(spark):
+    """sim_ann_ivfadc is approximate twice over — the nprobe=3/8 coarse
+    restriction and the shared PQ distortion. Pin both honestly: against
+    sim_adc_search's FULL-corpus ADC top-5 (isolating the IVF layer's
+    cost) recall must hold ≥0.5 (measured 0.60 at sf0.01 — nprobe=3 is
+    where the curve plateaus into the PQ floor), and the IVF result must
+    be a consistent ADC ranking: every returned pair's adc_d2 must equal
+    the full-ADC distance for that (probe, vec) when present there."""
+    from data_integration_exercise_spark.operators import similarity
+
+    full = {
+        (r.probe_id, r.vec_id): r.adc_d2
+        for r in similarity.QUERIES["sim_adc_search"](spark, SF).collect()
+    }
+    got = curation.QUERIES["sim_ann_ivfadc"](spark, SF).collect()
+    got_pairs = {(r.probe_id, r.vec_id) for r in got}
+    recall = len(got_pairs & set(full)) / len(full)
+    assert recall >= 0.5, f"IVF layer recall vs full ADC collapsed: {recall}"
+    for r in got:
+        if (r.probe_id, r.vec_id) in full:
+            assert r.adc_d2 == full[(r.probe_id, r.vec_id)], (
+                f"ADC distance drifted between IVF and full scan for "
+                f"({r.probe_id}, {r.vec_id})"
+            )
