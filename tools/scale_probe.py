@@ -78,9 +78,15 @@ def main() -> int:
     results = []
     for k in keys:
         fn = qs[k]
-        fn(spark, args.small).collect()  # warm-up, discarded
-        small_s, small_n, small_plan = timed(fn, spark, args.small)
-        big_s, big_n, big_plan = timed(fn, spark, args.big)
+        try:
+            fn(spark, args.small).collect()  # warm-up, discarded
+            small_s, small_n, small_plan = timed(fn, spark, args.small)
+            big_s, big_n, big_plan = timed(fn, spark, args.big)
+        except Exception as e:  # record and continue — one degenerate key
+            # (e.g. a closed-vocab op fed an out-of-dictionary synthetic
+            # corpus) must not kill the whole probe
+            print(json.dumps({"key": k, "error": str(e)[:200]}), flush=True)
+            continue
         rec = {
             "key": k,
             "small_s": small_s,
