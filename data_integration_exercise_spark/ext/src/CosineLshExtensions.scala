@@ -130,13 +130,15 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
    *  not silently run a recall-collapsing threshold — below the floor
    *  the exact naive plan stands. Unevaluable thresholds don't rewrite.
    *  A MALFORMED conf value must not fail analysis for every cosine
-   *  query (ADVICE r12 item 2): an unparsable string falls back to the
-   *  0.2 default, keeping the rule a pure optimization that can only
-   *  choose between two correct plans, never throw. */
+   *  query (ADVICE r12 item 2): an unparsable OR non-finite string
+   *  ("NaN"/"Infinity" parse via toDouble but would make every floor
+   *  comparison false, silently disabling banding session-wide) falls
+   *  back to the 0.2 default, keeping the rule a pure optimization that
+   *  can only choose between two correct plans, never throw. */
   private def minTauConf: Double =
     scala.util.Try(
       conf.getConfString("spark.dies.lsh.minThreshold", "0.2").toDouble
-    ).getOrElse(0.2)
+    ).filter(java.lang.Double.isFinite(_)).getOrElse(0.2)
 
   private def clearsTauFloor(rhs: Expression): Boolean =
     rhs.eval(null) match {
@@ -151,11 +153,18 @@ object CosineLshJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       j.right.output.exists(_.name == BAND_R)
 
   /** Band geometry is session-tunable (plan_lsh_band_geometry on a sample
-   *  is the table to read before picking): defaults are the 8×4 config. */
+   *  is the table to read before picking): defaults are the 8×4 config.
+   *  Same malformed-conf rule as minTauConf: an unparsable or
+   *  non-positive value falls back to the default instead of throwing
+   *  during analysis for every cosine query. */
   private def bandsConf: Int =
-    conf.getConfString("spark.dies.lsh.bands", "8").toInt
+    scala.util.Try(
+      conf.getConfString("spark.dies.lsh.bands", "8").toInt
+    ).filter(_ > 0).getOrElse(8)
   private def rowsConf: Int =
-    conf.getConfString("spark.dies.lsh.rowsPerBand", "4").toInt
+    scala.util.Try(
+      conf.getConfString("spark.dies.lsh.rowsPerBand", "4").toInt
+    ).filter(_ > 0).getOrElse(4)
 
   /** Explode `plan` on the banded LSH keys of `v`; the key attribute is
    *  pre-resolved so the join condition can reference it directly. */

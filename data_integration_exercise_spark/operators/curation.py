@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry_util import new_registry
 from .pipeline import _VOCAB_DUCK
-from .similarity import _PQ_CODES_CTE, ROWS_PER_BLOCK_TASK
+from .similarity import _PQ_ADC_CTE, _PQ_CODES_CTE, ROWS_PER_BLOCK_TASK
 
 QUERIES, ORACLES, register = new_registry()
 
@@ -1687,36 +1687,44 @@ def text_kl_source_drift(spark, sf_dir):
     )
 
 
-def _lloyd_unroll_ctes() -> str:
+def _lloyd_unroll_ctes(prefix: str = "") -> str:
     """The shared unrolled 3-iteration Lloyd CTE chain (d{i}/a{i}/c{i}
     for i in 1..3), to be appended after a WITH-head that defines
     `q` (vec_id, qv, pos) and the seed centroid table `c0`. This is the
     ONE text every oracle that replays the trainer concatenates —
-    _kmeans_oracle, _ann_append_oracle, _ivf_geometry_oracle, and
-    streaming's _ann_ingest_oracle — so the cross-engine trajectory
-    (md5 seed order, (d2, cluster) tie-break, truncating-div centroid
-    mean) can never fork between copies."""
+    _kmeans_oracle, _ann_append_oracle, _ivf_geometry_oracle, streaming's
+    _ann_ingest_oracle, and (prefixed) _IVFADC_ORACLE — so the
+    cross-engine trajectory (md5 seed order, (d2, cluster) tie-break,
+    truncating-div centroid mean) can never fork between copies.
+
+    ``prefix`` renames every CTE (kq/kc0/kd1/…) so the chain can share a
+    WITH clause with other CTE families whose unprefixed q/a1 names would
+    collide (sim_ann_ivfadc next to _PQ_CODES_CTE); the prefixed base
+    table is re-aliased to `q` inside each CTE so the body text — and
+    therefore the replayed arithmetic — is the same string either way."""
+    p = prefix
+    qref = f"{p}q q" if p else "q"
     parts = []
-    prev = "c0"
+    prev = f"{p}c0"
     for i in (1, 2, 3):
         parts.append(f"""
-    , d{i} AS (
+    , {p}d{i} AS (
         SELECT q.vec_id, {prev}.cluster,
                CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
-        FROM q JOIN {prev} ON q.pos = {prev}.pos
+        FROM {qref} JOIN {prev} ON q.pos = {prev}.pos
         GROUP BY 1, 2
-    ), a{i} AS (
+    ), {p}a{i} AS (
         SELECT vec_id, cluster FROM (
             SELECT vec_id, cluster,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cluster) AS rn
-            FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-        SELECT a{i}.cluster, q.pos,
+            FROM {p}d{i}) WHERE rn = 1
+    ), {p}c{i} AS (
+        SELECT {p}a{i}.cluster, q.pos,
                CAST(sum(q.qv) // count(*) AS BIGINT) AS c
-        FROM q JOIN a{i} USING (vec_id) GROUP BY 1, 2
+        FROM {qref} JOIN {p}a{i} USING (vec_id) GROUP BY 1, 2
     )""")
-        prev = f"c{i}"
+        prev = f"{p}c{i}"
     return "".join(parts)
 
 
@@ -2027,10 +2035,12 @@ def _coarse_lloyd_cte() -> str:
     """The _kmeans_oracle CTE chain with k-prefixed names (kq, kseeds,
     kc0..kc3, kd1..kd3, ka1..ka3, kdF, kaF), so it can share one WITH
     clause with _PQ_CODES_CTE (whose unprefixed q/seed/a1 names would
-    collide). Same math token-for-token: milli-unit quantization,
-    md5-ranked seeds, 3 unrolled integer Lloyd iterations, final E-step."""
-    parts = [
-        """kq AS (
+    collide). Head (quantization + md5-ranked seeds) and final-E-step
+    tail here; the 3 unrolled Lloyd iterations come from the ONE shared
+    generator ``_lloyd_unroll_ctes("k")`` (round-13 review finding: a
+    hand-copied chain could silently drift from the trainer every other
+    oracle replays)."""
+    head = """kq AS (
         SELECT vec_id,
                CAST(floor(1000 * unnest(embedding)::DOUBLE + 0.5) AS BIGINT)
                    AS qv,
@@ -2047,28 +2057,7 @@ def _coarse_lloyd_cte() -> str:
     kc0 AS (
         SELECT s.cluster, q.pos, q.qv AS c FROM kseeds s JOIN kq q USING (vec_id)
     )"""
-    ]
-    prev = "kc0"
-    for i in (1, 2, 3):
-        parts.append(f"""
-    , kd{i} AS (
-        SELECT q.vec_id, {prev}.cluster,
-               CAST(sum((q.qv - {prev}.c) * (q.qv - {prev}.c)) AS BIGINT) AS d2
-        FROM kq q JOIN {prev} ON q.pos = {prev}.pos
-        GROUP BY 1, 2
-    ), ka{i} AS (
-        SELECT vec_id, cluster FROM (
-            SELECT vec_id, cluster,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY d2, cluster) AS rn
-            FROM kd{i}) WHERE rn = 1
-    ), kc{i} AS (
-        SELECT ka{i}.cluster, q.pos,
-               CAST(sum(q.qv) // count(*) AS BIGINT) AS c
-        FROM kq q JOIN ka{i} USING (vec_id) GROUP BY 1, 2
-    )""")
-        prev = f"kc{i}"
-    parts.append("""
+    tail = """
     , kdF AS (
         SELECT q.vec_id, kc3.cluster,
                CAST(sum((q.qv - kc3.c) * (q.qv - kc3.c)) AS BIGINT) AS d2
@@ -2080,8 +2069,8 @@ def _coarse_lloyd_cte() -> str:
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d2, cluster) AS rn
             FROM kdF) WHERE rn = 1
-    )""")
-    return "".join(parts)
+    )"""
+    return head + _lloyd_unroll_ctes("k") + tail
 
 
 _IVFADC_ORACLE = f"""
@@ -2101,18 +2090,8 @@ _IVFADC_ORACLE = f"""
         SELECT p.probe_id, a.vec_id
         FROM kprobe p JOIN kaF a USING (cluster)
         WHERE a.vec_id != p.probe_id
-    ), probee AS (
-        SELECT vec_id AS probe_id, m,
-               unnest(list_transform(sv, (v, i) -> i)) AS i,
-               unnest(sv) AS x
-        FROM sub WHERE vec_id < 5
-    ), dtab AS (
-        SELECT p.probe_id, p.m, cb.c,
-               CAST(sum((p.x - cb.cent) * (p.x - cb.cent)) AS BIGINT) AS td2
-        FROM probee p JOIN cbe cb ON p.m = cb.m AND p.i = cb.i
-        GROUP BY p.probe_id, p.m, cb.c
-    ), adc AS (
-        SELECT c.probe_id, c.vec_id, CAST(sum(t.td2) AS BIGINT) AS adc_d2
+    ), {_PQ_ADC_CTE}, adc AS (
+        SELECT c.probe_id, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS adc_d2
         FROM cand c
         JOIN best b ON b.vec_id = c.vec_id
         JOIN dtab t ON t.probe_id = c.probe_id AND t.m = b.m AND t.c = b.c

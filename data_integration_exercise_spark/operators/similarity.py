@@ -972,10 +972,13 @@ def sim_pq_quantize(spark, sf_dir):
     )
 
 
-@register(
-    "sim_adc_search",
-    oracle=f"""
-    WITH {_PQ_CODES_CTE}, probee AS (
+#: probe sub-element explode + per-(probe, m, c) ADC distance table — the
+#: two query-side stages every ADC consumer shares (sim_adc_search and
+#: curation's sim_ann_ivfadc interpolate this ONE text after
+#: _PQ_CODES_CTE, so the searcher's distance-table construction can't
+#: drift between the full-scan and IVF-restricted forms — round-13
+#: review finding).
+_PQ_ADC_CTE = """probee AS (
         SELECT vec_id AS probe_id, m,
                unnest(list_transform(sv, (v, i) -> i)) AS i,
                unnest(sv) AS x
@@ -985,7 +988,13 @@ def sim_pq_quantize(spark, sf_dir):
                CAST(sum((p.x - cb.cent) * (p.x - cb.cent)) AS BIGINT) AS d2
         FROM probee p JOIN cbe cb ON p.m = cb.m AND p.i = cb.i
         GROUP BY p.probe_id, p.m, cb.c
-    ), adc AS (
+    )"""
+
+
+@register(
+    "sim_adc_search",
+    oracle=f"""
+    WITH {_PQ_CODES_CTE}, {_PQ_ADC_CTE}, adc AS (
         SELECT d.probe_id, b.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
         FROM best b JOIN dtab d ON b.m = d.m AND b.c = d.c
         WHERE b.vec_id != d.probe_id

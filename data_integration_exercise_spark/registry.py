@@ -137,11 +137,13 @@ _PRIORITY = [
 #
 # ROUND-14 PLAN (pre-pinned, the established pattern — execute at round-14
 # open AFTER confirming CORRECTNESS_r13 is green). Slot layout: slots 1-N =
-# any `_ADDED_R13` keys below in list order plus any rewrite-after-green
-# re-verifications accrued during round 13; remaining slots = the stalest
-# cohort — the round-4 tail (`_VERIFIED_R4`, 4 keys) then the round-5 keys
-# (`_VERIFIED_R5` from `plan_cbo_stats` on, stable registry order),
-# filling to 50.
+# any `_ADDED_R13` keys below in list order plus the rewrite-after-green
+# re-verifications accrued during round 13 — `sim_adc_search` and
+# `sim_ndcg_eval` (fingerprint-staled by the round-13 `_PQ_ADC_CTE`
+# extraction; oracle strings semantically identical, both emulator-green
+# post-change); remaining slots = the stalest cohort — the round-4 tail
+# (`_VERIFIED_R4`, 4 keys) then the round-5 keys (`_VERIFIED_R5` from
+# `plan_cbo_stats` on, stable registry order), filling to 50.
 _ADDED_R13: list[str] = [
     "stream_watermark_deterministic",
     "sim_ann_ivfadc",

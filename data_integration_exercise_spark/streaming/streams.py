@@ -285,7 +285,9 @@ def _staged_watermark_stream(spark, sf_dir: str):
     (VERDICT r12 item 7). Batch 1 holds the on-time rows INCLUDING the
     global max timestamp, so the watermark computed after it stands at
     max(ts) − 10 min. Batch 2 is a single on-time "advance" row (the
-    min-event_id on-time row): Spark ≥3.4 splits the late-events watermark
+    min-event_id on-time row whose ts sits strictly BELOW the max, so the
+    max-ts row itself always stays in batch 1): Spark ≥3.4 splits the
+    late-events watermark
     from the eviction watermark — batch N filters late input against the
     watermark in effect DURING batch N−1 (measured here on 4.1.2:
     numRowsDroppedByWatermark stays 0 when the late file lands in batch 2,
@@ -309,11 +311,26 @@ def _staged_watermark_stream(spark, sf_dir: str):
             <= F.lit(mx - _WM_CLOSE_US)
         )
         ontime = ev.filter(~late)
-        adv_id = ontime.agg(F.min("event_id")).collect()[0][0]
+        # The advance row must NOT be the sole holder of max(ts): routing
+        # that row to batch 2 would leave batch 1's watermark below
+        # mx − 10 min, letting part of the designated late set through
+        # batch 3's late filter (round-13 review finding). Restrict the
+        # pick to on-time rows strictly below the max; if none exists
+        # (degenerate: every on-time row at mx), the advance file is
+        # empty — an empty file is still a batch, so the spacer still
+        # commits batch 1's watermark ahead of the late batch.
+        adv_id = (
+            ontime.filter(F.col("ts_us") < mx)
+            .agg(F.min("event_id"))
+            .collect()[0][0]
+        )
+        adv_pred = (
+            F.col("event_id") == adv_id if adv_id is not None else F.lit(False)
+        )
         os.makedirs(stage, exist_ok=True)
         for name, frame, mtime in (
-            ("00_ontime", ontime.filter(F.col("event_id") != adv_id), 1_700_000_000),
-            ("01_advance", ontime.filter(F.col("event_id") == adv_id), 1_700_000_100),
+            ("00_ontime", ontime.filter(~adv_pred), 1_700_000_000),
+            ("01_advance", ontime.filter(adv_pred), 1_700_000_100),
             ("02_late", ev.filter(late), 1_700_000_200),
         ):
             tmp = f"{stage}_tmp_{name}"

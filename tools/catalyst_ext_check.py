@@ -248,6 +248,29 @@ def main() -> int:
     spark.conf.unset("spark.dies.lsh.minThreshold")
     print("malformed-floor fallback ok: analysis never throws, 0.2 default")
 
+    # Non-finite floor conf (round-13 review finding): "NaN" PARSES via
+    # toDouble but every `x >= NaN` comparison is false, which would
+    # silently disable banding session-wide; the finite-filter must fall
+    # back to 0.2 so a high-τ query still bands. Same for a malformed
+    # band-geometry conf: analysis must not throw and the default 8×4
+    # geometry stands.
+    spark.conf.set("spark.dies.lsh.minThreshold", "NaN")
+    nan_hi = naive_query(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" in nan_hi, (
+        "NaN floor conf silently disabled banding (finite-filter missing)"
+    )
+    spark.conf.unset("spark.dies.lsh.minThreshold")
+    spark.conf.set("spark.dies.lsh.bands", "eight")
+    spark.conf.set("spark.dies.lsh.rowsPerBand", "-3")
+    bad_geo = naive_query(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "__lsh_band" in bad_geo, (
+        "malformed band-geometry conf broke the rewrite instead of "
+        "falling back to 8x4"
+    )
+    spark.conf.unset("spark.dies.lsh.bands")
+    spark.conf.unset("spark.dies.lsh.rowsPerBand")
+    print("non-finite floor + malformed geometry fallback ok")
+
     # Recall vs the exact ε-join (deterministic: hash-derived hyperplanes).
     e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     exact_df = (

@@ -56,10 +56,15 @@ def plan_shape(df) -> list[int]:
 
 def timed(fn, spark, sf_dir: str) -> tuple[float, int, list[int]]:
     df = fn(spark, sf_dir)
-    shape = plan_shape(df)
     t0 = time.monotonic()
-    n = len(fn(spark, sf_dir).collect())
-    return round(time.monotonic() - t0, 3), n, shape
+    n = len(df.collect())
+    dt = round(time.monotonic() - t0, 3)
+    # plan AFTER execution: with AQE on, executedPlan() before the collect
+    # is the initial AdaptiveSparkPlan — reading it post-run captures the
+    # FINAL runtime plan (isFinalPlan=true), which is exactly where
+    # scale-dependent join-strategy changes appear (round-13 review
+    # finding).
+    return dt, n, plan_shape(df)
 
 
 def main() -> int:
