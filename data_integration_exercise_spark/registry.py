@@ -61,30 +61,107 @@ _MODULES = [
 # `agg_calibration_ece`, r10 — converted to a hash-pass by its r11 row after
 # the `// CAST(sum(n) AS BIGINT)` oracle fix; r11 and r12 are 50/50 green).
 #
-# ROUND-13 WINDOW (executes the pre-pinned round-12 plan, registry.py@r12
-# `_ADDED_R12` block comment, confirmed against the green CORRECTNESS_r12):
-# slots 1-6 = the six `_ADDED_R12` keys — the ONLY registered keys without
-# a driver row in CORRECTNESS_r01–r12 (each emulator-green in round 12 and
-# re-verified 6/6 by the round-12 judge — conversion-to-driver-truth, not
-# discovery); slot 7 = rewrite-after-green re-verification of
-# `dedup_minhash_openvocab` (the round-13 lossless size-bound candidate
-# prefilter, VERDICT r12 item 5, landed after its green r12 row;
-# emulator-green and output-equality-tested post-change); slots 8-50 = the
-# stalest cohort — the first 43 round-4 keys (`_VERIFIED_R4` from
-# `tpch_q4_order_priority` on, stable registry order; the last 4 queue as
-# the round-14 head). A green CORRECTNESS_r13 restores every registered key
-# to driver-verified-on-current-code.
+# ROUND-14 WINDOW (executes the pre-pinned round-13 plan, registry.py@r13
+# `_ADDED_R13` block comment, confirmed against the green 50/50
+# CORRECTNESS_r13): slots 1-3 = the three `_ADDED_R13` keys — the ONLY
+# registered keys without a driver row in CORRECTNESS_r01–r13 (each
+# emulator-green in round 13 and re-run 3/3 by the round-13 judge —
+# conversion-to-driver-truth, not discovery); slots 4-5 =
+# rewrite-after-green re-verifications of `sim_adc_search` and
+# `sim_ndcg_eval` (fingerprint-staled by the round-13 `_PQ_ADC_CTE`
+# extraction; oracle strings semantically identical, both emulator-green
+# post-change); slots 6-9 = the round-4 tail (last 4 keys whose latest
+# green row is round 4); slots 10-50 = the stalest green cohort — the
+# first 41 round-5 keys (`_VERIFIED_R5` from `plan_cbo_stats` on, stable
+# registry order; the last 5 queue as the round-15 head). A green
+# CORRECTNESS_r14 restores every registered key to
+# driver-verified-on-current-code.
 _PRIORITY = [
-    # --- 6 never-driver-verified (the entire remaining queue, _ADDED_R12) ---
+    # --- 3 never-driver-verified (the entire remaining queue, _ADDED_R13) ---
+    "stream_watermark_deterministic",
+    "sim_ann_ivfadc",
+    "agg_hll_deterministic",
+    # --- _PQ_ADC_CTE rewrite-after-green re-verifications ---
+    "sim_adc_search",
+    "sim_ndcg_eval",
+    # --- round-4 tail (stalest green rows) ---
+    "sample_train_valid_test",
+    "diag_skew_keys",
+    "graph_pagerank",
+    "graph_degree_distribution",
+    # --- 41 stalest round-5 keys (latest green row = round 5) ---
+    "plan_cbo_stats",
+    "plan_exchange_reuse",
+    "plan_runtime_filter",
+    "plan_adaptive_threshold_join",
+    "sink_compacted",
+    "sink_orc",
+    "sink_clustered",
+    "etl_upsert_latest",
+    "etl_scd2_intervals",
+    "etl_data_profile",
+    "etl_calendar_spine",
+    "etl_schema_evolution",
+    "etl_dq_checks",
+    "etl_forward_fill",
+    "etl_pii_mask",
+    "etl_snapshot_diff",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_entropy_mix",
+    "events_markov_transitions",
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "text_domain_mix",
+    "text_hashing_vectorizer",
+    "text_bigram_lm_score",
+    "sample_mix_rebalance",
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "sim_nearest_centroid",
+    "sim_embedding_hygiene",
+    "agg_gini_segments",
+    "agg_ab_ttest",
+    "graph_triangle_count",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "sim_topk_cosine",
+]
+
+# Keys ADDED during round 14 (no driver row yet). Every new operator lands
+# here in the same commit that registers it UNLESS it also gets a window
+# slot the same round; keys here queue directly behind the window for the
+# round-15 rotation.
+#
+# ROUND-15 PLAN (pre-pinned, the established pattern — execute at round-15
+# open AFTER confirming CORRECTNESS_r14 is green). Slot layout: slots 1-N =
+# any `_ADDED_R14` keys below in list order plus the rewrite-after-green
+# re-verifications accrued during round 14 — the four sf1-scale rewrites
+# (`dedup_incremental` already re-verifies in THIS window on the new code;
+# `dedup_semdedup`, `sim_ann_graph`, `sim_ann_lsh`, `dedup_soft_weights`
+# queue here); remaining slots = the stalest cohort — the round-5 tail
+# (`_VERIFIED_R5`, 5 keys) then the round-6 keys (`_VERIFIED_R6`, stable
+# registry order), filling to 50.
+_ADDED_R14: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 13 (the former
+# round-13 _PRIORITY window; CORRECTNESS_r13.json 50/50 green — all six
+# r12 additions, the post-green openvocab prefilter rewrite, and the first
+# 43 round-4 keys converted) — demoted directly behind the round-14
+# additions.
+_VERIFIED_R13 = [
     "sample_weighted_reservoir",
     "etl_rendezvous_shard",
     "stream_quantile_ingest",
     "plan_quantile_sketch_geometry",
     "sample_epoch_shuffle",
     "sample_token_stream_batches",
-    # --- size-bound-prefilter rewrite-after-green re-verification ---
     "dedup_minhash_openvocab",
-    # --- 43 stalest keys (latest green row = round 4) ---
     "tpch_q4_order_priority",
     "tpch_q6_forecast",
     "tpch_q7_volume_shipping",
@@ -130,25 +207,6 @@ _PRIORITY = [
     "sample_k_per_stratum",
 ]
 
-# Keys ADDED during round 13 (no driver row yet). Every new operator lands
-# here in the same commit that registers it UNLESS it also gets a window
-# slot the same round; keys here queue directly behind the window for the
-# round-14 rotation.
-#
-# ROUND-14 PLAN (pre-pinned, the established pattern — execute at round-14
-# open AFTER confirming CORRECTNESS_r13 is green). Slot layout: slots 1-N =
-# any `_ADDED_R13` keys below in list order plus the rewrite-after-green
-# re-verifications accrued during round 13 — `sim_adc_search` and
-# `sim_ndcg_eval` (fingerprint-staled by the round-13 `_PQ_ADC_CTE`
-# extraction; oracle strings semantically identical, both emulator-green
-# post-change); remaining slots = the stalest cohort — the round-4 tail
-# (`_VERIFIED_R4`, 4 keys) then the round-5 keys (`_VERIFIED_R5` from
-# `plan_cbo_stats` on, stable registry order), filling to 50.
-_ADDED_R13: list[str] = [
-    "stream_watermark_deterministic",
-    "sim_ann_ivfadc",
-    "agg_hll_deterministic",
-]
 
 # Keys hash/rows-verified green by the driver in round 12 (the former
 # round-12 _PRIORITY window; CORRECTNESS_r12.json 50/50 green — all four
@@ -336,7 +394,6 @@ _VERIFIED_R8 = [
     "agg_ipf_raking",
     "agg_mann_kendall",
     "sample_neyman_allocation",
-    "sim_ndcg_eval",
     "dedup_minhash_keepers",
     "dedup_lsh_pr_eval",
     "sample_token_budget_mix",
@@ -396,7 +453,6 @@ _VERIFIED_R7 = [
     "agg_seasonality_dow",
     "multimodal_shard_plan",
     "events_new_vs_returning",
-    "sim_adc_search",
     "events_feature_pit",
     "text_dedup_paragraph_chunks",
     "agg_ratio_delta_method",
@@ -485,51 +541,10 @@ _VERIFIED_R6 = [
     "agg_count_min_sketch",
 ]
 
-# Keys hash/rows-verified green by the driver in round 5 (the former
-# _PRIORITY window; includes the 11 re-verified r4 rewrites) — demoted
-# directly behind the round-6 queue.
+# Keys hash/rows-verified green by the driver in round 5 — the 5-key tail
+# left after the round-14 window absorbed the cohort's first 41 keys;
+# queues as the round-15 freshness head.
 _VERIFIED_R5 = [
-    "plan_cbo_stats",
-    "plan_exchange_reuse",
-    "plan_runtime_filter",
-    "plan_adaptive_threshold_join",
-    "sink_compacted",
-    "sink_orc",
-    "sink_clustered",
-    "etl_upsert_latest",
-    "etl_scd2_intervals",
-    "etl_data_profile",
-    "etl_calendar_spine",
-    "etl_schema_evolution",
-    "etl_dq_checks",
-    "etl_forward_fill",
-    "etl_pii_mask",
-    "etl_snapshot_diff",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_entropy_mix",
-    "events_markov_transitions",
-    "multimodal_resize",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    "text_gopher_quality",
-    "text_repetition_stats",
-    "text_domain_mix",
-    "text_hashing_vectorizer",
-    "text_bigram_lm_score",
-    "sample_mix_rebalance",
-    "dedup_containment_bigram",
-    "dedup_incremental",
-    "sim_nearest_centroid",
-    "sim_embedding_hygiene",
-    "agg_gini_segments",
-    "agg_ab_ttest",
-    "graph_triangle_count",
-    "dedup_near_jaccard",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "sim_topk_cosine",
     "sim_threshold_join",
     "sim_knn_query",
     "text_tfidf",
@@ -537,15 +552,6 @@ _VERIFIED_R5 = [
     "text_lang_id",
 ]
 
-# Keys hash/rows-verified green by the driver in round 4 — the tail left
-# after the round-13 window absorbed the cohort's first 43 keys; queues as
-# the round-14 freshness head.
-_VERIFIED_R4 = [
-    "sample_train_valid_test",
-    "diag_skew_keys",
-    "graph_pagerank",
-    "graph_degree_distribution",
-]
 
 
 
@@ -553,7 +559,8 @@ _VERIFIED_R4 = [
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R13
+        + _ADDED_R14
+        + _VERIFIED_R13
         + _VERIFIED_R12
         + _VERIFIED_R11
         + _VERIFIED_R10
@@ -561,7 +568,6 @@ def _reorder(d: dict) -> dict:
         + _VERIFIED_R7
         + _VERIFIED_R6
         + _VERIFIED_R5
-        + _VERIFIED_R4
     )
     missing = [k for k in lists if k not in d]
     if missing:
@@ -572,7 +578,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R13): "
+            "registered keys missing from the rotation queue (add to _ADDED_R14): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

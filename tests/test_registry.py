@@ -133,73 +133,74 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-13 window so a module reorder or
+# keys each round. Pin the round-14 window so a module reorder or
 # priority-list edit can't silently re-verify already-green keys and waste
 # a round.
 #
-# Composition (executes the pre-pinned round-12 plan, registry.py@r12
-# `_ADDED_R12` block comment): slots 1-6 are ALL remaining
-# never-driver-verified keys (`_ADDED_R12`, stable queue order); slot 7
-# re-verifies `dedup_minhash_openvocab` after its post-green round-13
-# size-bound-prefilter rewrite (VERDICT r12 item 5); slots 8-50 re-verify
-# the stalest cohort — the first 43 round-4 keys, stable registry order
-# (the last 4 queue as the round-14 head).
-EXPECTED_R13_WINDOW = [
-    "sample_weighted_reservoir",
-    "etl_rendezvous_shard",
-    "stream_quantile_ingest",
-    "plan_quantile_sketch_geometry",
-    "sample_epoch_shuffle",
-    "sample_token_stream_batches",
-    "dedup_minhash_openvocab",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cardinality",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_dormant_customers",
-    "agg_weighted_median",
-    "agg_hll_sketch_merge",
-    "win_gaps_islands",
-    "win_percent_of_total",
-    "win_ntile_distribution",
-    "fn_bitwise",
-    "fn_regexp",
-    "ingest_csv_permissive",
-    "text_token_count",
-    "text_fingerprint",
-    "text_keywords_topk",
-    "text_pmi_cooccurrence",
-    "text_pack_sequences",
-    "text_chunk_overlap",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_levenshtein",
-    "dedup_embedding_cosine",
-    "dedup_contamination_ngram",
-    "sim_ann_ivf",
-    "sim_quantized_cosine",
-    "udf_pandas_iterator",
-    "udf_map_in_arrow",
-    "sample_hash_mod",
-    "sample_stratified",
-    "sample_k_per_stratum",
+# Composition (executes the pre-pinned round-13 plan, registry.py@r13
+# `_ADDED_R13` block comment): slots 1-3 are ALL remaining
+# never-driver-verified keys (`_ADDED_R13`, stable queue order); slots 4-5
+# re-verify `sim_adc_search` / `sim_ndcg_eval` after the post-green
+# round-13 `_PQ_ADC_CTE` extraction staled their fingerprints; slots 6-9
+# re-verify the round-4 tail; slots 10-50 re-verify the stalest green
+# cohort — the first 41 round-5 keys, stable registry order (the last 5
+# queue as the round-15 head).
+EXPECTED_R14_WINDOW = [
+    "stream_watermark_deterministic",
+    "sim_ann_ivfadc",
+    "agg_hll_deterministic",
+    "sim_adc_search",
+    "sim_ndcg_eval",
+    "sample_train_valid_test",
+    "diag_skew_keys",
+    "graph_pagerank",
+    "graph_degree_distribution",
+    "plan_cbo_stats",
+    "plan_exchange_reuse",
+    "plan_runtime_filter",
+    "plan_adaptive_threshold_join",
+    "sink_compacted",
+    "sink_orc",
+    "sink_clustered",
+    "etl_upsert_latest",
+    "etl_scd2_intervals",
+    "etl_data_profile",
+    "etl_calendar_spine",
+    "etl_schema_evolution",
+    "etl_dq_checks",
+    "etl_forward_fill",
+    "etl_pii_mask",
+    "etl_snapshot_diff",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "events_entropy_mix",
+    "events_markov_transitions",
+    "multimodal_resize",
+    "multimodal_framesample",
+    "multimodal_audio_energy",
+    "text_gopher_quality",
+    "text_repetition_stats",
+    "text_domain_mix",
+    "text_hashing_vectorizer",
+    "text_bigram_lm_score",
+    "sample_mix_rebalance",
+    "dedup_containment_bigram",
+    "dedup_incremental",
+    "sim_nearest_centroid",
+    "sim_embedding_hygiene",
+    "agg_gini_segments",
+    "agg_ab_ttest",
+    "graph_triangle_count",
+    "dedup_near_jaccard",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "sim_topk_cosine",
 ]
 
-#: window slots holding keys with NO driver row in CORRECTNESS_r01-r12:
-#: the six round-12 additions (slots 1-6).
-_R13_NEVER_VERIFIED = EXPECTED_R13_WINDOW[:6]
+#: window slots holding keys with NO driver row in CORRECTNESS_r01-r13:
+#: the three round-13 additions (slots 1-3).
+_R14_NEVER_VERIFIED = EXPECTED_R14_WINDOW[:3]
 
 
 def _driver_rows_through(last_round: int) -> dict:
@@ -217,58 +218,58 @@ def _driver_rows_through(last_round: int) -> dict:
     return latest
 
 
-def test_round13_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R13_WINDOW
+def test_round14_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R14_WINDOW
 
 
-def test_round13_window_never_verified_slots_are_fresh():
+def test_round14_window_never_verified_slots_are_fresh():
     """The never-verified slots must hold keys with NO prior driver row —
     they exist to convert emulation-only keys to driver truth; every other
     slot is deliberate re-verification of keys that already have rows."""
-    latest = _driver_rows_through(12)
+    latest = _driver_rows_through(13)
     if not latest:
         return  # correctness files absent (fresh checkout)
-    stale = set(_R13_NEVER_VERIFIED) & set(latest)
+    stale = set(_R14_NEVER_VERIFIED) & set(latest)
     assert not stale, (
         f"never-verified slots waste coverage on already-verified keys: "
         f"{sorted(stale)}"
     )
 
 
-def test_round13_window_covers_every_unverified_key():
-    """never-verified slots ∪ _ADDED_R13 must be exactly the keys without
-    a driver row, so round 13 converges to full driver coverage."""
-    latest = _driver_rows_through(12)
+def test_round14_window_covers_every_unverified_key():
+    """never-verified slots ∪ _ADDED_R14 must be exactly the keys without
+    a driver row, so round 14 converges to full driver coverage."""
+    latest = _driver_rows_through(13)
     if not latest:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R13
+    from data_integration_exercise_spark.registry import _ADDED_R14
 
     unverified = set(queries()) - set(latest)
-    queue = set(_R13_NEVER_VERIFIED) | set(_ADDED_R13)
+    queue = set(_R14_NEVER_VERIFIED) | set(_ADDED_R14)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R13"
+        "a key added this round must be listed in registry._ADDED_R14"
     )
 
 
-def test_round13_window_tail_reverifies_stalest_keys():
-    """The re-verification slots must target exactly: the post-green
-    openvocab prefilter rewrite + the stalest (round-4) green cohort —
+def test_round14_window_tail_reverifies_stalest_keys():
+    """The re-verification slots must target exactly: the two post-green
+    `_PQ_ADC_CTE` rewrites + the stalest (round-4/round-5) green cohort —
     never keys already fresh."""
-    latest = _driver_rows_through(12)
+    latest = _driver_rows_through(13)
     if not latest:
         return
-    # explicit rewrite-after-green slot
-    assert EXPECTED_R13_WINDOW[6] == "dedup_minhash_openvocab"
-    # freshness slots: every key whose latest row is round <= 4 must be in
-    # the window or the pinned round-14 head (the 4-key round-4 tail)
-    from data_integration_exercise_spark.registry import _VERIFIED_R4
+    # explicit rewrite-after-green slots
+    assert EXPECTED_R14_WINDOW[3:5] == ["sim_adc_search", "sim_ndcg_eval"]
+    # freshness slots: every key whose latest row is round <= 5 must be in
+    # the window or the pinned round-15 head (the 5-key round-5 tail)
+    from data_integration_exercise_spark.registry import _VERIFIED_R5
 
-    stale4 = {k for k, r in latest.items() if r <= 4}
-    missing = stale4 - set(EXPECTED_R13_WINDOW) - set(_VERIFIED_R4)
-    assert not missing, f"round-4-stale keys left out: {sorted(missing)}"
-    assert len(_VERIFIED_R4) == 4
+    stale5 = {k for k, r in latest.items() if r <= 5}
+    missing = stale5 - set(EXPECTED_R14_WINDOW) - set(_VERIFIED_R5)
+    assert not missing, f"round-5-stale keys left out: {sorted(missing)}"
+    assert len(_VERIFIED_R5) == 5
 
 
 def test_queries_count_matches_survey_addendum():
