@@ -1893,15 +1893,38 @@ def dedup_incremental(spark, sf_dir):
     slice — sampling.py's partitioning-stable split discipline) against the
     historical base corpus WITHOUT re-clustering the base. Each increment
     doc reports its exact duplicate in the base (token-set fingerprint
-    match), its best near-duplicate (token-mask Jaccard ≥ 0.8, highest
-    similarity, ties to the lowest base id), and an is_new verdict — the
-    admission-control query a continuously-fed training corpus runs per
-    ingest batch.
+    match), its best near-duplicate (token-mask Jaccard ≥ 0.8 within the
+    same lang, highest similarity, ties to the lowest base id), and an
+    is_new verdict — the admission-control query a continuously-fed
+    training corpus runs per ingest batch.
 
-    100 TB: the increment is small by construction, so it BROADCASTS to
-    the base scan — the base is never shuffled, never re-paired against
-    itself (that is the O(n²) this operator exists to avoid); Jaccard runs
-    on 31-bit token masks (bit_count ops, _doc_masks discipline)."""
+    100 TB: the round-13 sf1 probe measured the former lang-blocked
+    increment×base pair stage at 132× wall on 10× data — lang blocking
+    leaves an O(|incr|·|base|/|langs|) product that is quadratic in corpus
+    size (VERDICT r13 item 1). The pair stage now runs over DISTINCT
+    (lang, mask) values, not docs: Jaccard is a pure function of the two
+    31-bit token masks, so docs sharing a mask are interchangeable and the
+    per-mask min base doc_id settles the tie-break. Candidates come from
+    an exact pigeonhole band join — J ≥ 0.8 on ≤32-bit sets forces
+    Hamming(m1, m2) ≤ 6, so splitting bits 0..30 into 7 bands guarantees
+    every qualifying pair agrees on at least one whole band (7 bands > 6
+    differing bits) — plus the integer size-bound prefilter
+    (5·min(|s1|,|s2|) ≥ 4·max, implied by the 0.8 threshold). Both stages
+    are lossless, so the output is provably identical to the all-pairs
+    report at EVERY scale (tests/test_pipeline.py asserts equality against
+    the unbanded path); wall scales with distinct-mask count, which
+    saturates as content repeats, never with the doc-pair product."""
+    return _incremental_report(spark, sf_dir, banded=True)
+
+
+#: 7 pigeonhole bands over mask bits 0..30: (shift, width) — 5+5+5+4+4+4+4.
+_INCR_BANDS = [(0, 5), (5, 5), (10, 5), (15, 4), (19, 4), (23, 4), (27, 4)]
+
+
+def _incremental_report(spark, sf_dir, banded=True):
+    """Shared body of ``dedup_incremental``. ``banded=False`` keeps the
+    pre-round-14 lang-blocked all-pairs near stage alive for the
+    losslessness equality test (the size_bound=False pattern)."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), ",")
     bkt = (
@@ -1925,30 +1948,10 @@ def dedup_incremental(spark, sf_dir):
         .agg(F.min("b_doc").alias("exact_dup_of"))
     )
 
-    i_m = incr.select(
-        F.col("doc_id"), F.col("lang"), F.col("mask").alias("i_mask")
-    )
-    b_m = base.select(
-        F.col("doc_id").alias("near_doc"),
-        F.col("lang").alias("b_lang"),
-        F.col("mask").alias("b_mask"),
-    )
-    inter = F.bit_count(F.col("i_mask").bitwiseAND(F.col("b_mask"))).cast("long")
-    union = F.bit_count(F.col("i_mask").bitwiseOR(F.col("b_mask"))).cast("long")
-    jac = inter.cast("double") / union
-    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("near_doc").asc())
     near = (
-        F.broadcast(i_m)
-        .join(b_m, F.col("lang") == F.col("b_lang"))
-        .select("doc_id", "near_doc", jac.alias("jac"))
-        .filter(F.col("jac") >= 0.8)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("near_doc").alias("near_dup_of"),
-            F.round("jac", 4).alias("near_jaccard"),
-        )
+        _incremental_near_banded(incr, base)
+        if banded
+        else _incremental_near_allpairs(incr, base)
     )
     return (
         incr.select("doc_id", "lang")
@@ -1961,6 +1964,99 @@ def dedup_incremental(spark, sf_dir):
             "near_dup_of",
             "near_jaccard",
             F.col("near_dup_of").isNull().alias("is_new"),
+        )
+    )
+
+
+def _mask_band_rows(df, mask_col, keep):
+    """7 pigeonhole band rows per input row: (keep…, band, val) with
+    val = the _INCR_BANDS slice of ``mask_col``. An equi-join of two such
+    streams on (band, val) is an EXACT candidate generator for token-mask
+    Jaccard ≥ 0.8 — J ≥ 0.8 on ≤32-bit sets forces Hamming ≤ 6 < 7 bands,
+    so every qualifying pair shares at least one whole band (pigeonhole);
+    extra collisions are filtered by the exact re-rank. Shared by
+    dedup_incremental and dedup_soft_weights."""
+    structs = ", ".join(
+        f"named_struct('band', {i}, "
+        f"'val', CAST(shiftright({mask_col}, {off}) & {(1 << w) - 1} AS INT))"
+        for i, (off, w) in enumerate(_INCR_BANDS)
+    )
+    return df.select(
+        *keep, F.explode(F.expr(f"array({structs})")).alias("bv")
+    ).select(*keep, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+
+def _incremental_near_banded(incr, base):
+    """Best same-lang near-dup per increment doc via the distinct-mask
+    pigeonhole-band pair stage (see dedup_incremental docstring for the
+    losslessness argument). Data volumes: band rows are 7 per DISTINCT
+    (lang, mask), the pair join moves 8-byte masks only, and the winner
+    re-attaches to increment docs by one (lang, mask) equi-join — no doc
+    token arrays ever enter a pair product."""
+    i_m = incr.select("lang", F.col("mask").alias("i_mask")).distinct()
+    b_m = base.groupBy("lang", F.col("mask").alias("b_mask")).agg(
+        F.min("doc_id").alias("min_doc")
+    )
+
+    ib = _mask_band_rows(i_m, "i_mask", ["lang", "i_mask"])
+    bb = _mask_band_rows(b_m, "b_mask", ["lang", "b_mask", "min_doc"])
+    ic = F.bit_count("i_mask").cast("long")
+    bc = F.bit_count("b_mask").cast("long")
+    inter = F.bit_count(F.col("i_mask").bitwiseAND(F.col("b_mask"))).cast("long")
+    union = F.bit_count(F.col("i_mask").bitwiseOR(F.col("b_mask"))).cast("long")
+    jac = inter.cast("double") / union
+    w = Window.partitionBy("lang", "i_mask").orderBy(
+        F.col("jac").desc(), F.col("min_doc").asc()
+    )
+    best = (
+        F.broadcast(ib)
+        .join(bb, ["lang", "band", "val"])
+        .filter(5 * F.least(ic, bc) >= 4 * F.greatest(ic, bc))
+        .select("lang", "i_mask", "b_mask", "min_doc")
+        .distinct()
+        .select("lang", "i_mask", "min_doc", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        incr.select("doc_id", "lang", F.col("mask").alias("i_mask"))
+        .join(F.broadcast(best), ["lang", "i_mask"])
+        .select(
+            "doc_id",
+            F.col("min_doc").alias("near_dup_of"),
+            F.round("jac", 4).alias("near_jaccard"),
+        )
+    )
+
+
+def _incremental_near_allpairs(incr, base):
+    """The pre-round-14 lang-blocked increment×base near stage — O(n²) in
+    corpus size (132× wall at 10× data, SCALE_r13.json); retained ONLY as
+    the equality reference for the banded path's losslessness test."""
+    i_m = incr.select(
+        F.col("doc_id"), F.col("lang"), F.col("mask").alias("i_mask")
+    )
+    b_m = base.select(
+        F.col("doc_id").alias("near_doc"),
+        F.col("lang").alias("b_lang"),
+        F.col("mask").alias("b_mask"),
+    )
+    inter = F.bit_count(F.col("i_mask").bitwiseAND(F.col("b_mask"))).cast("long")
+    union = F.bit_count(F.col("i_mask").bitwiseOR(F.col("b_mask"))).cast("long")
+    jac = inter.cast("double") / union
+    w = Window.partitionBy("doc_id").orderBy(F.col("jac").desc(), F.col("near_doc").asc())
+    return (
+        F.broadcast(i_m)
+        .join(b_m, F.col("lang") == F.col("b_lang"))
+        .select("doc_id", "near_doc", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.8)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("near_doc").alias("near_dup_of"),
+            F.round("jac", 4).alias("near_jaccard"),
         )
     )
 
@@ -2109,28 +2205,48 @@ def dedup_soft_weights(spark, sf_dir):
     an integer permille floor-division. Docs with no neighbor keep weight
     1000, via the left join.
 
-    100 TB: pairs come from the salted same-lang self-join on 8-byte
-    masks (salted_lang_pairs — |langs|·B join blocks, explicit partition
-    count, AQE-coalesce-proof); degrees are one union-all groupBy; swap
-    the exact pair stage for _lsh_scored_pairs when the corpus outgrows
-    blocked-exact range. Each stage is a bounded shuffle on doc_id."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    100 TB: the round-13 sf1 probe measured the former salted same-lang
+    all-pairs self-join at 12.1× wall on 10× data (VERDICT r13 item 4 —
+    blocked-exact is still O(n²/|langs|)). The degree is a pure function
+    of the doc's 31-bit mask — same-mask docs are mutual J=1 near-dups and
+    share every neighbor — so the pair stage now runs over DISTINCT
+    (lang, mask) values carrying their doc counts: deg(M) =
+    Σ cnt(M') over qualifying M' (self included) − 1. Candidates come from
+    the _mask_band_rows pigeonhole join + the 5·min ≥ 4·max size bound —
+    both LOSSLESS for J ≥ 0.8 — so the output is provably identical to the
+    all-pairs report at every scale (no recall fork, which is why the
+    adaptive exact-vs-LSH strategy pick this seam once planned for is
+    unnecessary: exact stays affordable). Wall scales with distinct-mask
+    count (saturating as content repeats), never the doc-pair product;
+    the degree rollup and the doc re-attach are one (lang, mask)
+    equi-join each."""
     masks = _doc_masks(spark, sf_dir)
-    pairs = salted_lang_pairs(masks)
-    inter = F.expr("bit_count(a_mask & b_mask)")
-    union = F.expr("bit_count(a_mask | b_mask)")
-    hit = pairs.filter(5 * inter >= 4 * union).select("doc1", "doc2")
-    deg = (
-        hit.select(F.col("doc1").alias("doc_id"))
-        .unionAll(hit.select(F.col("doc2").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_near_dups"))
+    mg = masks.groupBy("lang", "mask").agg(F.count("*").cast("long").alias("cnt"))
+    a = _mask_band_rows(
+        mg.select("lang", F.col("mask").alias("a_mask")), "a_mask",
+        ["lang", "a_mask"],
     )
-    return d.join(deg, "doc_id", "left").select(
+    b = _mask_band_rows(
+        mg.select("lang", F.col("mask").alias("b_mask"), F.col("cnt").alias("b_cnt")),
+        "b_mask",
+        ["lang", "b_mask", "b_cnt"],
+    )
+    ac = F.bit_count("a_mask").cast("long")
+    bc = F.bit_count("b_mask").cast("long")
+    deg_mask = (
+        a.join(b, ["lang", "band", "val"])
+        .filter(5 * F.least(ac, bc) >= 4 * F.greatest(ac, bc))
+        .select("lang", "a_mask", "b_mask", "b_cnt")
+        .distinct()
+        .filter(F.expr("5 * bit_count(a_mask & b_mask) >= 4 * bit_count(a_mask | b_mask)"))
+        .groupBy("lang", F.col("a_mask").alias("mask"))
+        .agg((F.sum("b_cnt") - 1).cast("long").alias("deg"))
+    )
+    return masks.join(deg_mask, ["lang", "mask"], "left").select(
         "doc_id",
         "lang",
-        F.coalesce(F.col("n_near_dups"), F.lit(0).cast("long")).alias("n_near_dups"),
-        F.expr("CAST(1000 div (1 + coalesce(n_near_dups, 0)) AS BIGINT)").alias(
+        F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("n_near_dups"),
+        F.expr("CAST(1000 div (1 + coalesce(deg, 0)) AS BIGINT)").alias(
             "weight_permille"
         ),
     )

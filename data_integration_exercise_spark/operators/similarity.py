@@ -65,6 +65,55 @@ N_PLANES = 12
 #: fixed LSH hyperplanes: h[p][i] = ((i * (p + 2) + 13) % 7) - 3  (ints)
 HYPERPLANES = [[((i * (p + 2) + 13) % 7) - 3 for i in range(DIM)] for p in range(N_PLANES)]
 
+# ---------------------------------------------------------------------------
+# LSH geometry scale ladder (VERDICT r13 items 3-4). A FIXED bands×bits
+# geometry has per-band bucket occupancy n / 2^bits — linear in corpus
+# size, so bucket-mate candidate pairs grow quadratically (sim_ann_graph
+# measured 13.2× wall at 10× data, sim_ann_lsh 11.2×, SCALE_r13.json).
+# The ladder is the plan_lsh_band_geometry planner's decision baked into
+# the index build: rows-per-band (bits) grows with MEASURED corpus size so
+# occupancy stays ≤ ~_LSH_TARGET_BUCKET, and the band count grows alongside
+# (OR-of-ANDs: one extra band per extra bit) to claw back the p^bits recall
+# loss. Thresholds are exact integers shared verbatim with the
+# sim_ann_graph oracle's CASE, and at every driver-verified scale
+# (n ≤ 2048) the ladder returns the original 4×3 geometry unchanged.
+# ---------------------------------------------------------------------------
+
+N_BANDS = 4
+BAND_BITS = 3  # N_BANDS * BAND_BITS == N_PLANES
+_LSH_TARGET_BUCKET = 256
+_LSH_MAX_BITS = 9
+
+
+def _lsh_geometry(n: int) -> tuple[int, int]:
+    """(bands, bits) for a corpus of n vectors: smallest bits ≥ BAND_BITS
+    with n ≤ _LSH_TARGET_BUCKET·2^bits (capped), bands = N_BANDS + growth."""
+    bits = BAND_BITS
+    while bits < _LSH_MAX_BITS and n > _LSH_TARGET_BUCKET << bits:
+        bits += 1
+    return N_BANDS + (bits - BAND_BITS), bits
+
+
+def _lsh_plane(p: int) -> list[int]:
+    """Plane p of the extended pool: 0..N_PLANES-1 are the original
+    HYPERPLANES (so tier-3 geometry — every driver-verified scale — is
+    bit-identical to the pre-ladder build); ≥ N_PLANES are md5-derived ±1
+    rows (the plan_lsh_band_geometry pool discipline: deterministic, no
+    rand(), integer dots stay exact)."""
+    if p < N_PLANES:
+        return HYPERPLANES[p]
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"annpool:{p}:{i}".encode()).hexdigest(), 16) % 2 == 0
+        else -1
+        for i in range(DIM)
+    ]
+
+
+#: total pool size = bands·bits at the deepest tier (13 bands × 9 bits)
+_LSH_POOL = _lsh_geometry(10**18)[0] * _LSH_MAX_BITS
+
 
 def _sql_list(xs) -> str:
     return "[" + ", ".join(str(x) for x in xs) + "]"
@@ -235,19 +284,20 @@ def sim_knn_query(spark, sf_dir):
     )
 
 
-N_BANDS = 4
-BAND_BITS = 3  # N_BANDS * BAND_BITS == N_PLANES
-
-
 @register("sim_ann_lsh")  # rows-only: approximate by design (SURVEY §2.10)
 def sim_ann_lsh(spark, sf_dir):
     """Approximate top-100 same-label pairs via banded random-hyperplane LSH:
-    12 fixed literal hyperplanes → sign bits → 4 bands of 3 bits; candidate
+    literal hyperplanes → sign bits → bands of sign bits; candidate
     pairs agree on *any* band (classic OR-of-ANDs banding — a single
     all-bits bucket had 5% recall on this data, banding restores it), then
     exact cosine re-rank of candidates only. Deterministic (hyperplanes are
-    module constants, no rand()). At 100 TB the per-band equi-join touches
-    only colliding pairs — sublinear in the pair space; recall vs
+    module constants, no rand()). The bands×bits geometry comes from the
+    _lsh_geometry scale ladder on a one-scalar cardinality probe — per-band
+    bucket occupancy stays ≤ ~_LSH_TARGET_BUCKET instead of growing
+    linearly with the corpus (the 11.2×-at-10×-data seam, SCALE_r13.json);
+    at driver-verified scales the ladder returns the original 4×3 geometry
+    bit-identically. At 100 TB the per-band equi-join touches only
+    colliding pairs — sublinear in the pair space; recall vs
     sim_topk_cosine is asserted in tests."""
     # RAW vectors throughout: sign bits are scale-invariant, so hashing the
     # un-normalized embedding gives identical signatures while avoiding the
@@ -258,11 +308,12 @@ def sim_ann_lsh(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec("embedding").alias("v")
     )
+    bands, bits = _lsh_geometry(e.count())
     band_sigs = []
-    for b in range(N_BANDS):
+    for b in range(bands):
         sig = F.lit(0)
-        for j in range(BAND_BITS):
-            plane = HYPERPLANES[b * BAND_BITS + j]
+        for j in range(bits):
+            plane = _lsh_plane(b * bits + j)
             h = F.array(*[F.lit(float(x)) for x in plane])
             sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(
                 F.lit(0)
@@ -1300,15 +1351,26 @@ _GRAPH_QMOD = 101  # query set: vec_id % _GRAPH_QMOD == 0
 
 
 def _ann_graph_oracle() -> str:
-    band_sig = []
-    for b in range(N_BANDS):
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(qv, {_sql_list(HYPERPLANES[b * BAND_BITS + j])})"
-            f" >= 0 THEN {2 ** j} ELSE 0 END)"
-            for j in range(BAND_BITS)
+    # Sign bits for the ENTIRE extended plane pool, then dynamic-width band
+    # signatures: the _lsh_geometry ladder's (bands, bits) is recomputed in
+    # SQL from count(*) with the same integer thresholds, band b's
+    # signature is the 2^j-weighted dot of signs[b·bits+1 .. (b+1)·bits] —
+    # at tier 3 (every driver-verified scale) this is bit-identical to the
+    # original fixed 4×3 oracle.
+    sign_entries = ", ".join(
+        f"CASE WHEN list_dot_product(qv, {_sql_list(_lsh_plane(p))})"
+        " >= 0 THEN 1 ELSE 0 END"
+        for p in range(_LSH_POOL)
+    )
+    bits_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (SELECT count(*) FROM q) <= {_LSH_TARGET_BUCKET << b} THEN {b}"
+            for b in range(BAND_BITS, _LSH_MAX_BITS)
         )
-        band_sig.append(f"SELECT vec_id, {b} AS band, {bits} AS sig FROM q")
-    bands_union = " UNION ALL ".join(band_sig)
+        + f" ELSE {_LSH_MAX_BITS} END"
+    )
+    powers = _sql_list([1 << j for j in range(_LSH_MAX_BITS)])
     return f"""
     WITH q AS (
         SELECT vec_id,
@@ -1316,11 +1378,27 @@ def _ann_graph_oracle() -> str:
                    x -> CAST(floor(1000 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))
                    AS qv
         FROM embeddings
+    ), geom AS (
+        SELECT bits, {N_BANDS - BAND_BITS} + bits AS bands
+        FROM (SELECT {bits_case} AS bits)
     ), qn AS (
         SELECT vec_id, qv,
                CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
         FROM q
-    ), banded AS ({bands_union}),
+    ), s AS (
+        SELECT vec_id, [{sign_entries}] AS signs FROM q
+    ), banded AS (
+        SELECT vec_id, band,
+               CAST(list_dot_product(
+                   list_slice(signs,
+                              band * (SELECT bits FROM geom) + 1,
+                              (band + 1) * (SELECT bits FROM geom)),
+                   list_slice({powers}, 1, (SELECT bits FROM geom)))
+                   AS BIGINT) AS sig
+        FROM (SELECT vec_id, signs,
+                     unnest(range((SELECT bands FROM geom))) AS band
+              FROM s)
+    ),
     bucket_pairs AS (
         SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
         FROM banded b1
@@ -1399,7 +1477,12 @@ def sim_ann_graph(spark, sf_dir):
 
     100 TB: graph build touches only bucket-colliding pairs (banded
     equi-join — never all-pairs) and caps the materialized index at 4
-    edges/node; the query pass is equi-joins against a broadcast-scale
+    edges/node; the bands×bits geometry comes from the _lsh_geometry scale
+    ladder on a one-scalar cardinality probe, so per-band bucket occupancy
+    (and with it the bucket-mate pair count per vector) stays bounded as
+    the corpus grows instead of scaling linearly (the 13.2×-at-10×-data
+    seam, SCALE_r13.json; the oracle recomputes the same integer tier from
+    count(*)). The query pass is equi-joins against a broadcast-scale
     query set, with candidates bounded by |seeds|·(1+M). Beam iterations
     beyond one hop would repeat the expand join; one hop is the
     measured-sufficient depth here (recall pinned in tests)."""
@@ -1426,19 +1509,20 @@ def sim_ann_graph(spark, sf_dir):
     # latency, not execution (profiled; the sig job itself is
     # milliseconds on 2k rows).
     def _plane_dot(p: int) -> str:
-        h = "array(" + ", ".join(f"{x}L" for x in HYPERPLANES[p]) + ")"
+        h = "array(" + ", ".join(f"{x}L" for x in _lsh_plane(p)) + ")"
         return (
             f"aggregate(zip_with(qv, {h}, (x, y) -> x * y),"
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
+    bands, bits = _lsh_geometry(e.count())
     band_exprs = ", ".join(
         " + ".join(
-            f"(CASE WHEN {_plane_dot(b * BAND_BITS + j)} >= 0"
+            f"(CASE WHEN {_plane_dot(b * bits + j)} >= 0"
             f" THEN {2 ** j} ELSE 0 END)"
-            for j in range(BAND_BITS)
+            for j in range(bits)
         )
-        for b in range(N_BANDS)
+        for b in range(bands)
     )
     banded = (
         qn.select("vec_id", F.expr(f"array({band_exprs})").alias("sigs"))

@@ -157,9 +157,13 @@ def test_pii_scrub_leaves_no_pii_and_counts_vary(spark):
 
 
 def test_semdedup_matches_numpy_reference(spark):
-    """Full numpy replay at sf0.001: quantize, integer-mean centroids per
-    label, nearest-centroid assignment (tie -> lowest), within-cluster
-    integer cosine rule, keeper = lowest id. Must match exactly."""
+    """Full numpy replay at sf0.001: quantize, k = max(10, ceil(sqrt(n))),
+    range-bin seed groups on the first quantized component, integer-mean
+    centroids per seed bin, nearest-centroid assignment (tie -> lowest),
+    within-cluster integer cosine rule, keeper = lowest id. Must match
+    exactly."""
+    import math
+
     import numpy as np
 
     from data_integration_exercise_spark.io import load_table
@@ -171,16 +175,19 @@ def test_semdedup_matches_numpy_reference(spark):
     }
     rows = load_table(spark, sf, "embeddings").collect()
     ids = np.array([r.vec_id for r in rows])
-    labels = np.array([r.label for r in rows])
     q = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * 1000 + 0.5).astype(np.int64)
     def trunc_div(s, n):
         # Spark `div` and DuckDB integer `//` both truncate toward zero;
         # numpy floor_divide floors — not the same for negative sums.
         return np.sign(s) * (np.abs(s) // n)
 
+    n = len(ids)
+    k = max(10, math.isqrt(max(n - 1, 0)) + 1)
+    lo, hi = int(q[:, 0].min()), int(q[:, 0].max())
+    seed = (q[:, 0] - lo) * k // (hi - lo + 1)  # non-negative: // == div
     cents = {
-        lab: trunc_div(q[labels == lab].sum(axis=0), (labels == lab).sum())
-        for lab in sorted(set(labels.tolist()))
+        g: trunc_div(q[seed == g].sum(axis=0), (seed == g).sum())
+        for g in sorted(set(seed.tolist()))
     }
     clabels = sorted(cents)
     cmat = np.stack([cents[c] for c in clabels])
