@@ -147,7 +147,9 @@ _PRIORITY = [
 # queue here); remaining slots = the stalest cohort — the round-5 tail
 # (`_VERIFIED_R5`, 5 keys) then the round-6 keys (`_VERIFIED_R6`, stable
 # registry order), filling to 50.
-_ADDED_R14: list[str] = []
+_ADDED_R14: list[str] = [
+    "sink_manifest_atomic",
+]
 
 # Keys hash/rows-verified green by the driver in round 13 (the former
 # round-13 _PRIORITY window; CORRECTNESS_r13.json 50/50 green — all six

@@ -106,6 +106,39 @@ def test_compaction_reduces_file_count(spark):
     assert n_frag >= 32 and n_comp <= 8, (n_frag, n_comp)
 
 
+def test_manifest_atomic_commit_hides_orphans_and_shares_files(spark):
+    """sink_manifest_atomic's commit protocol, checked at the file level:
+    the orphan batch's parquet files ARE physically present in the shared
+    data/ directory (so a directory-listing reader WOULD see them — the
+    raw-dir read proves it by returning more rows), yet the manifest read
+    excludes them; the live pointer is v2; v2's manifest reuses every v1
+    file (append = shared immutable files); no temp files survive the
+    rename-commit."""
+    import json
+    import os
+
+    connectors.QUERIES["sink_manifest_atomic"](spark, SF).collect()
+    root = connectors._stage_dir(SF, "sink_manifest_atomic")
+    data_files = os.listdir(os.path.join(root, "data"))
+    assert any(f.startswith("orphan-") for f in data_files)
+    assert open(os.path.join(root, "_current")).read().strip() == "v2"
+    man = {
+        v: json.load(open(os.path.join(root, "_manifests", f"{v}.json")))
+        for v in ("v1", "v2")
+    }
+    assert set(man["v1"]["files"]) <= set(man["v2"]["files"])
+    for v in man:
+        for p in man[v]["files"]:
+            assert os.path.exists(os.path.join(root, p)), (v, p)
+            assert not os.path.basename(p).startswith("orphan-"), (v, p)
+    assert not [f for f in os.listdir(root) if f.endswith(".tmp")]
+    committed = spark.read.parquet(
+        *[os.path.join(root, p) for p in man["v2"]["files"]]
+    ).count()
+    raw_dir = spark.read.parquet(os.path.join(root, "data")).count()
+    assert raw_dir > committed  # the orphan rows a listing-based reader would leak
+
+
 def test_jsonl_shards_are_capped_and_keyrange_disjoint(spark):
     """sink_jsonl_shards must honor maxRecordsPerFile (no shard exceeds the
     4096-record cap) and the range partitioning (shards from different
