@@ -149,6 +149,7 @@ _PRIORITY = [
 # registry order), filling to 50.
 _ADDED_R14: list[str] = [
     "sink_manifest_atomic",
+    "sink_manifest_expire",
 ]
 
 # Keys hash/rows-verified green by the driver in round 13 (the former

@@ -731,6 +731,101 @@ def _manifest_stage(spark, sf_dir, root: str) -> None:
 
 
 @register(
+    "sink_manifest_expire",
+    oracle="""
+    SELECT 'v2' AS snapshot, o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n,
+           round(sum(o_totalprice), 4) AS total_price
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__gc__', 'ALL',
+           CAST(count(*) AS BIGINT),
+           round(sum(o_totalprice), 4)
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def sink_manifest_expire(spark, sf_dir):
+    """Snapshot expiry + orphan GC for the manifest-committed table — the
+    maintenance half of sink_manifest_atomic (Iceberg's expireSnapshots +
+    removeOrphanFiles in miniature). Retention keeps only the live
+    snapshot: v1's manifest is deleted (time travel to it now correctly
+    fails — tests assert), the reachable set is the union of files listed
+    by the SURVIVING manifests, and every data file outside it — here the
+    crashed-writer orphan batch; v1's files all survive because v2's
+    manifest still references them — is removed. GC is decided entirely
+    from manifest METADATA (a set difference of file lists), never by
+    interpreting data; the orphans are read once BEFORE deletion for the
+    audit row, which is the test-scale verification pass (a production
+    run reports file counts/bytes from the listing instead — reading
+    candidate orphans at 100 TB would be the bug).
+
+    The output re-reads the live snapshot THROUGH its manifest after the
+    deletes (proving GC cannot break a committed reader — reachability is
+    exactly the published file list) plus the '__gc__' audit row; the
+    oracle recomputes both from ``orders``. Each invocation stages a
+    fresh run directory, so the op is rerun-safe and never mutates
+    sink_manifest_atomic's staging.
+
+    100 TB: expiry cost is O(manifests + files-listed) metadata work plus
+    object-store deletes — no data scan, no shuffle; the atomic pointer
+    means GC and readers never race (a reader holds a manifest, and GC
+    only deletes what no surviving manifest lists)."""
+    import json
+
+    run = _EXPIRE_RUNS.get((sf_dir, "runs"), 0) + 1
+    _EXPIRE_RUNS[(sf_dir, "runs")] = run
+    root = os.path.join(_stage_dir(sf_dir, "sink_manifest_expire"), f"run{run}")
+    _manifest_stage(spark, sf_dir, root)
+
+    live = open(os.path.join(root, "_current")).read().strip()
+    man_dir = os.path.join(root, "_manifests")
+    reachable = set(
+        json.load(open(os.path.join(man_dir, f"{live}.json")))["files"]
+    )
+    data_dir = os.path.join(root, "data")
+    orphans = [
+        f for f in sorted(os.listdir(data_dir))
+        if os.path.join("data", f) not in reachable
+    ]
+    gc_n, gc_price = 0, 0.0
+    if orphans:
+        row = (
+            spark.read.parquet(*[os.path.join(data_dir, f) for f in orphans])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("p"),
+            )
+            .first()
+        )
+        gc_n, gc_price = row["n"], float(row["p"])
+        for f in orphans:
+            os.remove(os.path.join(data_dir, f))
+    for m in os.listdir(man_dir):
+        if m != f"{live}.json":
+            os.remove(os.path.join(man_dir, m))
+
+    man = json.load(open(os.path.join(man_dir, f"{live}.json")))
+    post = (
+        spark.read.parquet(*[os.path.join(root, p) for p in man["files"]])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(F.lit("v2").alias("snapshot"), "o_orderpriority", "n", "total_price")
+    )
+    gc_row = spark.createDataFrame(
+        [("__gc__", "ALL", gc_n, gc_price)],
+        "snapshot string, o_orderpriority string, n long, total_price double",
+    )
+    return post.unionByName(gc_row)
+
+
+_EXPIRE_RUNS: dict = {}
+
+
+@register(
     "ingest_csv_permissive",
     oracle="""
     SELECT CAST(count(*) FILTER (WHERE o_orderkey % 37 = 0) AS BIGINT)  AS n_corrupt,

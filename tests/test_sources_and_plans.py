@@ -139,6 +139,29 @@ def test_manifest_atomic_commit_hides_orphans_and_shares_files(spark):
     assert raw_dir > committed  # the orphan rows a listing-based reader would leak
 
 
+def test_manifest_expire_removes_only_unreachable_files(spark):
+    """sink_manifest_expire's GC, checked at the file level on the run
+    directory it just staged: after expiry the data dir holds exactly the
+    live manifest's files (orphans gone, every v1 file retained because v2
+    references it), v1's manifest is deleted so time travel to it fails,
+    and the live read-through still works."""
+    import json
+    import os
+
+    connectors.QUERIES["sink_manifest_expire"](spark, SF).collect()
+    base = connectors._stage_dir(SF, "sink_manifest_expire")
+    run = max(os.listdir(base))  # latest runN
+    root = os.path.join(base, run)
+    assert os.listdir(os.path.join(root, "_manifests")) == ["v2.json"]
+    man = json.load(open(os.path.join(root, "_manifests", "v2.json")))
+    on_disk = {os.path.join("data", f) for f in os.listdir(os.path.join(root, "data"))}
+    assert on_disk == set(man["files"])
+    assert not any(os.path.basename(p).startswith("orphan-") for p in on_disk)
+    assert any(os.path.basename(p).startswith("batch1-") for p in on_disk)
+    n = spark.read.parquet(*[os.path.join(root, p) for p in man["files"]]).count()
+    assert n > 0
+
+
 def test_jsonl_shards_are_capped_and_keyrange_disjoint(spark):
     """sink_jsonl_shards must honor maxRecordsPerFile (no shard exceeds the
     4096-record cap) and the range partitioning (shards from different
