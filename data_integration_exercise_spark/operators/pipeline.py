@@ -1932,10 +1932,15 @@ def _incremental_report(spark, sf_dir, banded=True):
         .cast("long") % 10
     )
     masks = _doc_masks(spark, sf_dir)
+    # localCheckpoint: incr feeds the exact join, the near stage, and the
+    # final report spine; base feeds the exact join and the near stage —
+    # without the cut the fp/mask build subtree re-executes per reference
+    # (SURVEY §10 lesson 4).
     docs = (
         d.select("doc_id", fp.alias("fp"), bkt.alias("bkt"))
         .join(masks, "doc_id")
         .select("doc_id", "lang", "fp", "mask", "bkt")
+        .localCheckpoint(eager=False)
     )
     incr = docs.filter(F.col("bkt") == 0).drop("bkt")
     base = docs.filter(F.col("bkt") != 0).drop("bkt")
@@ -2220,7 +2225,10 @@ def dedup_soft_weights(spark, sf_dir):
     count (saturating as content repeats), never the doc-pair product;
     the degree rollup and the doc re-attach are one (lang, mask)
     equi-join each."""
-    masks = _doc_masks(spark, sf_dir)
+    # localCheckpoint: the mask rollup feeds BOTH the distinct-mask pair
+    # stage and the final doc re-attach — without it the token explode +
+    # bit_or subtree executes twice per action (SURVEY §10 lesson 4).
+    masks = _doc_masks(spark, sf_dir).localCheckpoint(eager=False)
     mg = masks.groupBy("lang", "mask").agg(F.count("*").cast("long").alias("cnt"))
     a = _mask_band_rows(
         mg.select("lang", F.col("mask").alias("a_mask")), "a_mask",
