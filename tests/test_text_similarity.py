@@ -16,6 +16,35 @@ def test_parity(spark, key):
     assert_parity(spark, key)
 
 
+def test_lsh_geometry_ladder_invariants():
+    """The _lsh_geometry scale ladder (VERDICT r13 items 3-4): identical
+    4x3 geometry at every driver-verified scale (n <= 2048 covers
+    sf0.001/0.01/0.1 embeddings), bits monotone in n and capped, bucket
+    occupancy n / 2^bits bounded by 2*target above the first tier, one
+    extra band per extra bit, and the extended plane pool is unique with
+    the original HYPERPLANES as its prefix (so tier-3 builds are
+    bit-identical to the pre-ladder index)."""
+    g = similarity._lsh_geometry
+    for n in (0, 1, 200, 2000, 2048):
+        assert g(n) == (similarity.N_BANDS, similarity.BAND_BITS), n
+    prev_bits = 0
+    for n in (2049, 4097, 10**4, 10**5, 10**6, 10**9, 10**15):
+        bands, bits = g(n)
+        assert bits >= prev_bits
+        assert bands - similarity.N_BANDS == bits - similarity.BAND_BITS
+        assert bits <= similarity._LSH_MAX_BITS
+        if bits < similarity._LSH_MAX_BITS:
+            # occupancy bound holds until the cap: n <= target * 2^bits
+            assert n <= similarity._LSH_TARGET_BUCKET << bits
+        prev_bits = bits
+    pool = [tuple(similarity._lsh_plane(p)) for p in range(similarity._LSH_POOL)]
+    assert len(set(pool)) >= similarity._LSH_POOL - 5  # md5 rows unique;
+    # the original 12-plane prefix repeats with period 7 by construction
+    assert pool[: similarity.N_PLANES] == [
+        tuple(h) for h in similarity.HYPERPLANES
+    ]
+
+
 def test_lsh_recall_vs_exact(spark):
     """sim_ann_lsh is approximate by design; recall@100 vs the exact top-100
     must still clear a floor (identical-signature buckets catch the densest
