@@ -111,7 +111,7 @@ def _lsh_plane(p: int) -> list[int]:
     ]
 
 
-#: total pool size = bands·bits at the deepest tier (13 bands × 9 bits)
+#: total pool size = bands·bits at the deepest tier (10 bands × 9 bits)
 _LSH_POOL = _lsh_geometry(10**18)[0] * _LSH_MAX_BITS
 
 
