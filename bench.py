@@ -187,6 +187,13 @@ R13_TIER = [
     "agg_hll_deterministic",
 ]
 
+# Round-14 additions, benched median-of-3 like every other tier: the
+# manifest-committed sink pair (atomic commit + snapshot expiry/GC).
+R14_TIER = [
+    "sink_manifest_atomic",
+    "sink_manifest_expire",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,7 +211,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for key in (
         HEADLINE + NEW_TIER + R5_TIER + R5B_TIER + R5C_TIER + R6_TIER + R7_TIER
-        + R8_TIER + R10_TIER + R11_TIER + R12_TIER + R13_TIER
+        + R8_TIER + R10_TIER + R11_TIER + R12_TIER + R13_TIER + R14_TIER
     ):
         if key not in qs:
             continue
@@ -266,6 +273,9 @@ def main() -> None:
     r13_tier_total = round(
         sum(t for k, t in timings.items() if t >= 0 and k in R13_TIER), 4
     )
+    r14_tier_total = round(
+        sum(t for k, t in timings.items() if t >= 0 and k in R14_TIER), 4
+    )
     # "value" is the sum over BASELINE.md's measured six-query set — the
     # only number BASELINE.md's Spark column is comparable to (and the same
     # definition BENCH_r01 used). The extension tier (no baseline column)
@@ -290,6 +300,7 @@ def main() -> None:
         "r11_tier_total": r11_tier_total,
         "r12_tier_total": r12_tier_total,
         "r13_tier_total": r13_tier_total,
+        "r14_tier_total": r14_tier_total,
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
@@ -323,6 +334,7 @@ def main() -> None:
             "r11": r11_tier_total,
             "r12": r12_tier_total,
             "r13": r13_tier_total,
+            "r14": r14_tier_total,
         },
         "sf": sf,
     }
