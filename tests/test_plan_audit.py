@@ -96,10 +96,10 @@ EXPECTED_EXCHANGES = {
     "join_interval_overlap": (3, 0),
     "tpch_q8_market_share": (1, 7),  # all dims broadcast; 1 agg shuffle
     "graph_pagerank": (11, 0),  # fixed 10-iteration loop, 1 shuffle + rollup
-    "dedup_soft_weights": (7, 1),  # distinct-mask rollup + banded pair
-    #   stage + per-mask degree rollup + doc re-attach (r14: was (8, 2)
-    #   with the salted all-pairs self-join — one shuffle and one
-    #   broadcast cheaper AND sub-quadratic)
+    "dedup_soft_weights": (4, 1),  # distinct-mask rollup + banded pair
+    #   stage + per-mask degree rollup + doc re-attach off the
+    #   localCheckpoint-ed mask build (r14: was (8, 2) with the salted
+    #   all-pairs self-join — sub-quadratic AND a leaner visible plan)
     "dedup_semdedup": (9, 2),  # cluster-blocked pairs, no all-pairs product
     "agg_heavy_hitters": (3, 2),
     # Round-7 additions (pinned at birth, same insurance as the top-20):
