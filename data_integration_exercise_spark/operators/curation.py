@@ -1229,6 +1229,10 @@ def dedup_semdedup(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("clabel").alias("cluster"), "qv", idot.alias("n2"))
+        # the n·k assignment feeds the adaptive_n_blocks probe action AND
+        # both sides of the pair join — checkpoint or it executes 3×
+        # (SURVEY §10 lesson 4; round-14 review finding 4)
+        .localCheckpoint(eager=False)
     )
     blocked = with_block_pair(
         assigned, "vec_id", adaptive_n_blocks(assigned, "cluster")

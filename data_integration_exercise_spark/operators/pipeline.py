@@ -2250,13 +2250,22 @@ def dedup_soft_weights(spark, sf_dir):
         .groupBy("lang", F.col("a_mask").alias("mask"))
         .agg((F.sum("b_cnt") - 1).cast("long").alias("deg"))
     )
-    return masks.join(deg_mask, ["lang", "mask"], "left").select(
-        "doc_id",
-        "lang",
-        F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("n_near_dups"),
-        F.expr("CAST(1000 div (1 + coalesce(deg, 0)) AS BIGINT)").alias(
-            "weight_permille"
-        ),
+    # Spine = the documents table, NOT the mask frame: a doc whose text
+    # explodes to zero token rows (NULL text) has no _doc_masks row but
+    # must still appear with weight 1000, exactly as the oracle's LEFT
+    # JOIN from documents keeps it (round-14 review finding 1).
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        d.join(masks.select("doc_id", "mask"), "doc_id", "left")
+        .join(deg_mask, ["lang", "mask"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("deg"), F.lit(0).cast("long")).alias("n_near_dups"),
+            F.expr("CAST(1000 div (1 + coalesce(deg, 0)) AS BIGINT)").alias(
+                "weight_permille"
+            ),
+        )
     )
 
 

@@ -111,8 +111,23 @@ def _lsh_plane(p: int) -> list[int]:
     ]
 
 
-#: total pool size = bands·bits at the deepest tier (10 bands × 9 bits)
-_LSH_POOL = _lsh_geometry(10**18)[0] * _LSH_MAX_BITS
+def _lsh_plane_index(band: int, j: int, bits: int) -> int:
+    """Pool index of bit j of band ``band`` at tier ``bits``. Tier 3 keeps
+    the original contiguous HYPERPLANES layout (bit-identity with the
+    pre-ladder build at every driver-verified scale); DEEPER tiers address
+    the md5 pool exclusively, because the original 12 planes repeat with
+    period 7 in p — a naive band·bits+j layout at bits ≥ 8 would put plane
+    7 (= plane 0) in band 0 and burn 1-2 signature bits, re-admitting
+    exactly the bucket growth the ladder bounds (round-14 review
+    finding 2)."""
+    if bits == BAND_BITS:
+        return band * bits + j
+    return N_PLANES + band * bits + j
+
+
+#: total pool size = the originals + bands·bits at the deepest tier
+#: (12 + 10 bands × 9 bits)
+_LSH_POOL = N_PLANES + _lsh_geometry(10**18)[0] * _LSH_MAX_BITS
 
 
 def _sql_list(xs) -> str:
@@ -313,7 +328,7 @@ def sim_ann_lsh(spark, sf_dir):
     for b in range(bands):
         sig = F.lit(0)
         for j in range(bits):
-            plane = _lsh_plane(b * bits + j)
+            plane = _lsh_plane(_lsh_plane_index(b, j, bits))
             h = F.array(*[F.lit(float(x)) for x in plane])
             sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(
                 F.lit(0)
@@ -1388,16 +1403,22 @@ def _ann_graph_oracle() -> str:
     ), s AS (
         SELECT vec_id, [{sign_entries}] AS signs FROM q
     ), banded AS (
+        -- slice start mirrors _lsh_plane_index: tier 3 = the original
+        -- contiguous layout, deeper tiers offset past the 12 originals
         SELECT vec_id, band,
                CAST(list_dot_product(
-                   list_slice(signs,
-                              band * (SELECT bits FROM geom) + 1,
-                              (band + 1) * (SELECT bits FROM geom)),
+                   list_slice(signs, start0 + 1,
+                              start0 + (SELECT bits FROM geom)),
                    list_slice({powers}, 1, (SELECT bits FROM geom)))
                    AS BIGINT) AS sig
-        FROM (SELECT vec_id, signs,
-                     unnest(range((SELECT bands FROM geom))) AS band
-              FROM s)
+        FROM (SELECT vec_id, signs, band,
+                     CASE WHEN (SELECT bits FROM geom) = {BAND_BITS}
+                          THEN band * {BAND_BITS}
+                          ELSE {N_PLANES} + band * (SELECT bits FROM geom)
+                     END AS start0
+              FROM (SELECT vec_id, signs,
+                           unnest(range((SELECT bands FROM geom))) AS band
+                    FROM s))
     ),
     bucket_pairs AS (
         SELECT DISTINCT b1.vec_id AS src, b2.vec_id AS dst
@@ -1518,7 +1539,7 @@ def sim_ann_graph(spark, sf_dir):
     bands, bits = _lsh_geometry(e.count())
     band_exprs = ", ".join(
         " + ".join(
-            f"(CASE WHEN {_plane_dot(b * bits + j)} >= 0"
+            f"(CASE WHEN {_plane_dot(_lsh_plane_index(b, j, bits))} >= 0"
             f" THEN {2 ** j} ELSE 0 END)"
             for j in range(bits)
         )

@@ -773,9 +773,15 @@ def sink_manifest_expire(spark, sf_dir):
     only deletes what no surviving manifest lists)."""
     import json
 
-    run = _EXPIRE_RUNS.get((sf_dir, "runs"), 0) + 1
-    _EXPIRE_RUNS[(sf_dir, "runs")] = run
-    root = os.path.join(_stage_dir(sf_dir, "sink_manifest_expire"), f"run{run}")
+    import shutil
+
+    run = _EXPIRE_RUNS.get(sf_dir, 0) + 1
+    _EXPIRE_RUNS[sf_dir] = run
+    base = _stage_dir(sf_dir, "sink_manifest_expire")
+    # one staged copy at a time: drop earlier runs before staging the next
+    # (review finding: unbounded /tmp growth under median-of-3 benching)
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, f"run{run}")
     _manifest_stage(spark, sf_dir, root)
 
     live = open(os.path.join(root, "_current")).read().strip()
@@ -798,7 +804,10 @@ def sink_manifest_expire(spark, sf_dir):
             )
             .first()
         )
-        gc_n, gc_price = row["n"], float(row["p"])
+        # an EMPTY orphan batch (no status-P rows in the source) still
+        # writes parquet files; sum() over it is NULL, not 0.0
+        gc_n = row["n"]
+        gc_price = float(row["p"]) if row["p"] is not None else 0.0
         for f in orphans:
             os.remove(os.path.join(data_dir, f))
     for m in os.listdir(man_dir):

@@ -96,11 +96,15 @@ EXPECTED_EXCHANGES = {
     "join_interval_overlap": (3, 0),
     "tpch_q8_market_share": (1, 7),  # all dims broadcast; 1 agg shuffle
     "graph_pagerank": (11, 0),  # fixed 10-iteration loop, 1 shuffle + rollup
-    "dedup_soft_weights": (4, 1),  # distinct-mask rollup + banded pair
-    #   stage + per-mask degree rollup + doc re-attach off the
-    #   localCheckpoint-ed mask build (r14: was (8, 2) with the salted
-    #   all-pairs self-join — sub-quadratic AND a leaner visible plan)
-    "dedup_semdedup": (9, 2),  # cluster-blocked pairs, no all-pairs product
+    "dedup_soft_weights": (4, 2),  # distinct-mask rollup + banded pair
+    #   stage + per-mask degree rollup off the localCheckpoint-ed mask
+    #   build, re-attached to the documents spine by two broadcast joins
+    #   (r14: was (8, 2) with the salted all-pairs self-join —
+    #   sub-quadratic AND a leaner visible plan)
+    "dedup_semdedup": (3, 0),  # cluster-blocked pairs off the
+    #   localCheckpoint-ed n·k assignment (r14: probe + both join sides
+    #   read the checkpoint, so the visible plan is the pair stage +
+    #   rollup only; was (9, 2) with the assignment subtree inlined 3x)
     "agg_heavy_hitters": (3, 2),
     # Round-7 additions (pinned at birth, same insurance as the top-20):
     "sim_ann_graph": (7, 5),  # bucket join + 2 ranked windows + expand join

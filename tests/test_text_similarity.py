@@ -38,11 +38,28 @@ def test_lsh_geometry_ladder_invariants():
             assert n <= similarity._LSH_TARGET_BUCKET << bits
         prev_bits = bits
     pool = [tuple(similarity._lsh_plane(p)) for p in range(similarity._LSH_POOL)]
-    assert len(set(pool)) >= similarity._LSH_POOL - 5  # md5 rows unique;
-    # the original 12-plane prefix repeats with period 7 by construction
+    # md5 rows (p >= N_PLANES) are all distinct; the original 12-plane
+    # prefix repeats with period 7 by construction (5 internal dups)
+    assert len(set(pool)) == similarity._LSH_POOL - 5
     assert pool[: similarity.N_PLANES] == [
         tuple(h) for h in similarity.HYPERPLANES
     ]
+    # the load-bearing property (review finding 2): at EVERY tier, no band
+    # contains two identical planes — deep tiers address the md5 pool
+    # exclusively, so the originals' period-7 repeats can't burn sig bits
+    for n in (200, 4097, 10**5, 10**9, 10**15):
+        bands, bits = g(n)
+        for b in range(bands):
+            planes = [
+                pool[similarity._lsh_plane_index(b, j, bits)] for j in range(bits)
+            ]
+            assert len(set(planes)) == bits, (n, b)
+    # tier 3 keeps the original contiguous layout (driver-scale identity)
+    assert [
+        similarity._lsh_plane_index(b, j, similarity.BAND_BITS)
+        for b in range(similarity.N_BANDS)
+        for j in range(similarity.BAND_BITS)
+    ] == list(range(similarity.N_PLANES))
 
 
 def test_lsh_recall_vs_exact(spark):
