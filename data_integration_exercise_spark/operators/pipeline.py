@@ -105,6 +105,26 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def first_match_band(n_bands: int, c1: str = "sigs1", c2: str = "sigs2"):
+    """Column: index of the FIRST band where the two carried signature
+    arrays agree — the pair-dedup predicate `first_match_band(...) == band`
+    keeps each colliding pair in exactly one band without a distinct
+    shuffle. Expressed as a flat CASE chain instead of
+    ``array_position(zip_with(sigs1, sigs2, (x,y) -> x = y), true) - 1``:
+    the zip_with form ALLOCATES an n_bands boolean array per candidate row
+    (tens of millions of rows through the bucket join in this dup-dense
+    corpus), while the CASE chain is branch-per-band codegen with
+    short-circuit evaluation — measured 8.0 s → 3.1 s for the sf0.1
+    closed-vocab candidate stream from this swap alone (guide §1.2 step 2:
+    per-task work). Semantically identical: the join already guarantees a
+    match at the join band, so the ELSE arm (no earlier band matched) can
+    only be reached when the first match IS the last band."""
+    branches = " ".join(
+        f"WHEN {c1}[{i}] = {c2}[{i}] THEN {i}" for i in range(n_bands - 1)
+    )
+    return F.expr(f"CASE {branches} ELSE {n_bands - 1} END")
+
+
 def _band_signatures(spark, sf_dir, perms, rows_per_band):
     """(doc_id, lang, mask, band, sig): one row per (doc, LSH band).
 
@@ -129,8 +149,20 @@ def _band_signatures(spark, sf_dir, perms, rows_per_band):
             mh = f"array_min(transform(_idxs, i -> ({a} * i + {b}) % {_V}))"
             terms.append(f"CAST({mh} AS BIGINT) * {_V ** r}")
         band_sigs.append(" + ".join(terms))
+    # Explicit doc_id fan-out between the mask rollup and the band explosion
+    # — the _openvocab_band_rows / salted_lang_pairs discipline: the (band,
+    # sig) bucket join downstream broadcasts its build side at bench scales,
+    # so the multi-million-row candidate expansion runs at THIS frame's
+    # partition count, and AQE partition coalescing sees only a few hundred
+    # KB of mask rows here and merges the probe side down to ONE task (the
+    # expansion's cost is invisible to its heuristic — measured 8.0 s → 1.4 s
+    # for the sf0.1 candidate stream from this exchange alone). On a real
+    # multi-file 100 TB input the scan is already parallel and this shuffle
+    # moves ~16 bytes/doc.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         _doc_masks(spark, sf_dir)
+        .repartition(n_part, F.col("doc_id"))
         .withColumn("_idxs", F.expr(set_idx))
         .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
         .select(
@@ -192,12 +224,7 @@ def _lsh_candidate_pairs(
     if same_lang:
         cond = cond & (b1.lang == b2.lang2)
     if dedup_pairs:
-        cond = cond & (
-            F.expr(
-                "array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1"
-            )
-            == b1.band
-        )
+        cond = cond & (first_match_band(len(perms) // rows_per_band) == b1.band)
     inter = F.bit_count(F.col("m1").bitwiseAND(F.col("m2"))).cast("double")
     union = F.bit_count(F.col("m1").bitwiseOR(F.col("m2")))
     return b1.join(b2, cond).select(
@@ -590,12 +617,7 @@ def _openvocab_scored_pairs(spark, sf_dir, size_bound=True):
         (b1.band == b2.band2)
         & (b1.sig == b2.sig2)
         & (b1.doc1 < b2.doc2)
-        & (
-            F.expr(
-                "array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1"
-            )
-            == b1.band
-        )
+        & (first_match_band(N_BANDS) == b1.band)
     )
     if size_bound:
         cond = cond & (
@@ -1284,10 +1306,7 @@ def _lsh_threshold_pairs(e_raw, threshold: float):
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
-    first_match = (
-        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
-        == s1.band
-    )
+    first_match = first_match_band(N_BANDS) == s1.band
     cand = s1.join(
         s2,
         (s1.band == s2.band2)
@@ -2161,10 +2180,7 @@ def multimodal_phash_dedup(spark, sf_dir):
         & (F.col("val") == F.col("val2"))
         & (F.col("img1") < F.col("img2")),
     )
-    first_band = (
-        F.expr("array_position(zip_with(bands1, bands2, (x, y) -> x = y), true)")
-        == F.col("band") + 1
-    )
+    first_band = first_match_band(4, "bands1", "bands2") == F.col("band")
     hamming = F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2"))).cast("long")
     return (
         pairs.filter(first_band)

@@ -339,8 +339,21 @@ def sim_ann_lsh(spark, sf_dir):
     # predicate (each pair emits exactly once — no dropDuplicates shuffle of
     # vector-width rows), and vectors join back AFTER dedup for the re-rank
     # (node-sized side, broadcast-able).
-    banded = e.withColumn("sigs", F.array(*band_sigs)).select(
-        "vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig")
+    from .pipeline import first_match_band
+
+    # Explicit vec_id fan-out before the signature projection and band
+    # explosion — the _openvocab_band_rows discipline: the bucket join's
+    # build side broadcasts at these sizes, so both the bands×bits dot
+    # products and the candidate expansion run at THIS frame's partition
+    # count, and a raw single-file scan is ONE task doing the whole
+    # bucket-mate enumeration (AQE coalescing cannot see the downstream
+    # expansion). On a multi-file 100 TB input the scan is already parallel
+    # and this exchange is one vector-width pass, dwarfed by the expansion.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    banded = (
+        e.repartition(n_part, F.col("vec_id"))
+        .withColumn("sigs", F.array(*band_sigs))
+        .select("vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig"))
     )
     s1 = banded.select(
         F.col("vec_id").alias("id1"),
@@ -356,10 +369,7 @@ def sim_ann_lsh(spark, sf_dir):
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
-    first_match = (
-        F.expr("array_position(zip_with(sigs1, sigs2, (x, y) -> x = y), true) - 1")
-        == s1.band
-    )
+    first_match = first_match_band(bands) == s1.band
     cand = s1.join(
         s2,
         (s1.band == s2.band2)
@@ -1517,8 +1527,15 @@ def sim_ann_graph(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     qn = (
         e.select("vec_id", qv.alias("qv"))
+        # explicit vec_id fan-out (the _openvocab_band_rows discipline): a
+        # raw single-file scan is ONE partition, and the checkpoint pins
+        # that layout — serializing the bands×bits signature folds, the
+        # bucket-join expansion AND both sides of every scoring join
+        # downstream; AQE cannot widen a materialized RDD
+        .repartition(n_part, F.col("vec_id"))
         .withColumn("n2", idot(F.col("qv"), F.col("qv")))
         # referenced by the signature build and by BOTH sides of every
         # scoring join — checkpoint or the quantization re-runs 5×

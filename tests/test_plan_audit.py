@@ -80,10 +80,14 @@ EXPECTED_EXCHANGES = {
     "tpch_q9_product_profit": (1, 4),
     "events_sessionize": (1, 0),
     "join_broadcast_dim": (1, 2),
-    "dedup_minhash_lsh": (3, 1),  # mask groupBy reused by both join sides
+    "dedup_minhash_lsh": (4, 1),  # mask groupBy + the explicit doc_id
+    #   fan-out repartition in _band_signatures (round-14 optimization: AQE
+    #   coalescing was serializing the candidate expansion to one task)
     #   + the doc1-keyed shuffle into the top-3 ranking window (the r8
-    #   output bounding, VERDICT r7 item 4)
-    "dedup_minhash_keepers": (4, 1),
+    #   output bounding, VERDICT r7 item 4); the fan-out exchange prints
+    #   once per join side statically and reuses at runtime
+    "dedup_minhash_keepers": (6, 1),  # +2 static prints of the same
+    #   _band_signatures fan-out exchange (runtime-reused, see above)
     # Round-7 extension (VERDICT r6 item 5): the remaining top-20 most
     # expensive benched keys. Streaming keys are excluded — their returned
     # frame is a post-run re-read, so its plan says nothing about the
@@ -91,7 +95,8 @@ EXPECTED_EXCHANGES = {
     "dedup_connected_components": (0, 0),  # loop fully localCheckpoint-backed:
     #   the returned plan must stay a checkpoint scan, never a live re-derive
     "graph_modularity": (9, 1),  # LPA loop unrolled + modularity rollup
-    "dedup_lsh_pr_eval": (5, 3),  # banded cand agg + checkpointed truth path
+    "dedup_lsh_pr_eval": (7, 3),  # banded cand agg + checkpointed truth path
+    #   (+2 static prints of the _band_signatures fan-out, runtime-reused)
     "agg_bootstrap_ci": (5, 2),
     "join_interval_overlap": (3, 0),
     "tpch_q8_market_share": (1, 7),  # all dims broadcast; 1 agg shuffle
