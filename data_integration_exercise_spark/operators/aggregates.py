@@ -1475,6 +1475,14 @@ def agg_bootstrap_ci(spark, sf_dir):
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    # Explicit fan-out before the 8-md5 projection and the ×B explode (the
+    # dedup_minhash_openvocab repartition discipline): a raw single-file
+    # scan is ONE task, which serialized the 64× replicate expansion —
+    # measured 4.55 s → 0.99 s at sf0.1 from this exchange alone. On a
+    # multi-file 100 TB input the scan is already parallel and this
+    # shuffle moves ~24 bytes/row against 64× downstream work.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = base.repartition(n_part, F.col("o_orderkey"))
     # one md5 yields eight independent 16-bit draws; computing the 8 row
     # hashes BEFORE the xB explode cuts per-replicate work to substr+conv
     # (measured 8.0 s -> see SURVEY round-5 notes; 64 md5/row -> 8 md5/row)
@@ -1504,7 +1512,14 @@ def agg_bootstrap_ci(spark, sf_dir):
         ).alias("mean_b")
     )
     w_rank = Window.partitionBy("pri").orderBy("mean_b", "rb")
-    ranked = means.withColumn("rn", F.row_number().over(w_rank))
+    # |groups|·B rows (320 at sf0.1) feed TWO consumers (the rank-2 and
+    # rank-63 filters); without a lineage cut the ×B expansion subtree
+    # re-embeds under both broadcast builds and the whole replicate pass
+    # runs twice — the checkpoint halves the expansion at any scale for a
+    # bounded-row materialization (round-14 optimization).
+    ranked = means.withColumn("rn", F.row_number().over(w_rank)).localCheckpoint(
+        eager=False
+    )
     pt = base.groupBy("pri").agg(
         F.count("*").cast("long").alias("n"),
         (F.sum("cents").cast("double") / F.count("*") / 100).alias("mean"),

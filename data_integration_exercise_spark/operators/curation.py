@@ -977,6 +977,13 @@ def text_bigram_lm_score(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # THREE consumers (c2, c1, scored) each re-ran the scan+tokenize+explode
+    # subtree; fan the bigram stream out (a raw single-file scan is one
+    # task) and cut lineage so the stream computes once (round-14; the
+    # dedup_minhash_openvocab repartition discipline + SURVEY §9 lesson 4)
+    bg = bg.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    ).localCheckpoint(eager=False)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     lp = F.floor(
@@ -1774,57 +1781,101 @@ def _lloyd_centroids(q, iters: int = 3):
     (d2, cluster) argmin tie-breaks, so the trajectory is identical
     across engines and partitionings. Returns ((cluster, carr) frame,
     assign_fn) where assign_fn(centroids) labels q's vectors with their
-    nearest centroid and exact integer d2."""
-    seeds = (
-        q.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+    nearest centroid and exact integer d2.
+
+    Round-14 shape: the k·dim centroid table lives ON THE DRIVER between
+    iterations (k = 8 fixed — O(1) state at any corpus size, the standard
+    distributed-k-means layout, cf. Spark MLlib KMeans), embedded into
+    each pass as literal arrays. Per iteration that is ONE job — a
+    map-only literal-argmin assign + one (cluster, pos) partial-agg
+    rollup collected as 512 rows — where the frame-resident trainer paid
+    a broadcast build, a vec_id window argmin (shuffle + sort), a q⋈assign
+    join and an eager 8-row checkpoint per iteration (measured: the four
+    consumer keys dropped 3.3/2.8/1.9/1.5 s → see OPTIMIZATION_r14.md).
+    Every rule is unchanged and integer-exact: argmin tie-breaks to the
+    lowest cluster via array_position-of-min (first index), means are
+    truncating floor-div, so the trajectory is bit-identical to the
+    unrolled-CTE oracles. The literal expressions are built as ONE SQL
+    string per pass, not k·dim F.lit() Columns (the sim_ann_graph py4j
+    chatter lesson)."""
+    spark = q.sparkSession
+
+    def _arr_sql(vals) -> str:
+        return "array(" + ", ".join(f"{int(v)}L" for v in vals) + ")"
+
+    def _d2s_sql(cents) -> str:
+        """array of integer squared-L2 distances to each centroid, cluster
+        order — argmin = array_position of the min (first index wins ties,
+        i.e. the lowest cluster id, the pinned tie-break)."""
+        terms = ", ".join(
+            f"aggregate(zip_with(qarr, {_arr_sql(c)}, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            for c in cents
+        )
+        return f"array({terms})"
+
+    # seeds: the 8 smallest (md5(vec_id), vec_id) rows, WITH their vectors —
+    # one TakeOrdered job (the blessed bounded-probe pattern; 8·dim ints)
+    seed_rows = (
+        q.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"), "qarr")
         .orderBy("h", "vec_id")
         .limit(8)
+        .collect()
     )
-    # 8-row frame: rank seeds into cluster ids 0..7 (bounded axis)
-    w_seed = Window.orderBy("h", "vec_id")
-    seed_ids = seeds.withColumn(
-        "cluster", F.row_number().over(w_seed).cast("long") - 1
-    ).select("vec_id", "cluster")
-    carr = (
-        q.join(F.broadcast(seed_ids), "vec_id")
-        .select("cluster", F.col("qarr").alias("carr"))
-        .localCheckpoint(eager=True)
+    cents = [list(r["qarr"]) for r in seed_rows]
+
+    def assign_with(cents):
+        if not cents:  # empty input frame → empty assignment, like the
+            return q.select(  # old crossJoin-with-empty-centroids shape
+                "vec_id", "label", "qarr",
+                F.lit(None).cast("long").alias("cluster"),
+                F.lit(None).cast("long").alias("d2"),
+            ).filter(F.lit(False))
+        # (d2, cluster) argmin in ONE pass over the literal table: array_min
+        # over (d2, idx) structs — struct order is lexicographic, so ties go
+        # to the lowest cluster id (the pinned tie-break). The d2s array is
+        # evaluated once inside the transform; only the 2-field best struct
+        # is referenced twice (HOFs are interpreted, so a multi-referenced
+        # heavy fold would re-run per reference — the sim_ann_lsh lesson).
+        best = (
+            f"array_min(transform({_d2s_sql(cents)}, "
+            "(x, i) -> struct(x AS d, CAST(i AS BIGINT) AS c)))"
+        )
+        return q.select(
+            "vec_id", "label", "qarr", F.expr(best).alias("_best")
+        ).select(
+            "vec_id",
+            "label",
+            "qarr",
+            F.col("_best.c").alias("cluster"),
+            F.col("_best.d").alias("d2"),
+        )
+
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        cent_rows = (
+            assign_with(cents)
+            .select("cluster", F.posexplode(F.col("qarr")).alias("pos", "qv"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(qv) div count(*)").alias("c"))
+            .collect()
+        )
+        by_cluster = {}
+        for r in cent_rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
+        cents = [
+            [by_cluster[k][p] for p in range(dim)] for k in sorted(by_cluster)
+        ]
+
+    carr = spark.createDataFrame(
+        [(k, cents[k]) for k in range(len(cents))], "cluster long, carr array<long>"
     )
 
     def assign(centroids):
-        d2 = F.aggregate(
-            F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = q.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "label", "cluster", d2.alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        # signature kept for the consumers (they pass the returned carr
+        # frame back in); the trained literals drive the computation
+        return assign_with(cents)
 
-    for _ in range(iters):
-        a = assign(carr).select("vec_id", "cluster")
-        cent = (
-            q.join(a, "vec_id")
-            .select("cluster", F.posexplode("qarr").alias("pos", "qv"))
-            .groupBy("cluster", "pos")
-            .agg(F.expr("sum(qv) div count(*)").alias("c"))
-        )
-        carr = (
-            cent.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda s: s["c"],
-                ).alias("carr")
-            )
-            .localCheckpoint(eager=True)
-        )
     return carr, assign
 
 

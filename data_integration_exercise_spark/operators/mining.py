@@ -78,10 +78,18 @@ def mine_association_rules(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # explicit fan-out before the checkpoint pins the layout: AQE
+        # coalesces the tiny basket rollup to ~1 partition, which would
+        # serialize the C(k,2) explosion below (the round-14
+        # dedup_minhash_openvocab discipline); this exchange moves one
+        # compacted basket row per order, after the map-side partial agg
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("l_orderkey")
+        )
         .localCheckpoint()
     )
     # per-order C(k,2) pair explosion: flatten(transform × slice) is pure
-    # codegen — no self-join, no shuffle beyond the basket groupBy
+    # codegen — no self-join, no shuffle beyond the basket groupBy + fan-out
     pairs = (
         baskets.select(
             F.explode(
@@ -189,6 +197,12 @@ def sim_item_neighbors(spark, sf_dir):
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("o_custkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # explicit fan-out before the checkpoint (see mine_association_rules:
+        # AQE coalesces the tiny basket rollup to ~1 partition, serializing
+        # the C(k,2) pair explosion); moves one basket row per customer
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("o_custkey")
+        )
         .localCheckpoint()
     )
     co = (
@@ -741,6 +755,11 @@ def mine_frequent_triples(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # explicit fan-out before the checkpoint (see mine_association_rules)
+        # — here the serialized expansion would be C(k,3) per basket
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("l_orderkey")
+        )
         .localCheckpoint()
     )
     triples = (

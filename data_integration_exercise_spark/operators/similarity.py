@@ -936,7 +936,20 @@ _PQ_CODES_CTE = """q AS (
 def _pq_parts(spark, sf_dir):
     """Shared Spark-side PQ construction: (sub-vectors, codebook, best
     assignment) — the exact mirror of the oracle's _PQ_CODES_CTE, factored
-    so sim_pq_quantize and sim_adc_search cannot drift."""
+    so sim_pq_quantize and sim_adc_search cannot drift.
+
+    Round-14 shape: the codebook is O(1) (8 subspaces × 16 centroids × 8
+    ints) at any corpus size, so both the seed table (vec_id < 16, one
+    bounded collect) and the one-Lloyd-step refined codebook (one 128-row
+    partial-agg rollup + collect) live on the driver and embed into the
+    assignment passes as ONE nested literal array indexed by m — the
+    _lloyd_centroids discipline. That turns the former seed-broadcast join
+    + (vec_id, m) window argmin (shuffle + sort over n·8 rows) + sub⋈asg1
+    join + second window into two map-only argmin projections; the only
+    remaining exchange is the codebook rollup itself. Rules unchanged and
+    integer-exact: argmin ties to the lowest centroid id via
+    array_min-over-(d2, c) structs; means are truncating floor-div; the
+    centroid literal arrays are ordered by c so index = c."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -953,29 +966,59 @@ def _pq_parts(spark, sf_dir):
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    seed = sub.filter(F.col("vec_id") < 16).select(
-        "m", F.col("vec_id").alias("c"), F.col("sv").alias("centroid")
+
+    def _cb_sql(table) -> str:
+        """Nested literal: array over m of array over c of centroid arrays
+        (ordered by c within each m, so the argmin index IS c)."""
+        outer = []
+        for m in range(8):
+            inner = ", ".join(
+                "array(" + ", ".join(f"{int(v)}L" for v in cent) + ")"
+                for _, cent in table[m]
+            )
+            outer.append(f"array({inner})")
+        return "array(" + ", ".join(outer) + ")"
+
+    def _assign_sql(table) -> str:
+        """(d2, c) argmin of sv against its m's centroid list — one
+        interpreted pass over the literal table per row (struct order
+        breaks ties to the lowest c; cs[i] maps index back to the centroid
+        id, identity here but kept explicit)."""
+        cb_lit = _cb_sql(table)
+        return (
+            f"array_min(transform(element_at({cb_lit}, CAST(m AS INT) + 1), "
+            "(cent, i) -> struct("
+            "aggregate(zip_with(sv, cent, (a, b) -> (a - b) * (a - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d, "
+            "CAST(i AS BIGINT) AS c)))"
+        )
+
+    seed_rows = (
+        q.filter(F.col("vec_id") < 16)
+        .select("vec_id", "qv")
+        .collect()  # bounded probe: ≤16 rows at any scale
     )
-    a1 = sub.join(F.broadcast(seed), "m").select(
+    seed_table = {m: [] for m in range(8)}
+    for r in sorted(seed_rows, key=lambda r: r["vec_id"]):
+        qv = list(r["qv"])
+        for m in range(8):
+            seed_table[m].append((int(r["vec_id"]), qv[m * 8 : m * 8 + 8]))
+    # map the argmin INDEX back to the seed's centroid id (= its vec_id;
+    # identity 0..15 on this corpus, explicit for generality). Index order
+    # is c-ascending, so argmin-by-(d2, index) == argmin-by-(d2, c).
+    seed_ids = [c for c, _ in seed_table[0]]
+    seed_ids_lit = "array(" + ", ".join(f"{int(c)}L" for c in seed_ids) + ")"
+    asg1 = sub.select(
         "vec_id",
         "m",
-        "c",
+        "sv",
         F.expr(
-            """aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),
-                         0L, (acc, x) -> acc + x)"""
-        ).alias("d2"),
+            f"element_at({seed_ids_lit}, "
+            f"CAST({_assign_sql(seed_table)}.c AS INT) + 1)"
+        ).alias("c"),
     )
-    from pyspark.sql import Window as _W
-
-    w1 = _W.partitionBy("vec_id", "m").orderBy("d2", "c")
-    asg1 = (
-        a1.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "c")
-    )
-    cb = (
-        sub.join(asg1, ["vec_id", "m"])
-        .groupBy("m", "c")
+    cb_rows = (
+        asg1.groupBy("m", "c")
         .agg(
             F.array(
                 *[
@@ -984,23 +1027,38 @@ def _pq_parts(spark, sf_dir):
                 ]
             ).alias("centroid")
         )
+        .collect()  # bounded: ≤128 rows at any scale
     )
-    scored = sub.join(F.broadcast(cb), "m").select(
+    cb_table = {m: [] for m in range(8)}
+    for r in sorted(cb_rows, key=lambda r: (r["m"], r["c"])):
+        cb_table[int(r["m"])].append((int(r["c"]), list(r["centroid"])))
+    # a seed centroid can lose every vector in the Lloyd step; keep the
+    # surviving ids explicit so the literal index maps back to c
+    cs_by_m = {m: [c for c, _ in cb_table[m]] for m in cb_table}
+    cb = spark.createDataFrame(
+        [(m, c, cent) for m in range(8) for c, cent in cb_table[m]],
+        "m long, c long, centroid array<long>",
+    )
+    best_struct = _assign_sql(cb_table)
+
+    def _c_of(m_expr: str) -> str:
+        """Map argmin INDEX back to centroid id via the per-m survivor
+        list (identity when all 16 survive)."""
+        cs_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{int(c)}L" for c in cs_by_m[m]) + ")"
+                for m in range(8)
+            )
+            + ")"
+        )
+        return f"element_at(element_at({cs_lit}, CAST(m AS INT) + 1), CAST({m_expr} AS INT) + 1)"
+
+    best = sub.select(
         "vec_id",
         "m",
-        "c",
-        F.expr(
-            """aggregate(zip_with(sv, centroid, (a, b) -> (a - b) * (a - b)),
-                         0L, (acc, x) -> acc + x)"""
-        ).alias("d2"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        F.expr(_c_of(best_struct + ".c")).alias("c"),
+        F.expr(best_struct + ".d").alias("d2"),
     )
     return sub, cb, best
 

@@ -100,6 +100,62 @@ def test_openvocab_size_bound_prefilter_is_lossless(spark):
     assert bounded == unbounded
 
 
+def test_openvocab_hash_rerank_equals_string_rerank(spark):
+    """The round-14 re-rank optimization scores candidates on 48-bit
+    content-hash token sets instead of string sets (array_intersect over
+    8-byte longs, measured 5.5 s → 3.1 s at sf0.1). |hash-set ∩| equals
+    |string-set ∩| unless two distinct observed tokens collide in 48 bits;
+    pin output equality against a string-set re-rank of the same candidate
+    stream so a vocabulary that ever introduces a collision fails loudly
+    here rather than silently at the oracle."""
+    from pyspark.sql import functions as F
+
+    from data_integration_exercise_spark.io import load_table
+
+    hash_path = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in pipeline._openvocab_scored_pairs(spark, SF).collect()
+    }
+    sig = pipeline._openvocab_band_rows(spark, SF)
+    b1 = sig.select(
+        F.col("doc_id").alias("doc1"), F.col("sigs").alias("sigs1"),
+        F.col("n_tok").alias("n1"), "band", "sig",
+    )
+    b2 = sig.select(
+        F.col("doc_id").alias("doc2"), F.col("sigs").alias("sigs2"),
+        F.col("n_tok").alias("n2"), F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+    )
+    cond = (
+        (b1.band == b2.band2) & (b1.sig == b2.sig2) & (b1.doc1 < b2.doc2)
+        & (pipeline.first_match_band(pipeline.N_BANDS) == b1.band)
+        & (F.lit(5) * F.least(b1.n1, b2.n2) >= F.lit(4) * F.greatest(b1.n1, b2.n2))
+    )
+    cand = b1.join(b2, cond).select("doc1", "doc2")
+    sets = load_table(spark, SF, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    denom = F.size("s1") + F.size("s2") - inter
+    string_path = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in (
+            cand.join(
+                sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1")),
+                "doc1",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2")),
+                "doc2",
+            )
+            .withColumn("jac", inter.cast("double") / denom)
+            .filter(F.col("jac") >= 0.8)
+            .select("doc1", "doc2", F.round("jac", 4).alias("jaccard"))
+        ).collect()
+    }
+    assert hash_path == string_path
+
+
 def test_incremental_banded_pair_stage_is_lossless(spark):
     """The round-14 distinct-mask pigeonhole-band near stage (VERDICT r13
     item 1) is exact, not approximate: J ≥ 0.8 on ≤32-bit sets forces

@@ -97,7 +97,10 @@ EXPECTED_EXCHANGES = {
     "graph_modularity": (9, 1),  # LPA loop unrolled + modularity rollup
     "dedup_lsh_pr_eval": (7, 3),  # banded cand agg + checkpointed truth path
     #   (+2 static prints of the _band_signatures fan-out, runtime-reused)
-    "agg_bootstrap_ci": (5, 2),
+    "agg_bootstrap_ci": (2, 2),  # round-14: explicit replicate fan-out is
+    #   one of the two (the other is the means rollup); the rank-2/rank-63
+    #   consumers read the checkpointed ranked table, so the former
+    #   duplicated expansion subtrees are checkpoint-backed
     "join_interval_overlap": (3, 0),
     "tpch_q8_market_share": (1, 7),  # all dims broadcast; 1 agg shuffle
     "graph_pagerank": (11, 0),  # fixed 10-iteration loop, 1 shuffle + rollup
@@ -174,9 +177,10 @@ EXPECTED_EXCHANGES = {
     "graph_scc_condensation": (4, 0),  # post-checkpoint mutual join + scc
     #   rollups; the closure loop is localCheckpoint-backed (invisible here,
     #   the dedup_connected_components pattern)
-    "sim_kmeans_lloyd": (5, 3),  # final E-step off the checkpointed
-    #   centroid table (the 3 update iterations are checkpoint-backed):
-    #   assignment window + size/label/majority rollups
+    "sim_kmeans_lloyd": (3, 1),  # round-14 driver-side trainer: the final
+    #   E-step is a map-only literal-argmin (no assignment window, no
+    #   centroid broadcast); remaining shuffles are the size/label/majority
+    #   rollups
     # Round-10 additions (pinned at birth):
     "plan_lsh_band_geometry": (2, 0),  # (cfg,key) bucket rollup + cfg rollup
     "dedup_exact_substring_coverage": (2, 1),  # span rollup (+ reused
@@ -221,10 +225,11 @@ EXPECTED_EXCHANGES = {
     "agg_tost_equivalence": (2, 1),  # one (priority,arm) moments rollup +
     #   the 5-row A⋈B cell join (broadcast)
     # Round-11 additions (pinned at birth):
-    "sim_ann_append": (9, 6),  # post-checkpoint arms only (training's 3
-    #   Lloyd rounds are eager-checkpoint-backed): base final E-step
-    #   (argmin window + occupancy rollup) + new-batch assign (window +
-    #   rollup) + the two 1-row total aggs riding a broadcast BNLJ back
+    "sim_ann_append": (7, 4),  # round-14 driver-side trainer: both the
+    #   base final E-step and the new-batch assign are map-only literal
+    #   argmins (two windows + two centroid broadcasts gone); remaining:
+    #   occupancy/growth rollups + the two 1-row total aggs riding a
+    #   broadcast BNLJ back
     #   onto the 8-row list table (the agg_calibration_ece pattern)
     "plan_ivf_probe_geometry": (9, 6),  # post-checkpoint arms only
     #   (training + the scored/member/crank frames are checkpoint-backed):
