@@ -1224,18 +1224,32 @@ def dedup_semdedup(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "clabel")
     idot = F.aggregate(
         F.zip_with("qv", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assigned = (
         q.crossJoin(F.broadcast(carr))
         .select("vec_id", "qv", "clabel", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cluster"), "qv", idot.alias("n2"))
+        # (d2, clabel) argmin as a min-struct hash aggregate instead of the
+        # former row_number window: map-side partials collapse the n·k
+        # assignment rows to one per vector BEFORE the exchange, and the
+        # per-partition sort disappears (round-14; the struct order is
+        # total because clabel is unique per row, so the winner is
+        # identical — qv rides the struct and is never compared)
+        .groupBy("vec_id")
+        # qv rides a separate first() (identical across the group — it is
+        # the vector itself), NOT the min struct: a 64-long array inside
+        # the comparison struct would be rebuilt per n·k row
+        .agg(F.min(F.struct("d2", "clabel")).alias("b"), F.first("qv").alias("qv"))
+        .select("vec_id", F.col("b.clabel").alias("cluster"), "qv")
+        .withColumn("n2", idot)
+        # explicit fan-out before the checkpoint: AQE coalesces the tiny
+        # assignment rollup to ~1 partition, which would serialize the
+        # blocked pair join below (the dedup_minhash_openvocab discipline)
+        .repartition(n_part, F.col("vec_id"))
         # the n·k assignment feeds the adaptive_n_blocks probe action AND
         # both sides of the pair join — checkpoint or it executes 3×
         # (SURVEY §10 lesson 4; round-14 review finding 4)

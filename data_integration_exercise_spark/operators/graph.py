@@ -119,14 +119,18 @@ def graph_pagerank(spark, sf_dir):
     the checkpointed inputs stays one flat Catalyst plan; a
     long/convergence-driven loop should instead cut lineage every K≈5
     rounds like propagate_min_labels does."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoint: the deg.count() probe right below materializes it in
+    # the same job (eager paid a separate materialization pass — round-14)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()  # scalar probe: node count → exact integer literals below
     teleport = (15 * (_SCALE // n)) // 100
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(_SCALE // n).cast("long").alias("r")
     )
-    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint()
+    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint(
+        eager=False  # first iteration's join materializes it (round-14)
+    )
     for _ in range(_PR_ITERS):
         contrib = edges_deg.join(
             ranks, edges_deg.src == ranks.node
@@ -480,15 +484,20 @@ def graph_bfs_distances(spark, sf_dir):
             .join(visited, "node", "left_anti")
         )
         depth += 1
-        frontier = nxt.withColumn("dist", F.lit(depth)).localCheckpoint()
-        if frontier.isEmpty():
+        # lazy checkpoint + count(): ONE job both materializes the round's
+        # frontier and answers the emptiness probe (eager + isEmpty was two
+        # blocking jobs per round — round-14; ~4 jobs/round → 2)
+        frontier = nxt.withColumn("dist", F.lit(depth)).localCheckpoint(eager=False)
+        if frontier.count() == 0:
             break
         if depth > _BFS_MAX_DEPTH:
             raise RuntimeError(
                 f"BFS exceeded {_BFS_MAX_DEPTH} levels; widen the oracle unroll"
             )
         out.append(frontier)
-        visited = visited.unionByName(frontier.select("node")).localCheckpoint()
+        visited = visited.unionByName(frontier.select("node")).localCheckpoint(
+            eager=False
+        )
     alld = out[0]
     for f_ in out[1:]:
         alld = alld.unionByName(f_)
@@ -585,12 +594,18 @@ def _lpa_from_edges(edges):
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        # argmax by (c DESC, label ASC) as min(struct(-c, label)) — a hash
+        # aggregate with map-side partials instead of the former
+        # row_number window (exchange + full sort per round); the struct
+        # order is total because label is unique per (node, label) row, so
+        # the winner is identical (round-14 optimization). Lazy checkpoint:
+        # the next round's join materializes it — same lineage cut, one
+        # fewer blocking job per round.
         labels = (
-            counted.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
+            counted.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("b"))
+            .select("node", F.col("b.label").alias("label"))
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.when(F.col("node") % 2 == 0, "customer")
@@ -1512,12 +1527,14 @@ def graph_hits(spark, sf_dir):
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the customer-distinct probe below materializes it (round-14)
+        .localCheckpoint(eager=False)
     )
-    n_cust = edges.select("c").distinct().count()  # scalar cardinality probe
-    h = edges.select("c").distinct().select(
-        "c", F.lit(_SCALE // n_cust).cast("long").alias("h")
-    )
+    # ONE distinct-customer frame for both the cardinality probe and the
+    # init vector (was two separate distinct passes over edges — round-14)
+    hc = edges.select("c").distinct().localCheckpoint(eager=False)
+    n_cust = hc.count()  # scalar cardinality probe
+    h = hc.select("c", F.lit(_SCALE // n_cust).cast("long").alias("h"))
     a = None
     for _ in range(_HITS_ITERS):
         # Each half-step's raw-score frame feeds BOTH its own normalizer
@@ -1529,7 +1546,8 @@ def graph_hits(spark, sf_dir):
             edges.join(h, "c")
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("ar"))
-            .localCheckpoint(eager=True)
+            # lazy: the normalizer broadcast build materializes it (round-14)
+            .localCheckpoint(eager=False)
         )
         at = ar.agg(F.sum("ar").cast("long").alias("t"))
         a = ar.crossJoin(F.broadcast(at)).select(
@@ -1539,7 +1557,7 @@ def graph_hits(spark, sf_dir):
             edges.join(a, "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("hr"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         ht = hr.agg(F.sum("hr").cast("long").alias("t"))
         h = hr.crossJoin(F.broadcast(ht)).select(
@@ -1639,7 +1657,9 @@ def graph_ppr(spark, sf_dir):
     localCheckpoints once, the degree-annotated edge frame is hash-
     partitioned on src once and reused by all 5 joins; only the
     node-sized rank table moves per round."""
-    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoint: the seed probe right below materializes it in the
+    # same job (round-14)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     seed_row = deg.orderBy(F.col("d").desc(), F.col("src")).first()
     seed = int(seed_row["src"])  # scalar probe: deterministic max-degree seed
@@ -1651,7 +1671,9 @@ def graph_ppr(spark, sf_dir):
         .cast("long")
         .alias("r"),
     )
-    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint()
+    edges_deg = edges.join(deg, "src").repartition("src").localCheckpoint(
+        eager=False  # first iteration's join materializes it (round-14)
+    )
     for _ in range(_PPR_ITERS):
         contrib = edges_deg.join(
             ranks, edges_deg.src == ranks.node

@@ -1620,27 +1620,37 @@ def sim_ann_graph(spark, sf_dir):
         )
         for b in range(bands)
     )
+    from .pipeline import first_match_band
+
     banded = (
         qn.select("vec_id", F.expr(f"array({band_exprs})").alias("sigs"))
-        .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
+        .select(
+            "vec_id", "sigs", F.posexplode("sigs").alias("band", "sig")
+        )
         .localCheckpoint(eager=False)  # 3 references: pair join sides + seeds
     )
-    b1 = banded.select(F.col("vec_id").alias("src"), "band", "sig")
+    b1 = banded.select(
+        F.col("vec_id").alias("src"), F.col("sigs").alias("sigs1"), "band", "sig"
+    )
     b2 = banded.select(
         F.col("vec_id").alias("dst"),
+        F.col("sigs").alias("sigs2"),
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
     # src < dst: enumerate each undirected bucket pair ONCE — score is
     # symmetric, so scoring the half-pair set and mirroring afterwards
-    # halves the distinct shuffle AND the 64-element fold work (measured
-    # 5.7 s → 4.5 s at sf0.1)
+    # halves the 64-element fold work (measured 5.7 s → 4.5 s at sf0.1).
+    # Multi-band collisions dedup INSIDE the join via the first-matching-
+    # band predicate (the _lsh_candidate_pairs carry) instead of the former
+    # distinct — one fewer shuffle of the expanded pair set (round-14).
     bucket_pairs = b1.join(
         b2,
         (F.col("band") == F.col("band2"))
         & (F.col("sig") == F.col("sig2"))
-        & (F.col("src") < F.col("dst")),
-    ).select("src", "dst").distinct()
+        & (F.col("src") < F.col("dst"))
+        & (first_match_band(bands) == F.col("band")),
+    ).select("src", "dst")
 
     def scored(pairs, left, right):
         a = qn.select(
@@ -1690,7 +1700,9 @@ def sim_ann_graph(spark, sf_dir):
     queries = qn.filter(F.col("vec_id") % _GRAPH_QMOD == 0).select(
         F.col("vec_id").alias("qid")
     )
-    bq = banded.withColumnRenamed("vec_id", "qid")
+    bq = banded.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+        "sigs", "sigs1"
+    )
     seeds = (
         F.broadcast(queries)
         .join(bq, "qid")
@@ -1698,10 +1710,11 @@ def sim_ann_graph(spark, sf_dir):
             b2,
             (F.col("band") == F.col("band2"))
             & (F.col("sig") == F.col("sig2"))
-            & (F.col("dst") != F.col("qid")),
+            & (F.col("dst") != F.col("qid"))
+            # first-matching-band dedup replaces the former distinct
+            & (first_match_band(bands) == F.col("band")),
         )
         .select("qid", F.col("dst").alias("cand"))
-        .distinct()
         .localCheckpoint(eager=False)  # referenced by union AND expand join
     )
     expanded = seeds.join(

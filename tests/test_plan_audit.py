@@ -115,7 +115,9 @@ EXPECTED_EXCHANGES = {
     #   rollup only; was (9, 2) with the assignment subtree inlined 3x)
     "agg_heavy_hitters": (3, 2),
     # Round-7 additions (pinned at birth, same insurance as the top-20):
-    "sim_ann_graph": (7, 5),  # bucket join + 2 ranked windows + expand join
+    "sim_ann_graph": (6, 5),  # bucket join + 2 ranked windows + expand join
+    #   (round-14: the bucket-pair distinct shuffle is gone — multi-band
+    #   collisions dedup inside the join via the first-matching-band carry)
     "dedup_threshold_sweep": (5, 1),  # salted pairs + bounded-axis cumsum
     "win_stl_decompose": (1, 1),  # day rollup; seasonal rollup on checkpoint
     "win_theil_sen": (2, 2),  # month rollup; pairs on checkpointed series
