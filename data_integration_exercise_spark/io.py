@@ -68,7 +68,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       ntz→ltz cast is wall-clock identity, so ``unix_micros`` is exact.
     """
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        # Read with the PINNED schema (schemas.py, measured from the driver
+        # parquet): skipping per-read footer schema inference is ~7× less
+        # driver latency per load_table call (measured 73 ms → 10 ms at
+        # sf0.1 — round-14; multi-table queries paid it per table per run),
+        # and a production 100 TB reader pins schemas anyway so file-set
+        # sampling never runs. Parquet reconciles by name and errors loudly
+        # on a type change; the full-registry emulator sweep (all three
+        # scales) plus tests/parity guard against silent drift.
+        from .schemas import SCHEMAS
+
+        return spark.read.schema(SCHEMAS[name]).parquet(path)
+    # events: the physical layout varies by driver round (ns-bigint vs µs
+    # TIMESTAMP_NTZ) — detect it from one footer read per call (driver-side
+    # milliseconds; NOT cached, every invocation re-reads the input)
+    df = spark.read.parquet(path)
     if name == "events":
         if isinstance(df.schema["ts"].dataType, LongType):
             ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
