@@ -460,7 +460,10 @@ def join_interval_overlap(spark, sf_dir):
         .agg(F.max("l_shipdate").alias("e"))
         # both self-join sides reference span: checkpoint materializes the
         # orders-by-lineitem rollup once instead of executing it twice
-        # (measured sf0.1: 5.8 s -> 4.2 s end-to-end)
+        # (measured sf0.1: 5.8 s -> 4.2 s end-to-end). A fan-out repartition
+        # was tried here in round 14 and measured WORSE (2.2 -> 2.8 s): the
+        # pair join shuffles both sides on (cust, bin) anyway, so the extra
+        # exchange buys nothing
         .localCheckpoint()
     )
     mon = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731

@@ -1503,7 +1503,9 @@ def propagate_min_labels(labels, edges, max_iters=50, stats=None):
     already computed for the convergence check — no extra action) so
     tests can pin the delta property: join input must shrink as
     components converge, not stay at |V| every round."""
-    edges = edges.repartition("src").localCheckpoint(eager=True)
+    # lazy: round 1's join materializes the (expensive) candidate-join
+    # edge list in the same job (round-14; eager paid a separate pass)
+    edges = edges.repartition("src").localCheckpoint(eager=False)
     frontier = labels
     for _ in range(max_iters):
         nbr = (
@@ -1521,7 +1523,9 @@ def propagate_min_labels(labels, edges, max_iters=50, stats=None):
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes it — one
+            # blocking job per round instead of two (round-14)
+            .localCheckpoint(eager=False)
         )
         labels = merged.select("doc_id", "component")
         frontier = merged.filter(F.col("component") < F.col("prev")).select(
