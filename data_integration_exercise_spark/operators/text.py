@@ -1565,6 +1565,14 @@ def dedup_exact_substring_coverage(spark, sf_dir):
             ).alias("span"),
         )
     )
+    # the span-count side broadcasts back onto w, so there is no exchange
+    # for ReuseExchange to share and the scan-stage explode ran once per
+    # consumer (and single-task on a raw single-file scan); fan out + cut
+    # lineage so the window stream computes once, in parallel (round-14;
+    # measured 2.0 → 1.6 s at sf0.1, identical output)
+    w = w.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    ).localCheckpoint(eager=False)
     c = w.groupBy("span").agg(F.count(F.lit(1)).cast("long").alias("n"))
     dup = F.when(F.col("n") >= 2, 1).otherwise(0)
     return (

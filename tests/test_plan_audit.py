@@ -185,9 +185,10 @@ EXPECTED_EXCHANGES = {
     #   rollups
     # Round-10 additions (pinned at birth):
     "plan_lsh_band_geometry": (2, 0),  # (cfg,key) bucket rollup + cfg rollup
-    "dedup_exact_substring_coverage": (2, 1),  # span rollup (+ reused
-    #   partitioning into the windows⋈counts join) + per-doc rollup; the
-    #   1-row nothing-to-broadcast side is plan-text only
+    "dedup_exact_substring_coverage": (2, 1),  # span rollup + per-doc
+    #   rollup, both off the round-14 checkpointed span stream (the fan-out
+    #   exchange and one explode are behind the checkpoint scan); the
+    #   count side broadcasts back onto the stream
     "sample_coreset_kcenter": (2, 2),  # final radius pass off the
     #   checkpointed 8-row chosen set (the 7 selection rounds are
     #   checkpoint-backed): min-d2 rollup + radius agg, chosen+radius bcasts
