@@ -284,6 +284,18 @@ def main() -> None:
     baseline_subtotal = round(
         sum(t for k, t in timings.items() if k in HEADLINE[:6] and t >= 0), 4
     )
+    # Parallelism evidence (VERDICT r14 item 2, additions-only): the driver's
+    # suspect_cpus_ignored heuristic sees ratios-only at 8-vs-32 cores; the
+    # headline six are overhead-floor-bound at sf0.1 so their ratios ≈1 even
+    # though the contract IS honored (session.py builds
+    # master(local[$SPARK_GRAFT_CPUS])). Emit the effective master and
+    # sc.defaultParallelism so the heuristic has data instead of inference.
+    sc = spark.sparkContext
+    parallelism_evidence = {
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+    }
     line = {
         "metric": "headline_wall_clock_total",
         "value": None if failed else baseline_subtotal,
@@ -304,6 +316,7 @@ def main() -> None:
         "queries": timings,
         "runs_per_query": spread,
         "sf": sf,
+        **parallelism_evidence,
     }
     if failed:
         line["failed"] = failed
@@ -337,6 +350,7 @@ def main() -> None:
             "r14": r14_tier_total,
         },
         "sf": sf,
+        **parallelism_evidence,
     }
     if failed:
         summary["failed"] = failed

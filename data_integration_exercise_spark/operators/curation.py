@@ -1837,8 +1837,15 @@ def _lloyd_centroids(q, iters: int = 3):
         .collect()
     )
     cents = [list(r["qarr"]) for r in seed_rows]
+    # Original cluster ids, carried through every iteration: if a cluster
+    # loses all vectors the SURVIVORS keep their ids (the oracle's unrolled
+    # CTEs simply have no c{i} rows for the empty cluster, so later argmins
+    # tie-break against ORIGINAL ids) — renumbering survivors by list index
+    # would silently fork labels and the whole trajectory (the _pq_parts
+    # cs_by_m discipline; ADVICE r14 item 1).
+    cent_ids = list(range(len(cents)))
 
-    def assign_with(cents):
+    def assign_with(cents, cent_ids):
         if not cents:  # empty input frame → empty assignment, like the
             return q.select(  # old crossJoin-with-empty-centroids shape
                 "vec_id", "label", "qarr",
@@ -1846,14 +1853,18 @@ def _lloyd_centroids(q, iters: int = 3):
                 F.lit(None).cast("long").alias("d2"),
             ).filter(F.lit(False))
         # (d2, cluster) argmin in ONE pass over the literal table: array_min
-        # over (d2, idx) structs — struct order is lexicographic, so ties go
-        # to the lowest cluster id (the pinned tie-break). The d2s array is
-        # evaluated once inside the transform; only the 2-field best struct
-        # is referenced twice (HOFs are interpreted, so a multi-referenced
-        # heavy fold would re-run per reference — the sim_ann_lsh lesson).
+        # over (d2, id) structs — struct order is lexicographic, so ties go
+        # to the lowest cluster ID (the pinned tie-break; cent_ids is
+        # ascending, so index order = id order and the ORIGINAL id rides the
+        # struct directly — survivors keep their ids when a cluster empties).
+        # The d2s array is evaluated once inside the transform; only the
+        # 2-field best struct is referenced twice (HOFs are interpreted, so a
+        # multi-referenced heavy fold would re-run per reference — the
+        # sim_ann_lsh lesson).
+        ids_sql = "array(" + ", ".join(f"{int(c)}L" for c in cent_ids) + ")"
         best = (
             f"array_min(transform({_d2s_sql(cents)}, "
-            "(x, i) -> struct(x AS d, CAST(i AS BIGINT) AS c)))"
+            f"(x, i) -> struct(x AS d, element_at({ids_sql}, i + 1) AS c)))"
         )
         return q.select(
             "vec_id", "label", "qarr", F.expr(best).alias("_best")
@@ -1868,7 +1879,7 @@ def _lloyd_centroids(q, iters: int = 3):
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         cent_rows = (
-            assign_with(cents)
+            assign_with(cents, cent_ids)
             .select("cluster", F.posexplode(F.col("qarr")).alias("pos", "qv"))
             .groupBy("cluster", "pos")
             .agg(F.expr("sum(qv) div count(*)").alias("c"))
@@ -1877,18 +1888,19 @@ def _lloyd_centroids(q, iters: int = 3):
         by_cluster = {}
         for r in cent_rows:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
-        cents = [
-            [by_cluster[k][p] for p in range(dim)] for k in sorted(by_cluster)
-        ]
+        cent_ids = sorted(by_cluster)  # survivors keep their ORIGINAL ids
+        cents = [[by_cluster[k][p] for p in range(dim)] for k in cent_ids]
 
     carr = spark.createDataFrame(
-        [(k, cents[k]) for k in range(len(cents))], "cluster long, carr array<long>"
+        list(zip(cent_ids, cents)), "cluster long, carr array<long>"
     )
 
-    def assign(centroids):
-        # signature kept for the consumers (they pass the returned carr
-        # frame back in); the trained literals drive the computation
-        return assign_with(cents)
+    def assign():
+        # no parameter: the trained driver-side literals drive the
+        # computation; the former `assign(centroids)` silently ignored its
+        # argument, which was a wrong-results trap for any caller passing a
+        # different centroid frame (ADVICE r14 item 2)
+        return assign_with(cents, cent_ids)
 
     return carr, assign
 
@@ -2083,7 +2095,7 @@ def sim_ann_append(spark, sf_dir):
 
     carr, assign_base = _lloyd_centroids(base, iters=3)
     base_occ = (
-        assign_base(carr)
+        assign_base()
         .groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_base"))
     )
@@ -2234,7 +2246,7 @@ def sim_ann_ivfadc(spark, sf_dir):
         "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
     ).localCheckpoint(eager=False)
     carr, assign = _lloyd_centroids(q, iters=3)
-    lists = assign(carr).select("vec_id", "cluster")
+    lists = assign().select("vec_id", "cluster")
     d2 = F.aggregate(
         F.zip_with("qarr", "carr", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -2329,7 +2341,7 @@ def sim_kmeans_lloyd(spark, sf_dir):
     # sim_ann_append) — the computation is token-identical to the inlined
     # round-10 body; emulator hash equality re-confirmed at 3 scales.
     carr, assign = _lloyd_centroids(q, iters=3)
-    final = assign(carr)
+    final = assign()
     lab = final.groupBy("cluster", "label").agg(F.count("*").alias("n"))
     w_maj = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label").asc())
     maj = (

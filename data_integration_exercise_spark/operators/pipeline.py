@@ -119,6 +119,8 @@ def first_match_band(n_bands: int, c1: str = "sigs1", c2: str = "sigs2"):
     per-task work). Semantically identical: the join already guarantees a
     match at the join band, so the ELSE arm (no earlier band matched) can
     only be reached when the first match IS the last band."""
+    if n_bands == 1:  # zero WHEN branches would render unparseable SQL
+        return F.lit(0)
     branches = " ".join(
         f"WHEN {c1}[{i}] = {c2}[{i}] THEN {i}" for i in range(n_bands - 1)
     )

@@ -61,35 +61,104 @@ _MODULES = [
 # `agg_calibration_ece`, r10 — converted to a hash-pass by its r11 row after
 # the `// CAST(sum(n) AS BIGINT)` oracle fix; r11 and r12 are 50/50 green).
 #
-# ROUND-14 WINDOW (executes the pre-pinned round-13 plan, registry.py@r13
-# `_ADDED_R13` block comment, confirmed against the green 50/50
-# CORRECTNESS_r13): slots 1-3 = the three `_ADDED_R13` keys — the ONLY
-# registered keys without a driver row in CORRECTNESS_r01–r13 (each
-# emulator-green in round 13 and re-run 3/3 by the round-13 judge —
-# conversion-to-driver-truth, not discovery); slots 4-5 =
-# rewrite-after-green re-verifications of `sim_adc_search` and
-# `sim_ndcg_eval` (fingerprint-staled by the round-13 `_PQ_ADC_CTE`
-# extraction; oracle strings semantically identical, both emulator-green
-# post-change); slots 6-9 = the round-4 tail (last 4 keys whose latest
-# green row is round 4); slots 10-50 = the stalest green cohort — the
-# first 41 round-5 keys (`_VERIFIED_R5` from `plan_cbo_stats` on, stable
-# registry order; the last 5 queue as the round-15 head). A green
-# CORRECTNESS_r14 restores every registered key to
-# driver-verified-on-current-code.
+# ROUND-15 WINDOW (executes the pre-pinned round-14 plan, extended with the
+# keys REWRITTEN during round 15 itself — this round's optimization targets —
+# so driver truth lands on current code; confirmed against the green 50/50
+# CORRECTNESS_r14): slots 1-2 = the two `_ADDED_R14` keys — the ONLY
+# registered keys without a driver row in CORRECTNESS_r01–r14; slots 3-7 =
+# rewrite-after-green re-verifications of the round-14 rewrites the driver
+# has never run on current code (VERDICT r14 item 1: `dedup_semdedup` —
+# output changed BY DESIGN in r14, k=max(10,⌈√n⌉) — then
+# `dedup_soft_weights`, `sim_ann_lsh`, `sim_ann_graph`,
+# `dedup_minhash_openvocab`); slots 8-11 = round-15 rewrite-after-green
+# re-verifications (`dedup_containment_bigram`, `dedup_minhash_lsh`,
+# `stream_stateful_running`, `plan_ivf_probe_geometry` — this round's
+# optimization targets, each hash-identical by construction and
+# emulator-green post-change); slots 12-16 = the round-5 tail (last 5 keys
+# whose latest green row is round 5); slots 17-50 = the stalest green
+# cohort — the first 34 remaining round-6 keys (`_VERIFIED_R6`, stable
+# registry order; the last 11 queue as the round-16 head).
 _PRIORITY = [
-    # --- 3 never-driver-verified (the entire remaining queue, _ADDED_R13) ---
+    # --- 2 never-driver-verified (the entire remaining queue, _ADDED_R14) ---
+    "sink_manifest_atomic",
+    "sink_manifest_expire",
+    # --- round-14 rewrite-after-green re-verifications (VERDICT r14 item 1) ---
+    "dedup_semdedup",
+    "dedup_soft_weights",
+    "sim_ann_lsh",
+    "sim_ann_graph",
+    "dedup_minhash_openvocab",
+    # --- round-15 rewrite-after-green re-verifications ---
+    "dedup_containment_bigram",
+    "dedup_minhash_lsh",
+    "stream_stateful_running",
+    "plan_ivf_probe_geometry",
+    # --- round-5 tail (stalest green rows) ---
+    "sim_threshold_join",
+    "sim_knn_query",
+    "text_tfidf",
+    "dedup_exact_text",
+    "text_lang_id",
+    # --- 34 stalest round-6 keys (latest green row = round 6) ---
+    "agg_ks_test",
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "win_ewma",
+    "etl_gdpr_cascade",
+    "text_pii_scrub",
+    "multimodal_phash_dedup",
+    "agg_heavy_hitters",
+    "win_cusum_drift",
+    "events_attribution",
+    "events_anomaly_mad",
+    "join_interval_overlap",
+    "sample_priority_topk",
+    "join_bloom_prefilter",
+    "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "sample_balanced_classes",
+    "etl_cdc_deletes",
+    "text_ccnet_buckets",
+    "pipeline_corpus_curate",
+    "sink_zorder",
+    "graph_bfs_distances",
+    "scan_manifest_pruned",
+    "sample_temperature_mix",
+    "agg_benford_deviation",
+    "events_dau_wau",
+    "etl_incremental_agg_refresh",
+    "sink_idempotent_overwrite",
+    "agg_hhi_concentration",
+    "events_churn_hazard",
+    "sql_adhoc_interface",
+    "agg_winsorized_mean",
+    "agg_pareto_crossover",
+    "win_drawdown",
+]
+
+# Keys ADDED during round 15 (no driver row yet). Every new operator lands
+# here in the same commit that registers it UNLESS it also gets a window
+# slot the same round; keys here queue directly behind the window for the
+# round-16 rotation. (Round 15 is an optimization round — no new features.)
+_ADDED_R15: list[str] = []
+
+# Keys hash/rows-verified green by the driver in round 14 (the former
+# round-14 _PRIORITY window; CORRECTNESS_r14.json 50/50 green — the three
+# `_ADDED_R13` keys, the `_PQ_ADC_CTE` re-verifications, the round-4 tail,
+# and the 41 stalest round-5 keys all converted) — demoted directly behind
+# the round-15 additions. `dedup_containment_bigram` is NOT here: it
+# re-entered the round-15 window above after its post-green
+# MinHash-prefilter rewrite.
+_VERIFIED_R14 = [
     "stream_watermark_deterministic",
     "sim_ann_ivfadc",
     "agg_hll_deterministic",
-    # --- _PQ_ADC_CTE rewrite-after-green re-verifications ---
     "sim_adc_search",
     "sim_ndcg_eval",
-    # --- round-4 tail (stalest green rows) ---
     "sample_train_valid_test",
     "diag_skew_keys",
     "graph_pagerank",
     "graph_degree_distribution",
-    # --- 41 stalest round-5 keys (latest green row = round 5) ---
     "plan_cbo_stats",
     "plan_exchange_reuse",
     "plan_runtime_filter",
@@ -120,7 +189,6 @@ _PRIORITY = [
     "text_hashing_vectorizer",
     "text_bigram_lm_score",
     "sample_mix_rebalance",
-    "dedup_containment_bigram",
     "dedup_incremental",
     "sim_nearest_centroid",
     "sim_embedding_hygiene",
@@ -131,25 +199,6 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_connected_components",
     "sim_topk_cosine",
-]
-
-# Keys ADDED during round 14 (no driver row yet). Every new operator lands
-# here in the same commit that registers it UNLESS it also gets a window
-# slot the same round; keys here queue directly behind the window for the
-# round-15 rotation.
-#
-# ROUND-15 PLAN (pre-pinned, the established pattern — execute at round-15
-# open AFTER confirming CORRECTNESS_r14 is green). Slot layout: slots 1-N =
-# any `_ADDED_R14` keys below in list order plus the rewrite-after-green
-# re-verifications accrued during round 14 — the four sf1-scale rewrites
-# (`dedup_incremental` already re-verifies in THIS window on the new code;
-# `dedup_semdedup`, `sim_ann_graph`, `sim_ann_lsh`, `dedup_soft_weights`
-# queue here); remaining slots = the stalest cohort — the round-5 tail
-# (`_VERIFIED_R5`, 5 keys) then the round-6 keys (`_VERIFIED_R6`, stable
-# registry order), filling to 50.
-_ADDED_R14: list[str] = [
-    "sink_manifest_atomic",
-    "sink_manifest_expire",
 ]
 
 # Keys hash/rows-verified green by the driver in round 13 (the former
@@ -164,7 +213,6 @@ _VERIFIED_R13 = [
     "plan_quantile_sketch_geometry",
     "sample_epoch_shuffle",
     "sample_token_stream_batches",
-    "dedup_minhash_openvocab",
     "tpch_q4_order_priority",
     "tpch_q6_forecast",
     "tpch_q7_volume_shipping",
@@ -220,7 +268,6 @@ _VERIFIED_R13 = [
 # above after its post-green prefilter rewrite.
 _VERIFIED_R12 = [
     "sim_ann_append",
-    "plan_ivf_probe_geometry",
     "stream_ann_ingest",
     "stream_sliding",
     "stream_session",
@@ -228,7 +275,6 @@ _VERIFIED_R12 = [
     "stream_dedup",
     "stream_static_join",
     "stream_foreachbatch",
-    "stream_stateful_running",
     "stream_cdc_upsert",
     "stream_stream_join",
     "stream_topk_per_window",
@@ -247,7 +293,6 @@ _VERIFIED_R12 = [
     "text_ngrams",
     "text_lang_stats",
     "text_sentiment_lexicon",
-    "sim_ann_lsh",
     "multimodal_join",
     "skyline_pareto",
     "udf_python_scalar",
@@ -411,7 +456,6 @@ _VERIFIED_R8 = [
     "agg_srm_check",
     "dedup_threshold_sweep",
     "etl_vacuum_retention_plan",
-    "sim_ann_graph",
     "win_holt_winters",
     "events_user_lifecycle",
     "etl_wap_rollback",
@@ -421,7 +465,6 @@ _VERIFIED_R8 = [
     "win_rolling_corr",
     "etl_surrogate_keys",
     "win_zscore_outliers",
-    "dedup_minhash_lsh",
     "scan_parquet",
     "scan_projection_pushdown",
     "ingest_csv",
@@ -495,42 +538,6 @@ _VERIFIED_R7 = [
 # _PRIORITY window; CORRECTNESS_r06.json 50/50) — demoted directly behind
 # the round-7/8 queue.
 _VERIFIED_R6 = [
-    "agg_ks_test",
-    "agg_chi_square",
-    "agg_mann_whitney",
-    "win_ewma",
-    "etl_gdpr_cascade",
-    "text_pii_scrub",
-    "multimodal_phash_dedup",
-    "agg_heavy_hitters",
-    "win_cusum_drift",
-    "events_attribution",
-    "events_anomaly_mad",
-    "join_interval_overlap",
-    "sample_priority_topk",
-    "dedup_semdedup",
-    "join_bloom_prefilter",
-    "dedup_soft_weights",
-    "sim_mmr_diversify",
-    "agg_bootstrap_ci",
-    "sample_balanced_classes",
-    "etl_cdc_deletes",
-    "text_ccnet_buckets",
-    "pipeline_corpus_curate",
-    "sink_zorder",
-    "graph_bfs_distances",
-    "scan_manifest_pruned",
-    "sample_temperature_mix",
-    "agg_benford_deviation",
-    "events_dau_wau",
-    "etl_incremental_agg_refresh",
-    "sink_idempotent_overwrite",
-    "agg_hhi_concentration",
-    "events_churn_hazard",
-    "sql_adhoc_interface",
-    "agg_winsorized_mean",
-    "agg_pareto_crossover",
-    "win_drawdown",
     "sim_recall_eval",
     "text_ngram_novelty",
     "events_bot_detection",
@@ -544,16 +551,9 @@ _VERIFIED_R6 = [
     "agg_count_min_sketch",
 ]
 
-# Keys hash/rows-verified green by the driver in round 5 — the 5-key tail
-# left after the round-14 window absorbed the cohort's first 41 keys;
-# queues as the round-15 freshness head.
-_VERIFIED_R5 = [
-    "sim_threshold_join",
-    "sim_knn_query",
-    "text_tfidf",
-    "dedup_exact_text",
-    "text_lang_id",
-]
+# Round 5's cohort is fully absorbed: the round-14 window took its first 41
+# keys and the round-15 window takes the 5-key tail (slots 12-16 above).
+_VERIFIED_R5: list[str] = []
 
 
 
@@ -562,7 +562,8 @@ _VERIFIED_R5 = [
 def _reorder(d: dict) -> dict:
     lists = (
         _PRIORITY
-        + _ADDED_R14
+        + _ADDED_R15
+        + _VERIFIED_R14
         + _VERIFIED_R13
         + _VERIFIED_R12
         + _VERIFIED_R11
@@ -581,7 +582,7 @@ def _reorder(d: dict) -> dict:
     unlisted = [k for k in d if k not in set(lists)]
     if unlisted:
         raise ValueError(
-            "registered keys missing from the rotation queue (add to _ADDED_R14): "
+            "registered keys missing from the rotation queue (add to _ADDED_R15): "
             f"{unlisted}"
         )
     return {k: d[k] for k in lists}

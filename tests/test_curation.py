@@ -432,3 +432,75 @@ def test_ivfadc_recall_floors(spark):
                 f"ADC distance drifted between IVF and full scan for "
                 f"({r.probe_id}, {r.vec_id})"
             )
+
+
+def test_lloyd_centroids_keep_original_ids_when_a_cluster_empties(spark):
+    """When a seed cluster loses all vectors (duplicate vectors among the
+    seeds: the higher-id twin's cluster empties at the first argmin, which
+    ties to the lowest cluster id), the SURVIVORS must keep their original
+    cluster ids — renumbering by list index silently forks every later
+    label and tie-break from the unrolled-CTE oracle (ADVICE r14 item 1).
+    Replays the full trajectory in numpy with original-id bookkeeping and
+    asserts the trained table and the assignment both match."""
+    import hashlib
+
+    import numpy as np
+
+    from data_integration_exercise_spark.operators.curation import (
+        _lloyd_centroids,
+    )
+
+    # 8 vectors => all 8 seed; ids 3 and 5 share a vector, so the md5-later
+    # twin's seed cluster provably empties after the first assignment.
+    vecs = {
+        0: [0, 0, 0, 0],
+        1: [100, 0, 0, 0],
+        2: [0, 100, 0, 0],
+        3: [50, 50, 0, 0],
+        4: [0, 0, 100, 0],
+        5: [50, 50, 0, 0],
+        6: [0, 0, 0, 100],
+        7: [25, 25, 25, 25],
+    }
+    rows = [(i, "x", v) for i, v in vecs.items()]
+    q = spark.createDataFrame(
+        rows, "vec_id long, label string, qarr array<long>"
+    )
+    carr, assign = _lloyd_centroids(q, iters=3)
+
+    ids = np.array(sorted(vecs))
+    mat = np.stack([vecs[i] for i in ids]).astype("int64")
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )
+    cents = {c: mat[order[c]].copy() for c in range(8)}
+
+    def np_assign(cents):
+        keys = sorted(cents)
+        d2 = np.stack(
+            [((mat - cents[c]) ** 2).sum(axis=1) for c in keys], axis=1
+        )
+        pick = d2.argmin(axis=1)  # first min -> lowest surviving cluster id
+        return np.array([keys[p] for p in pick]), d2.min(axis=1)
+
+    for _ in range(3):
+        a, _ = np_assign(cents)
+        new = {}
+        for c in set(a.tolist()):
+            mem = mat[a == c]
+            s = mem.sum(axis=0)
+            new[c] = np.sign(s) * (np.abs(s) // len(mem))
+        cents = new
+    assert len(cents) < 8, "construction must actually empty a cluster"
+
+    expect_table = {c: [int(x) for x in v] for c, v in cents.items()}
+    got_table = {r.cluster: list(r.carr) for r in carr.collect()}
+    assert got_table == expect_table
+
+    a, d = np_assign(cents)
+    expect_assign = {int(i): (int(c), int(dd)) for i, c, dd in zip(ids, a, d)}
+    got_assign = {
+        r.vec_id: (r.cluster, r.d2) for r in assign().collect()
+    }
+    assert got_assign == expect_assign

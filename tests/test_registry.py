@@ -133,74 +133,79 @@ def test_no_unrounded_float_aggregates_in_oracles():
 
 
 # The driver's correctness harness oracles exactly the first 50 queries()
-# keys each round. Pin the round-14 window so a module reorder or
+# keys each round. Pin the round-15 window so a module reorder or
 # priority-list edit can't silently re-verify already-green keys and waste
 # a round.
 #
-# Composition (executes the pre-pinned round-13 plan, registry.py@r13
-# `_ADDED_R13` block comment): slots 1-3 are ALL remaining
-# never-driver-verified keys (`_ADDED_R13`, stable queue order); slots 4-5
-# re-verify `sim_adc_search` / `sim_ndcg_eval` after the post-green
-# round-13 `_PQ_ADC_CTE` extraction staled their fingerprints; slots 6-9
-# re-verify the round-4 tail; slots 10-50 re-verify the stalest green
-# cohort — the first 41 round-5 keys, stable registry order (the last 5
-# queue as the round-15 head).
-EXPECTED_R14_WINDOW = [
-    "stream_watermark_deterministic",
-    "sim_ann_ivfadc",
-    "agg_hll_deterministic",
-    "sim_adc_search",
-    "sim_ndcg_eval",
-    "sample_train_valid_test",
-    "diag_skew_keys",
-    "graph_pagerank",
-    "graph_degree_distribution",
-    "plan_cbo_stats",
-    "plan_exchange_reuse",
-    "plan_runtime_filter",
-    "plan_adaptive_threshold_join",
-    "sink_compacted",
-    "sink_orc",
-    "sink_clustered",
-    "etl_upsert_latest",
-    "etl_scd2_intervals",
-    "etl_data_profile",
-    "etl_calendar_spine",
-    "etl_schema_evolution",
-    "etl_dq_checks",
-    "etl_forward_fill",
-    "etl_pii_mask",
-    "etl_snapshot_diff",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "events_entropy_mix",
-    "events_markov_transitions",
-    "multimodal_resize",
-    "multimodal_framesample",
-    "multimodal_audio_energy",
-    "text_gopher_quality",
-    "text_repetition_stats",
-    "text_domain_mix",
-    "text_hashing_vectorizer",
-    "text_bigram_lm_score",
-    "sample_mix_rebalance",
+# Composition (executes the pre-pinned round-14 plan + this round's own
+# rewrites, registry.py `_PRIORITY` block comment): slots 1-2 are ALL
+# remaining never-driver-verified keys (`_ADDED_R14`, stable queue order);
+# slots 3-7 re-verify the round-14 rewrite-after-green keys the driver has
+# never run on current code (VERDICT r14 item 1 — `dedup_semdedup`'s output
+# changed by design in r14); slots 8-11 re-verify this round's own rewrites;
+# slots 12-16 re-verify the round-5 tail; slots 17-50 re-verify the stalest
+# green cohort — the first 34 remaining round-6 keys, stable registry order
+# (the last 11 queue as the round-16 head).
+EXPECTED_R15_WINDOW = [
+    "sink_manifest_atomic",
+    "sink_manifest_expire",
+    "dedup_semdedup",
+    "dedup_soft_weights",
+    "sim_ann_lsh",
+    "sim_ann_graph",
+    "dedup_minhash_openvocab",
     "dedup_containment_bigram",
-    "dedup_incremental",
-    "sim_nearest_centroid",
-    "sim_embedding_hygiene",
-    "agg_gini_segments",
-    "agg_ab_ttest",
-    "graph_triangle_count",
-    "dedup_near_jaccard",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "sim_topk_cosine",
+    "dedup_minhash_lsh",
+    "stream_stateful_running",
+    "plan_ivf_probe_geometry",
+    "sim_threshold_join",
+    "sim_knn_query",
+    "text_tfidf",
+    "dedup_exact_text",
+    "text_lang_id",
+    "agg_ks_test",
+    "agg_chi_square",
+    "agg_mann_whitney",
+    "win_ewma",
+    "etl_gdpr_cascade",
+    "text_pii_scrub",
+    "multimodal_phash_dedup",
+    "agg_heavy_hitters",
+    "win_cusum_drift",
+    "events_attribution",
+    "events_anomaly_mad",
+    "join_interval_overlap",
+    "sample_priority_topk",
+    "join_bloom_prefilter",
+    "sim_mmr_diversify",
+    "agg_bootstrap_ci",
+    "sample_balanced_classes",
+    "etl_cdc_deletes",
+    "text_ccnet_buckets",
+    "pipeline_corpus_curate",
+    "sink_zorder",
+    "graph_bfs_distances",
+    "scan_manifest_pruned",
+    "sample_temperature_mix",
+    "agg_benford_deviation",
+    "events_dau_wau",
+    "etl_incremental_agg_refresh",
+    "sink_idempotent_overwrite",
+    "agg_hhi_concentration",
+    "events_churn_hazard",
+    "sql_adhoc_interface",
+    "agg_winsorized_mean",
+    "agg_pareto_crossover",
+    "win_drawdown",
 ]
 
-#: window slots holding keys with NO driver row in CORRECTNESS_r01-r13:
-#: the three round-13 additions (slots 1-3).
-_R14_NEVER_VERIFIED = EXPECTED_R14_WINDOW[:3]
+#: window slots holding keys with NO driver row in CORRECTNESS_r01-r14:
+#: the two round-14 additions (slots 1-2).
+_R15_NEVER_VERIFIED = EXPECTED_R15_WINDOW[:2]
+
+#: rewrite-after-green re-verification slots (3-11): round-14 rewrites the
+#: driver never ran on current code, then this round's own rewrites.
+_R15_REVERIFY = EXPECTED_R15_WINDOW[2:11]
 
 
 def _driver_rows_through(last_round: int) -> dict:
@@ -218,58 +223,75 @@ def _driver_rows_through(last_round: int) -> dict:
     return latest
 
 
-def test_round14_verification_window_is_pinned():
-    assert list(queries())[:50] == EXPECTED_R14_WINDOW
+def test_round15_verification_window_is_pinned():
+    assert list(queries())[:50] == EXPECTED_R15_WINDOW
 
 
-def test_round14_window_never_verified_slots_are_fresh():
+def test_round15_window_never_verified_slots_are_fresh():
     """The never-verified slots must hold keys with NO prior driver row —
     they exist to convert emulation-only keys to driver truth; every other
     slot is deliberate re-verification of keys that already have rows."""
-    latest = _driver_rows_through(13)
+    latest = _driver_rows_through(14)
     if not latest:
         return  # correctness files absent (fresh checkout)
-    stale = set(_R14_NEVER_VERIFIED) & set(latest)
+    stale = set(_R15_NEVER_VERIFIED) & set(latest)
     assert not stale, (
         f"never-verified slots waste coverage on already-verified keys: "
         f"{sorted(stale)}"
     )
 
 
-def test_round14_window_covers_every_unverified_key():
-    """never-verified slots ∪ _ADDED_R14 must be exactly the keys without
-    a driver row, so round 14 converges to full driver coverage."""
-    latest = _driver_rows_through(13)
+def test_round15_window_covers_every_unverified_key():
+    """never-verified slots ∪ _ADDED_R15 must be exactly the keys without
+    a driver row, so round 15 converges to full driver coverage."""
+    latest = _driver_rows_through(14)
     if not latest:
         return
-    from data_integration_exercise_spark.registry import _ADDED_R14
+    from data_integration_exercise_spark.registry import _ADDED_R15
 
     unverified = set(queries()) - set(latest)
-    queue = set(_R14_NEVER_VERIFIED) | set(_ADDED_R14)
+    queue = set(_R15_NEVER_VERIFIED) | set(_ADDED_R15)
     assert queue == unverified, (
         f"queue misses: {sorted(unverified - queue)}; "
         f"wastes slots on: {sorted(queue - unverified)}; "
-        "a key added this round must be listed in registry._ADDED_R14"
+        "a key added this round must be listed in registry._ADDED_R15"
     )
 
 
-def test_round14_window_tail_reverifies_stalest_keys():
-    """The re-verification slots must target exactly: the two post-green
-    `_PQ_ADC_CTE` rewrites + the stalest (round-4/round-5) green cohort —
-    never keys already fresh."""
-    latest = _driver_rows_through(13)
+def test_round15_window_reverify_slots_target_rewrites():
+    """Slots 3-7 must be exactly VERDICT r14 item 1's rewrite-after-green
+    list; slots 8-11 this round's own rewrite targets."""
+    assert _R15_REVERIFY[:5] == [
+        "dedup_semdedup",
+        "dedup_soft_weights",
+        "sim_ann_lsh",
+        "sim_ann_graph",
+        "dedup_minhash_openvocab",
+    ]
+    assert _R15_REVERIFY[5:] == [
+        "dedup_containment_bigram",
+        "dedup_minhash_lsh",
+        "stream_stateful_running",
+        "plan_ivf_probe_geometry",
+    ]
+
+
+def test_round15_window_tail_reverifies_stalest_keys():
+    """The freshness slots must target the stalest green cohort: every key
+    whose latest driver row is round <= 5 is in the window; round-6 keys
+    are in the window or the pinned round-16 head (`_VERIFIED_R6`)."""
+    latest = _driver_rows_through(14)
     if not latest:
         return
-    # explicit rewrite-after-green slots
-    assert EXPECTED_R14_WINDOW[3:5] == ["sim_adc_search", "sim_ndcg_eval"]
-    # freshness slots: every key whose latest row is round <= 5 must be in
-    # the window or the pinned round-15 head (the 5-key round-5 tail)
-    from data_integration_exercise_spark.registry import _VERIFIED_R5
+    from data_integration_exercise_spark.registry import _VERIFIED_R6
 
     stale5 = {k for k, r in latest.items() if r <= 5}
-    missing = stale5 - set(EXPECTED_R14_WINDOW) - set(_VERIFIED_R5)
-    assert not missing, f"round-5-stale keys left out: {sorted(missing)}"
-    assert len(_VERIFIED_R5) == 5
+    missing5 = stale5 - set(EXPECTED_R15_WINDOW)
+    assert not missing5, f"round-5-stale keys left out: {sorted(missing5)}"
+    stale6 = {k for k, r in latest.items() if r == 6}
+    missing6 = stale6 - set(EXPECTED_R15_WINDOW) - set(_VERIFIED_R6)
+    assert not missing6, f"round-6-stale keys left out: {sorted(missing6)}"
+    assert len(_VERIFIED_R6) == 11
 
 
 def test_queries_count_matches_survey_addendum():

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for every bench-tier query into plans/r14/.
+"""Capture .explain('formatted') for every bench-tier query into plans/r15/.
 
 Usage:
-    python tools/capture_plans.py before            # plans/r14/<key>_before.txt
+    python tools/capture_plans.py before            # plans/r15/<key>_before.txt
     python tools/capture_plans.py after key1 key2   # only the named keys
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/capture_plans.py before
 
@@ -43,7 +43,7 @@ def main() -> None:
     if only:
         keys = [k for k in keys if k in only] + sorted(only - set(keys))
 
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_session("capture_plans")
