@@ -414,7 +414,14 @@ def sim_nearest_centroid(spark, sf_dir):
     q = e.select(
         "vec_id", "label", F.expr(_QUANT_SPARK).alias("qarr")
     )
-    exploded = q.select("label", F.posexplode("qarr").alias("pos", "qv"))
+    # generator child INLINE, not via the qarr alias: exploding an aliased
+    # array makes InferFiltersFromGenerate add `size(qarr) > 0` below the
+    # Generate and filter pushdown inlines the alias — the quantization
+    # transform re-evaluated twice per row inside an always-true filter at
+    # the scan (an inline child skips the inference; semantics identical).
+    exploded = e.select(
+        "label", F.posexplode(F.expr(_QUANT_SPARK)).alias("pos", "qv")
+    )
     cent = (
         exploded.groupBy(F.col("label").alias("clabel"), "pos")
         .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
@@ -1866,13 +1873,20 @@ def _lloyd_centroids(q, iters: int = 3):
             f"array_min(transform({_d2s_sql(cents)}, "
             f"(x, i) -> struct(x AS d, element_at({ids_sql}, i + 1) AS c)))"
         )
+        # cluster is coalesce-pinned NON-NULLABLE (value-identical: the
+        # argmin over a non-empty literal table is never null on real
+        # rows): downstream equi-joins on `cluster` otherwise make
+        # InferFiltersFromConstraints add isnotnull(cluster), and filter
+        # pushdown inlines the alias — the ENTIRE literal argmin
+        # re-evaluates per row inside that inferred filter (measured in
+        # sim_ann_ivfadc's plan as a 4.4k-char Filter condition).
         return q.select(
             "vec_id", "label", "qarr", F.expr(best).alias("_best")
         ).select(
             "vec_id",
             "label",
             "qarr",
-            F.col("_best.c").alias("cluster"),
+            F.coalesce(F.col("_best.c"), F.lit(-1)).alias("cluster"),
             F.col("_best.d").alias("d2"),
         )
 
@@ -1880,7 +1894,13 @@ def _lloyd_centroids(q, iters: int = 3):
     for _ in range(iters):
         cent_rows = (
             assign_with(cents, cent_ids)
-            .select("cluster", F.posexplode(F.col("qarr")).alias("pos", "qv"))
+            # posexplode_OUTER + pos-notnull ≡ inner posexplode exactly,
+            # minus the inferred size filter that re-inlines qarr's
+            # defining quantization per row (pipeline._band_signatures)
+            .select(
+                "cluster", F.posexplode_outer(F.col("qarr")).alias("pos", "qv")
+            )
+            .filter(F.col("pos").isNotNull())
             .groupBy("cluster", "pos")
             .agg(F.expr("sum(qv) div count(*)").alias("c"))
             .collect()

@@ -162,6 +162,13 @@ def _band_signatures(spark, sf_dir, perms, rows_per_band):
     # multi-file 100 TB input the scan is already parallel and this shuffle
     # moves ~16 bytes/doc.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # posexplode_OUTER, not posexplode (round 15): exploding an ALIASED
+    # array makes InferFiltersFromGenerate add `size(sigs) > 0 AND
+    # isnotnull(sigs)` below the Generate, and filter pushdown then inlines
+    # the alias — the whole signature build re-evaluates inside an
+    # always-true filter (sigs is a constructed n_bands-element array:
+    # never null, never empty, so outer ≡ inner row-for-row and the
+    # inferred filter simply isn't generated for outer explodes).
     return (
         _doc_masks(spark, sf_dir)
         .repartition(n_part, F.col("doc_id"))
@@ -172,7 +179,7 @@ def _band_signatures(spark, sf_dir, perms, rows_per_band):
             "lang",
             "mask",
             "sigs",
-            F.posexplode("sigs").alias("band", "sig"),
+            F.posexplode_outer("sigs").alias("band", "sig"),
         )
     )
 
@@ -529,13 +536,20 @@ def _openvocab_band_rows(spark, sf_dir):
             mh = f"array_min(transform(_hs, h -> ({a} * h + {b}) % {_OV_M}))"
             terms.append(f"{mh} * CAST({_OV_M ** (1 - r)} AS BIGINT)")
         band_sigs.append(" + ".join(terms))
+    # posexplode_OUTER (the _band_signatures rationale): the inner explode's
+    # inferred `size(sigs) > 0` filter inlined the ENTIRE signature build —
+    # including the md5 token hashing, 16 evaluations per doc — into an
+    # always-true predicate below the Generate (measured: the openvocab
+    # signature stage was ~17 md5 passes per doc instead of 1). sigs is a
+    # constructed N_BANDS-element array, so outer ≡ inner row-for-row.
     return (
         d.select("doc_id", F.expr(hashes).alias("_hs"))
         .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
         .withColumn("n_tok", F.size("_hs").cast("long"))
         .repartition(n_part, F.col("doc_id"))
         .select(
-            "doc_id", "sigs", "n_tok", F.posexplode("sigs").alias("band", "sig")
+            "doc_id", "sigs", "n_tok",
+            F.posexplode_outer("sigs").alias("band", "sig"),
         )
     )
 
@@ -1308,8 +1322,12 @@ def _lsh_threshold_pairs(e_raw, threshold: float):
             h = F.array(*[F.lit(float(x)) for x in plane])
             sig = sig + F.when(_dot(F.col("v"), h) >= 0, F.lit(2**j)).otherwise(F.lit(0))
         band_sigs.append(sig)
+    # posexplode_OUTER (the _band_signatures rationale): the inner form's
+    # inferred size filter re-inlines every hyperplane dot product into an
+    # always-true predicate; sigs is a constructed N_BANDS array, outer ≡
+    # inner row-for-row.
     banded = e_raw.withColumn("sigs", F.array(*band_sigs)).select(
-        "vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig")
+        "vec_id", "label", "sigs", F.posexplode_outer("sigs").alias("band", "sig")
     )
     s1 = banded.select(
         F.col("vec_id").alias("id1"), "label", F.col("sigs").alias("sigs1"), "band", "sig"
@@ -2181,17 +2199,20 @@ def multimodal_phash_dedup(spark, sf_dir):
         *[F.expr(f"(ph div {2 ** (15 * i)}) % 32768") for i in range(4)]
     )
     sig = imgs.select("img_id", "ph", band_vals.alias("bands"))
+    # posexplode_OUTER (the _band_signatures rationale): the inner form's
+    # inferred size filter re-inlines the md5 phash build per band
+    # reference; bands is a constructed 4-element array, outer ≡ inner.
     a = sig.select(
         F.col("img_id").alias("img1"),
         F.col("ph").alias("ph1"),
         F.col("bands").alias("bands1"),
-        F.posexplode("bands").alias("band", "val"),
+        F.posexplode_outer("bands").alias("band", "val"),
     )
     bside = sig.select(
         F.col("img_id").alias("img2"),
         F.col("ph").alias("ph2"),
         F.col("bands").alias("bands2"),
-        F.posexplode("bands").alias("band2", "val2"),
+        F.posexplode_outer("bands").alias("band2", "val2"),
     )
     pairs = a.join(
         bside,

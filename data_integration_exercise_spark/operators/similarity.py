@@ -350,10 +350,17 @@ def sim_ann_lsh(spark, sf_dir):
     # expansion). On a multi-file 100 TB input the scan is already parallel
     # and this exchange is one vector-width pass, dwarfed by the expansion.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # posexplode_OUTER (pipeline._band_signatures rationale): the inner
+    # form's inferred `size(sigs) > 0` filter re-inlines all bands×bits
+    # hyperplane dot products into an always-true predicate below the
+    # Generate; sigs is a constructed array, so outer ≡ inner row-for-row.
     banded = (
         e.repartition(n_part, F.col("vec_id"))
         .withColumn("sigs", F.array(*band_sigs))
-        .select("vec_id", "label", "sigs", F.posexplode("sigs").alias("band", "sig"))
+        .select(
+            "vec_id", "label", "sigs",
+            F.posexplode_outer("sigs").alias("band", "sig"),
+        )
     )
     s1 = banded.select(
         F.col("vec_id").alias("id1"),
@@ -957,9 +964,12 @@ def _pq_parts(spark, sf_dir):
             "transform(embedding, x -> CAST(floor(x * 1024) AS BIGINT))"
         ).alias("qv"),
     )
+    # explode_OUTER (pipeline._band_signatures rationale): the inner form's
+    # inferred size filter re-evaluates the 8-subvector slice build per row;
+    # transform over a literal sequence is never null/empty, outer ≡ inner.
     sub = q.select(
         "vec_id",
-        F.explode(
+        F.explode_outer(
             F.expr(
                 """transform(sequence(0, 7), m ->
                        struct(m AS m, slice(qv, m * 8 + 1, 8) AS sv))"""
@@ -1054,10 +1064,16 @@ def _pq_parts(spark, sf_dir):
         )
         return f"element_at(element_at({cs_lit}, CAST(m AS INT) + 1), CAST({m_expr} AS INT) + 1)"
 
+    # c is coalesce-pinned NON-NULLABLE (value-identical: the argmin over a
+    # non-empty literal codebook is never null on real rows): downstream
+    # equi-joins on c otherwise make InferFiltersFromConstraints add
+    # isnotnull(c) and filter pushdown inlines the whole argmin + survivor
+    # lookup into that inferred filter (the _lloyd_centroids assign_with
+    # rationale).
     best = sub.select(
         "vec_id",
         "m",
-        F.expr(_c_of(best_struct + ".c")).alias("c"),
+        F.coalesce(F.expr(_c_of(best_struct + ".c")), F.lit(-1)).alias("c"),
         F.expr(best_struct + ".d").alias("d2"),
     )
     return sub, cb, best
@@ -1622,10 +1638,15 @@ def sim_ann_graph(spark, sf_dir):
     )
     from .pipeline import first_match_band
 
+    # posexplode_OUTER (pipeline._band_signatures rationale): the inner
+    # form's inferred size filter re-inlines the bands×bits dot-product
+    # build into an always-true predicate that the checkpoint then
+    # MATERIALIZES (2× the signature stage); sigs is a constructed array,
+    # outer ≡ inner row-for-row.
     banded = (
         qn.select("vec_id", F.expr(f"array({band_exprs})").alias("sigs"))
         .select(
-            "vec_id", "sigs", F.posexplode("sigs").alias("band", "sig")
+            "vec_id", "sigs", F.posexplode_outer("sigs").alias("band", "sig")
         )
         .localCheckpoint(eager=False)  # 3 references: pair join sides + seeds
     )
@@ -1684,7 +1705,10 @@ def sim_ann_graph(spark, sf_dir):
     # mirror inline (explode, one pass) — a self-union would re-execute the
     # scored subtree and give the halving back
     edges = scored(bucket_pairs, "src", "dst").select(
-        F.explode(
+        # explode_OUTER: a constructed 2-struct array is never null/empty,
+        # and the inner form's inferred size filter would rebuild it per
+        # row in an always-true predicate (pipeline._band_signatures).
+        F.explode_outer(
             F.array(
                 F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
                 F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
