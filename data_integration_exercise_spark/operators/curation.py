@@ -152,22 +152,27 @@ def text_repetition_stats(spark, sf_dir):
     explode+groupBy form in text_tokenize_wordcount is the fallback).
     Requires ≥2 tokens per doc (corpus min is 10)."""
     d = load_table(spark, sf_dir, "documents")
-    r = d.select(
+    # all four stats read a MATERIALIZED token column: `split(text)` inside
+    # a lambda body re-evaluates per element (the old top-token transform
+    # re-split the text once per distinct token, the bigram transform once
+    # per bigram — O(n²)+ tokenization per doc); an attribute reference is
+    # O(1) per element
+    r = d.select("doc_id", "lang", F.split("text", " ").alias("toks")).select(
         "doc_id",
         "lang",
-        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
         F.expr(
             """
-            CAST(array_max(transform(array_distinct(split(text, ' ')),
-                 x -> size(filter(split(text, ' '), y -> y = x)))) AS BIGINT)
+            CAST(array_max(transform(array_distinct(toks),
+                 x -> size(filter(toks, y -> y = x)))) AS BIGINT)
             """
         ).alias("top_tok_cnt"),
-        F.expr("CAST(size(split(text, ' ')) - 1 AS BIGINT)").alias("n_bigrams"),
+        F.expr("CAST(size(toks) - 1 AS BIGINT)").alias("n_bigrams"),
         F.expr(
             """
-            CAST(size(array_distinct(transform(
-                 slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                 (x, i) -> concat(x, ' ', split(text, ' ')[i + 1])))) AS BIGINT)
+            CAST(size(array_distinct(zip_with(
+                 slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+                 (x, y) -> concat(x, ' ', y)))) AS BIGINT)
             """
         ).alias("n_distinct_bigrams"),
     )
@@ -973,13 +978,18 @@ def text_bigram_lm_score(spark, sf_dir):
     model file."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    bg = d.select(
+    # zip_with over two slices of a MATERIALIZED token column — never
+    # `split(text)[i + 1]` inside the lambda: a lambda body re-evaluates
+    # outer non-attribute subexpressions per element, so the old form
+    # re-split the text once per bigram (O(n²) tokenization per doc).
+    bg = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.explode(
             F.expr(
                 """
-                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                          (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))
+                zip_with(slice(toks, 1, size(toks) - 1),
+                         slice(toks, 2, size(toks) - 1),
+                         (x, y) -> struct(x AS w1, y AS w2))
                 """
             )
         ).alias("b"),
@@ -1536,13 +1546,18 @@ def text_lm_backoff_score(spark, sf_dir):
     combined; each ≤ |vocab|² rows) broadcast onto the bigram stream +
     one 1-row total — the bigram-LM shuffle budget plus one broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select(
+    # zip_with over two slices of a MATERIALIZED token column — never
+    # `split(text)[i + 1]` inside the lambda: a lambda body re-evaluates
+    # outer non-attribute subexpressions per element, so the old form
+    # re-split the text once per bigram (O(n²) tokenization per doc).
+    bg = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.explode(
             F.expr(
                 """
-                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                          (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))
+                zip_with(slice(toks, 1, size(toks) - 1),
+                         slice(toks, 2, size(toks) - 1),
+                         (x, y) -> struct(x AS w1, y AS w2))
                 """
             )
         ).alias("b"),

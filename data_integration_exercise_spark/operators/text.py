@@ -493,13 +493,17 @@ def text_ngram_novelty(spark, sf_dir):
     the scoring join rides the exploded stream with a map-side
     broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select(
+    # zip_with over two slices of a materialized token column — the old
+    # lambda re-split the text per bigram (O(n²) tokenization per doc;
+    # see pipeline.bigram_mask_cols)
+    bg = d.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.explode(
             F.expr(
                 """
-                transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
-                          (x, i) -> concat(x, ' ', split(text, ' ')[i + 1]))
+                zip_with(slice(toks, 1, size(toks) - 1),
+                         slice(toks, 2, size(toks) - 1),
+                         (x, y) -> concat(x, ' ', y))
                 """
             )
         ).alias("bigram"),
