@@ -1906,6 +1906,7 @@ def _lloyd_centroids(q, iters: int = 3):
         )
 
     dim = len(cents[0]) if cents else 0
+    n_total = 0
     for _ in range(iters):
         cent_rows = (
             assign_with(cents, cent_ids)
@@ -1917,12 +1918,20 @@ def _lloyd_centroids(q, iters: int = 3):
             )
             .filter(F.col("pos").isNotNull())
             .groupBy("cluster", "pos")
-            .agg(F.expr("sum(qv) div count(*)").alias("c"))
+            .agg(
+                F.expr("sum(qv) div count(*)").alias("c"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         by_cluster = {}
         for r in cent_rows:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
+        # every vector contributes one pos-0 row per iteration, so the
+        # pos-0 counts sum to the corpus cardinality — consumers that need
+        # |q| (plan_ivf_probe_geometry's block sizing) read it from here
+        # instead of paying a separate count() job (VERDICT r14 item 8)
+        n_total = sum(int(r["n"]) for r in cent_rows if int(r["pos"]) == 0)
         cent_ids = sorted(by_cluster)  # survivors keep their ORIGINAL ids
         cents = [[by_cluster[k][p] for p in range(dim)] for k in cent_ids]
 
@@ -1936,6 +1945,10 @@ def _lloyd_centroids(q, iters: int = 3):
         # argument, which was a wrong-results trap for any caller passing a
         # different centroid frame (ADVICE r14 item 2)
         return assign_with(cents, cent_ids)
+
+    # corpus cardinality, free from the last training rollup (0 when
+    # iters == 0 was never trained — no consumer uses that combination)
+    assign.n_total = n_total
 
     return carr, assign
 
@@ -2581,7 +2594,10 @@ def plan_ivf_probe_geometry(spark, sf_dir):
     qs = q.filter(F.col("vec_id") % 7 == 0).select(
         F.col("vec_id").alias("qid"), F.col("qarr").alias("arr")
     )
-    n_corpus_rows = q.groupBy().count().first()[0] or 0
+    # corpus cardinality read from the trainer's last rollup (every vector
+    # contributes one pos-0 row per Lloyd iteration) — one fewer sequential
+    # driver job than the former q.count() probe (VERDICT r14 item 8)
+    n_corpus_rows = _assign.n_total
     n_blocks = max(1, -(-n_corpus_rows // ROWS_PER_BLOCK_TASK))
     corp = q.select(
         F.col("vec_id").alias("qid"),

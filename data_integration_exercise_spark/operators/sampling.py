@@ -824,51 +824,60 @@ def sample_coreset_kcenter(spark, sf_dir):
         "vec_id", "label", F.expr(_KC_QUANT).alias("qv")
     ).localCheckpoint(eager=False)
 
-    seed = (
+    # Round-15 shape: the chosen set is BOUNDED (k = 8 at any corpus
+    # size), so it lives on the driver between rounds and embeds into each
+    # pass as literal arrays — the _lloyd_centroids driver-side-trainer
+    # pattern. Each round is ONE map-only TakeOrdered(1) job (min-d2 as a
+    # least() over k literal d2 folds); the former frame-resident loop
+    # paid a broadcast build, an n×|C| crossJoin expansion, a vec_id
+    # groupBy SHUFFLE and an eager checkpoint per round. Trajectory
+    # identical: same integer d2, least() = the old per-group min, same
+    # (min_d2 DESC, vec_id ASC) pick order.
+    def _d2_lit(vec) -> str:
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in vec) + ")"
+        return (
+            f"aggregate(zip_with(qv, {arr}, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    def _min_d2(centers):
+        terms = [_d2_lit(c[3]) for c in centers]
+        return F.expr(
+            terms[0] if len(terms) == 1 else f"least({', '.join(terms)})"
+        )
+
+    seed_rows = (
         q.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(1)
-        .select(F.lit(1).cast("long").alias("rank"), "vec_id", "label", "qv")
-        .localCheckpoint(eager=True)
+        .select("vec_id", "label", "qv")
+        .collect()
     )
-    chosen = seed
-
-    d2 = F.aggregate(
-        F.zip_with("qv", "cqv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-    def min_d2_frame(chosen_df):
-        c = chosen_df.select(F.col("qv").alias("cqv"))
-        return (
-            q.crossJoin(F.broadcast(c))
-            .select("vec_id", "label", "qv", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.first("label").alias("label"),
-                F.first("qv").alias("qv"),
-                F.min("d2").alias("min_d2"),
-            )
-        )
+    # label keeps the table's INT type (schemas.EMBEDDINGS) — the output
+    # schema must be byte-identical to the old frame-resident shape
+    out_schema = "rank long, vec_id long, label int, coverage_radius_d2 long"
+    if not seed_rows:  # empty corpus → empty selection, like the old shape
+        return spark.createDataFrame([], out_schema)
+    r0 = seed_rows[0]
+    chosen = [(1, int(r0["vec_id"]), int(r0["label"]), [int(x) for x in r0["qv"]])]
 
     for i in range(2, _KCENTER_K + 1):
         pick = (
-            min_d2_frame(chosen)
+            q.select("vec_id", "label", "qv", _min_d2(chosen).alias("min_d2"))
             .orderBy(F.col("min_d2").desc(), F.col("vec_id").asc())
             .limit(1)
-            .select(
-                F.lit(i).cast("long").alias("rank"), "vec_id", "label", "qv"
-            )
+            .select("vec_id", "label", "qv")
+            .collect()[0]
         )
-        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
+        chosen.append(
+            (i, int(pick["vec_id"]), int(pick["label"]), [int(x) for x in pick["qv"]])
+        )
 
-    radius = min_d2_frame(chosen).agg(
-        F.max("min_d2").cast("long").alias("coverage_radius_d2")
+    radius = int(
+        q.agg(F.max(_min_d2(chosen)).cast("long").alias("r")).first()["r"]
     )
-    return (
-        chosen.crossJoin(F.broadcast(radius))
-        .select("rank", "vec_id", "label", "coverage_radius_d2")
+    return spark.createDataFrame(
+        [(rank, vid, lab, radius) for rank, vid, lab, _ in chosen], out_schema
     )
 
 

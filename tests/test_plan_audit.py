@@ -189,9 +189,12 @@ EXPECTED_EXCHANGES = {
     #   rollup, both off the round-14 checkpointed span stream (the fan-out
     #   exchange and one explode are behind the checkpoint scan); the
     #   count side broadcasts back onto the stream
-    "sample_coreset_kcenter": (2, 2),  # final radius pass off the
-    #   checkpointed 8-row chosen set (the 7 selection rounds are
-    #   checkpoint-backed): min-d2 rollup + radius agg, chosen+radius bcasts
+    "sample_coreset_kcenter": (0, 0),  # round-15 driver-side chosen set
+    #   (the _lloyd_centroids bounded-probe pattern): the declared frame is
+    #   a LocalRelation of the 8 picks + literal radius; each selection
+    #   round ran as a map-only TakeOrdered(1) job at build time (the old
+    #   frame-resident loop paid a crossJoin+groupBy shuffle and an eager
+    #   checkpoint per round — pin was (2, 2))
     # Round-10 late wave (pinned at birth):
     "win_matrix_profile": (8, 2),  # monthly rollup + window/pair/rank
     #   rollups on the ~400-row series table
