@@ -553,13 +553,26 @@ def _openvocab_band_rows(spark, sf_dir):
     # always-true predicate below the Generate (measured: the openvocab
     # signature stage was ~17 md5 passes per doc instead of 1). sigs is a
     # constructed N_BANDS-element array, so outer ≡ inner row-for-row.
+    #
+    # `mk` is the 64-bit RESIDUE MASK of the token-hash set (bit h mod 64):
+    # a bit set in mk1 but not in mk2 certifies ≥1 token of doc1 absent
+    # from doc2, so |∩| ≤ n1 − bit_count(mk1 & ~mk2) — an upper bound the
+    # candidate join uses to discard pairs that provably cannot reach
+    # J ≥ 0.8 BEFORE their token arrays enter the re-rank joins
+    # (_openvocab_scored_pairs; residue collisions only weaken the bound,
+    # never break it, so the prune is lossless by construction).
+    mask = (
+        "aggregate(_hs, CAST(0 AS BIGINT), (acc, h) -> "
+        "acc | shiftleft(CAST(1 AS BIGINT), CAST(pmod(h, 64) AS INT)))"
+    )
     return (
         d.select("doc_id", F.expr(hashes).alias("_hs"))
         .withColumn("sigs", F.expr(f"array({', '.join(band_sigs)})"))
         .withColumn("n_tok", F.size("_hs").cast("long"))
+        .withColumn("mk", F.expr(mask))
         .repartition(n_part, F.col("doc_id"))
         .select(
-            "doc_id", "sigs", "n_tok",
+            "doc_id", "sigs", "n_tok", "mk",
             F.posexplode_outer("sigs").alias("band", "sig"),
         )
     )
@@ -630,6 +643,7 @@ def _openvocab_scored_pairs(spark, sf_dir, size_bound=True):
         F.col("doc_id").alias("doc1"),
         F.col("sigs").alias("sigs1"),
         F.col("n_tok").alias("n1"),
+        F.col("mk").alias("mk1"),
         "band",
         "sig",
     )
@@ -637,6 +651,7 @@ def _openvocab_scored_pairs(spark, sf_dir, size_bound=True):
         F.col("doc_id").alias("doc2"),
         F.col("sigs").alias("sigs2"),
         F.col("n_tok").alias("n2"),
+        F.col("mk").alias("mk2"),
         F.col("band").alias("band2"),
         F.col("sig").alias("sig2"),
     )
@@ -650,6 +665,19 @@ def _openvocab_scored_pairs(spark, sf_dir, size_bound=True):
         cond = cond & (
             F.lit(5) * F.least(b1.n1, b2.n2) >= F.lit(4) * F.greatest(b1.n1, b2.n2)
         )
+        # residue-mask prune (round 15, lossless — see _openvocab_band_rows):
+        # J ≥ 0.8 ⇔ 9·|∩| ≥ 4·(n1+n2), and |∩| ≤ min(n1 − miss₁, n2 − miss₂)
+        # where missᵢ counts residues of side i absent from the other side's
+        # mask; pairs failing the bound can never survive the exact re-rank,
+        # so their token arrays never enter the two re-rank joins. Measured
+        # at sf0.1: 5.96M candidates → 3.60M (79% of the ~3.0M false
+        # candidates gone; the verified stream is 2.96M pairs and provably
+        # unchanged — the size_bound=False equality test covers this path).
+        inter_ub = F.least(
+            b1.n1 - F.expr("bit_count(mk1 & ~mk2)"),
+            b2.n2 - F.expr("bit_count(mk2 & ~mk1)"),
+        )
+        cond = cond & (F.lit(9) * inter_ub >= F.lit(4) * (b1.n1 + b2.n2))
     cand = b1.join(b2, cond).select("doc1", "doc2")
     # Re-rank on the 48-bit CONTENT-HASH token sets, not the string sets:
     # array_intersect over ~40-element string arrays was the operator's
