@@ -81,12 +81,17 @@ def test_openvocab_path_vs_bitset_path_and_exact_truth(spark):
 
 
 def test_openvocab_size_bound_prefilter_is_lossless(spark):
-    """The candidate size-bound prefilter (VERDICT r12 item 5) is implied
-    by the ≥0.8 re-rank threshold — J ≤ min(|s1|,|s2|)/max(|s1|,|s2|), so
-    J ≥ 0.8 forces 5·min ≥ 4·max — and therefore CANNOT change the verified
-    pair stream; it only keeps out-of-bound candidates' token arrays out of
-    the two re-rank joins. Assert exact output equality against the
-    unfiltered path at sf0.01."""
+    """The candidate prefilters are implied by the ≥0.8 re-rank threshold
+    and therefore CANNOT change the verified pair stream: (a) the size
+    bound (VERDICT r12 item 5) — J ≤ min/max sizes, so J ≥ 0.8 forces
+    5·min ≥ 4·max; (b) the round-15 residue-mask bound — a bit set in one
+    doc's 64-bit hash-residue mask but absent from the other's certifies a
+    token the other doc cannot have, so |∩| ≤ min(n1−miss₁, n2−miss₂) and
+    9·bound < 4·(n1+n2) rules out J ≥ 0.8 (collisions only weaken the
+    bound, never false-drop). Both only keep doomed candidates' token
+    arrays out of the two re-rank joins. Assert exact output equality
+    against the unfiltered path (size_bound=False disables both) at
+    sf0.01."""
     bounded = {
         (r.doc1, r.doc2, r.jaccard)
         for r in pipeline._openvocab_scored_pairs(spark, SF).collect()
